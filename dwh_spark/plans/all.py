@@ -1,0 +1,3 @@
+"""Import every plan module so the registry is fully populated."""
+
+import dwh_spark.plans.relational  # noqa: F401

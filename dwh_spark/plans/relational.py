@@ -1,0 +1,450 @@
+"""The relational query surface (SURVEY.md §2.3 Q1-Q8).
+
+The reference exposes its 8 state tables through Hasura→PostgreSQL:
+projection, predicate filters with boolean combinators, FK
+relationship joins with nested selection, aggregates, order/limit/
+offset pagination, and point lookups (`README.md:89-152`,
+`infrastructure-compose.yml:44-56`). Here each capability is expressed
+Spark-first over the driver's star schema and paired with a DuckDB
+oracle.
+
+Scale notes (100 TB):
+- dimension joins (region/nation/customer/supplier/part) are broadcast
+  — `F.broadcast` below makes it explicit rather than relying on the
+  size estimator; no shuffle of the fact side on the build key.
+- aggregations are expressed as single groupBy so Catalyst plans
+  partial (map-side) aggregation before the exchange.
+- filters use literal predicates on scan columns so they reach the
+  parquet reader (PushedFilters) and prune row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dwh_spark.plans.registry import query
+from dwh_spark.sources.catalog import load_table
+
+
+def _dec(col: str) -> F.Column:
+    """Money-as-double → exact DECIMAL(18,2) (see registry docstring)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY §7 phase 0): the reference's README query — every owner
+# with the tokens they own, as a nested list (README.md:93-118, Hasura
+# users{address nfts{token_id}}) — re-expressed on the star schema as every
+# customer with the orders they "own". collect_list(struct) is the Spark
+# shape; for oracle hash-stability the list is a sorted comma-join.
+# ---------------------------------------------------------------------------
+@query(
+    "flagship_owned_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_name    AS name,
+           count(o.o_orderkey)                                  AS n_orders,
+           coalesce(string_agg(o.o_orderkey, ',' ORDER BY o.o_orderkey), '') AS orderkeys
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def flagship_owned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("orderkeys"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: multi-aggregate pricing summary. Exercises Q5 aggregates
+# + Q2 range predicate; at scale this is the canonical partial-agg plan
+# (2 grouping cols × 6k distinct dates → tiny shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)   AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (_dec(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: FK equi-joins (Q4) + filter + agg + order/limit (Q6).
+# customer is broadcast (dim); orders⋈lineitem shuffles on orderkey once.
+# ---------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-table join through the FK chain (Q4 at depth), dims
+# broadcast, fact shuffled once on orderkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q5_region_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC
+    """,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    dims = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2+Q3: the full Hasura predicate family — _eq,_neq,_gt,_lt,_gte,_lte,
+# _in,_like,_is_null — under _and/_or/_not combinators (README.md:121-135).
+# ---------------------------------------------------------------------------
+@query(
+    "filters_combinators",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+           o_totalprice AS totalprice, o_orderpriority AS priority
+    FROM orders
+    WHERE (o_orderstatus = 'O' OR o_totalprice >= 50000.0)
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND NOT (o_orderstatus = 'P')
+      AND o_orderpriority LIKE '%-%'
+      AND o_orderdate IS NOT NULL
+      AND o_totalprice > 100.0 AND o_totalprice <= 200000.0
+      AND o_orderstatus <> 'X'
+    """,
+)
+def filters_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "O") | (F.col("o_totalprice") >= 50000.0))
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ~(F.col("o_orderstatus") == "P")
+        & F.col("o_orderpriority").like("%-%")
+        & F.col("o_orderdate").isNotNull()
+        & (F.col("o_totalprice") > 100.0)
+        & (F.col("o_totalprice") <= 200000.0)
+        & (F.col("o_orderstatus") != "X")
+    ).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: the <table>_aggregate surface — count / sum / avg / min / max.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_all_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           count(DISTINCT o_custkey) AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_total,
+           min(o_totalprice) AS min_total,
+           max(o_totalprice) AS max_total,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    total = _dec("o_totalprice")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(total).cast("double").alias("sum_total"),
+        F.round(F.sum(total).cast("double") / F.count("*"), 6).alias("avg_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6: order_by / limit / offset pagination. Offset is expressed with a
+# row_number window (the only scalable form — a bare OFFSET still scans
+# and sorts everything up to offset+limit on one node).
+# ---------------------------------------------------------------------------
+@query(
+    "pagination_page3",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+             row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT custkey, name, acctbal FROM ranked
+    WHERE rn > 40 AND rn <= 60
+    ORDER BY rn
+    """,
+)
+def pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
+        .orderBy("rn")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8: point lookups by unique / composite key (users-by-address,
+# offers-by-(token_id,offer_id) analogs — marketplace.go:55,342-346).
+# At scale these hit parquet min/max row-group pruning via PushedFilters.
+# ---------------------------------------------------------------------------
+@query(
+    "point_lookup_composite",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_partkey AS partkey, l_quantity AS quantity, l_extendedprice AS price
+    FROM lineitem
+    WHERE l_orderkey IN (3, 7, 8) AND l_linenumber = 1
+    """,
+)
+def point_lookup_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey").isin(3, 7, 8) & (F.col("l_linenumber") == 1)).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K per group — window ranking (SURVEY §2.6 extension; the scalable
+# form of the reference's ORDER BY ... LIMIT per-entity lookups).
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders_per_segment",
+    oracle="""
+    WITH ranked AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey AS orderkey,
+             o.o_totalprice AS totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment, orderkey, totalprice, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("segment").orderBy(F.desc("totalprice"), F.asc("orderkey"))
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — union / intersect / except (SURVEY §2.6: absent in the
+# reference, free in Spark; part of the complete query surface).
+# ---------------------------------------------------------------------------
+@query(
+    "setops_customer_segments",
+    oracle="""
+    WITH building AS (SELECT o_custkey AS custkey FROM orders o
+                      JOIN customer c ON o.o_custkey=c.c_custkey
+                      WHERE c.c_mktsegment='BUILDING'),
+         urgent AS (SELECT o_custkey AS custkey FROM orders
+                    WHERE o_orderpriority='1-URGENT')
+    SELECT 'both' AS bucket, count(*) AS n FROM (SELECT DISTINCT custkey FROM building INTERSECT SELECT DISTINCT custkey FROM urgent)
+    UNION ALL
+    SELECT 'building_only' AS bucket, count(*) AS n FROM (SELECT DISTINCT custkey FROM building EXCEPT SELECT DISTINCT custkey FROM urgent)
+    UNION ALL
+    SELECT 'all' AS bucket, count(*) AS n FROM (SELECT DISTINCT custkey FROM building UNION SELECT DISTINCT custkey FROM urgent)
+    """,
+)
+def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    building = (
+        o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = building.intersect(urgent).agg(F.count("*").alias("n")).select(F.lit("both").alias("bucket"), "n")
+    only = building.exceptAll(urgent).agg(F.count("*").alias("n")).select(F.lit("building_only").alias("bucket"), "n")
+    union = building.union(urgent).distinct().agg(F.count("*").alias("n")).select(F.lit("all").alias("bucket"), "n")
+    return both.unionAll(only).unionAll(union)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical aggregates region→nation (SURVEY §2.6 extension).
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           count(c.c_custkey) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )

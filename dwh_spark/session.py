@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads);
+the same configs are what we would set cluster-side at 100 TB, except
+``shuffle.partitions`` which scales with cluster cores (AQE coalesces
+them down at runtime, so a high static value is safe).
+
+Scale notes (100 TB design):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuning per query.
+- Arrow on: every Pandas UDF / applyInPandas hop is vectorized.
+- UTC session timezone: deterministic timestamp semantics regardless of
+  host (and required for oracle comparison vs DuckDB's naive UTC).
+- maxRecordsPerBatch capped so wide binary (multimodal) columns don't
+  blow executor memory inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dwh-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
