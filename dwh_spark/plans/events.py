@@ -1,0 +1,222 @@
+"""Event-stream queries over the ``events`` table.
+
+The reference's core loop materializes mutable state from an ordered
+event stream (`x/indexer/indexer.go:167-198`) and schedules work from
+it (`x/mongoDaemon/service.go:98-176`). These queries express those
+capabilities Spark-first on the driver's events fixture:
+
+- latest-state compaction  = the replay form of per-key upsert (M1-M16)
+- stalest top-k            = the mongoDaemon scheduler (D6)
+- sessionization           = ordered-stream windowing (§2.6 extension)
+- JSON extraction          = the Jsonb columns (Tx.Log, D1)
+- tumbling-window rollups  = streaming aggregation in its batch form
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id), so state is evenly spread; the tumbling-window agg is a
+plain groupBy on a derived column (no window function state at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dwh_spark.operators.latest_state import latest_state
+from dwh_spark.plans.registry import query
+from dwh_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Latest-state compaction (M1-M16 replay form; SURVEY §1.1 "mutable tables").
+# One row per user: their most recent event = their current state.
+# ---------------------------------------------------------------------------
+@query(
+    "events_latest_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_state(ev, keys=["user_id"], order=[F.desc("ts"), F.desc("event_id")]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stalest top-k (D6, x/mongoDaemon/service.go:100-103): select the 20%
+# least-recently-active users, oldest first — the refresh scheduler.
+# ---------------------------------------------------------------------------
+@query(
+    "events_stalest_topk",
+    oracle="""
+    WITH last_seen AS (
+      SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+    ), counted AS (
+      SELECT count(*) AS n FROM last_seen
+    ), ranked AS (
+      SELECT user_id, last_ts,
+             row_number() OVER (ORDER BY last_ts ASC, user_id) AS rn
+      FROM last_seen
+    )
+    SELECT user_id, last_ts, rn
+    FROM ranked, counted
+    WHERE rn <= CAST(ceil(n * 0.20) AS BIGINT)
+    """,
+)
+def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    # driver-side scalar: one tiny agg, not a collect over data rows
+    n = last_seen.count()
+    k = -(-n * 20 // 100)  # ceil(n * 0.20)
+    w = Window.orderBy(F.asc("last_ts"), F.asc("user_id"))
+    return (
+        last_seen.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(int(k)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap → session boundaries via
+# lag + running sum (the batch twin of session_window in streaming).
+# ---------------------------------------------------------------------------
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap_sec.isNull() | (gap_sec > 30 * 60), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (D1 / Tx.Log jsonb): pull props.k out of the JSON
+# column and aggregate — JVM-side get_json_object, no Python.
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (daily) — the batch form of the streaming
+# windowed agg; plain groupBy on a truncated timestamp, no window state.
+# ---------------------------------------------------------------------------
+@query(
+    "events_daily_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date(F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: signup → purchase conversion per user (ordered-stream join,
+# the analytics shape the marketplace would ask of its event log).
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel_signup_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(first_signup) AS n_signed_up,
+           sum(CASE WHEN first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+    FROM firsts
+    """,
+)
+def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.sum(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1).otherwise(0)
+        ).alias("n_converted"),
+    )

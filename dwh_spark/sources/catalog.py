@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -36,8 +37,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Schema comes from parquet footer metadata
-    (exact, no inference cost)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    (exact, no inference cost).
+
+    ``events.ts`` is written as parquet ``timestamp[ns]``, which Spark's
+    reader rejects; we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microsecond timestamps with integer division — bit-identical to
+    DuckDB's ns→us handling (float division would lose precision at
+    1e18 nanoseconds).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
