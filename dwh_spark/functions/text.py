@@ -1,0 +1,116 @@
+"""Text-analysis column builders (all JVM-side, no Python UDFs).
+
+The reference's document pipeline fetches and validates free-form
+metadata JSON (`x/tokenMetadataService/service.go:116-210`); a
+100 TB training-data pipeline additionally needs language ID, quality
+scoring, token counting and fingerprinting over a ``documents`` table.
+Everything here is built from ``pyspark.sql.functions`` so it stays
+inside whole-stage codegen; each builder has a DuckDB-SQL twin in
+dwh_spark/plans/documents.py for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately tiny and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish markers
+}
+# deterministic tie-break order (higher rank wins ties)
+LANG_RANK = {lang: i for i, lang in enumerate(sorted(LANG_MARKERS))}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def n_distinct_tokens(text: Column) -> Column:
+    return F.size(F.array_distinct(words(text)))
+
+
+def avg_token_len(text: Column) -> Column:
+    """(chars − separators) / tokens, rounded to 6."""
+    n = n_tokens(text)
+    return F.round((F.length(text) - (n - F.lit(1))) / n, 6)
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token proxy: alnum runs + single punctuation marks."""
+    return F.regexp_count(text, F.lit("[a-z0-9]+"))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...]) -> Column:
+    w = words(text)
+    arr = F.array(*(F.lit(s) for s in stopwords))
+    return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+
+def marker_hits(text: Column, lang: str) -> Column:
+    """How many of ``lang``'s marker words appear in the text (presence,
+    not frequency — cheap containment checks, no explode)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return sum(
+        (F.when(padded.contains(f" {m} "), 1).otherwise(0) for m in LANG_MARKERS[lang]),
+        F.lit(0),
+    )
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax over marker hits; ties break toward the later language in
+    sorted order (deterministic, mirrored in the SQL oracle)."""
+    scored = F.array(
+        *(
+            F.struct(
+                (marker_hits(text, lang) * 10 + LANG_RANK[lang]).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        )
+    )
+    return F.array_max(scored).getField("lang")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + lexical
+    diversity + stopword plausibility. Deterministic, documented in the
+    oracle SQL; weights are arbitrary but fixed."""
+    n = n_tokens(text)
+    diversity = n_distinct_tokens(text) / n
+    stop_ratio = stopword_count(text, LANG_MARKERS["en"]) / n
+    length_ok = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.4 * length_ok + 0.4 * diversity + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)), 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set (the classic "fingerprint" clustering key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words(F.lower(text))))))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles; empty array for docs shorter than k
+    (sequence() would otherwise run descending and mis-index)."""
+    w = words(text)
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    made = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *(F.element_at(w, i + j + 1) for j in range(k))))
+    )
+    return F.when(F.size(w) >= k, made).otherwise(F.array().cast("array<string>"))
+
+
+def word_hash32(word: Column) -> Column:
+    """First 32 bits of md5 as a bigint — engine-portable (DuckDB:
+    ('0x' || substr(md5(w),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("bigint")

@@ -1,0 +1,241 @@
+"""Document queries: text analysis + the dedup family, oracle-paired.
+
+Spark side uses dwh_spark.functions.text / operators.dedup (pure
+DataFrame ops, JVM-side); every oracle reproduces the identical
+computation in DuckDB SQL — including the md5-derived hash families,
+which are engine-portable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_spark.functions import text as T
+from dwh_spark.operators import dedup as D
+from dwh_spark.plans.registry import query
+from dwh_spark.sources.catalog import load_table
+
+# shared oracle CTE: distinct word 3-shingles per document
+_SHINGLES_CTE = """
+    docs AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                   for i in range(1, len(s) - 1)])) AS shingle
+      FROM docs WHERE len(s) >= 3
+    )
+"""
+
+
+@query(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           round(CAST(sum(CAST(round(
+               (length(text) - (len(string_split(text,' ')) - 1))
+               / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS DECIMAL(12,6))) AS DOUBLE)
+             / count(*), 6) AS avg_token_len,
+           sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS total_regex_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.n_tokens(t)).alias("total_tokens"),
+        F.round(
+            F.sum(T.avg_token_len(t).cast("decimal(12,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_token_len"),
+        F.sum(T.regex_token_count(t)).alias("total_regex_tokens"),
+    )
+
+
+@query(
+    "docs_quality_scores",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             round(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * (len(list_distinct(string_split(text,' ')))
+                          / CAST(len(string_split(text,' ')) AS DOUBLE))
+                 + 0.2 * least(5.0 * len(list_filter(string_split(text,' '),
+                                   w -> w IN ('the','a','of','and','is')))
+                               / len(string_split(text,' ')), 1.0), 6) AS q
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           round(CAST(sum(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+           min(q) AS min_quality, max(q) AS max_quality
+    FROM scored GROUP BY 1
+    """,
+)
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("source", T.quality_score(F.col("text")).alias("q"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(F.col("q").cast("decimal(10,6)")).cast("double") / F.count("*"), 6).alias("avg_quality"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    # score = hits*10 + rank; argmax via max of (score, lang) struct —
+    # identical tie-break to functions.text.predicted_lang
+    score_terms = []
+    for lang in sorted(T.LANG_MARKERS):
+        hits = " + ".join(
+            f"(CASE WHEN contains(' ' || text || ' ', ' {m} ') THEN 1 ELSE 0 END)"
+            for m in T.LANG_MARKERS[lang]
+        )
+        score_terms.append(f"(({hits}) * 10 + {T.LANG_RANK[lang]}, '{lang}')")
+    array = "[" + ", ".join(score_terms) + "]"
+    return f"""
+    WITH predicted AS (
+      SELECT lang, list_max({array})[2] AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM predicted GROUP BY 1, 2
+    """
+
+
+@query("docs_langid_confusion", oracle=_langid_oracle())
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.predicted_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "docs_fingerprint_clusters",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+           min(doc_id) AS canonical_id, count(*) AS n_docs
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def docs_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(T.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "docs_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+    """,
+)
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@query(
+    "docs_minhash_near_dups",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seeds.seed,
+             min(md5(seeds.seed::VARCHAR || ':' || shingle)) AS minhash
+      FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+    """,
+)
+def docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@query(
+    "docs_simhash_near_dups",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM toks
+    ),
+    weighted AS (
+      SELECT doc_id, bits.j,
+             sum(CASE WHEN (h >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS wsum
+      FROM hashed, (SELECT unnest(range(0, 32)) AS j) bits
+      GROUP BY 1, 2
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             sum(CASE WHEN wsum > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM weighted GROUP BY 1
+    ),
+    blocked AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sh2)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+)
+def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_duplicates(load_table(spark, sf_dir, "documents"), max_hamming=4)

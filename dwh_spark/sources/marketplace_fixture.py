@@ -205,4 +205,6 @@ def scenario_rows() -> list[dict]:
 
 
 def marketplace_events(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(scenario_rows(), MARKETPLACE_EVENTS)
+    # 67 rows: default parallelism would spread them over 32 partitions
+    # and pay scheduling overhead on every downstream shuffle
+    return spark.createDataFrame(scenario_rows(), MARKETPLACE_EVENTS).coalesce(1)
