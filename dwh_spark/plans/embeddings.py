@@ -1,0 +1,164 @@
+"""Embedding similarity-search queries, oracle-paired.
+
+The DuckDB oracles re-derive every number with sequential double
+folds (``list_reduce``), bit-identical to Spark's ``aggregate`` —
+the float32 built-ins (list_cosine_similarity) intentionally unused.
+Hyperplane constants are generated from the same md5 derivation on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dwh_spark.operators.similarity import (
+    assign_cells,
+    cosine_topk,
+    hyperplane_signs,
+    lsh_topk,
+    with_norm,
+)
+from dwh_spark.plans.registry import query
+from dwh_spark.sources.catalog import load_table
+
+QUERY_IDS = (0, 1, 2, 3, 4)
+CENTROID_IDS = (0, 8, 16, 24, 32, 40, 48, 56)
+
+_NORM2 = (
+    "list_reduce(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+)
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _signed_dot_sql(vec: str, signs: list[int]) -> str:
+    arr = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+    return _DOT.format(a=vec, b=arr)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN {_signed_dot_sql(vec, signs)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, signs in enumerate(hyperplane_signs())
+    ]
+    return " + ".join(terms)
+
+
+_IDS = ", ".join(str(i) for i in QUERY_IDS)
+_CIDS = ", ".join(str(i) for i in CENTROID_IDS)
+
+
+@query(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+          FROM base WHERE vec_id IN ({_IDS})),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             round({_DOT.format(a='v.embedding', b='q.q_emb')}
+                   / (sqrt(v.norm2) * sqrt(q.q_norm2)), 6) AS cosine
+      FROM base v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return cosine_topk(emb, queries, k=5)
+
+
+@query(
+    "emb_lsh_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2, bucket
+          FROM base WHERE vec_id IN ({_IDS})),
+    scored AS (
+      SELECT q.query_id, v.vec_id, v.bucket,
+             round({_DOT.format(a='v.embedding', b='q.q_emb')}
+                   / (sqrt(v.norm2) * sqrt(q.q_norm2)), 6) AS cosine
+      FROM base v JOIN q ON v.bucket = q.bucket AND v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, bucket, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return lsh_topk(emb, queries, k=5)
+
+
+@query(
+    "emb_ivf_cells",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, embedding AS c_emb, norm2 AS c_norm2
+          FROM base WHERE vec_id IN ({_CIDS})),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             round({_DOT.format(a='v.embedding', b='c.c_emb')}
+                   / (sqrt(v.norm2) * sqrt(c.c_norm2)), 6) AS cos_c
+      FROM base v CROSS JOIN c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM assigned WHERE rn = 1 GROUP BY 1
+    """,
+)
+def emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+    cells = assign_cells(emb, centroids)
+    return cells.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@query(
+    "emb_label_stats",
+    oracle=f"""
+    SELECT label, count(*) AS n,
+           round(CAST(sum(CAST(round(sqrt({_NORM2.format(v='embedding')}), 6)
+                          AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS avg_norm
+    FROM embeddings GROUP BY 1
+    """,
+)
+def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    return (
+        emb.withColumn("norm_r", F.round(F.sqrt("norm2"), 6).cast("decimal(12,6)"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("norm_r").cast("double") / F.count("*"), 6).alias("avg_norm"),
+        )
+    )
