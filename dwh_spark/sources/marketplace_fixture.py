@@ -205,6 +205,10 @@ def scenario_rows() -> list[dict]:
 
 
 def marketplace_events(spark: SparkSession) -> DataFrame:
-    # 67 rows: default parallelism would spread them over 32 partitions
-    # and pay scheduling overhead on every downstream shuffle
-    return spark.createDataFrame(scenario_rows(), MARKETPLACE_EVENTS).coalesce(1)
+    # Via pandas+Arrow this plans as a JVM-side LocalTableScan; the
+    # list-of-dicts path would plan as Scan ExistingRDD and re-run
+    # Python-worker deserialization on every downstream action (~5s per
+    # replay query on local[32]).
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(scenario_rows()), MARKETPLACE_EVENTS)
