@@ -1,0 +1,266 @@
+"""Binary/image operators — the multimodal pipeline (SURVEY.md §2.5, B1-B7).
+
+The reference fetches each NFT's image, sniffs its format by magic
+bytes, decodes, resizes to N configured resolutions, and stores it
+content-addressed with checksum dedup and keep-latest supersede
+(`x/imgresizer/resizer.go:88-263`, `x/imgstorage/storage.go:16-125`).
+
+Spark-first design: images are rows with an opaque ``binary`` content
+column plus typed metadata. Everything except pixel decoding is
+JVM-side column algebra:
+
+- B1 sniffing: magic-byte prefix match via ``hex(substring(...))`` —
+  no UDF, whole-stage codegen.
+- B3 fan-out: ``explode`` over a resolutions array.
+- B5 dedup: ``md5(content)`` + left-anti join against the store.
+- B7 supersede: keep-latest window per content address.
+- S10 point read: priority-ordered fallback (exact resolution, else
+  original) as a rank-1 window.
+
+Pixel decoding (B2/B4) is the only step that needs Python: it runs as
+``mapInPandas`` over Arrow batches. The image codec libraries are not
+installed in this environment, so the decoder is STUBBED — the batch
+plumbing (schema, batching, fan-out) is real and tested with a
+deterministic fake decoder; `pillow_decoder` raises
+``NotImplementedError`` unless PIL is importable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+from pyspark.sql.window import Window
+
+# Default resize targets (x/common/config.go:129-138, config.toml:20-27).
+DEFAULT_RESOLUTIONS: tuple[tuple[int, int], ...] = ((200, 150), (120, 90))
+
+# Magic-byte table (filetype.Match over the first 261 bytes,
+# x/imgresizer/resizer.go:217-235). Keys are uppercase hex prefixes.
+_MAGICS: tuple[tuple[str, str], ...] = (
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),   # GIF8
+    ("424D", "bmp"),       # BM
+    ("49492A00", "tiff"),  # II*\0 little-endian
+    ("4D4D002A", "tiff"),  # MM\0* big-endian
+)
+
+
+def sniff_format(content: Column) -> Column:
+    """B1 — format detection from leading magic bytes, all JVM-side.
+
+    SVG is text-sniffed first (the reference tries an SVG parse before
+    magic bytes, resizer.go:219-226); RIFF needs bytes 9-12 == "WEBP".
+    Unknown/NULL content → NULL (the reference errors such tasks).
+    """
+    head = F.upper(F.hex(F.substring(content, 1, 8)))
+    riff = F.upper(F.hex(F.substring(content, 9, 4)))
+    text_head = F.ltrim(F.substring(content.cast("string"), 1, 64))
+    out: Column = F.lit(None).cast("string")
+    for prefix, fmt in reversed(_MAGICS):
+        out = F.when(head.startswith(prefix), F.lit(fmt)).otherwise(out)
+    out = F.when(
+        (F.upper(F.hex(F.substring(content, 1, 4))) == "52494646")
+        & (riff == "57454250"),
+        F.lit("webp"),
+    ).otherwise(out)
+    return F.when(
+        text_head.startswith("<svg") | text_head.startswith("<?xml"), F.lit("svg")
+    ).otherwise(out)
+
+
+def content_address(name_parts: list[Column], content: Column) -> Column:
+    """The store's file naming scheme: ``md5(name)+md5(content)``
+    (x/imgstorage/storage.go:37-43). Name = owner x token x resolution."""
+    name = F.concat_ws("x", *name_parts)
+    return F.concat(F.md5(name.cast("binary")), F.lit("+"), F.md5(content))
+
+
+def resize_fanout(
+    images: DataFrame,
+    resolutions: tuple[tuple[int, int], ...] = DEFAULT_RESOLUTIONS,
+    content_col: str = "content",
+) -> DataFrame:
+    """B3 — one row per (image, target resolution); vector images pass
+    through once, unresized, as (0, 0) (resizer.go:105-118: SVG skips
+    the resize loop and stores the original).
+
+    Adds ``format``, ``target_w``, ``target_h``. The shuffle-free
+    explode keeps partitioning by input row — at 100 TB the fan-out
+    multiplies bytes per partition, so upstream should size partitions
+    to ``maxPartitionBytes / len(resolutions)``.
+    """
+    res_array = F.array(
+        *[
+            F.struct(F.lit(w).alias("target_w"), F.lit(h).alias("target_h"))
+            for (w, h) in resolutions
+        ]
+    )
+    passthrough = F.array(
+        F.struct(F.lit(0).alias("target_w"), F.lit(0).alias("target_h"))
+    )
+    fmt = sniff_format(F.col(content_col))
+    return (
+        images.withColumn("format", fmt)
+        .filter(F.col("format").isNotNull())
+        .withColumn(
+            "res",
+            F.explode(F.when(F.col("format") == "svg", passthrough).otherwise(res_array)),
+        )
+        .withColumn("target_w", F.col("res.target_w"))
+        .withColumn("target_h", F.col("res.target_h"))
+        .drop("res")
+    )
+
+
+# --------------------------------------------------------------- B2/B4 decode
+
+RESIZED_SCHEMA = StructType([
+    StructField("owner", StringType()),
+    StructField("token_id", StringType()),
+    StructField("target_w", IntegerType()),
+    StructField("target_h", IntegerType()),
+    StructField("format", StringType()),
+    StructField("resized", BinaryType()),
+    StructField("n_bytes", LongType()),
+])
+
+Decoder = Callable[[bytes, int, int, str], bytes]
+
+
+def deterministic_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
+    """Deterministic FAKE decode+resize+re-encode used in tests: the
+    'resized PNG' is a tagged digest of (content, resolution). Real
+    pixel work needs an image codec — see :func:`pillow_decoder`."""
+    import hashlib
+
+    tag = f"{fmt}:{w}x{h}:".encode()
+    return tag + hashlib.md5(tag + content).digest()
+
+
+def pillow_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
+    """B2+B4 — real decode → bicubic resize → PNG best-compression
+    re-encode (resizer.go:242-263, png.BestCompression at :49).
+    STUB: Pillow is not installed in this environment."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image codecs unavailable: pillow_decoder needs PIL; "
+            "use deterministic_decoder for plumbing tests"
+        ) from exc
+    img = Image.open(io.BytesIO(content))  # pragma: no cover
+    out = io.BytesIO()  # pragma: no cover
+    img.resize((w, h), Image.BICUBIC).save(out, "PNG", optimize=True)  # pragma: no cover
+    return out.getvalue()  # pragma: no cover
+
+
+def decode_and_resize(
+    fanned_out: DataFrame,
+    decoder: Decoder = pillow_decoder,
+    content_col: str = "content",
+) -> DataFrame:
+    """Run the decoder over Arrow batches (``mapInPandas``) — one output
+    row per fan-out row; SVG (0,0) rows pass bytes through untouched.
+
+    Batch sizes are capped by ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` (set low in session.py) so wide binary columns
+    don't blow executor memory — the B1-B4 ops are embarrassingly
+    parallel but memory-heavy (SURVEY.md §7 hard part 5).
+    """
+    cols = ["owner", "token_id", "target_w", "target_h", "format", content_col]
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_bytes = [
+                bytes(c) if w == 0 else decoder(bytes(c), int(w), int(h), f)
+                for c, w, h, f in zip(
+                    pdf[content_col], pdf["target_w"], pdf["target_h"], pdf["format"]
+                )
+            ]
+            yield pd.DataFrame({
+                "owner": pdf["owner"],
+                "token_id": pdf["token_id"],
+                "target_w": pdf["target_w"],
+                "target_h": pdf["target_h"],
+                "format": pdf["format"],
+                "resized": out_bytes,
+                "n_bytes": [len(b) for b in out_bytes],
+            })
+
+    return fanned_out.select(*cols).mapInPandas(run, RESIZED_SCHEMA)
+
+
+# ----------------------------------------------------------------- B5/B7/S10
+
+
+def dedup_against_store(
+    candidates: DataFrame, store: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """B5 — checksum skip-if-exists: keep only candidates whose
+    ``md5(content)`` is not already stored (resizer.go:137-174's
+    /get_check_sum round-trip, as one left-anti hash join).
+
+    Scale: the store side is projected to the single hash column before
+    the join, so the shuffle carries 32 bytes/row; with a small store
+    Catalyst broadcasts it (no shuffle at all).
+    """
+    hashes = store.select(F.md5(F.col(content_col)).alias("__stored_hash")).distinct()
+    return candidates.join(
+        hashes,
+        F.md5(candidates[content_col]) == hashes["__stored_hash"],
+        "left_anti",
+    )
+
+
+def supersede_keep_latest(
+    store: DataFrame,
+    key_cols: tuple[str, ...] = ("owner", "token_id", "target_w", "target_h"),
+    version_col: str = "write_seq",
+) -> DataFrame:
+    """B7 — on store, older files with the same name-prefix but
+    different content are deleted (storage.go:39-41,76-81); batch form
+    = keep the newest row per content address."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    return (
+        store.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def point_read_with_fallback(
+    store: DataFrame,
+    requests: DataFrame,
+    key_cols: tuple[str, ...] = ("owner", "token_id"),
+) -> DataFrame:
+    """S10 — serve the requested resolution when stored, else fall back
+    to the (0,0) original (storage.go:86-125's glob-with-fallback).
+
+    One join + rank-1 window: candidate rows are the exact-resolution
+    match (priority 0) and the original (priority 1); the best
+    candidate per request wins. No driver-side loop — the reference's
+    per-request glob becomes a set-oriented lookup.
+    """
+    keys = list(key_cols)
+    cand = store.join(requests, keys).filter(
+        ((F.col("target_w") == F.col("req_w")) & (F.col("target_h") == F.col("req_h")))
+        | ((F.col("target_w") == 0) & (F.col("target_h") == 0))
+    )
+    pri = F.when(F.col("target_w") == F.col("req_w"), 0).otherwise(1)
+    w = Window.partitionBy(*keys, "req_w", "req_h").orderBy(pri.asc())
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

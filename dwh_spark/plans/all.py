@@ -3,6 +3,7 @@
 import dwh_spark.plans.documents  # noqa: F401
 import dwh_spark.plans.embeddings  # noqa: F401
 import dwh_spark.plans.events  # noqa: F401
+import dwh_spark.plans.images  # noqa: F401
 import dwh_spark.plans.marketplace  # noqa: F401
 import dwh_spark.plans.metadata  # noqa: F401
 import dwh_spark.plans.relational  # noqa: F401

@@ -1,0 +1,241 @@
+"""Image-pipeline queries (SURVEY.md §2.5, B1-B7 + S10).
+
+The container has no image fixtures or codecs, so image rows are
+derived deterministically from the `documents` table: each doc becomes
+one "image" whose bytes are a real format magic prefix (chosen by
+``doc_id % 8``) followed by ``:doc_id:`` and the document text. The
+Spark side does real binary work — constructs the bytes, sniffs the
+magic, hashes content — while the oracle checks the business outcome
+through the same ``doc_id`` arithmetic that generated the fixture, so
+a sniffing/hashing bug shows up as a mismatch.
+
+Formats by ``doc_id % 8``: png jpeg gif bmp tiff webp svg unknown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_spark.multimodal.images import (
+    decode_and_resize,
+    dedup_against_store,
+    deterministic_decoder,
+    point_read_with_fallback,
+    resize_fanout,
+    sniff_format,
+    supersede_keep_latest,
+)
+from dwh_spark.plans.registry import query
+from dwh_spark.sources.catalog import load_table
+
+_MAGICS: dict[int, bytes] = {
+    0: b"\x89PNG\r\n\x1a\n",          # 8 bytes
+    1: b"\xff\xd8\xff\xe0",            # 4
+    2: b"GIF89a",                      # 6
+    3: b"BM",                          # 2
+    4: b"II*\x00",                     # 4
+    5: b"RIFF\x00\x00\x00\x00WEBP",    # 12
+    6: b'<svg xmlns="t">',             # 15
+    7: b"\x01\x02\x03\x04",            # 4 (not an image)
+}
+
+_FMT_NAMES = ("png", "jpeg", "gif", "bmp", "tiff", "webp", "svg", "unknown")
+_MAGIC_LENS = tuple(len(_MAGICS[k]) for k in range(8))
+
+# ------------------------------------------------------- fixture (both sides)
+
+
+def _content(suffix: str = "") -> Column:
+    mod = F.col("doc_id") % 8
+    magic = F.lit(_MAGICS[7])
+    for k in range(7):
+        magic = F.when(mod == k, F.lit(_MAGICS[k])).otherwise(magic)
+    body = F.concat_ws(
+        "", F.lit(":"), F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("text"), F.lit(suffix),
+    )
+    return F.concat(magic, body.cast("binary"))
+
+
+def _images(spark: SparkSession, sf_dir: str, suffix: str = "") -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.lit("owner").alias("owner"),
+        F.col("doc_id").cast("string").alias("token_id"),
+        _content(suffix).alias("content"),
+    )
+
+
+_FMT_SQL = (
+    "CASE doc_id % 8 "
+    + " ".join(f"WHEN {k} THEN '{_FMT_NAMES[k]}'" for k in range(8))
+    + " END"
+)
+_MAGIC_LEN_SQL = (
+    "CASE doc_id % 8 "
+    + " ".join(f"WHEN {k} THEN {_MAGIC_LENS[k]}" for k in range(8))
+    + " END"
+)
+# octet_length of the fixture content, derivable without building bytes
+# (DuckDB: strlen = byte length of a VARCHAR; octet_length needs BLOB)
+_CONTENT_LEN_SQL = (
+    f"({_MAGIC_LEN_SQL}) + 2 + length(CAST(doc_id AS VARCHAR)) + strlen(text)"
+)
+
+# ------------------------------------------------------------------- queries
+
+
+@query(
+    "imgs_format_bytes",
+    oracle=f"""
+    SELECT {_FMT_SQL} AS format,
+           count(*) AS n_images,
+           CAST(sum({_CONTENT_LEN_SQL}) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def imgs_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: magic-byte sniffing over the binary column (JVM-side, no
+    UDF) + byte accounting. A wrong sniffer mis-buckets whole formats."""
+    imgs = _images(spark, sf_dir)
+    return (
+        imgs.withColumn("format", F.coalesce(sniff_format(F.col("content")), F.lit("unknown")))
+        .groupBy("format")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+        )
+    )
+
+
+@query(
+    "imgs_resize_fanout_stats",
+    oracle=f"""
+    WITH fmts AS (SELECT {_FMT_SQL} AS format FROM documents
+                  WHERE doc_id % 8 != 7)
+    SELECT format, target_w, target_h, count(*) AS n
+    FROM fmts CROSS JOIN (VALUES (200, 150), (120, 90)) AS r(target_w, target_h)
+    WHERE format != 'svg'
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'svg', 0, 0, count(*) FROM documents WHERE doc_id % 8 = 6
+    """,
+)
+def imgs_resize_fanout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: per-resolution fan-out — rasters × 2 resolutions, vectors
+    pass through once as (0,0), non-images dropped."""
+    return (
+        resize_fanout(_images(spark, sf_dir))
+        .groupBy("format", "target_w", "target_h")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "imgs_decode_resize_bytes",
+    oracle=f"""
+    WITH fmts AS (
+      SELECT {_FMT_SQL} AS format, {_CONTENT_LEN_SQL} AS clen FROM documents
+      WHERE doc_id % 8 != 7)
+    SELECT format, target_w,
+           CAST(sum(length(format) + length(CAST(target_w AS VARCHAR))
+                    + length(CAST(target_h AS VARCHAR)) + 19) AS BIGINT)
+             AS resized_bytes,
+           count(*) AS n
+    FROM fmts CROSS JOIN (VALUES (200, 150), (120, 90)) AS r(target_w, target_h)
+    WHERE format != 'svg'
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'svg', 0, CAST(sum(clen) AS BIGINT), count(*)
+    FROM fmts WHERE format = 'svg' GROUP BY 1, 2
+    """,
+)
+def imgs_decode_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2+B4 plumbing: the mapInPandas decode/resize stage end-to-end
+    with the deterministic stub decoder (tag + md5 digest = len(fmt) +
+    len("WxH") + 3 + 16 bytes); svg rows pass through at original
+    size. Exercises the Arrow batch path the real codec would use."""
+    fanned = resize_fanout(_images(spark, sf_dir))
+    resized = decode_and_resize(fanned, decoder=deterministic_decoder)
+    return resized.groupBy("format", "target_w").agg(
+        F.sum("n_bytes").alias("resized_bytes"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "imgs_dedup_new",
+    oracle="SELECT doc_id FROM documents WHERE doc_id % 3 != 0",
+)
+def imgs_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: checksum skip-if-exists — only images whose md5 isn't in the
+    store (docs with doc_id % 3 == 0 are pre-stored) survive."""
+    all_imgs = _images(spark, sf_dir)
+    store = all_imgs.filter(F.col("doc_id") % 3 == 0)
+    return dedup_against_store(all_imgs, store).select("doc_id")
+
+
+@query(
+    "imgs_keep_latest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept_seq,
+           CAST({_CONTENT_LEN_SQL}
+                + CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 0 END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def imgs_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: version supersede — a re-upload (write_seq 1, content
+    suffixed '-v2') replaces the original for doc_id % 4 == 0; exactly
+    one row per content address survives."""
+    gen0 = _images(spark, sf_dir).withColumn("write_seq", F.lit(0))
+    gen1 = (
+        _images(spark, sf_dir, suffix="-v2")
+        .filter(F.col("doc_id") % 4 == 0)
+        .withColumn("write_seq", F.lit(1))
+    )
+    store = gen0.unionByName(gen1).withColumns(
+        {"target_w": F.lit(0), "target_h": F.lit(0)}
+    )
+    kept = supersede_keep_latest(store)
+    return kept.select(
+        "doc_id",
+        F.col("write_seq").cast("long").alias("kept_seq"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "imgs_point_read_fallback",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 200 ELSE 0 END AS served_w,
+           CASE WHEN doc_id % 5 = 0 THEN 150 ELSE 0 END AS served_h
+    FROM documents
+    """,
+)
+def imgs_point_read_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: blob point-read with resolution fallback — every doc is
+    requested at 200x150; only doc_id % 5 == 0 has that rendition
+    stored, the rest serve the (0,0) original."""
+    originals = _images(spark, sf_dir).withColumns(
+        {"target_w": F.lit(0), "target_h": F.lit(0)}
+    )
+    resized = (
+        _images(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .withColumns({"target_w": F.lit(200), "target_h": F.lit(150)})
+    )
+    store = originals.unionByName(resized)
+    requests = load_table(spark, sf_dir, "documents").select(
+        F.lit("owner").alias("owner"),
+        F.col("doc_id").cast("string").alias("token_id"),
+        F.lit(200).alias("req_w"), F.lit(150).alias("req_h"),
+    )
+    served = point_read_with_fallback(store, requests)
+    return served.select(
+        F.col("token_id").cast("long").alias("doc_id"),
+        F.col("target_w").alias("served_w"),
+        F.col("target_h").alias("served_h"),
+    )
