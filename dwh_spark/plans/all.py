@@ -7,3 +7,4 @@ import dwh_spark.plans.images  # noqa: F401
 import dwh_spark.plans.marketplace  # noqa: F401
 import dwh_spark.plans.metadata  # noqa: F401
 import dwh_spark.plans.relational  # noqa: F401
+import dwh_spark.plans.streaming  # noqa: F401

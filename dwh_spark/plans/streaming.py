@@ -1,0 +1,92 @@
+"""Driver-facing Structured-Streaming queries (SURVEY.md §7 Phase 4).
+
+Each callable runs a REAL streaming query — file source, micro-batches,
+checkpoint, AvailableNow drain — inside the driver contract, then
+returns the materialized result. The oracles are the same SQL as the
+batch forms: stream/batch parity IS the correctness claim (the
+reference's indexer must produce the same state whether it replays
+history or tails the chain live).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_spark.plans.registry import query
+from dwh_spark.sources.catalog import load_table
+from dwh_spark.streaming.ingest import (
+    ParquetStateStore,
+    run_incremental_compaction,
+    run_windowed_rollup,
+    stage_stream_input,
+    stream_events,
+)
+
+_N_FILES = 4  # staged event files → micro-batches per stream run
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the events table as a multi-file dir and open it as an
+    ordered file-stream, one file per micro-batch."""
+    root = tempfile.mkdtemp(prefix="dwh_stream_")
+    stage = stage_stream_input(
+        spark, load_table(spark, sf_dir, "events"), f"{root}/input", _N_FILES
+    )
+    return stream_events(spark, stage), root
+
+
+@query(
+    "streaming_latest_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S5+M22+M1-M16 streaming form: ingest the event log as 4
+    micro-batches, foreachBatch-MERGE each into a versioned parquet
+    state store, return the final compacted state — identical to the
+    batch events_latest_state replay."""
+    stream, root = _staged_events(spark, sf_dir)
+    store = ParquetStateStore(f"{root}/state")
+    run_incremental_compaction(
+        stream, store, f"{root}/checkpoint",
+        keys=["user_id"], seq=F.struct("ts", "event_id"),
+    )
+    final = store.current(spark)
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "streaming_daily_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling window over the micro-batched
+    stream; drained result equals the batch daily rollup."""
+    stream, root = _staged_events(spark, sf_dir)
+    import uuid
+
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    return run_windowed_rollup(stream, f"{root}/checkpoint", name)

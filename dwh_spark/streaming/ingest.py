@@ -1,0 +1,181 @@
+"""Structured-Streaming ingest — the reference's continuous pipeline
+(SURVEY.md §7 Phase 4).
+
+Reference semantics being reproduced:
+- S1 block-stream scan: an infinite ordered poll loop
+  (`x/indexer/indexer.go:173-197`) → a file streaming source that
+  picks up event files in order, ``maxFilesPerTrigger`` bounding each
+  micro-batch.
+- S5 LevelDB cursor (`x/indexer/cursor.go:5-18`) → the streaming
+  checkpoint's offset log: restart resumes after the last committed
+  batch, never reprocessing a committed file.
+- M22 stale-replay dedup (`indexer.go:228-231`) → idempotent
+  ``foreachBatch``: a batch replayed after a crash rewrites the same
+  versioned state snapshot it wrote before.
+- M1-M16 state materialization → per-batch latest-state MERGE into a
+  versioned parquet state store (on a Delta/Iceberg cluster this
+  ``foreachBatch`` body is a single ``MERGE INTO``; plain parquet has
+  no atomic overwrite, so we emulate the transaction log with
+  versioned snapshot dirs + a CURRENT pointer — exactly Delta's
+  design, one file deep).
+- S13 TTL timer → ``Trigger.AvailableNow``: drain everything pending,
+  then stop; re-invoking is the daemon's next wake.
+
+Watermarked event-time windows are an extension — the reference
+processes strictly in chain order with no lateness concept
+(SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_spark.operators.latest_state import latest_state_agg
+
+
+def stage_stream_input(
+    spark: SparkSession, source: DataFrame, stage_dir: str, n_files: int
+) -> str:
+    """Write a batch table as ``n_files`` parquet files so a file
+    streaming source replays it as ``n_files`` ordered micro-batches
+    (with ``maxFilesPerTrigger=1``). Test/demo scaffolding — production
+    input is already an append-only directory of files."""
+    source.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+    return stage_dir
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """S1 — the ordered ingest scan as a file streaming source.
+
+    ``schema`` is a StructType or DDL string; file streams require one
+    up front (no inference mid-stream). Defaults to the batch-read
+    footer schema of whatever is already in ``path``.
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+class ParquetStateStore:
+    """Versioned parquet snapshots + a CURRENT pointer file — the
+    minimal transaction log that makes plain-parquet MERGE safe:
+
+    - each batch writes a NEW snapshot dir (never overwrites the one
+      it is reading — parquet self-overwrite corrupts);
+    - the pointer flips only after the snapshot write completes, so a
+      crash mid-write leaves the previous version current;
+    - snapshot dirs are keyed by batch_id, so a replayed batch (crash
+      between snapshot write and checkpoint commit) rewrites the same
+      dir idempotently (M22 parity).
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as fh:
+            version_dir = fh.read().strip()
+        return spark.read.parquet(version_dir)
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        version_dir = os.path.join(self.root, f"v{batch_id:010d}")
+        df.write.mode("overwrite").parquet(version_dir)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version_dir)
+        os.replace(tmp, self._pointer)  # atomic on POSIX
+
+
+def run_incremental_compaction(
+    events: DataFrame,
+    store: ParquetStateStore,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    seq: Column,
+) -> None:
+    """The ingest loop: per micro-batch, MERGE the batch's latest rows
+    per key into the state store (new batch rows win only when their
+    seq is higher — replay order across batches cannot change the
+    outcome, because per-key max(seq) is associative).
+
+    Runs with ``Trigger.AvailableNow`` and blocks until the backlog is
+    drained. Re-invoking with the same checkpoint resumes at the
+    cursor (S5): already-committed files are never reprocessed.
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_latest = latest_state_agg(batch_df, keys, seq)
+        cur = store.current(spark)
+        if cur is None:
+            merged = batch_latest
+        else:
+            merged = latest_state_agg(cur.unionByName(batch_latest), keys, seq)
+        store.commit(merged, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_windowed_rollup(
+    events: DataFrame,
+    checkpoint_dir: str,
+    query_name: str,
+    watermark_delay: str = "1 day",
+    window_size: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup (the §2.6 extension): count +
+    sum per (event-time day, event_type). Complete-mode memory sink so
+    the drained result is queryable; in append mode only windows below
+    the final watermark would have been emitted (late-arrival handling
+    is asserted in tests/test_streaming.py).
+
+    The DECIMAL(18,2)-before-SUM cast keeps the aggregate exact and
+    batch/stream/oracle-identical (registry.py determinism rules).
+    """
+    agg = (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_size).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = events.sparkSession
+    return spark.table(query_name).select(
+        F.to_date(F.col("win.start")).alias("day"),
+        "event_type", "n", "sum_value",
+    )

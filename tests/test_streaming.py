@@ -1,0 +1,119 @@
+"""Streaming-specific semantics the oracle queries can't express:
+checkpoint resume (S5 cursor parity) and watermark lateness handling
+(§2.6 extension)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_spark.operators.latest_state import latest_state_agg
+from dwh_spark.sources.catalog import load_table
+from dwh_spark.streaming.ingest import (
+    ParquetStateStore,
+    run_incremental_compaction,
+    stream_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Stop-and-resume: files committed before the restart are never
+    reprocessed (the LevelDB cursor, x/indexer/cursor.go:5-18), and the
+    resumed stream converges to the same state as a full batch replay."""
+    events = load_table(spark, SF, "events")
+    first, second = (
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    )
+    input_dir = str(tmp_path / "input")
+    first.coalesce(1).write.parquet(input_dir)
+
+    store = ParquetStateStore(str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt")
+    keys, seq = ["user_id"], F.struct("ts", "event_id")
+    schema = events.schema
+
+    run_incremental_compaction(stream_events(spark, input_dir, schema), store, ckpt, keys, seq)
+    versions_after_first = set(os.listdir(store.root))
+
+    # "the chain grows": new file lands, daemon wakes again (S13)
+    second.coalesce(1).write.mode("append").parquet(input_dir)
+    run_incremental_compaction(stream_events(spark, input_dir, schema), store, ckpt, keys, seq)
+
+    new_versions = set(os.listdir(store.root)) - versions_after_first
+    # resume processed ONLY the new file: exactly one new snapshot
+    assert len([v for v in new_versions if v.startswith("v")]) == 1
+
+    got = {r["user_id"]: r["event_id"] for r in store.current(spark).collect()}
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in latest_state_agg(events, ["user_id"], F.struct("ts", "event_id")).collect()
+    }
+    assert got == want
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """M22: re-running a drained stream with the same checkpoint is a
+    no-op — no new snapshots, same state."""
+    events = load_table(spark, SF, "events").limit(100)
+    input_dir = str(tmp_path / "input")
+    events.coalesce(1).write.parquet(input_dir)
+    store = ParquetStateStore(str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = events.schema
+
+    run_incremental_compaction(
+        stream_events(spark, input_dir, schema), store, ckpt, ["user_id"], F.struct("ts", "event_id")
+    )
+    before = sorted(os.listdir(store.root))
+    n_before = store.current(spark).count()
+    run_incremental_compaction(
+        stream_events(spark, input_dir, schema), store, ckpt, ["user_id"], F.struct("ts", "event_id")
+    )
+    assert sorted(os.listdir(store.root)) == before
+    assert store.current(spark).count() == n_before
+
+
+def test_watermark_closes_windows_in_append_mode(spark, tmp_path):
+    """Append mode emits a window only once the watermark passes its
+    end: after batch 2 (day 10) arrives with a 1-day delay, day-1
+    windows are final and emitted; day-10 windows are still open."""
+    rows1 = [(i, f"2024-01-01 0{i}:00:00", 1, "click", 1.0) for i in range(3)]
+    rows2 = [(9, "2024-01-10 00:00:00", 2, "click", 1.0)]
+    input_dir = str(tmp_path / "input")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, __import__("datetime").datetime.fromisoformat(t), u, e, v) for i, t, u, e, v in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_events(spark, input_dir, schema)
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.to_date("win.start").alias("day"), "n")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write(rows1)
+    drain()
+    write(rows2)
+    drain()
+    emitted = {(str(r["day"]), r["n"]) for r in spark.read.parquet(out_dir).collect()}
+    # day 1 closed (watermark = Jan 10 - 1 day > Jan 2); day 10 still open
+    assert emitted == {("2024-01-01", 3)}
