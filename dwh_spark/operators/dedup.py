@@ -50,22 +50,25 @@ def jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs via inverted index.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Set sizes ride along as array lengths (``n_sh``) instead of a
+    separate groupBy — one fewer shuffle and no index recompute.
     """
-    idx = shingle_index(df, text, key, k)
-    sizes = idx.groupBy(key).agg(F.count("*").alias("n_sh"))
-    a = idx.select(F.col(key).alias("id_a"), "shingle")
-    b = idx.select(F.col(key).alias("id_b"), "shingle")
-    common = (
+    base = df.select(F.col(key), shingles(F.col(text), k).alias("sh"))
+    a = base.select(
+        F.col(key).alias("id_a"), F.size("sh").alias("n_a"), F.explode("sh").alias("shingle")
+    )
+    b = base.select(
+        F.col(key).alias("id_b"), F.size("sh").alias("n_b"), F.explode("sh").alias("shingle")
+    )
+    return (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col(key).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(key).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -79,18 +82,52 @@ def jaccard_pairs(
     )
 
 
+def minhash_signature_arrays(
+    df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """(key, sigs) — sigs[s] = lexicographic min of
+    md5('<s>:' || shingle) over the doc's shingles, seeds 0..n-1.
+    Docs with fewer than k words have no row.
+
+    One shuffle total: the shingle index goes through a single
+    groupBy(key) whose n_hashes ``min`` aggregates all partial-combine
+    map-side (16 codegen md5 expressions per index row — NOT a ×16 row
+    explosion, and NOT an interpreted higher-order transform).
+    Signature computation at 100 TB is therefore one map+combine pass.
+    """
+    idx = df.select(F.col(key), F.explode(shingles(F.col(text), k)).alias("shingle"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"__m{s}")
+        for s in range(n_hashes)
+    ]
+    return idx.groupBy(key).agg(*mins).select(
+        F.col(key), F.array(*(F.col(f"__m{s}") for s in range(n_hashes))).alias("sigs")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 3, n_hashes: int = 16
 ) -> DataFrame:
-    """(key, seed, minhash) — minhash = lexicographic min of
-    md5('<seed>:' || shingle) over the doc's shingles."""
-    idx = shingle_index(df, text, key, k)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    return (
-        idx.select(key, "shingle")
-        .select(key, "shingle", seeds)
-        .groupBy(key, "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))).alias("minhash"))
+    """(key, seed, minhash) long form of
+    :func:`minhash_signature_arrays` (kept for API/test parity)."""
+    arr = minhash_signature_arrays(df, text, key, k, n_hashes)
+    return arr.select(key, F.posexplode("sigs").alias("seed", "minhash"))
+
+
+def _banded(
+    df: DataFrame, text: str, key: str, k: int, n_hashes: int, bands: int
+) -> DataFrame:
+    """(key, band, band_key): band key = md5 of the band's minhashes
+    joined in seed order — computed by slicing the signature array, no
+    extra shuffle past the signature groupBy."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signature_arrays(df, text, key, k, n_hashes)
+    band_ix = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return sigs.select(F.col(key), band_ix, "sigs").select(
+        key, "band",
+        F.md5(
+            F.concat_ws("|", F.slice("sigs", F.col("band") * rows_per_band + 1, rows_per_band))
+        ).alias("band_key"),
     )
 
 
@@ -104,25 +141,23 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing ≥1 identical band.
 
-    rows_per_band = n_hashes / bands; band key = md5 of the
-    concatenated minhashes in seed order. This is THE scale path for
-    near-dup at 100 TB: candidates are bounded by bucket collisions,
-    not by shingle frequency.
+    This is THE scale path for near-dup at 100 TB: candidates are
+    bounded by bucket collisions, not by shingle frequency. The only
+    shuffles are the signature groupBy and the bucket self-join on
+    (band, band_key).
     """
-    rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text, key, k, n_hashes)
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(key, "band")
-        # seed order inside the band must be deterministic
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"))).alias("band_key"))
-    )
-    a = banded.select(F.col(key).alias("id_a"), "band", "band_key")
-    b = banded.select(F.col(key).alias("id_b"), "band", "band_key")
+    banded = _banded(df, text, key, k, n_hashes, bands)
+    # identical subplans on both sides → Catalyst ReuseExchange computes
+    # the signature pipeline once and reads the shuffle twice
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
         .distinct()
     )
 
@@ -137,31 +172,24 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: band-bucket candidates, then exact
-    Jaccard verification of candidates only."""
-    cands = lsh_candidate_pairs(df, text, key, k, n_hashes, bands)
-    idx = shingle_index(df, text, key, k)
-    sizes = idx.groupBy(key).agg(F.count("*").alias("n_sh"))
-    a = idx.select(F.col(key).alias("id_a"), "shingle")
-    b = idx.select(F.col(key).alias("id_b"), "shingle")
-    common = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    Jaccard verification of candidates only.
+
+    Verification joins each candidate pair to the two docs' shingle
+    ARRAYS and intersects them vectorized — O(candidates), not a third
+    pass over the inverted index. The bucket self-join stays slim
+    (ids + band key only); the wide arrays attach to the few surviving
+    pairs afterwards via broadcast."""
+    pairs = lsh_candidate_pairs(df, text, key, k, n_hashes, bands)
+    arrays = df.select(F.col(key), shingles(F.col(text), k).alias("sh"))
+    cands = pairs.join(
+        F.broadcast(arrays.select(F.col(key).alias("id_a"), F.col("sh").alias("sh_a"))), "id_a"
+    ).join(
+        F.broadcast(arrays.select(F.col(key).alias("id_b"), F.col("sh").alias("sh_b"))), "id_b"
     )
-    sa = sizes.select(F.col(key).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(key).alias("id_b"), F.col("n_sh").alias("n_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.size("sh_a") + F.size("sh_b") - n_common
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
-        )
+        cands.withColumn("jaccard", F.round(n_common.cast("double") / union_n.cast("double"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
