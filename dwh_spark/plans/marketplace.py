@@ -12,12 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dwh_spark.functions.coins import coin_amount, coin_denom
 from dwh_spark.operators.transitions import (
     materialize_auction_bids,
+    materialize_fungible_tokens,
+    materialize_ft_transfers,
     materialize_messages,
     materialize_nfts,
     materialize_offers,
     materialize_txes,
+    materialize_users,
 )
 from dwh_spark.plans.registry import query
 from dwh_spark.sources.marketplace_fixture import BB, SB, U1, U2, marketplace_events
@@ -129,4 +133,87 @@ def marketplace_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(txes.agg(F.count("*").alias("n_txes")))
         .select("n_txes", "n_messages", "n_failed")
+    )
+
+
+@query(
+    "marketplace_users_state",
+    oracle=_values_sql(
+        [
+            (1, U1, 41, "2024-01-01 00:01:00", "2024-01-01 01:04:00"),
+            (2, U2, 24, "2024-01-01 00:08:00", "2024-01-01 01:07:00"),
+            (3, SB, 0, "2024-01-01 00:09:00", "2024-01-01 01:01:00"),
+            (4, BB, 0, "2024-01-01 00:12:00", "2024-01-01 01:02:00"),
+        ],
+        ["id", "address", "sequence_number", "created_at", "updated_at"],
+        ["BIGINT", "VARCHAR", "BIGINT", "TIMESTAMP", "TIMESTAMP"],
+    ),
+)
+def marketplace_users_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17/M18: find-or-create over every address appearing in any
+    successful message (signers + reflected address fields); id is
+    first-seen order, sequence_number counts signed messages."""
+    users = materialize_users(marketplace_events(spark))
+    return users.select("id", "address", "sequence_number", "created_at", "updated_at")
+
+
+@query(
+    "marketplace_ft_state",
+    oracle=_values_sql(
+        [
+            ("terra", U1, 298765, 1),
+            ("bitcoin", U2, 194999, 0),
+            ("tugrik", U1, 9999, 0),
+        ],
+        ["denom", "owner_address", "emission_amount", "n_transfers"],
+        ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
+    ),
+)
+def marketplace_ft_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16: fungible tokens with their transfer counts (FK join via
+    the surrogate id, as the reference's association table does)."""
+    events = marketplace_events(spark)
+    fts = materialize_fungible_tokens(events)
+    transfers = materialize_ft_transfers(events, fts)
+    counts = transfers.groupBy("fungible_token_id").agg(F.count("*").alias("n_transfers"))
+    return (
+        fts.join(counts, fts.id == counts.fungible_token_id, "left")
+        .select(
+            "denom", "owner_address", "emission_amount",
+            F.coalesce(F.col("n_transfers"), F.lit(0)).alias("n_transfers"),
+        )
+    )
+
+
+@query(
+    "marketplace_listed_value",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'token', CAST(12346263 AS DOUBLE), CAST(4 AS BIGINT)),
+      (2, 'token', CAST(1000032 AS DOUBLE), CAST(3 AS BIGINT))
+    ) AS t(status, denom, listed_value, n)
+    """,
+)
+def marketplace_listed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coin-string analytics (SURVEY.md §7 hard part 2): parse
+    "100token" money into (amount DECIMAL(38,0), denom) and aggregate
+    the marketplace's listed value — sale price for on-market NFTs,
+    opening price for on-auction ones. String columns stay string for
+    reference parity; parsing is opt-in per query."""
+    nfts = materialize_nfts(marketplace_events(spark)).filter(
+        F.col("deleted_at").isNull() & F.col("status").isin(1, 2)
+    )
+    listed = F.when(F.col("status") == 1, F.col("price")).otherwise(F.col("opening_price"))
+    return (
+        nfts.select(
+            "status",
+            coin_denom(listed).alias("denom"),
+            coin_amount(listed).alias("amount"),
+        )
+        .filter(F.col("denom").isNotNull())
+        .groupBy("status", "denom")
+        .agg(
+            F.sum("amount").cast("double").alias("listed_value"),
+            F.count("*").alias("n"),
+        )
     )
