@@ -150,6 +150,40 @@ def lsh_topk(
     )
 
 
+def cosine_near_duplicates(
+    vectors: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the dedup
+    framing of similarity search): only pairs whose sign patterns
+    collide are scored, so the join is an equi-join on the 8-bit
+    bucket — never all-pairs. Recall is bounded by bucket collision
+    probability (1 − θ/π per plane); raise ``N_PLANES`` bands or probe
+    neighboring buckets for higher recall at scale.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    """
+    v = lsh_bucket(with_norm(vectors, vec), vec)
+    a = v.select(
+        F.col(key).alias("id_a"), F.col(vec).alias("ea"), F.col("norm2").alias("na"), "bucket"
+    )
+    b = v.select(
+        F.col(key).alias("id_b"), F.col(vec).alias("eb"), F.col("norm2").alias("nb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_dot_expr("ea", "eb")) / (F.sqrt("na") * F.sqrt("nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def assign_cells(
     vectors: DataFrame, centroids: DataFrame, vec: str = "embedding", key: str = "vec_id"
 ) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from dwh_spark.operators.similarity import (
     assign_cells,
+    cosine_near_duplicates,
     cosine_topk,
     hyperplane_signs,
     lsh_topk,
@@ -162,3 +163,28 @@ def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("norm_r").cast("double") / F.count("*"), 6).alias("avg_norm"),
         )
     )
+
+
+@query(
+    "emb_cosine_near_dups",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT.format(a='a.embedding', b='b.embedding')}
+                 / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS cosine
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+                / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= 0.3
+    """,
+)
+def emb_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup framing): LSH-bucketed
+    candidate generation, exact cosine verification. Threshold 0.3 is
+    fixture-calibrated — the synthetic vectors are near-orthogonal, so
+    genuinely duplicate-level cosines don't occur."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(emb, threshold=0.3)
