@@ -1,0 +1,67 @@
+"""Skew mitigation: salted aggregation and salted skew-join.
+
+AQE's skew-join splitting (on in session.py) handles most cases at
+runtime; these explicit forms are for the two places AQE can't help:
+(a) a skewed *aggregation* whose single hot key funnels into one task,
+(b) a skewed join where the skewed side must stay partitioned (e.g.
+streaming state). The salt fan-out trades one extra partial shuffle
+for even task sizes — the classic two-phase aggregation.
+
+A hot-key top-k over an event log (one celebrity entity with 10% of
+all rows) is the canonical 100 TB case.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation: count + sum of ``value`` per
+    key. Phase 1 aggregates (key, salt) — the hot key spreads over
+    ``n_salts`` tasks; phase 2 combines the ≤ n_salts partials per key.
+
+    Returns (keys..., n, sum_value). Deterministic regardless of salt
+    assignment because count/sum are associative-commutative.
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int")  # seeded: plan-stable
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.count("*").alias("__n"), F.sum(value).alias("__s"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias("n"), F.sum("__s").alias("sum_value")
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the skewed side, replicate the small
+    side once per salt, join on (keys..., salt). The hot key's rows
+    land in ``n_salts`` different tasks instead of one straggler.
+
+    The replicated side multiplies by ``n_salts`` — keep it the
+    dimension side. (With a truly small dimension just ``broadcast()``;
+    salting is for when it exceeds the broadcast threshold but one
+    fact key is hot.)
+    """
+    keys = list(on)
+    salted_fact = skewed.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(replicated, [*keys, "__salt"], how).drop("__salt")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dwh_spark.operators.metadata import (
     extract_field,
@@ -193,4 +194,48 @@ def metadata_refresh_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _merged_state(spark, sf_dir)
     return staleness_schedule(state, percent=20, key_col="doc_id").select(
         "doc_id", "last_checked"
+    )
+
+
+@query(
+    "metadata_task_priority_order",
+    oracle=f"""
+    WITH state AS ({_MERGE_SQL}),
+    tasks AS (
+      SELECT doc_id, last_checked,
+        CASE WHEN last_checked = 0 AND last_updated = 0 THEN 1
+             WHEN last_updated = {REFRESH_TS} THEN 2
+             ELSE 4 END AS priority
+      FROM state),
+    ranked AS (
+      SELECT doc_id, priority,
+        row_number() OVER (ORDER BY priority DESC, last_checked, doc_id)
+          AS consume_rank
+      FROM tasks)
+    SELECT doc_id, priority, consume_rank FROM ranked
+    WHERE consume_rank <= 50
+    """,
+)
+def metadata_task_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12: the RabbitMQ priority queue as a tasks DataFrame —
+    4-level priority (x/common/types.go:15-22: fresh-mint > forced >
+    transfer > regular), consumed highest-priority-first, stalest
+    tie-break. Rendered here: never-checked docs rank above
+    just-updated ones above the rest; the consumer takes the top 50."""
+    state = _merged_state(spark, sf_dir)
+    priority = (
+        F.when((F.col("last_checked") == 0) & (F.col("last_updated") == 0), 1)
+        .when(F.col("last_updated") == REFRESH_TS, 2)
+        .otherwise(4)
+    )
+    tasks = state.select("doc_id", "last_checked", priority.alias("priority"))
+    return (
+        tasks.orderBy(F.desc("priority"), F.asc("last_checked"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id", "priority",
+            F.row_number().over(
+                Window.orderBy(F.desc("priority"), F.asc("last_checked"), F.asc("doc_id"))
+            ).alias("consume_rank"),
+        )
     )

@@ -448,3 +448,31 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_acctbal",
         )
     )
+
+
+@query(
+    "semi_anti_customers",
+    oracle="""
+    SELECT 'with_urgent_order' AS cohort, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'never_ordered', count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi and left-anti hash joins —
+    Catalyst never materializes the subquery, and the probe side
+    short-circuits on first match."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+    anti = c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+    return semi.agg(
+        F.lit("with_urgent_order").alias("cohort"), F.count("*").alias("n")
+    ).unionByName(
+        anti.agg(F.lit("never_ordered").alias("cohort"), F.count("*").alias("n"))
+    )

@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference's indexer is itself a stateful stream consumer: it folds
+each message into mutable per-entity state as it arrives
+(`x/indexer/indexer.go:167-198`). ``foreachBatch`` + MERGE (ingest.py)
+is the table-sink form; this module is the operator form — state lives
+in the streaming state store, keyed by entity, surviving across
+micro-batches and restarts via the checkpoint.
+
+Used here for a running per-user activity accumulator (count / value
+sum / last-seen), the shape that generalizes to: session aggregates,
+fraud counters, rate limits, online feature stores.
+
+Scale notes: state is partitioned by the grouping key across
+executors; each micro-batch shuffles only that batch's rows to their
+key's partition. State size is O(distinct keys), not O(events). Use
+watermark-based state TTL (``GroupStateTimeout.EventTimeTimeout``) when
+keys churn, or the store grows forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+STATE_SCHEMA = StructType([
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+    StructField("last_ts", TimestampType()),
+])
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+    StructField("last_ts", TimestampType()),
+    StructField("last_type", StringType()),
+])
+
+
+def _accumulate(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this batch's events for one user into running state and
+    emit the updated row. Deterministic: batch rows are folded by
+    (ts, event_id) order, so replay produces identical output."""
+    if state.exists:
+        n, total, last_ts = state.get
+    else:
+        n, total, last_ts = 0, 0.0, None
+    last_type = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        last_ts = pdf["ts"].iloc[-1]
+        last_type = pdf["event_type"].iloc[-1]
+    state.update((n, total, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [total],
+            "last_ts": [last_ts],
+            "last_type": [last_type],
+        }
+    )
+
+
+def running_user_state(events: DataFrame) -> DataFrame:
+    """Streaming per-user accumulator: one output row per user per
+    micro-batch with the running totals (update semantics)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
