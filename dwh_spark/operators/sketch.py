@@ -1,0 +1,82 @@
+"""Engine-portable distinct-count sketch: K-Minimum-Values (KMV).
+
+Spark's ``approx_count_distinct`` (HLL++) and DuckDB's
+``approx_distinct`` use different sketch internals, so their estimates
+can never hash-match across engines. KMV (Bar-Yossef et al. 2002) is
+deterministic given the hash function: track the k smallest hash
+values; if the k-th smallest normalized hash is U, the distinct count
+estimate is (k-1)/U. We derive the hash from md5 — available and
+bit-identical in both engines — so the oracle reproduces the estimate
+exactly.
+
+Scale notes: the Spark plan is distinct → window-topk → tiny groupBy.
+At 100 TB the distinct pre-pass is the dominant shuffle, identical to
+what exact count(distinct) needs; the payoff is the *mergeable* sketch:
+per-partition KMV sets (size k) union into a global estimate without
+re-shuffling raw values — the pattern for incremental/streaming rollups
+where the exact distinct state would be unbounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a signed 64-bit int, uniform on [0, 2^60)
+_HASH_SPACE = float(1 << 60)
+
+
+def _hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate via KMV with ``k`` minima.
+
+    Returns (group_cols..., n_kmv) where n_kmv is exact when the group
+    has fewer than k distinct values (the sketch has seen them all) and
+    floor((k-1) * 2^60 / kth_min_hash) otherwise.
+    """
+    keys = list(group_cols)
+    hashed = df.select(*keys, _hash60(F.col(value_col)).alias("__h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    est = F.floor(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("__kth").cast("double"))
+    return (
+        topk.groupBy(*keys)
+        .agg(F.count("*").alias("__seen"), F.max("__h").alias("__kth"))
+        .select(
+            *keys,
+            F.when(F.col("__seen") < k, F.col("__seen")).otherwise(est).alias("n_kmv"),
+        )
+    )
+
+
+def kmv_oracle_sql(table: str, group_cols: Sequence[str], value_col: str, k: int = 64) -> str:
+    """The DuckDB rendition of :func:`kmv_distinct` — identical hash,
+    identical estimate, so results hash-match bit-for-bit."""
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {keys},
+             ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table}
+    ),
+    topk AS (
+      SELECT {keys}, h,
+             row_number() OVER (PARTITION BY {keys} ORDER BY h) AS rn
+      FROM hashed QUALIFY rn <= {k}
+    )
+    SELECT {keys},
+           CASE WHEN count(*) < {k} THEN count(*)
+                ELSE floor({float(k - 1)} * {_HASH_SPACE} / CAST(max(h) AS DOUBLE))::BIGINT
+           END AS n_kmv
+    FROM topk GROUP BY {keys}
+    """

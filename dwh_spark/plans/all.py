@@ -8,3 +8,4 @@ import dwh_spark.plans.marketplace  # noqa: F401
 import dwh_spark.plans.metadata  # noqa: F401
 import dwh_spark.plans.relational  # noqa: F401
 import dwh_spark.plans.streaming  # noqa: F401
+import dwh_spark.plans.temporal  # noqa: F401

@@ -220,3 +220,60 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(F.col("first_purchase") > F.col("first_signup"), 1).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches: engine-portable KMV distinct estimate next to the exact
+# count, and exact interpolated percentiles. approx_count_distinct /
+# percentile_approx are the built-in production forms; these variants
+# are chosen because the oracle can reproduce them bit-for-bit.
+# ---------------------------------------------------------------------------
+from dwh_spark.operators.sketch import kmv_distinct, kmv_oracle_sql  # noqa: E402
+
+
+@query(
+    "events_kmv_distinct_users",
+    oracle=f"""
+    WITH exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.n_exact, k.n_kmv
+    FROM exact e JOIN ({kmv_oracle_sql("events", ["event_type"], "user_id")}) k
+      USING (event_type)
+    """,
+)
+def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event type,
+    side-by-side with the exact count. The sketch is mergeable — the
+    100 TB form keeps k hashes per group per partition and unions."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(kmv_distinct(ev, ["event_type"], "user_id", k=64), "event_type")
+
+
+@query(
+    "events_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the SQL-standard
+    definition (rank = p*(n-1), lerp between neighbors).
+
+    At 100 TB swap in ``percentile_approx`` (t-digest, mergeable);
+    exact percentile needs the group's values gathered per reducer."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

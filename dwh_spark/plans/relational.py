@@ -476,3 +476,27 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         anti.agg(F.lit("never_ordered").alias("cohort"), F.count("*").alias("n"))
     )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    shuffle (Catalyst Expand), with grouping_id disambiguating rolled-up
+    nulls from data nulls — the full grouping-sets surface next to
+    rollup_region_nation's hierarchy."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )

@@ -1,0 +1,129 @@
+"""Temporal queries: as-of join, proximity range join, window frames.
+
+These cover the temporal-join family the reference lacks entirely
+(SURVEY.md §2.6 — it delegates all joins to Postgres equi-joins) but
+which an event-stream warehouse needs: "latest state as of each event",
+"events near this incident", and sliding-frame aggregates.
+
+Oracles use DuckDB's native ASOF JOIN / inequality joins / window
+frames, so they are *independent implementations* of the same
+semantics — a genuinely adversarial check on our banded/windowed
+Spark formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dwh_spark.operators.temporal import asof_join, proximity_pairs
+from dwh_spark.plans.registry import query
+from dwh_spark.sources.catalog import load_table
+
+
+@query(
+    "events_asof_last_click",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS asof_ts, c.value AS asof_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the user's most
+    recent click at-or-before it (union-then-window, one shuffle —
+    never a nested-loop range join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, key="user_id", right_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.col("asof_value"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "events_error_purchase_proximity",
+    oracle="""
+    SELECT e.event_id, count(*) AS n_nearby,
+           min(abs(epoch_us(e.ts) - epoch_us(p.ts))) AS closest_gap_us
+    FROM events e
+    JOIN events p
+      ON p.event_type = 'purchase'
+     AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 60000000
+    WHERE e.event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def events_error_purchase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): purchases within ±60 s of each
+    error, via the banded bucket join — DuckDB checks it with a real
+    inequality (IEJoin) plan."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("ts")
+    pairs = proximity_pairs(errors, purchases, window_us=60_000_000)
+    return pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_nearby"), F.min("gap_us").alias("closest_gap_us")
+    )
+
+
+@query(
+    "orders_daily_moving_stats",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total_dec,
+             count(*) AS n_orders,
+             epoch_us(o_orderdate) // 86400000000 AS d
+      FROM orders GROUP BY 1, 4
+    )
+    SELECT o_orderdate,
+           CAST(day_total_dec AS DOUBLE) AS day_total,
+           n_orders,
+           count(*) OVER w AS days_in_window,
+           round(CAST(sum(day_total_dec) OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS moving_avg_7d,
+           CAST(sum(day_total_dec) OVER
+                (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cume_total
+    FROM daily
+    WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs over daily order totals: a 7-day RANGE frame
+    (calendar-aware — gaps in the date sequence shrink the window) and
+    a running ROWS frame. Frames the reference can't express at all.
+
+    Scale: the global orderBy window is a single-partition sort of the
+    *daily* rollup (one row per date), not of the fact table — the
+    heavy aggregation happens partition-parallel first.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total_dec"),
+        F.count("*").alias("n_orders"),
+    ).withColumn("d", F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")))
+    w7 = Window.orderBy("d").rangeBetween(-6, 0)
+    cume = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "o_orderdate",
+        F.col("day_total_dec").cast("double").alias("day_total"),
+        "n_orders",
+        F.count("*").over(w7).alias("days_in_window"),
+        F.round(
+            F.sum("day_total_dec").over(w7).cast("double") / F.count("*").over(w7), 6
+        ).alias("moving_avg_7d"),
+        F.sum("day_total_dec").over(cume).cast("double").alias("cume_total"),
+    )

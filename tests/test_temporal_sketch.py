@@ -1,0 +1,66 @@
+"""Edge semantics of asof_join / proximity_pairs / kmv_distinct that
+the fixture-driven oracle parity test can't isolate."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dwh_spark.operators.sketch import kmv_distinct
+from dwh_spark.operators.temporal import asof_join, proximity_pairs
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+def test_asof_inclusive_equal_ts_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10)), (2, "k", _ts(5)), (3, "other", _ts(10))],
+        "id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(10), 100.0), ("k", _ts(7), 70.0)],
+        "key string, ts timestamp, value double",
+    )
+    out = {
+        r["id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, key="key", right_cols=["value"]).collect()
+    }
+    assert out[1] == (_ts(10), 100.0)  # equal ts matches (inclusive)
+    assert out[2] is not None and out[2] == (None, None)  # right rows all later
+    assert out[3] == (None, None)  # no right rows for this key
+
+
+def test_asof_picks_latest_not_first(spark):
+    left = spark.createDataFrame([(1, "k", _ts(30))], "id long, key string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", _ts(1), 1.0), ("k", _ts(20), 20.0), ("k", _ts(29), 29.0)],
+        "key string, ts timestamp, value double",
+    )
+    (row,) = asof_join(left, right, key="key", right_cols=["value"]).collect()
+    assert row["asof_value"] == 29.0
+
+
+def test_proximity_exact_boundary_and_no_dupes(spark):
+    left = spark.createDataFrame([(1, _ts(30))], "id long, ts timestamp")
+    right = spark.createDataFrame(
+        # exactly at the window edge (in, once), 31s away (out)
+        [(_ts(0),), (_ts(61),)],
+        "ts timestamp",
+    )
+    pairs = proximity_pairs(left, right, window_us=30_000_000).collect()
+    # right row at _ts(0) is exactly 30s away -> included once, not per probe bucket
+    gaps = sorted(r["gap_us"] for r in pairs)
+    assert gaps == [30_000_000]
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 20).alias("g"), F.col("id").alias("v")
+    )
+    # 20 groups x 50 distinct values, k=64 > 50 -> exact
+    exact = {r["g"]: r["n_kmv"] for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert all(v == 50 for v in exact.values())
+    # single group, 1000 distinct, k=64 -> estimate within 25%
+    (est,) = kmv_distinct(df.withColumn("g", F.lit(0)), ["g"], "v", k=64).collect()
+    assert 750 <= est["n_kmv"] <= 1250
