@@ -1,5 +1,6 @@
 """Import every plan module so the registry is fully populated."""
 
+import dwh_spark.plans.av  # noqa: F401
 import dwh_spark.plans.documents  # noqa: F401
 import dwh_spark.plans.embeddings  # noqa: F401
 import dwh_spark.plans.events  # noqa: F401

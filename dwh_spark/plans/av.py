@@ -1,0 +1,153 @@
+"""Audio/video pipeline queries (multimodal beyond images).
+
+No media fixtures or codecs exist in the container, so clips are
+derived deterministically from the `documents` table — the Spark side
+does the real binary work (assemble WAV headers, parse them back,
+sniff containers, fan out frames/chunks, run the stub decoder through
+``mapInPandas``), while the oracle checks the business outcome through
+the same ``doc_id`` arithmetic that generated the fixture. A header
+encode/parse bug, a wrong fan-out count, or a digest mismatch all
+surface as oracle failures.
+
+Fixture arithmetic (both sides):
+- sample_rate = (8000,16000,22050,44100,48000)[doc_id % 5]
+- channels    = 1 + doc_id % 2
+- n_samples   = n_chars * 100
+- n_frames    = n_chars % 240 + 1   (videos)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_spark.multimodal.av import (
+    audio_chunks,
+    decode_frames,
+    deterministic_frame_decoder,
+    parse_wav_header,
+    sample_frames,
+    sniff_media,
+    wav_bytes,
+)
+from dwh_spark.plans.registry import query
+from dwh_spark.sources.catalog import load_table
+
+_RATES = (8000, 16000, 22050, 44100, 48000)
+_RATE_SQL = (
+    "CASE doc_id % 5 "
+    + " ".join(f"WHEN {k} THEN {r}" for k, r in enumerate(_RATES))
+    + " END"
+)
+
+
+def _audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in _RATES]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    channels = (F.col("doc_id") % 2 + 1).cast("long")
+    n_samples = (F.col("n_chars") * 100).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            wav_bytes(rate, channels, n_samples), F.col("text").cast("binary")
+        ).alias("content"),
+    )
+
+
+@query(
+    "av_wav_roundtrip_stats",
+    oracle=f"""
+    SELECT ({_RATE_SQL}) AS sample_rate,
+           1 + doc_id % 2 AS channels,
+           count(*) AS n_clips,
+           round(sum((n_chars * 100.0) / ({_RATE_SQL})), 6) AS total_seconds
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def av_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction: WAV headers are assembled into the
+    binary column, then parsed BACK off the bytes (little-endian field
+    reads, pure codegen) — the oracle recomputes durations from the
+    generator arithmetic, so encode and parse must both be right."""
+    audio = _audio(spark, sf_dir)
+    meta = audio.select(
+        "doc_id",
+        sniff_media(F.col("content")).alias("fmt"),
+        parse_wav_header(F.col("content")).alias("h"),
+    ).filter(F.col("fmt") == "wav")
+    return meta.groupBy(
+        F.col("h.sample_rate").alias("sample_rate"),
+        F.col("h.channels").alias("channels"),
+    ).agg(
+        F.count("*").alias("n_clips"),
+        F.round(
+            F.sum(F.col("h.n_samples") * 1.0 / F.col("h.sample_rate")), 6
+        ).alias("total_seconds"),
+    )
+
+
+@query(
+    "av_audio_chunking",
+    oracle=f"""
+    SELECT source, count(*) AS n_clips,
+           sum(CAST(ceil((n_chars * 100.0) / (({_RATE_SQL}) * 5)) AS BIGINT))
+             AS n_chunks
+    FROM documents GROUP BY 1
+    """,
+)
+def av_audio_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-second chunk fan-out per clip (explode over sequence, no
+    shuffle), rolled up per source; chunk counts check the boundary
+    arithmetic including the short final chunk."""
+    audio = _audio(spark, sf_dir)
+    meta = audio.select(
+        "doc_id", "source", parse_wav_header(F.col("content")).alias("h")
+    ).select(
+        "doc_id", "source",
+        F.col("h.sample_rate").alias("sample_rate"),
+        F.col("h.n_samples").alias("n_samples"),
+    )
+    chunks = audio_chunks(meta, chunk_seconds=5)
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_clips"),
+        F.count("*").alias("n_chunks"),
+    )
+
+
+@query(
+    "av_video_frame_digests",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, n_chars % 240 + 1 AS n_frames FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, unnest(range(0, n_frames, 24)) AS frame_ix FROM vids
+    )
+    SELECT doc_id % 10 AS bucket,
+           count(*) AS n_frames_sampled,
+           min(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_ix AS VARCHAR)))
+             AS min_digest,
+           max(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_ix AS VARCHAR)))
+             AS max_digest
+    FROM frames GROUP BY 1
+    """,
+)
+def av_video_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 24th frame) + the stubbed per-frame
+    decoder running through real ``mapInPandas`` Arrow batches; min/max
+    digests per bucket pin the decoder's inputs exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.select(
+        "doc_id", (F.col("n_chars") % 240 + 1).cast("int").alias("n_frames")
+    )
+    sampled = sample_frames(vids, every=24)
+    decoded = decode_frames(sampled, decoder=deterministic_frame_decoder)
+    return decoded.groupBy((F.col("doc_id") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_frames_sampled"),
+        F.min("frame_digest").alias("min_digest"),
+        F.max("frame_digest").alias("max_digest"),
+    )
