@@ -107,3 +107,45 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"rollup_{uuid.uuid4().hex[:8]}"
     return run_windowed_rollup(stream, f"{root}/checkpoint", name)
+
+
+@query(
+    "streaming_user_accumulator",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           max(ts) AS last_ts
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_user_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) under the
+    oracle gate: per-user running totals accumulated across
+    micro-batches in the streaming state store; the LAST emission per
+    user must equal the batch aggregate. Money accumulates as integer
+    cents so batch-split order can't drift a float sum."""
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.stateful import running_user_state
+
+    stream, root = _staged_events(spark, sf_dir, max_files_per_trigger=2)
+    name = f"acc_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_state(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "sum_cents", "last_ts")
+    )

@@ -27,19 +27,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    LongType, StringType, StructField, StructType, TimestampType,
 )
 
 STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
-    StructField("sum_value", DoubleType()),
+    StructField("sum_cents", LongType()),
     StructField("last_ts", TimestampType()),
 ])
 
 OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),
-    StructField("sum_value", DoubleType()),
+    StructField("sum_cents", LongType()),
     StructField("last_ts", TimestampType()),
     StructField("last_type", StringType()),
 ])
@@ -50,24 +50,30 @@ def _accumulate(
 ) -> Iterable[pd.DataFrame]:
     """Fold this batch's events for one user into running state and
     emit the updated row. Deterministic: batch rows are folded by
-    (ts, event_id) order, so replay produces identical output."""
+    (ts, event_id) order, and money accumulates as integer CENTS, so
+    replay (or a different batch split) produces bit-identical totals —
+    float summation order would drift."""
     if state.exists:
         n, total, last_ts = state.get
     else:
-        n, total, last_ts = 0, 0.0, None
+        n, total, last_ts = 0, 0, None
     last_type = None
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-        last_ts = pdf["ts"].iloc[-1]
-        last_type = pdf["event_type"].iloc[-1]
+        total += int((pdf["value"].fillna(0.0) * 100).round().astype("int64").sum())
+        batch_last = pdf["ts"].iloc[-1]
+        # micro-batches need not arrive in event-time order (file-source
+        # batch boundaries are physical): advance last-seen only forward
+        if last_ts is None or batch_last > last_ts:
+            last_ts = batch_last
+            last_type = pdf["event_type"].iloc[-1]
     state.update((n, total, last_ts))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [total],
+            "sum_cents": [total],
             "last_ts": [last_ts],
             "last_type": [last_type],
         }

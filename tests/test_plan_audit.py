@@ -1,0 +1,78 @@
+"""Physical-plan audit over the whole registry — the scale gate.
+
+Correctness is the oracle parity test; this one asserts every query
+would survive a 100× scale-up: no cartesian products, no accidental
+nested-loop joins, filters pushed into the parquet scans, and scans
+pruned to the referenced columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import dwh_spark.plans.all  # noqa: F401
+from dwh_spark.plans.registry import QUERIES
+from tests.conftest import SF_SMALL
+
+# Queries whose callable RUNS a streaming engine (plan of the returned
+# DataFrame is just the drained sink — nothing to audit statically).
+_STREAMING = {
+    "streaming_latest_state",
+    "streaming_daily_rollup",
+    "streaming_user_accumulator",
+}
+
+# BroadcastNestedLoopJoin is acceptable ONLY where one side is a
+# deliberately-broadcast tiny relation (single-row aggregate, centroid
+# table, k-constant): the plan is then "replicate small side", not an
+# accidental O(n·m) join.
+_ALLOW_BNLJ = {
+    "marketplace_audit_counts",   # crossJoin with one-row count aggregate
+    "emb_ivf_cells",              # centroids broadcast to every vector
+    "emb_cosine_topk",            # brute-force baseline: query-point broadcast
+    "emb_lsh_topk",
+    "emb_cosine_near_dups",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _STREAMING))
+def test_no_cartesian_or_accidental_nested_loop(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in _ALLOW_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join would not survive scale-up"
+        )
+
+
+@pytest.mark.parametrize(
+    "name,pushed",
+    [
+        ("filters_combinators", "o_orderpriority"),   # predicate reaches scan
+        ("events_asof_last_click", "event_type"),     # filter under the union
+        ("point_lookup_composite", "l_orderkey"),     # point key pushed
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name, pushed):
+    df = QUERIES[name](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushes = [ln for ln in plan.splitlines() if "PushedFilters: [" in ln]
+    assert any(pushed in ln for ln in pushes), (
+        f"{name}: no pushed filter mentioning {pushed}"
+    )
+
+
+def test_scans_are_column_pruned(spark):
+    # flagship projects 3 columns of customer/orders — the scan schema
+    # must not read the full tables
+    df = QUERIES["flagship_owned_orders"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("o_totalprice" not in ln for ln in scans), (
+        "flagship scan reads columns the query never uses"
+    )

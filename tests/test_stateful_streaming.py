@@ -39,13 +39,16 @@ def test_running_state_matches_batch_aggregate(spark, tmp_path):
         .filter(F.col("rn") == 1)
     )
     got = {
-        r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+        r["user_id"]: (r["n_events"], r["sum_cents"])
         for r in final.collect()
     }
     want = {
-        r["user_id"]: (r["n"], round(r["s"], 4))
+        r["user_id"]: (r["n"], r["s"])
         for r in events.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        )
         .collect()
     }
     assert got == want
