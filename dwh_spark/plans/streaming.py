@@ -132,15 +132,26 @@ def streaming_user_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, root = _staged_events(spark, sf_dir, max_files_per_trigger=2)
     name = f"acc_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_state(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", f"{root}/checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stateful shuffle partitions = state-store instances = Python
+    # workers per batch. 32 is right for a cluster; single-node the
+    # per-partition store-commit + Arrow round-trip overhead dominates,
+    # so pin a smaller state layout for this query only (the setting is
+    # frozen into the checkpoint at first batch, not leaked: restored
+    # right after start).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_user_state(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{root}/checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     emitted = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
