@@ -128,7 +128,23 @@ def metadata_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The merged collection is the shared input of the scd1/schedule/
+# priority queries — cache it per (session, sf_dir) like the
+# materialized state table it models (recompute would re-parse JSON
+# and re-join per query).
+_STATE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _merged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _STATE_CACHE:
+        return _STATE_CACHE[cache_key]
+    merged = _merged_state_uncached(spark, sf_dir).cache()
+    _STATE_CACHE[cache_key] = merged
+    return merged
+
+
+def _merged_state_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen0 = _fetched(spark, sf_dir, 0).filter(is_valid_erc721(F.col("doc")))
     current = (
         gen0.filter(F.col("doc_id") % 11 != 0)
