@@ -277,3 +277,120 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel, multi-resolution rollup, and pivot — the warehouse
+# shapes a chain indexer's consumers ask next ("state as of", hourly
+# and daily continuous aggregates, type-by-day matrices).
+# ---------------------------------------------------------------------------
+_AS_OF = "2024-01-15 00:00:00"
+
+
+@query(
+    "events_state_as_of",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '{_AS_OF}'
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time replay (time travel): latest state per user as of
+    a cutoff — the reference's "state at height H" for an event log.
+    The cutoff predicate is pushed into the parquet scan, so replaying
+    an early snapshot reads a fraction of the log."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") <= F.lit(_AS_OF))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+@query(
+    "events_hourly_daily_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             date_trunc('hour', ts) AS hour_ts,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+             event_type, value
+      FROM events
+    )
+    SELECT day, hour_of_day AS hour, event_type,
+           GROUPING(hour_ts) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS (
+      (day, hour_ts, hour_of_day, event_type),
+      (day, event_type)
+    )
+    """,
+)
+def events_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly and daily rollups
+    in ONE pass via GROUPING SETS (Catalyst Expand → a single shuffle
+    serves both resolutions; at 100 TB the hourly output is itself the
+    mergeable input for day/week/month without touching raw events)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        F.hour("ts").alias("hour_of_day"),
+        "event_type",
+        "value",
+    )
+    grouped = ev.groupingSets(
+        [["day", "hour_ts", "hour_of_day", "event_type"], ["day", "event_type"]],
+        "day", "hour_ts", "hour_of_day", "event_type",
+    ).agg(
+        F.grouping("hour_ts").alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return grouped.select(
+        "day",
+        F.col("hour_of_day").cast("long").alias("hour"),
+        "event_type", "gid", "n", "sum_value",
+    )
+
+
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_daily_type_pivot",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): events per day x type as a wide matrix. The
+    pivot values are declared, so Spark plans a single pass (no
+    distinct-values pre-query)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_TYPES))
+        .count()
+    )
+    out = pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _TYPES]
+    )
+    return out
