@@ -239,3 +239,111 @@ def docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_duplicates(load_table(spark, sf_dir, "documents"), max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation: context-window chunking and benchmark
+# decontamination — the two steps between "deduped corpus" and
+# "training shards" in an LLM data pipeline.
+# ---------------------------------------------------------------------------
+_CHUNK, _STRIDE = 50, 40  # tokens per chunk, tokens between chunk starts
+
+
+@query(
+    "docs_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, len(w) AS n_tokens, s.chunk_start,
+             w[s.chunk_start + 1 : s.chunk_start + {_CHUNK}] AS chunk
+      FROM toks, (SELECT unnest(range(0, 10000, {_STRIDE})) AS chunk_start) s
+      WHERE s.chunk_start < len(w)
+    )
+    SELECT doc_id, chunk_start // {_STRIDE} AS chunk_ix,
+           len(chunk) AS chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking: 50-token chunks every 40 tokens
+    (10-token overlap), emitted as (doc, chunk_ix, md5). Pure array
+    algebra — ``slice`` over one tokenization, ``explode`` over the
+    chunk starts; no shuffle at all until a downstream groupBy.
+
+    At 100 TB this runs map-side against the corpus scan and writes
+    training shards directly; the md5 doubles as the shard-level
+    exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(_STRIDE))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(starts).alias("chunk_start"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        (F.col("chunk_start") / _STRIDE).cast("long").alias("chunk_ix"),
+        F.slice("w", F.col("chunk_start") + 1, _CHUNK).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_ix",
+        F.size("chunk").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk")).cast("binary")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "docs_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench_sh AS (
+      SELECT DISTINCT unnest(list_distinct(
+        [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+         for i in range(1, len(s) - 3)])) AS shingle
+      FROM (SELECT string_split(text, ' ') AS s FROM bench) WHERE len(s) >= 5
+    ),
+    train_sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+         for i in range(1, len(s) - 3)])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+            WHERE doc_id % 97 != 0) WHERE len(s) >= 5
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id FROM train_sh t
+      JOIN bench_sh b ON t.shingle = b.shingle
+    )
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 97 != 0) AS n_train,
+           (SELECT count(*) FROM contaminated) AS n_contaminated
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    5-gram with the held-out set (doc_id % 97 == 0 stands in for the
+    benchmark). Spark plan: benchmark shingles are tiny → broadcast
+    left-semi join against the train-side inverted index — no shuffle
+    of the training corpus at all, which is what makes this viable
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench_sh = (
+        bench.select(F.explode(T.shingles(F.col("text"), 5)).alias("shingle")).distinct()
+    )
+    train_sh = train.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 5)).alias("shingle")
+    )
+    contaminated = (
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.agg(F.count("*").alias("n_train")).crossJoin(
+        contaminated.agg(F.count("*").alias("n_contaminated"))
+    )

@@ -28,6 +28,7 @@ _STREAMING = {
 # accidental O(n·m) join.
 _ALLOW_BNLJ = {
     "marketplace_audit_counts",   # crossJoin with one-row count aggregate
+    "docs_decontaminate",         # crossJoin of two one-row aggregates
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_cosine_topk",            # brute-force baseline: query-point broadcast
     "emb_lsh_topk",
