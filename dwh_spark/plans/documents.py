@@ -146,9 +146,7 @@ def docs_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_jaccard_pairs",
-    oracle=f"""
+_JACCARD_PAIRS_SQL = f"""
     WITH {_SHINGLES_CTE},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     common AS (
@@ -162,8 +160,10 @@ def docs_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.7
-    """,
-)
+    """
+
+
+@query("docs_jaccard_pairs", oracle=_JACCARD_PAIRS_SQL)
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
 
@@ -346,4 +346,51 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return train.agg(F.count("*").alias("n_train")).crossJoin(
         contaminated.agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation: transitive closure of near-dup pairs — keep ONE
+# canonical doc per duplicate group, not per pair. The oracle computes
+# the same components with a recursive CTE: a genuinely independent
+# implementation of the same fixpoint.
+# ---------------------------------------------------------------------------
+from dwh_spark.operators.graph import connected_components  # noqa: E402
+
+
+@query(
+    "docs_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS label FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1)
+    SELECT component AS cluster_id,
+           count(*) AS n_docs,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY 1
+    """,
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups via iterative min-label propagation over the
+    jaccard pair graph (a~b, b~c collapse into one cluster even though
+    a,c were never directly compared). Cluster id = min member id —
+    the canonical survivor under a keep-first policy."""
+    pairs = D.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+        ).alias("members"),
     )
