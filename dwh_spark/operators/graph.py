@@ -1,51 +1,71 @@
-"""Iterative graph operator: connected components by label propagation.
+"""Iterative graph operator: connected components over dedup pairs.
 
 Near-duplicate PAIRS (dedup.py) are only half the dedup story — to
 keep one canonical doc per duplicate *group*, transitively-linked
 pairs must collapse into components (a~b, b~c ⇒ {a,b,c} even when
-a,c were never compared). That's a connected-components computation,
-the one genuinely iterative algorithm in the pipeline.
+a,c were never compared).
 
-Spark-first shape: min-label propagation — every node starts labeled
-with its own id; each round, every node takes the min label among
-itself and its neighbors; fixpoint = components labeled by their min
-member. Each round is one shuffle (join + groupBy-min).
+Two execution paths, chosen by measured edge count:
 
-Scale notes: rounds needed = graph diameter, and near-dup graphs are
-shallow (dense clusters, tiny diameter), so 3-5 rounds close most
-corpora. Each round persists its labels and unpersists the previous
-(lineage would otherwise grow exponentially). The convergence check
-is one small count per round. At extreme scale swap in the
-large-star/small-star algorithm (Kiveris et al. 2014) — same
-join+min building blocks, provably fewer rounds.
+- **Driver union-find** (graph below ``driver_threshold`` edges): the
+  pair graph is orders of magnitude smaller than its corpus — 100 TB
+  of text yields millions of dup edges, which fit in driver memory
+  trivially. Collecting them and running union-find beats scheduling
+  Spark stages per iteration (each distributed round pays plan +
+  codegen + task scheduling that dwarfs the compute at this size).
+- **Distributed min-label propagation** (above threshold): every node
+  starts labeled with its own id; each round takes the min label over
+  itself + neighbors; fixpoint = components labeled by min member.
+  One join+groupBy shuffle per round, labels persisted per round,
+  rounds bounded by graph diameter (shallow for dup clusters). At
+  extreme scale swap in large-star/small-star (Kiveris et al. 2014) —
+  same building blocks, provably fewer rounds.
+
+Both paths return identical results (pinned by tests/test_graph.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "id_a",
-    dst: str = "id_b",
-    max_rounds: int = 20,
-) -> DataFrame:
-    """(node, component) for every node in ``edges``; component id =
-    min node id in the component. Deterministic regardless of
-    partitioning (min is associative-commutative)."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+def _driver_union_find(sym: DataFrame, node_field) -> DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the component id is the min member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    schema = StructType([
+        StructField("node", node_field.dataType),
+        StructField("component", node_field.dataType),
+    ])
+    return sym.sparkSession.createDataFrame(out, schema)
+
+
+def _propagate(sym: DataFrame, max_rounds: int) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
-    labels.count()  # materialize before the loop
+    labels.count()
     for _ in range(max_rounds):
         neighbor_labels = (
             sym.join(labels, sym.a == labels.node)
@@ -69,3 +89,29 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+    driver_threshold: int = 10_000_000,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component id =
+    min node id in the component. Deterministic regardless of
+    partitioning and identical across both execution paths."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    n_edges = sym.count()
+    try:
+        if n_edges <= driver_threshold:
+            return _driver_union_find(sym, edges.schema[src])
+        return _propagate(sym, max_rounds)
+    finally:
+        # both paths have materialized everything they need by now
+        sym.unpersist()

@@ -163,9 +163,23 @@ _JACCARD_PAIRS_SQL = f"""
     """
 
 
+# The exact pair set feeds both the pairs query and cluster formation —
+# cache per (session, sf_dir) so the inverted-index join runs once.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = D.jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.7
+        ).cache()
+    return _PAIRS_CACHE[key]
+
+
 @query("docs_jaccard_pairs", oracle=_JACCARD_PAIRS_SQL)
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
+    return _jaccard_pairs_cached(spark, sf_dir)
 
 
 @query(
@@ -383,7 +397,7 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard pair graph (a~b, b~c collapse into one cluster even though
     a,c were never directly compared). Cluster id = min member id —
     the canonical survivor under a keep-first policy."""
-    pairs = D.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs.select("id_a", "id_b"))
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count("*").alias("n_docs"),
