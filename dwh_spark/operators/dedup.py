@@ -53,21 +53,27 @@ def jaccard_pairs(
     Set sizes ride along as array lengths (``n_sh``) instead of a
     separate groupBy — one fewer shuffle and no index recompute.
     """
-    base = df.select(F.col(key), shingles(F.col(text), k).alias("sh"))
-    a = base.select(
-        F.col(key).alias("id_a"), F.size("sh").alias("n_a"), F.explode("sh").alias("shingle")
+    # Both join sides are the IDENTICAL subplan (aliases only differ
+    # above the join), so Catalyst ReuseExchange computes the inverted
+    # index — shingle extraction AND its shuffle — once, not twice.
+    idx = df.select(F.col(key), shingles(F.col(text), k).alias("sh")).select(
+        F.explode("sh").alias("shingle"),
+        F.struct(F.col(key).alias("id"), F.size("sh").alias("n")).alias("node"),
     )
-    b = base.select(
-        F.col(key).alias("id_b"), F.size("sh").alias("n_b"), F.explode("sh").alias("shingle")
-    )
+    a, b = idx.alias("a"), idx.alias("b")
     return (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.node.id") < F.col("b.node.id")),
+        )
+        .groupBy(
+            F.col("a.node.id").alias("id_a"), F.col("b.node.id").alias("id_b")
+        )
         .agg(
             F.count("*").alias("n_common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
+            F.first(F.col("a.node.n")).alias("n_a"),
+            F.first(F.col("b.node.n")).alias("n_b"),
         )
         .withColumn(
             "jaccard",
