@@ -255,3 +255,45 @@ def metadata_task_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("consume_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S7/S8: the fetch boundary itself — batched, rate-limitable HTTP stage
+# with the deterministic offline transport (fixture urls derived from
+# doc_id; doc_id % 13 == 0 targets a "missing" path).
+# ---------------------------------------------------------------------------
+from dwh_spark.sources.fetch import fetch_urls  # noqa: E402
+
+
+@query(
+    "metadata_fetch_stage",
+    oracle="""
+    WITH urls AS (
+      SELECT 'http://meta/' ||
+             CASE WHEN doc_id % 13 = 0 THEN 'missing/' ELSE '' END ||
+             CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT url,
+           CASE WHEN contains(url, 'missing') THEN 404 ELSE 200 END AS status,
+           CASE WHEN contains(url, 'missing') THEN ''
+                ELSE '{"url": "' || url || '", "ok": true}' END AS body,
+           CAST(strlen(CASE WHEN contains(url, 'missing') THEN ''
+                ELSE '{"url": "' || url || '", "ok": true}' END) AS BIGINT)
+             AS n_bytes
+    FROM urls
+    """,
+)
+def metadata_fetch_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest boundary as a real mapInPandas fetch stage (batched,
+    connection-reusing, rate-limitable) running the deterministic
+    offline transport — per-url result rows including failures, never
+    task errors."""
+    urls = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://meta/"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("missing/")).otherwise(F.lit("")),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return fetch_urls(urls)
