@@ -500,3 +500,32 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-string surface: ONE dialect-portable ANSI string serves as both
+# the Spark query (spark.sql over registered views) and the DuckDB
+# oracle — the Hasura→SQL read path with zero translation layer.
+# ---------------------------------------------------------------------------
+_BIG_SPENDERS_SQL = """
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           count(o.o_orderkey) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING count(o.o_orderkey) >= 20
+    ORDER BY total_spent DESC, custkey
+    LIMIT 25
+"""
+
+
+@query("sql_big_spenders", oracle=_BIG_SPENDERS_SQL)
+def sql_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql surface: the exact oracle string runs unmodified
+    through Catalyst over temp views — join, aggregate, HAVING,
+    deterministic tie-broken top-k. Proves the engine's SQL dialect
+    covers the delegated-query path, not just the DataFrame API."""
+    from dwh_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_BIG_SPENDERS_SQL)
