@@ -67,11 +67,13 @@ def _staged_events(
     """,
 )
 def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+S5+M22+M1-M16 streaming form: ingest the event log as 4
+    """S1+S5+M22+M1-M16 streaming form: ingest the event log as
     micro-batches, foreachBatch-MERGE each into a versioned parquet
     state store, return the final compacted state — identical to the
-    batch events_latest_state replay."""
-    stream, root = _staged_events(spark, sf_dir)
+    batch events_latest_state replay. Two files per trigger: the MERGE
+    still crosses batch boundaries (multi-batch restart/idempotency is
+    pinned in tests/test_streaming.py) at half the snapshot-write cost."""
+    stream, root = _staged_events(spark, sf_dir, max_files_per_trigger=2)
     store = ParquetStateStore(f"{root}/state")
     run_incremental_compaction(
         stream, store, f"{root}/checkpoint",
