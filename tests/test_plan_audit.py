@@ -51,6 +51,15 @@ def test_no_cartesian_or_accidental_nested_loop(spark, name):
         )
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _STREAMING))
+def test_no_row_at_a_time_python(spark, name):
+    """Python belongs in Arrow-batched mapInPandas stages only —
+    BatchEvalPython (row-at-a-time UDF serialization) must never
+    appear; it's the 10-100x slow path."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+
+
 @pytest.mark.parametrize(
     "name,pushed",
     [
