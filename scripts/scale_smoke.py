@@ -1,0 +1,92 @@
+"""Scale smoke: run core operators at 100x the bench scale factor.
+
+Generates a deterministic 10M-row events table (100x sf0.1) under
+/tmp and times the operators whose plans must survive scale-up —
+latest-state compaction, rollups, as-of join, sketches. Run:
+
+    python scripts/scale_smoke.py [n_rows]
+
+Prints one timing line per operator; results are recorded in
+README.md ("Scale design"). The table is generated, not copied, so
+this never touches /root/testdata.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dwh_spark.operators.sketch import kmv_distinct
+from dwh_spark.operators.temporal import asof_join
+from dwh_spark.session import get_spark
+
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+N_USERS = N_ROWS // 66  # same user:event ratio as the fixtures
+PATH = f"/tmp/dwh_scale_smoke_{N_ROWS}"
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    types = F.array(*[F.lit(t) for t in ("click", "error", "purchase", "signup", "view")])
+    events = (
+        spark.range(N_ROWS)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000) + (F.col("id") * 7_919_773) % (30 * 86400 * 1_000_000)
+            ).alias("ts"),
+            F.pmod(F.xxhash64("id"), F.lit(N_USERS)).alias("user_id"),
+            F.element_at(types, (F.col("id") % 5 + 1).cast("int")).alias("event_type"),
+            F.round((F.xxhash64("id", F.lit(1)) % 100000) / 100.0, 2).alias("value"),
+        )
+    )
+    events.write.mode("overwrite").parquet(PATH)
+    print(f"generate+write {N_ROWS} rows: {time.perf_counter() - t0:.1f}s")
+
+    ev = spark.read.parquet(PATH)
+
+    def timed(name, df):
+        t = time.perf_counter()
+        n = df.count()
+        print(f"{name}: {time.perf_counter() - t:.1f}s ({n} rows)")
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    timed(
+        "latest_state (window rank over all users)",
+        ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1),
+    )
+    timed(
+        "daily_rollup (groupBy day x type)",
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count("*"), F.sum(F.col("value").cast("decimal(18,2)"))
+        ),
+    )
+    # filter on the carried column so the count can't prune the window
+    timed(
+        "asof_join (purchases pick up last click per user)",
+        asof_join(
+            ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts"),
+            ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value"),
+            key="user_id",
+            right_cols=["value"],
+        ).filter(F.col("asof_ts").isNotNull()),
+    )
+    timed(
+        "kmv_distinct (users per type, k=64)",
+        kmv_distinct(ev, ["event_type"], "user_id", k=64),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
