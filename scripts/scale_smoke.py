@@ -85,6 +85,31 @@ def main() -> None:
         "kmv_distinct (users per type, k=64)",
         kmv_distinct(ev, ["event_type"], "user_id", k=64),
     )
+
+    # ---- dedup scale path: synthetic docs at 10x the sf0.1 corpus ----
+    n_docs = max(N_ROWS // 20, 1000)
+    vocab = F.array(*[F.lit(f"w{i:03d}") for i in range(400)])
+    # ~5% of docs are near-duplicates: pairs (id, id+1) share a seed
+    seed = F.when(F.col("id") % 40 < 2, (F.col("id") / 10).cast("long") * 10).otherwise(
+        F.col("id")
+    )
+    word = lambda i: F.element_at(  # noqa: E731
+        vocab, (F.pmod(F.xxhash64(seed, F.lit(i)), F.lit(400)) + 1).cast("int")
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(i) for i in range(60)]).alias("text"),
+    )
+    doc_path = f"{PATH}_docs"
+    t = time.perf_counter()
+    docs.write.mode("overwrite").parquet(doc_path)
+    print(f"generate+write {n_docs} docs: {time.perf_counter() - t:.1f}s")
+    d = spark.read.parquet(doc_path)
+
+    from dwh_spark.operators.dedup import lsh_candidate_pairs, minhash_near_duplicates
+
+    timed("lsh_candidate_pairs (16 hashes, 4 bands)", lsh_candidate_pairs(d))
+    timed("minhash_near_duplicates (LSH + verify)", minhash_near_duplicates(d))
     spark.stop()
 
 
