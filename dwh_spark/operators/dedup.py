@@ -88,22 +88,38 @@ def jaccard_pairs(
     )
 
 
+# Double-hashing (Kirsch-Mitzenmacher) constants: the hash family is
+# h_s = (h1 + s*h2') & MASK60 with h1/h2 the two 60-bit halves of ONE
+# md5 — n_hashes minhash functions for the price of a single digest.
+# h2 is reduced mod 2^58 so s*h2' never overflows signed 64-bit in
+# either engine (DuckDB raises on BIGINT overflow).
+_H2_MOD = 1 << 58
+_MASK60 = (1 << 60) - 1
+
+
 def minhash_signature_arrays(
     df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 3, n_hashes: int = 16
 ) -> DataFrame:
-    """(key, sigs) — sigs[s] = lexicographic min of
-    md5('<s>:' || shingle) over the doc's shingles, seeds 0..n-1.
-    Docs with fewer than k words have no row.
+    """(key, sigs) — sigs[s] = min over the doc's shingles of the s-th
+    double-hash of the shingle digest. Docs with fewer than k words
+    have no row.
 
     One shuffle total: the shingle index goes through a single
     groupBy(key) whose n_hashes ``min`` aggregates all partial-combine
-    map-side (16 codegen md5 expressions per index row — NOT a ×16 row
-    explosion, and NOT an interpreted higher-order transform).
-    Signature computation at 100 TB is therefore one map+combine pass.
+    map-side. Per index row the cost is ONE md5 plus n_hashes long
+    multiply-adds in codegen — NOT n_hashes digests, NOT a ×n row
+    explosion. Signature computation at 100 TB is one map+combine pass.
     """
-    idx = df.select(F.col(key), F.explode(shingles(F.col(text), k)).alias("shingle"))
+    digest = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long") % F.lit(_H2_MOD)
+    idx = df.select(
+        F.col(key), F.explode(shingles(F.col(text), k)).alias("shingle")
+    ).select(F.col(key), h1.alias("__h1"), h2.alias("__h2"))
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"__m{s}")
+        F.min(
+            (F.col("__h1") + F.lit(s) * F.col("__h2")).bitwiseAND(F.lit(_MASK60))
+        ).alias(f"__m{s}")
         for s in range(n_hashes)
     ]
     return idx.groupBy(key).agg(*mins).select(
@@ -132,7 +148,13 @@ def _banded(
     return sigs.select(F.col(key), band_ix, "sigs").select(
         key, "band",
         F.md5(
-            F.concat_ws("|", F.slice("sigs", F.col("band") * rows_per_band + 1, rows_per_band))
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice("sigs", F.col("band") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            ).cast("binary")
         ).alias("band_key"),
     )
 

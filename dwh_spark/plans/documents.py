@@ -186,15 +186,21 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_minhash_near_dups",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
     mh AS (
       SELECT doc_id, seeds.seed,
-             min(md5(seeds.seed::VARCHAR || ':' || shingle)) AS minhash
-      FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
       GROUP BY 1, 2
     ),
     banded AS (
       SELECT doc_id, seed // 4 AS band,
-             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
       FROM mh GROUP BY 1, 2
     ),
     cands AS (
