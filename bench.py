@@ -28,8 +28,12 @@ def main() -> None:
     spark = get_spark("dwh-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
+    # warm the JVM, parquet footers, and every table's scan once so
+    # per-query numbers measure the query, not session startup
+    from dwh_spark.sources.catalog import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
     QUERIES["flagship_owned_orders"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
