@@ -110,6 +110,26 @@ def main() -> None:
 
     timed("lsh_candidate_pairs (16 hashes, 4 bands)", lsh_candidate_pairs(d))
     timed("minhash_near_duplicates (LSH + verify)", minhash_near_duplicates(d))
+
+    # ---- similarity scale path: 1M x 64-dim vectors, brute force vs LSH ----
+    n_vecs = max(N_ROWS // 10, 10_000)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (F.pmod(F.xxhash64("id", i), F.lit(2000)) / 1000.0 - 1.0).cast("float"),
+    )
+    vec_path = f"{PATH}_vecs"
+    t = time.perf_counter()
+    spark.range(n_vecs).select(F.col("id").alias("vec_id"), emb.alias("embedding")).write.mode(
+        "overwrite"
+    ).parquet(vec_path)
+    print(f"generate+write {n_vecs} vectors: {time.perf_counter() - t:.1f}s")
+    vecs = spark.read.parquet(vec_path)
+    qset = vecs.limit(8)
+
+    from dwh_spark.operators.similarity import cosine_topk, lsh_topk
+
+    timed("cosine_topk (brute force, 8 queries x 1M vectors)", cosine_topk(vecs, qset))
+    timed("lsh_topk (bucketed, 8 queries)", lsh_topk(vecs, qset))
     spark.stop()
 
 
