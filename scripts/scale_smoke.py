@@ -126,9 +126,12 @@ def main() -> None:
     vecs = spark.read.parquet(vec_path)
     qset = vecs.limit(8)
 
-    from dwh_spark.operators.similarity import cosine_topk, lsh_topk
+    from dwh_spark.operators.similarity import (
+        cosine_topk, cosine_topk_vectorized, lsh_topk,
+    )
 
-    timed("cosine_topk (brute force, 8 queries x 1M vectors)", cosine_topk(vecs, qset))
+    timed("cosine_topk (fold expr, 8 queries x 1M vectors)", cosine_topk(vecs, qset))
+    timed("cosine_topk_vectorized (numpy matmul)", cosine_topk_vectorized(vecs, qset))
     timed("lsh_topk (bucketed, 8 queries)", lsh_topk(vecs, qset))
     spark.stop()
 

@@ -64,3 +64,19 @@ def test_kmv_exact_below_k_and_close_above(spark):
     # single group, 1000 distinct, k=64 -> estimate within 25%
     (est,) = kmv_distinct(df.withColumn("g", F.lit(0)), ["g"], "v", k=64).collect()
     assert 750 <= est["n_kmv"] <= 1250
+
+
+def test_vectorized_cosine_topk_matches_fold(spark):
+    from dwh_spark.operators.similarity import cosine_topk, cosine_topk_vectorized
+    from dwh_spark.sources.catalog import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 3)
+    slow = {(r["query_id"], r["rnk"]): (r["vec_id"], r["cosine"])
+            for r in cosine_topk(vecs, queries, k=5).collect()}
+    fast = {(r["query_id"], r["rnk"]): (r["vec_id"], r["cosine"])
+            for r in cosine_topk_vectorized(vecs, queries, k=5).collect()}
+    assert set(slow) == set(fast)
+    for kk in slow:
+        assert slow[kk][0] == fast[kk][0]
+        assert abs(slow[kk][1] - fast[kk][1]) < 1e-9
