@@ -85,3 +85,42 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read back a partitioned layout; partition columns come from
     directory names and prune on filter."""
     return spark.read.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance job every streaming sink
+    needs: micro-batches and per-task writers leave thousands of tiny
+    files whose open/footer costs dominate reads at scale (the classic
+    HDFS/S3 small-files problem; Delta's OPTIMIZE).
+
+    Sizes the output from the measured input bytes (one file per
+    ``target_file_bytes``), optionally re-sorting within files for
+    row-group min/max skipping. Writes to ``out_path`` — the caller
+    swaps paths or repoints the table, mirroring how OPTIMIZE commits
+    a new snapshot rather than rewriting in place. Returns the output
+    file count.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    # repartition (not coalesce): coalesce would also narrow the READ
+    # parallelism; a shuffle-light rebalance keeps the scan wide
+    out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files

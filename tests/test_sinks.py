@@ -47,3 +47,20 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert "Exchange" not in plan
     assert agg.count() == events.select("user_id").distinct().count()
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from dwh_spark.sources.sinks import compact_small_files
+
+    events = load_table(spark, SF, "events")
+    small = str(tmp_path / "small")
+    events.repartition(64).write.parquet(small)  # 64 tiny files
+    compacted = str(tmp_path / "compacted")
+    n = compact_small_files(spark, small, compacted, target_file_bytes=10**9)
+    assert n == 1
+    import glob as g
+    assert len(g.glob(f"{compacted}/*.parquet")) == 1
+    # content preserved exactly
+    before = events.groupBy("event_type").count().collect()
+    after = spark.read.parquet(compacted).groupBy("event_type").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
