@@ -120,3 +120,40 @@ def proximity_pairs(
         .filter(gap <= window_us)
         .select(*left.columns, gap.alias("gap_us"), *[c for c in build.columns if c.startswith("r_")])
     )
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start: str = "session_start",
+    end: str = "session_end",
+    pt: str = "ts",
+    bucket_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Point-in-interval containment join with NO equality key: each
+    point lands in one time bucket, each interval explodes over the
+    buckets it covers (plus one on each side so boundary points are
+    never missed), the exact predicate filters after the bucket
+    equi-join. Returns intervals.* joined with the point columns
+    prefixed ``p_``.
+
+    Scale: shuffle is on the bucket id; fan-out per interval =
+    ceil(duration / bucket) + 2, so pick the bucket near the typical
+    interval length. Long outlier intervals fan out more — cap them
+    upstream or split the join by duration class.
+    """
+    bucket = lambda c: (F.unix_micros(F.col(c)) / F.lit(bucket_us)).cast("long")  # noqa: E731
+    iv = intervals.withColumn(
+        "__b", F.explode(F.sequence(bucket(start) - 1, bucket(end) + 1))
+    )
+    pts = points.select(
+        bucket(pt).alias("__b"),
+        *[F.col(c).alias(f"p_{c}") for c in points.columns],
+    )
+    return (
+        iv.join(pts, "__b")
+        .filter(
+            (F.col(f"p_{pt}") >= F.col(start)) & (F.col(f"p_{pt}") <= F.col(end))
+        )
+        .drop("__b")
+    )

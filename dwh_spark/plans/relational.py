@@ -529,3 +529,64 @@ def sql_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_BIG_SPENDERS_SQL)
+
+
+@query(
+    "scalar_function_battery",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           upper(o_orderstatus) AS status_upper,
+           lower(o_orderpriority) AS priority_lower,
+           substr(o_orderpriority, 1, 1) AS priority_code,
+           replace(o_orderpriority, '-', '_') AS priority_snake,
+           length(o_orderpriority) AS priority_len,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+           concat(o_orderstatus, ':', o_orderpriority) AS status_priority,
+           CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos,
+           abs(o_totalprice - 100000.0) AS price_dist,
+           round(sqrt(o_totalprice), 4) AS price_sqrt,
+           round(ln(o_totalprice), 6) AS price_ln,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_up,
+           o_orderkey % 7 AS key_mod,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS order_dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string/date/math scalar library (§2.6: the reference has
+    none — Postgres supplied it; here Catalyst does). One row per
+    sampled order exercising 21 scalar functions whose semantics must
+    agree with the independent DuckDB implementations."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.lower("o_orderpriority").alias("priority_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("priority_snake"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.instr(F.col("o_orderpriority"), "-").alias("dash_pos"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dist"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("price_k_up"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek(d).alias("order_dow"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month_start"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+    )

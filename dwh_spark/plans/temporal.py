@@ -127,3 +127,55 @@ def orders_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg_7d"),
         F.sum("day_total_dec").over(cume).cast("double").alias("cume_total"),
     )
+
+
+@query(
+    "events_foreign_errors_in_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), sessions AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT s.user_id, count(*) AS n_foreign_errors
+    FROM sessions s
+    JOIN events e
+      ON e.event_type = 'error'
+     AND e.ts BETWEEN s.session_start AND s.session_end
+     AND e.user_id != s.user_id
+    GROUP BY 1
+    """,
+)
+def events_foreign_errors_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (no equality key): other users' error
+    events falling inside each user's sessions, via the banded
+    point-in-interval join — DuckDB checks it with a native inequality
+    (IEJoin) plan. The interval analog of the proximity range join."""
+    from dwh_spark.operators.temporal import interval_point_join
+    from dwh_spark.plans.events import events_sessionization
+
+    sessions = events_sessionization(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    errors = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+    )
+    contained = interval_point_join(sessions, errors).filter(
+        F.col("p_user_id") != F.col("user_id")
+    )
+    return contained.groupBy("user_id").agg(F.count("*").alias("n_foreign_errors"))
