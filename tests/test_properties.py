@@ -105,3 +105,24 @@ def test_zorder_key_is_invertible(spark, pairs):
 
     for r in out:
         assert deinterleave(r["z"]) == (r["a"], r["b"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)), min_size=1, max_size=60
+    )
+)
+def test_salted_agg_equivalence_random_frames(spark, rows):
+    from dwh_spark.operators.skew import salted_count_sum
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: (r["n"], r["sum_value"])
+        for r in salted_count_sum(df, ["k"], F.col("v")).collect()
+    }
+    want = {}
+    for k, v in rows:
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + v)
+    assert got == want
