@@ -273,3 +273,59 @@ def cosine_topk_vectorized(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine", "rnk")
     )
+
+
+def kmeans_iterate(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 2,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids, distributed: each
+    iteration assigns vectors to their nearest centroid (broadcast
+    cross-score + rank-1 window, same plan as ``assign_cells``) and
+    recomputes centroids as per-cell elementwise means (posexplode over
+    dimensions → one groupBy(cell, dim) shuffle → re-assembled arrays).
+
+    Returns the refined centroids (centroid_id, embedding). Iterations
+    are bounded and each runs two shuffles; empty cells keep their
+    previous centroid (no NaN poisoning). This is the "train" step the
+    IVF tier stubs with seed centroids — run it on a sample, not the
+    full 100 TB corpus, exactly like production ANN index builds.
+    """
+    current = centroids.select(
+        F.col(key).alias("centroid_id"), F.col(vec).alias("c_emb")
+    )
+    for _ in range(n_iter):
+        assigned = assign_cells(
+            vectors,
+            current.select(
+                F.col("centroid_id").alias(key), F.col("c_emb").alias(vec)
+            ),
+            vec=vec,
+            key=key,
+        )
+        by_dim = assigned.select(
+            "cell", F.posexplode(vec).alias("dim", "component")
+        )
+        means = (
+            by_dim.groupBy("cell", "dim")
+            .agg(F.avg("component").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform(F.col("dm"), lambda s: s["m"].cast("float")).alias("new_emb"),
+            )
+        )
+        current = (
+            current.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
+            )
+            .persist()
+        )
+        current.count()
+    return current.select("centroid_id", F.col("c_emb").alias("embedding"))

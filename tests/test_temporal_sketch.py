@@ -80,3 +80,37 @@ def test_vectorized_cosine_topk_matches_fold(spark):
     for kk in slow:
         assert slow[kk][0] == fast[kk][0]
         assert abs(slow[kk][1] - fast[kk][1]) < 1e-9
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    import random
+
+    from dwh_spark.operators.similarity import assign_cells, kmeans_iterate
+
+    rng = random.Random(7)
+    centers = [[5.0] * 4, [-5.0] * 4, [5.0, -5.0, 5.0, -5.0]]
+    rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # noisy seeds, one per basin (k-means cannot merge two seeds that
+    # start in the same angular basin — standard k-means limitation)
+    seeds = spark.createDataFrame(
+        [(0, [4.0, 4.0, 4.0, 6.5]), (1, [-4.0, -6.5, -4.0, -4.0]), (2, [6.0, -4.0, 4.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    refined = kmeans_iterate(vecs, seeds, n_iter=3)
+    assigned = assign_cells(vecs, refined.withColumnRenamed("centroid_id", "vec_id"))
+    # every planted cluster maps to exactly one cell, purely
+    groups = {
+        r["g"]: r["cells"]
+        for r in assigned.groupBy((F.col("vec_id") % 3).alias("g"))
+        .agg(F.collect_set("cell").alias("cells"))
+        .collect()
+    }
+    purity = all(len(cells) == 1 for cells in groups.values())
+    distinct = len({cells[0] for cells in groups.values()})
+    # seeds all near center 0: k-means must still separate at least the
+    # two far clusters; full recovery expected with these margins
+    assert purity and distinct == 3
