@@ -10,9 +10,11 @@ Three tiers, mirroring how a 100 TB vector corpus is actually served:
    (md5-derived constants, embedded identically in the DuckDB oracle)
    bucket vectors by sign pattern; queries search only their bucket.
    The scale path: bucket join is an equi-join on an 8-bit key.
-3. ``ivf_topk`` — IVF-ish: fixed seed centroids (deterministic
-   stand-in for a k-means "train" step), vectors assigned to nearest
-   centroid, queries probe their cell only.
+3. ``ivf_topk`` — IVF: seed centroids refinable with the distributed
+   Lloyd step (``kmeans_iterate``), vectors assigned to the nearest
+   centroid, queries probe their cell only. The oracle-gated queries
+   use the deterministic seed centroids so DuckDB can replicate them;
+   the train step is pinned by its own convergence test.
 
 All arithmetic is sequential double folds (``aggregate``/Spark,
 ``list_reduce``/DuckDB) which are bit-identical across engines —
