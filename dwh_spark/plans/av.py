@@ -94,8 +94,8 @@ def av_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "av_audio_chunking",
     oracle=f"""
     SELECT source, count(*) AS n_clips,
-           sum(CAST(ceil((n_chars * 100.0) / (({_RATE_SQL}) * 5)) AS BIGINT))
-             AS n_chunks
+           CAST(sum(CAST(ceil((n_chars * 100.0) / (({_RATE_SQL}) * 5)) AS BIGINT))
+                AS BIGINT) AS n_chunks
     FROM documents GROUP BY 1
     """,
 )

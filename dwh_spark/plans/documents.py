@@ -45,12 +45,13 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            round(CAST(sum(CAST(round(
                (length(text) - (len(string_split(text,' ')) - 1))
                / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS DECIMAL(12,6))) AS DOUBLE)
              / count(*), 6) AS avg_token_len,
-           sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS total_regex_tokens
+           CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+             AS total_regex_tokens
     FROM documents GROUP BY 1
     """,
 )

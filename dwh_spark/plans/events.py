@@ -106,9 +106,9 @@ def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, event_id,
-             sum(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,
@@ -121,8 +121,13 @@ def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap_sec.isNull() | (gap_sec > 30 * 60), 1).otherwise(0)
+    # Timestamp subtraction yields a DayTimeIntervalType — exact
+    # microsecond arithmetic, matching the oracle's INTERVAL compare.
+    # (A cast-to-long gap truncates sub-second digits and can merge two
+    # sessions whose gap is in (1800.0 s, 1801.0 s); every testdata ts
+    # carries non-zero microseconds.)
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), 1).otherwise(0)
     running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -147,7 +152,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY 1
@@ -203,7 +208,8 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n_users,
            count(first_signup) AS n_signed_up,
-           sum(CASE WHEN first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+           CAST(sum(CASE WHEN first_purchase > first_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
     FROM firsts
     """,
 )
@@ -375,7 +381,7 @@ _TYPES = ("click", "error", "purchase", "signup", "view")
     "events_daily_type_pivot",
     oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-           {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _TYPES)}
+           {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _TYPES)}
     FROM events GROUP BY 1
     """,
 )

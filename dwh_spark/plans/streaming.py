@@ -115,7 +115,7 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_user_accumulator",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            max(ts) AS last_ts
     FROM events GROUP BY 1
     """,

@@ -209,6 +209,19 @@ def marketplace_events(spark: SparkSession) -> DataFrame:
     # list-of-dicts path would plan as Scan ExistingRDD and re-run
     # Python-worker deserialization on every downstream action (~5s per
     # replay query on local[32]).
+    #
+    # Columns are built with dtype=object so pandas never coerces a
+    # nullable integer column (e.g. `amount`, mostly-None) to float64 with
+    # NaN — the non-Arrow createDataFrame verifier rejects NaN/float for
+    # LongType, and we must not depend on the caller's session having
+    # spark.sql.execution.arrow.pyspark.enabled set.
     import pandas as pd
 
-    return spark.createDataFrame(pd.DataFrame(scenario_rows()), MARKETPLACE_EVENTS)
+    rows = scenario_rows()
+    pdf = pd.DataFrame(
+        {
+            f.name: pd.Series([r.get(f.name) for r in rows], dtype=object)
+            for f in MARKETPLACE_EVENTS.fields
+        }
+    )
+    return spark.createDataFrame(pdf, MARKETPLACE_EVENTS)
