@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_AMOUNT_RE = r"^([0-9]+)[a-z][a-z0-9/]*$"
-_DENOM_RE = r"^[0-9]+([a-z][a-z0-9/]*)$"
+# Denom grammar is [a-z][a-z0-9/]{2,127} (3..128 chars total) — keep
+# these in lock-step with any DuckDB oracle regex that re-parses coins.
+_AMOUNT_RE = r"^([0-9]+)[a-z][a-z0-9/]{2,127}$"
+_DENOM_RE = r"^[0-9]+([a-z][a-z0-9/]{2,127})$"
 
 
 def coin_amount(coin: Column) -> Column:
@@ -39,8 +41,16 @@ def parse_coin(coin: Column) -> Column:
 
 def parse_coins(coins: Column) -> Column:
     """``array<struct(amount, denom)>`` for a multi-coin string
-    (``"5atom,100token"``); empty string → empty array. Higher-order
-    transform is fine here: coin lists are ≤ a few elements."""
-    return F.when(coins == "", F.array().cast("array<struct<amount:decimal(38,0),denom:string>>")).otherwise(
-        F.transform(F.split(coins, ","), parse_coin)
-    )
+    (``"5atom,100token"``); empty string → empty array; an invalid
+    element parses to a NULL array element (not ``struct(null, null)``).
+    Higher-order transform is fine here: coin lists are ≤ a few
+    elements."""
+    def _one(c: Column) -> Column:
+        parsed = parse_coin(c)
+        return F.when(
+            parsed["amount"].isNotNull() & parsed["denom"].isNotNull(), parsed
+        )
+
+    return F.when(
+        coins == "", F.array().cast("array<struct<amount:decimal(38,0),denom:string>>")
+    ).otherwise(F.transform(F.split(coins, ","), _one))

@@ -88,6 +88,53 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_hashed(
+    df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs joining on ``xxhash64(shingle)``
+    instead of the shingle string.
+
+    Same semantics as :func:`jaccard_pairs` (identical output barring a
+    64-bit hash collision, which would require two distinct shingles
+    colliding within one corpus): distinct-shingle sets are preserved
+    because xxhash64 is injective in expectation at corpus scale.
+
+    Scale: the self-join shuffle carries fixed 8-byte longs instead of
+    variable-length shingle strings — for k=3 word-shingles that is
+    ~3-6× less shuffle I/O, and the sort/hash join keys become
+    fixed-width comparisons. This is the form to run at 100 TB; the
+    string variant exists because the oracle can only re-derive string
+    shingles.
+    """
+    idx = df.select(F.col(key), shingles(F.col(text), k).alias("sh")).select(
+        F.explode("sh").alias("shingle"),
+        F.struct(F.col(key).alias("id"), F.size("sh").alias("n")).alias("node"),
+    ).select(F.xxhash64("shingle").alias("h"), "node")
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.node.id") < F.col("b.node.id")),
+        )
+        .groupBy(F.col("a.node.id").alias("id_a"), F.col("b.node.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("a.node.n")).alias("n_a"),
+            F.first(F.col("b.node.n")).alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # Double-hashing (Kirsch-Mitzenmacher) constants: the hash family is
 # h_s = (h1 + s*h2') & MASK60 with h1/h2 the two 60-bit halves of ONE
 # md5 — n_hashes minhash functions for the price of a single digest.

@@ -122,6 +122,49 @@ def proximity_pairs(
     )
 
 
+def sweep_max_concurrency(
+    intervals: DataFrame,
+    start: str = "session_start",
+    end: str = "session_end",
+) -> DataFrame:
+    """Max number of intervals simultaneously open, observed at interval
+    boundaries, per calendar day of the boundary — the sweep-line
+    counter (±1 deltas, running sum, max).
+
+    Scale: a naive sweep is one global ``Window.orderBy`` — a
+    single-task sort. This is the two-phase distributed prefix sum
+    instead: (1) running sums partition-parallel WITHIN each day,
+    (2) per-day delta totals (one row per day — thousands, not
+    billions) get a cumulative offset via a window over days, and the
+    offset is broadcast-joined back. Phase-2's global window sorts only
+    the per-day rollup, so the fact-scale work stays partitioned.
+    Boundary ties sort ``(ts, delta DESC)`` — a start and an end at the
+    same instant count as overlapping — matching the oracle exactly.
+    """
+    deltas = intervals.select(
+        F.col(start).alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(intervals.select(F.col(end).alias("ts"), F.lit(-1).alias("delta")))
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = deltas.withColumn("day", F.to_date("ts")).withColumn(
+        "run_in", F.sum("delta").over(w_in)
+    )
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        within.groupBy("day")
+        .agg(F.sum("delta").alias("day_total"))
+        .withColumn("offset", F.coalesce(F.sum("day_total").over(w_days), F.lit(0)))
+    )
+    return (
+        within.join(F.broadcast(offsets.select("day", "offset")), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("run_in") + F.col("offset")).alias("max_concurrent"))
+    )
+
+
 def interval_point_join(
     intervals: DataFrame,
     points: DataFrame,

@@ -183,6 +183,16 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
+@query("docs_jaccard_hashed_shingles", oracle=_JACCARD_PAIRS_SQL)
+def docs_jaccard_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the exact-Jaccard join: identical pair set,
+    but the inverted-index self-join shuffles 8-byte xxhash64 longs
+    instead of shingle strings (operators/dedup.py docstring has the
+    shuffle-size arithmetic). Oracle is the string-shingle SQL — equal
+    output certifies the hashed join loses nothing."""
+    return D.jaccard_pairs_hashed(load_table(spark, sf_dir, "documents"), threshold=0.7)
+
+
 @query(
     "docs_minhash_near_dups",
     oracle=f"""

@@ -83,11 +83,13 @@ def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side scalar: one tiny agg, not a collect over data rows
     n = last_seen.count()
     k = -(-n * 20 // 100)  # ceil(n * 0.20)
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    # top-k heaps + one k-row merge) — NOT a global sort. The row_number
+    # window then ranks only the k survivors, so the single-partition
+    # sort it implies is bounded by k, never by the table.
+    top = last_seen.orderBy(F.asc("last_ts"), F.asc("user_id")).limit(int(k))
     w = Window.orderBy(F.asc("last_ts"), F.asc("user_id"))
-    return (
-        last_seen.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.lit(int(k)))
-    )
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------

@@ -217,3 +217,111 @@ def marketplace_listed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+def _nft_offers_expected() -> list[tuple]:
+    """Expected nested shape, derived from the hand-pinned final states:
+    each surviving NFT with its surviving offers sorted numerically by
+    offer_id and rendered ``offer_id:buyer:price`` comma-joined."""
+    by_tok: dict[str, list[tuple[int, str]]] = {}
+    for tok, oid, buyer, price in _OFFERS_FINAL:
+        by_tok.setdefault(tok, []).append((int(oid), f"{oid}:{buyer}:{price}"))
+    return [
+        (
+            tok,
+            owner,
+            len(by_tok.get(tok, [])),
+            ",".join(s for _, s in sorted(by_tok.get(tok, []))),
+        )
+        for tok, owner, *_ in _NFTS_FINAL
+    ]
+
+
+@query(
+    "flagship_nft_offers_nested",
+    oracle=_values_sql(
+        _nft_offers_expected(),
+        ["token_id", "owner_address", "n_offers", "offers"],
+        ["VARCHAR", "VARCHAR", "BIGINT", "VARCHAR"],
+    ),
+)
+def flagship_nft_offers_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 nested 1:N on the SECOND FK pair (reference nests
+    nfts→offers via GORM association, `x/indexer/db/marketplace.go:482-488`;
+    response shape `README.md:104-118`): every surviving NFT with its
+    surviving offers as a nested list. The Spark shape is
+    ``sort_array(collect_list(struct))`` — sorted numerically by
+    offer_id, then rendered to a comma-join for oracle hash-stability
+    (registry docstring rule)."""
+    events = marketplace_events(spark)
+    nfts = materialize_nfts(events).filter(F.col("deleted_at").isNull())
+    off = materialize_offers(events).select(
+        "token_id",
+        F.struct(
+            F.col("offer_id").cast("int").alias("k"),
+            F.concat_ws(":", "offer_id", "buyer", "price").alias("s"),
+        ).alias("o"),
+    )
+    return (
+        nfts.select("token_id", "owner_address")
+        .join(off, "token_id", "left")
+        .groupBy("token_id", "owner_address")
+        .agg(
+            F.count("o").alias("n_offers"),
+            F.concat_ws(
+                ",", F.transform(F.sort_array(F.collect_list("o")), lambda x: x["s"])
+            ).alias("offers"),
+        )
+    )
+
+
+# Multi-coin inputs shared verbatim by the Spark query and the oracle —
+# exercises every parse_coins branch: multi-coin, single, empty string,
+# '/'-denom, and an invalid short denom ('5ab' → NULL element, dropped).
+_MULTICOIN_ROWS = """
+      (1, '5atom,100token'),
+      (2, '42atom'),
+      (3, ''),
+      (4, '7uatom/ibc0,9token'),
+      (5, '13nacl,5ab,777token'),
+      (6, '1000000uatom/ibc0')
+"""
+
+
+@query(
+    "marketplace_multicoin_totals",
+    oracle=f"""
+    WITH inp AS (
+      SELECT id, coins FROM (VALUES {_MULTICOIN_ROWS}) AS t(id, coins)
+    ), elems AS (
+      SELECT unnest(string_split(coins, ',')) AS c FROM inp WHERE coins <> ''
+    ), parsed AS (
+      SELECT
+        nullif(regexp_extract(c, '^([0-9]+)[a-z][a-z0-9/]{{2,127}}$', 1), '') AS amt,
+        nullif(regexp_extract(c, '^[0-9]+([a-z][a-z0-9/]{{2,127}})$', 1), '') AS denom
+      FROM elems
+    )
+    SELECT denom,
+           CAST(sum(CAST(amt AS DECIMAL(38,0))) AS DOUBLE) AS total_amount,
+           count(*) AS n
+    FROM parsed WHERE denom IS NOT NULL GROUP BY 1
+    """,
+)
+def marketplace_multicoin_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-coin ``sdk.Coins.String()`` parsing (cosmos grammar,
+    `x/common/types.go:42`): explode ``parse_coins`` arrays and total
+    per denom. Invalid coins parse to NULL elements and are excluded —
+    bad rows are data, not errors. The oracle re-derives the parse with
+    the same regexes in DuckDB over the same VALUES literal."""
+    from dwh_spark.functions.coins import parse_coins
+
+    inp = spark.sql(f"SELECT id, coins FROM VALUES {_MULTICOIN_ROWS} AS t(id, coins)")
+    return (
+        inp.select(F.explode(parse_coins(F.col("coins"))).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .groupBy(F.col("c.denom").alias("denom"))
+        .agg(
+            F.sum("c.amount").cast("double").alias("total_amount"),
+            F.count("*").alias("n"),
+        )
+    )

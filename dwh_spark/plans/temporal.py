@@ -179,3 +179,53 @@ def events_foreign_errors_in_sessions(spark: SparkSession, sf_dir: str) -> DataF
         F.col("p_user_id") != F.col("user_id")
     )
     return contained.groupBy("user_id").agg(F.count("*").alias("n_foreign_errors"))
+
+
+@query(
+    "events_session_concurrency",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), sessions AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM numbered GROUP BY 1, 2
+    ), deltas AS (
+      SELECT session_start AS ts, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT session_end AS ts, -1 AS delta FROM sessions
+    ), run AS (
+      SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cur
+      FROM deltas
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(max(cur) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max-concurrency: how many user sessions are open at
+    once, daily — the interval-overlap counter every ops dashboard
+    wants. The oracle's single global window IS the naive form; the
+    Spark side runs the two-phase distributed prefix sum
+    (operators/temporal.py:sweep_max_concurrency) whose only global
+    sort is over the one-row-per-day rollup."""
+    from dwh_spark.operators.temporal import sweep_max_concurrency
+    from dwh_spark.plans.events import events_sessionization
+
+    sessions = events_sessionization(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    return sweep_max_concurrency(sessions)
