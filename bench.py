@@ -3,9 +3,11 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized with a cheap full-result action
-(count on the final plan) so the measured time is end-to-end plan
-execution, not driver-side collect/serialization of wide rows.
+Each query is materialized through the noop sink
+(``df.write.format("noop")``), which consumes EVERY output column —
+under a bare ``count()`` Catalyst prunes the final Project and skips
+computing unreferenced aggregate expressions entirely, silently
+under-measuring (e.g. q1's decimal sums would never run).
 """
 
 from __future__ import annotations
@@ -40,9 +42,9 @@ def main() -> None:
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

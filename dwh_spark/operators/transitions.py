@@ -352,9 +352,8 @@ def materialize_users(events: DataFrame) -> DataFrame:
         .withColumn("balance", F.lit(""))  # chain-queried in the reference; not replayable
         .withColumn("deleted_at", F.lit(None).cast("timestamp"))
     )
-    w = Window.orderBy("__first_seq", "address")
     return (
-        users.withColumn("id", F.row_number().over(w).cast("long"))
+        _assign_ids(users, order_by=["__first_seq", "address"])
         .withColumn("account_number", F.col("id"))
         .drop("__first_seq")
         .select("id", "created_at", "updated_at", "deleted_at", "name", "address",
@@ -409,13 +408,30 @@ def materialize_messages(events: DataFrame, txes: DataFrame) -> DataFrame:
 def _assign_ids(df: DataFrame, order_by: list[str]) -> DataFrame:
     """Surrogate id in reference insert order (gorm serial PK parity).
 
-    A global row_number window — fine at dimension-table cardinality.
-    For a 100 TB fact table, replace with range-partitioned offsets
-    (per-partition counts + cumulative-sum broadcast); the ids exist
-    only for schema parity, no query depends on their density.
+    Range-partitioned rank, not a global row_number window: rows are
+    range-partitioned on the (unique) order key, ranked WITHIN each
+    partition in parallel, and per-partition counts — one row per
+    partition — get a cumulative offset that is broadcast back. The
+    only global sort is over the partition-count rollup, so this holds
+    at fact-table cardinality. Ids depend only on the total order of
+    ``order_by``, never on where the range boundaries land.
     """
-    w = Window.orderBy(*order_by)
-    return df.withColumn("id", F.row_number().over(w).cast("long"))
+    part = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_by)
+    within = part.withColumn("__rn", F.row_number().over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        within.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+    )
+    return (
+        within.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn("id", (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def materialize_all(events: DataFrame) -> dict[str, DataFrame]:

@@ -89,6 +89,20 @@ class ParquetStateStore:
     def _pointer(self) -> str:
         return os.path.join(self.root, "CURRENT")
 
+    def version_dir(self, batch_id: int) -> str:
+        return os.path.join(self.root, f"v{batch_id:010d}")
+
+    def is_current(self, batch_id: int) -> bool:
+        """True iff CURRENT already points at this batch's snapshot —
+        i.e. the batch fully committed store-side and any re-delivery
+        is a replay that must be skipped. Reading CURRENT and
+        re-writing the same dir would both violate Spark's
+        no-overwrite-while-reading rule and re-merge state."""
+        if not os.path.exists(self._pointer):
+            return False
+        with open(self._pointer) as fh:
+            return fh.read().strip() == self.version_dir(batch_id)
+
     def current(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self._pointer):
             return None
@@ -97,7 +111,7 @@ class ParquetStateStore:
         return spark.read.parquet(version_dir)
 
     def commit(self, df: DataFrame, batch_id: int) -> None:
-        version_dir = os.path.join(self.root, f"v{batch_id:010d}")
+        version_dir = self.version_dir(batch_id)
         df.write.mode("overwrite").parquet(version_dir)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
@@ -124,6 +138,16 @@ def run_incremental_compaction(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Crash-window replay (M22): if the crash landed BETWEEN
+        # store.commit() and the checkpoint's offset commit, this batch
+        # is re-delivered with CURRENT already pointing at its own
+        # snapshot. Merging again would read v{batch_id} and overwrite
+        # it in place — Spark refuses ("Cannot overwrite a path that is
+        # also being read from") and the stream wedges on every
+        # restart. The snapshot is already the post-merge state, so the
+        # correct replay action is: nothing.
+        if store.is_current(batch_id):
+            return
         batch_latest = latest_state_agg(batch_df, keys, seq)
         cur = store.current(spark)
         if cur is None:

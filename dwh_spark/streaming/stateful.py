@@ -34,6 +34,9 @@ STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("sum_cents", LongType()),
     StructField("last_ts", TimestampType()),
+    # persisted (not derived per batch): an all-late micro-batch must
+    # re-emit the prior last_type, not NULL it out
+    StructField("last_type", StringType()),
 ])
 
 OUTPUT_SCHEMA = StructType([
@@ -54,10 +57,9 @@ def _accumulate(
     replay (or a different batch split) produces bit-identical totals —
     float summation order would drift."""
     if state.exists:
-        n, total, last_ts = state.get
+        n, total, last_ts, last_type = state.get
     else:
-        n, total, last_ts = 0, 0, None
-    last_type = None
+        n, total, last_ts, last_type = 0, 0, None, None
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         n += len(pdf)
@@ -68,7 +70,7 @@ def _accumulate(
         if last_ts is None or batch_last > last_ts:
             last_ts = batch_last
             last_type = pdf["event_type"].iloc[-1]
-    state.update((n, total, last_ts))
+    state.update((n, total, last_ts, last_type))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

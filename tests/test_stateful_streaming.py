@@ -55,3 +55,39 @@ def test_running_state_matches_batch_aggregate(spark, tmp_path):
     # state genuinely crossed batches: some user appeared in >1 batch
     multi = emitted.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_all_late_batch_preserves_last_type(spark, tmp_path):
+    """A micro-batch whose rows are all event-time-late (batch max ts <=
+    state last_ts) must re-emit the persisted last_type, not NULL — the
+    regression the STATE_SCHEMA last_type field exists to prevent."""
+    events = load_table(spark, SF, "events").filter(F.col("user_id") == 1)
+    newest = events.orderBy(F.desc("ts")).limit(1)
+    older = events.join(newest.select("event_id"), "event_id", "left_anti")
+    assert older.count() > 0
+    input_dir = str(tmp_path / "input")
+    # file source processes files in modification-time order: the newest
+    # event lands in batch 0, every batch-1 row is event-time-late
+    newest.coalesce(1).write.mode("append").parquet(input_dir)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes so batch order is deterministic
+    older.coalesce(1).write.mode("append").parquet(input_dir)
+
+    out = running_user_state(
+        stream_events(spark, input_dir, events.schema, max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_state").orderBy("n_events").collect()
+    assert len(rows) >= 2
+    want_type = newest.collect()[0]["event_type"]
+    # every emission, including the all-late one, carries the true last_type
+    assert all(r["last_type"] == want_type for r in rows)

@@ -77,6 +77,35 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert store.current(spark).count() == n_before
 
 
+def test_crash_window_replay_skips_committed_snapshot(spark, tmp_path):
+    """M22, the OTHER replay window: crash lands between store.commit()
+    (CURRENT now points at v{batch_id}) and the checkpoint's offset
+    commit. On restart the same batch_id is re-delivered; merging again
+    would read v{batch_id} while overwriting it (Spark refuses) — the
+    store must detect the already-committed snapshot and skip."""
+    events = load_table(spark, SF, "events").limit(100)
+    input_dir = str(tmp_path / "input")
+    events.coalesce(1).write.parquet(input_dir)
+    store = ParquetStateStore(str(tmp_path / "state"))
+    schema = events.schema
+    keys, seq = ["user_id"], F.struct("ts", "event_id")
+
+    run_incremental_compaction(
+        stream_events(spark, input_dir, schema), store, str(tmp_path / "ckpt1"), keys, seq
+    )
+    before = sorted(os.listdir(store.root))
+    state_before = {r["user_id"]: r["event_id"] for r in store.current(spark).collect()}
+
+    # Lost checkpoint == the offset commit never happened: the SAME
+    # batch_id 0 is re-delivered while CURRENT already points at v0.
+    run_incremental_compaction(
+        stream_events(spark, input_dir, schema), store, str(tmp_path / "ckpt2"), keys, seq
+    )
+    assert sorted(os.listdir(store.root)) == before
+    state_after = {r["user_id"]: r["event_id"] for r in store.current(spark).collect()}
+    assert state_after == state_before
+
+
 def test_watermark_closes_windows_in_append_mode(spark, tmp_path):
     """Append mode emits a window only once the watermark passes its
     end: after batch 2 (day 10) arrives with a 1-day delay, day-1
