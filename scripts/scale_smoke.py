@@ -133,6 +133,39 @@ def main() -> None:
     timed("cosine_topk (fold expr, 8 queries x 1M vectors)", cosine_topk(vecs, qset))
     timed("cosine_topk_vectorized (numpy matmul)", cosine_topk_vectorized(vecs, qset))
     timed("lsh_topk (bucketed, 8 queries)", lsh_topk(vecs, qset))
+
+    # ---- round-2 operators at scale ----
+    from dwh_spark.operators.dedup import jaccard_pairs_hashed
+    from dwh_spark.operators.packing import pack_by_budget
+    from dwh_spark.operators.sampling import train_test_split
+    from dwh_spark.operators.temporal import sweep_max_concurrency
+
+    timed(
+        "jaccard_pairs_hashed (xxhash64-keyed self-join)",
+        jaccard_pairs_hashed(d, threshold=0.7),
+    )
+    timed(
+        "pack_by_budget (2048-token packs, sharded prefix sum)",
+        pack_by_budget(
+            d.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(64))),
+            F.size(F.split("text", " ")),
+            budget=2048,
+            shard="shard",
+            order="doc_id",
+        ).groupBy("shard", "pack_id").count(),
+    )
+    timed(
+        "train_test_split (md5 buckets over all docs)",
+        train_test_split(d, "doc_id").groupBy("split").count(),
+    )
+    # intervals: one per user from the event table (first..last activity)
+    intervals = ev.groupBy("user_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    timed(
+        "sweep_max_concurrency (two-phase prefix sum over user intervals)",
+        sweep_max_concurrency(intervals),
+    )
     spark.stop()
 
 

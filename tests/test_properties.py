@@ -128,6 +128,84 @@ def test_salted_agg_equivalence_random_frames(spark, rows):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # (start-offset-sec, duration-sec) intervals across ~3 days
+        st.tuples(st.integers(0, 3 * 86_400), st.integers(0, 7_200)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sweep_concurrency_matches_brute_force(spark, ivs):
+    """Two-phase distributed sweep == brute-force 'count open intervals
+    at every boundary instant' (closed intervals, starts before ends at
+    equal instants)."""
+    from dwh_spark.operators.temporal import sweep_max_concurrency
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+        for s, d in ivs
+    ]
+    df = spark.createDataFrame(rows, "session_start timestamp, session_end timestamp")
+    got = {
+        r["day"].isoformat(): r["max_concurrent"]
+        for r in sweep_max_concurrency(df).collect()
+    }
+    # brute force over the boundary events in (ts, delta DESC) order
+    events = sorted(
+        [(s, 1) for s, _ in rows] + [(e, -1) for _, e in rows],
+        key=lambda t: (t[0], -t[1]),
+    )
+    cur, want = 0, {}
+    for ts, delta in events:
+        cur += delta
+        day = ts.date().isoformat()
+        want[day] = max(want.get(day, cur), cur)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(1, 900), min_size=1, max_size=50))
+def test_pack_by_budget_invariants(spark, token_counts):
+    """Every pack's STARTING offsets span < budget; pack ids are dense
+    from 0 per shard; n_tok roundtrips."""
+    from dwh_spark.operators.packing import pack_by_budget
+
+    budget = 1000
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").withColumn(
+        "shard", F.lit("s")
+    )
+    out = pack_by_budget(
+        df, F.col("n"), budget=budget, shard="shard", order="doc_id"
+    ).collect()
+    # recompute offsets serially
+    offset, want_packs = 0, []
+    for _, n in rows:
+        want_packs.append(offset // budget)
+        offset += n
+    got = {r["doc_id"]: r["pack_id"] for r in out}
+    assert got == {i: p for i, p in enumerate(want_packs)}
+    assert all(r["n_tok"] == token_counts[r["doc_id"]] for r in out)
+
+
+def test_split_membership_stable_under_repartition(spark):
+    """Split membership is a pure function of the key — any physical
+    layout yields the identical assignment."""
+    from dwh_spark.operators.sampling import train_test_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in train_test_split(df, "k").collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in train_test_split(df.repartition(13, "k"), "k").collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.05 < frac < 0.15  # md5 buckets ~uniform
+
+
 def test_jaccard_hashed_equals_string_variant(spark):
     """The xxhash64-keyed Jaccard join must produce the exact pair set
     of the string-shingle join — the invariant that lets the registry
