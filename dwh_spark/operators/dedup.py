@@ -39,6 +39,17 @@ def exact_duplicates(df: DataFrame, text: str = "text", key: str = "doc_id") -> 
     )
 
 
+def keep_canonical(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact-dedup survivor set: for each byte-identical content group,
+    keep only the canonical (min-key) row. The groupBy side collapses
+    map-side to one row per distinct content hash, so the join build
+    side is O(distinct contents); the probe side is never widened."""
+    canon = df.groupBy(F.md5(F.col(text)).alias("__md5")).agg(
+        F.min(key).alias(key)
+    )
+    return df.join(canon, on=key, how="left_semi")
+
+
 def shingle_index(df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 3) -> DataFrame:
     """Inverted index: (key, shingle) with per-doc distinct shingles."""
     return df.select(F.col(key), F.explode(shingles(F.col(text), k)).alias("shingle"))

@@ -68,18 +68,22 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_quality_scores",
-    oracle="""
-    WITH scored AS (
-      SELECT source,
-             round(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000
+# quality-score formula, shared by every oracle that filters or ranks
+# on quality — keep in lock-step with functions.text.quality_score
+_QUALITY_SQL = """round(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000
                                THEN 1.0 ELSE 0.0 END)
                  + 0.4 * (len(list_distinct(string_split(text,' ')))
                           / CAST(len(string_split(text,' ')) AS DOUBLE))
                  + 0.2 * least(5.0 * len(list_filter(string_split(text,' '),
                                    w -> w IN ('the','a','of','and','is')))
-                               / len(string_split(text,' ')), 1.0), 6) AS q
+                               / len(string_split(text,' ')), 1.0), 6)"""
+
+
+@query(
+    "docs_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, {_QUALITY_SQL} AS q
       FROM documents
     )
     SELECT source, count(*) AS n_docs,
@@ -495,4 +499,61 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_test_split(docs, "doc_id", test_pct=10)
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "docs_corpus_build",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text, {_QUALITY_SQL} AS q FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE q >= 0.5
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ), survivors AS (
+      SELECT k.doc_id, k.lang, k.text FROM kept k JOIN canon USING (doc_id)
+    ), split AS (
+      SELECT doc_id, lang,
+             CASE WHEN {hash_bucket_sql("doc_id")} < 10
+                  THEN 'test' ELSE 'train' END AS split,
+             len(string_split(text, ' ')) AS n_tok
+      FROM survivors
+    ), packed AS (
+      SELECT split, lang, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY split, lang
+                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 2048.0) AS BIGINT) AS pack_id
+      FROM split
+    )
+    SELECT split, lang,
+           count(DISTINCT pack_id) AS n_packs,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build — quality filter → exact-dedup
+    survivors → reproducible split → sequence packing — composed from
+    the same operators each single-step query certifies. The quality
+    filter runs first (pure codegen, before any exchange) so every
+    shuffle — dedup groupBy + semi-join, split-shard window, final
+    rollup — moves only surviving rows."""
+    from dwh_spark.operators.packing import pack_by_budget as _pack
+    from dwh_spark.operators.sampling import train_test_split as _split
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(T.quality_score(F.col("text")) >= 0.5)
+    survivors = D.keep_canonical(kept)
+    split = _split(survivors, "doc_id", test_pct=10).withColumn(
+        "shard", F.concat_ws("|", "split", "lang")
+    )
+    packed = _pack(
+        split, T.n_tokens(F.col("text")), budget=2048, shard="shard", order="doc_id"
+    )
+    return packed.groupBy("split", "lang").agg(
+        F.count_distinct("pack_id").alias("n_packs"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
     )
