@@ -48,6 +48,7 @@ _CHECK_FIRST = [
     "docs_pack_sequences",
     "docs_train_test_split",
     "docs_corpus_build",
+    "emb_ivf_probe_topk",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

@@ -208,6 +208,64 @@ def assign_cells(
     )
 
 
+def ivf_probe_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """IVF search with multi-probe: each query ranks the centroids and
+    scores exact cosine ONLY against vectors assigned to its ``nprobe``
+    nearest cells. nprobe=1 is the classic fast-and-lossy probe; small
+    nprobe>1 recovers most boundary misses for a bounded cost increase
+    — candidate count ≈ nprobe × N / n_cells.
+
+    Plan shape: the (queries × centroids) ranking is tiny and stays on
+    the driver side of a broadcast; the corpus is scanned once for cell
+    assignment and then equi-joined on ``cell`` against the broadcast
+    probe list — no all-pairs stage anywhere.
+    """
+    c = with_norm(centroids, vec).select(
+        F.col(key).alias("centroid_id"),
+        F.col(vec).alias("c_emb"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    q = with_norm(queries, vec).select(
+        F.col(key).alias("query_id"),
+        F.col(vec).alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    qcells = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("dot", F.expr(_dot_expr("q_emb", "c_emb")))
+        .withColumn(
+            "cos_c", F.round(F.col("dot") / (F.sqrt("q_norm2") * F.sqrt("c_norm2")), 6)
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_emb", "q_norm2", F.col("centroid_id").alias("cell"))
+    )
+    cells = assign_cells(vectors, centroids, vec=vec, key=key)
+    scored = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col(key) != F.col("query_id"))
+        .withColumn("dot", F.expr(_dot_expr(vec, "q_emb")))
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.sqrt("norm2") * F.sqrt("q_norm2")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(key))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col(key).alias("vec_id"), "cosine", "rnk")
+    )
+
+
 def cosine_topk_vectorized(
     vectors: DataFrame,
     queries: DataFrame,

@@ -18,6 +18,7 @@ from dwh_spark.operators.similarity import (
     cosine_near_duplicates,
     cosine_topk,
     hyperplane_signs,
+    ivf_probe_topk,
     lsh_topk,
     with_norm,
 )
@@ -142,6 +143,61 @@ def emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("cell").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+@query(
+    "emb_ivf_probe_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, embedding AS c_emb, norm2 AS c_norm2
+          FROM base WHERE vec_id IN ({_CIDS})),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+          FROM base WHERE vec_id IN ({_IDS})),
+    vcell_scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               round({_DOT.format(a='v.embedding', b='c.c_emb')}
+                     / (sqrt(v.norm2) * sqrt(c.c_norm2)), 6) DESC,
+               c.centroid_id) AS rn
+      FROM base v CROSS JOIN c
+    ),
+    vcell AS (SELECT vec_id, centroid_id AS cell FROM vcell_scored WHERE rn = 1),
+    qcell_scored AS (
+      SELECT q.query_id, q.q_emb, q.q_norm2, c.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round({_DOT.format(a='q.q_emb', b='c.c_emb')}
+                     / (sqrt(q.q_norm2) * sqrt(c.c_norm2)), 6) DESC,
+               c.centroid_id) AS rn
+      FROM q CROSS JOIN c
+    ),
+    qcell AS (SELECT query_id, q_emb, q_norm2, centroid_id AS cell
+              FROM qcell_scored WHERE rn <= 2),
+    scored AS (
+      SELECT qc.query_id, vc.vec_id,
+             round({_DOT.format(a='b.embedding', b='qc.q_emb')}
+                   / (sqrt(b.norm2) * sqrt(qc.q_norm2)), 6) AS cosine
+      FROM qcell qc
+      JOIN vcell vc ON vc.cell = qc.cell AND vc.vec_id <> qc.query_id
+      JOIN base b ON b.vec_id = vc.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe search (nprobe=2): the recall-repair knob over
+    probe-one-cell — candidates stay bounded by nprobe/n_cells of the
+    corpus, and no stage is all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return ivf_probe_topk(emb, centroids, queries, k=5, nprobe=2)
 
 
 @query(
