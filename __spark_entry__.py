@@ -49,6 +49,7 @@ _CHECK_FIRST = [
     "docs_train_test_split",
     "docs_corpus_build",
     "emb_ivf_probe_topk",
+    "marketplace_stream_nfts_state",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

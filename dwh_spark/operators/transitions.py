@@ -96,21 +96,63 @@ def successful(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# nfts — per-column last-writer-wins over the 12 NFT-touching transitions
+# nfts — per-column last-writer-wins over the 12 NFT-touching transitions.
+#
+# Split into partial / merge / finalize so the SAME column specs serve
+# both the batch replay and the incremental streaming replay
+# (streaming/marketplace.py): every per-column aggregate is
+# max(struct(seq, value)) — associative and commutative — so partial
+# states from successive micro-batches merge by per-column max, exactly
+# like map-side combine generalized across batches.
 # ---------------------------------------------------------------------------
-def materialize_nfts(events: DataFrame) -> DataFrame:
+def latest_makes(events: DataFrame) -> DataFrame:
+    """Latest MsgMakeOffer per (token_id, offer_id) — the lookup state
+    AcceptOffer resolution needs (marketplace.go:342-346). Kept as a
+    mergeable max-struct per key."""
     ev = successful(events).withColumn("seq", _seq())
-    t = F.col("msg_type")
+    return (
+        ev.filter(F.col("msg_type") == MSG_MAKE_OFFER)
+        .groupBy(
+            F.col("token_id").alias("mo_token_id"),
+            F.col("event_attrs")["offer_id"].alias("mo_offer_id"),
+        )
+        .agg(
+            F.max(
+                F.struct(F.col("seq").alias("s"), F.col("buyer").alias("v"))
+            ).alias("mk")
+        )
+    )
 
-    # M14: resolve AcceptOffer's new owner from the latest prior MakeOffer
-    # with the same (token_id, offer_id) — the reference's point lookup
-    # into the offers table (marketplace.go:342-346).
+
+def merge_latest_makes(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("mo_token_id", "mo_offer_id")
+        .agg(F.max("mk").alias("mk"))
+    )
+
+
+def _resolve_accepts(ev: DataFrame, makes_state: DataFrame | None) -> DataFrame:
+    """M14: attach ``resolved_buyer`` to AcceptOffer events — the
+    latest prior MakeOffer with the same (token_id, offer_id), looking
+    through both this event set and (for streaming) the carried
+    ``makes_state`` from earlier batches."""
+    t = F.col("msg_type")
     makes = ev.filter(t == MSG_MAKE_OFFER).select(
         F.col("token_id").alias("mo_token_id"),
         F.col("event_attrs")["offer_id"].alias("mo_offer_id"),
         F.col("buyer").alias("mo_buyer"),
         F.col("seq").alias("mo_seq"),
     )
+    if makes_state is not None:
+        makes = makes.unionByName(
+            makes_state.select(
+                "mo_token_id",
+                "mo_offer_id",
+                F.col("mk")["v"].alias("mo_buyer"),
+                F.col("mk")["s"].alias("mo_seq"),
+            )
+        )
     accepts = ev.filter(t == MSG_ACCEPT_OFFER).select(
         "token_id", F.col("event_attrs")["offer_id"].alias("offer_id"), "seq"
     )
@@ -124,7 +166,19 @@ def materialize_nfts(events: DataFrame) -> DataFrame:
         .groupBy("token_id", "seq")
         .agg(F.max_by("mo_buyer", "mo_seq").alias("resolved_buyer"))
     )
-    ev = ev.join(accept_owner, ["token_id", "seq"], "left")
+    return ev.join(accept_owner, ["token_id", "seq"], "left")
+
+
+def materialize_nfts(events: DataFrame) -> DataFrame:
+    return finalize_nfts(nft_partial_state(events))
+
+
+def nft_partial_state(
+    events: DataFrame, makes_state: DataFrame | None = None
+) -> DataFrame:
+    ev = successful(events).withColumn("seq", _seq())
+    ev = _resolve_accepts(ev, makes_state)
+    t = F.col("msg_type")
 
     is_buyout_bid = (t == MSG_MAKE_BID) & F.col("event_attrs")["is_buyout"].isNotNull()
 
@@ -182,29 +236,80 @@ def materialize_nfts(events: DataFrame) -> DataFrame:
     # they must not advance updated_at
     writes_any = sets_owner | sets_status | sets_price | sets_seller_beneficiary | sets_auction_cols | sets_uri | lifecycle
 
-    nfts = (
+    def _last_s(cond: Column, value: Column) -> Column:
+        # the struct form of _last — the (seq, value) slot is KEPT so
+        # partial states stay mergeable by per-column max
+        return F.max(F.when(cond, F.struct(F.col("seq").alias("s"), value.alias("v"))))
+
+    return (
         ev.filter(F.col("token_id").isNotNull())
         .groupBy("token_id")
         .agg(
-            _last(is_mint, F.col("denom")).alias("denom"),
-            _last(sets_owner, owner_val).alias("owner_address"),
-            _last(sets_uri, F.col("token_uri")).alias("token_uri"),
-            _last(sets_status, status_val).alias("status"),
-            _last(sets_price, price_val).alias("price"),
-            _last(sets_seller_beneficiary, seller_beneficiary_val).alias("seller_beneficiary"),
-            _last(sets_auction_cols, buyout_val).alias("buyout_price"),
-            _last(sets_auction_cols, opening_val).alias("opening_price"),
-            _last(sets_auction_cols, tts_val).alias("time_to_sell"),
-            _last(lifecycle, F.when(t == MSG_BURN, F.col("ts"))).alias("deleted_at"),
-            _last(is_mint, F.col("ts")).alias("created_at"),
+            _last_s(is_mint, F.col("denom")).alias("denom_s"),
+            _last_s(sets_owner, owner_val).alias("owner_s"),
+            _last_s(sets_uri, F.col("token_uri")).alias("uri_s"),
+            _last_s(sets_status, status_val).alias("status_s"),
+            _last_s(sets_price, price_val).alias("price_s"),
+            _last_s(sets_seller_beneficiary, seller_beneficiary_val).alias("sben_s"),
+            _last_s(sets_auction_cols, buyout_val).alias("buyout_s"),
+            _last_s(sets_auction_cols, opening_val).alias("opening_s"),
+            _last_s(sets_auction_cols, tts_val).alias("tts_s"),
+            _last_s(lifecycle, F.when(t == MSG_BURN, F.col("ts"))).alias("deleted_s"),
+            _last_s(is_mint, F.col("ts")).alias("created_s"),
             F.max(F.when(writes_any, F.col("ts"))).alias("updated_at"),
-            F.max(F.when(lifecycle, F.struct("seq", (t == MSG_MINT).alias("alive")))).getField("alive").alias("__alive"),
-            F.min(F.when(is_mint, F.col("seq"))).alias("__first_seq"),
+            F.max(
+                F.when(lifecycle, F.struct("seq", (t == MSG_MINT).alias("alive")))
+            ).alias("alive_s"),
+            F.min(F.when(is_mint, F.col("seq"))).alias("first_mint_seq"),
         )
+    )
+
+
+# every aggregate in the partial state and its merge rule — max for the
+# last-writer-wins structs (and the plain updated_at timestamp), min
+# for the first-mint cursor
+_NFT_MERGE = {
+    "denom_s": "max", "owner_s": "max", "uri_s": "max", "status_s": "max",
+    "price_s": "max", "sben_s": "max", "buyout_s": "max", "opening_s": "max",
+    "tts_s": "max", "deleted_s": "max", "created_s": "max",
+    "updated_at": "max", "alive_s": "max", "first_mint_seq": "min",
+}
+
+
+def merge_nft_partials(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two partial states into one — associativity of per-column
+    max/min makes batch boundaries invisible to the result."""
+    return (
+        a.unionByName(b)
+        .groupBy("token_id")
+        .agg(*(getattr(F, fn)(c).alias(c) for c, fn in _NFT_MERGE.items()))
+    )
+
+
+def finalize_nfts(partial: DataFrame) -> DataFrame:
+    """Extract the last-written values and apply lifecycle semantics —
+    the only non-mergeable steps, so they run once at read time."""
+    nfts = (
         # a token never minted in this log has no row (reference FK world)
-        .filter(F.col("__first_seq").isNotNull())
-        .withColumn("deleted_at", F.when(~F.col("__alive"), F.col("deleted_at")))
-        .drop("__alive", "__first_seq")
+        partial.filter(F.col("first_mint_seq").isNotNull())
+        .select(
+            "token_id",
+            F.col("denom_s")["v"].alias("denom"),
+            F.col("owner_s")["v"].alias("owner_address"),
+            F.col("uri_s")["v"].alias("token_uri"),
+            F.col("status_s")["v"].alias("status"),
+            F.col("price_s")["v"].alias("price"),
+            F.col("sben_s")["v"].alias("seller_beneficiary"),
+            F.col("buyout_s")["v"].alias("buyout_price"),
+            F.col("opening_s")["v"].alias("opening_price"),
+            F.col("tts_s")["v"].alias("time_to_sell"),
+            # a burn only sticks if no later mint revived the row
+            F.when(~F.col("alive_s")["alive"], F.col("deleted_s")["v"]).alias(
+                "deleted_at"
+            ),
+            F.col("created_s")["v"].alias("created_at"),
+            "updated_at",
+        )
     )
     return _assign_ids(nfts, order_by=["created_at", "token_id"])
 

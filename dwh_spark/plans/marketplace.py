@@ -72,21 +72,73 @@ def _values_sql(rows: list[tuple], columns: list[str], types: list[str]) -> str:
     )
 
 
-@query(
-    "marketplace_nfts_state",
-    oracle=_values_sql(
-        _NFTS_FINAL,
-        ["token_id", "owner_address", "status", "price",
-         "seller_beneficiary", "buyout_price", "opening_price"],
-        ["VARCHAR", "VARCHAR", "INTEGER", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR"],
-    ),
+_NFTS_STATE_ORACLE = _values_sql(
+    _NFTS_FINAL,
+    ["token_id", "owner_address", "status", "price",
+     "seller_beneficiary", "buyout_price", "opening_price"],
+    ["VARCHAR", "VARCHAR", "INTEGER", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR"],
 )
+
+_NFTS_STATE_COLS = (
+    "token_id", "owner_address", "status", "price",
+    "seller_beneficiary", "buyout_price", "opening_price",
+)
+
+
+@query("marketplace_nfts_state", oracle=_NFTS_STATE_ORACLE)
 def marketplace_nfts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     nfts = materialize_nfts(marketplace_events(spark))
-    return nfts.filter(F.col("deleted_at").isNull()).select(
-        "token_id", "owner_address", "status", "price",
-        "seller_beneficiary", "buyout_price", "opening_price",
+    return nfts.filter(F.col("deleted_at").isNull()).select(*_NFTS_STATE_COLS)
+
+
+@query("marketplace_stream_nfts_state", oracle=_NFTS_STATE_ORACLE)
+def marketplace_stream_nfts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME golden final state, materialized INCREMENTALLY: the
+    event log is staged as 4 chain-ordered files, replayed by the real
+    streaming engine one file per micro-batch, folded into mergeable
+    partial state per batch (streaming/marketplace.py) and finalized at
+    read time. Equality with the hand-derived oracle proves stream =
+    batch for the reference's core state table."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.transitions import finalize_nfts
+    from dwh_spark.streaming.ingest import ParquetStateStore, stream_events
+    from dwh_spark.streaming.marketplace import run_marketplace_stream
+
+    events = marketplace_events(spark)
+    root = tempfile.mkdtemp(prefix="mkt_stream_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    # stage 4 chain-ordered slices; mtimes make the file-source cursor
+    # deliver them in chain order (the reference's LevelDB cursor)
+    sliced = events.withColumn(
+        "__slice", F.ntile(4).over(Window.orderBy("height", "tx_index", "msg_id"))
     )
+    for i in range(1, 5):
+        tmp = os.path.join(root, f"tmp{i}")
+        sliced.filter(F.col("__slice") == i).drop("__slice").coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    # 2 files per trigger → 2 micro-batches: still exercises the
+    # cross-batch merge + carried makes state at half the per-batch
+    # store-job overhead (same trade as streaming_daily_rollup; the
+    # one-file-per-batch path is pinned by tests/test_streaming.py)
+    stream = stream_events(
+        spark, input_dir, events.schema, max_files_per_trigger=2
+    )
+    nft_store = ParquetStateStore(os.path.join(root, "nft_state"))
+    makes_store = ParquetStateStore(os.path.join(root, "makes_state"))
+    run_marketplace_stream(
+        stream, nft_store, makes_store, os.path.join(root, "ckpt")
+    )
+    final = finalize_nfts(nft_store.current(spark))
+    return final.filter(F.col("deleted_at").isNull()).select(*_NFTS_STATE_COLS)
 
 
 @query(

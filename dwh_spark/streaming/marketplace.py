@@ -1,0 +1,77 @@
+"""Incremental marketplace replay — the reference's actual operating
+mode, on Structured Streaming.
+
+The reference indexer consumes the chain continuously, folding each
+block's messages into Postgres state (`x/indexer/indexer.go:173-202`).
+The batch replay (operators/transitions.py) recomputes state from the
+full log; this module maintains it INCREMENTALLY: each micro-batch
+contributes a per-token partial state (per-column ``max(struct(seq,
+value))``), and partials merge across batches because max/min are
+associative, commutative and idempotent — batch boundaries (and
+crash-window batch replays, M22) cannot change the result.
+
+Two state stores ride the stream:
+- the NFT partial state (mergeable aggregates, finalized at read time);
+- the latest-MakeOffer lookup state, which AcceptOffer resolution
+  (M14) needs when the make and the accept land in different batches.
+
+Ordering contract: batches must arrive in chain order (the file-source
+cursor guarantees it, like the reference's LevelDB cursor) — the LWW
+merge itself is order-proof, but an accept can only resolve makes the
+stream has already seen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dwh_spark.operators.transitions import (
+    latest_makes,
+    merge_latest_makes,
+    merge_nft_partials,
+    nft_partial_state,
+)
+from dwh_spark.streaming.ingest import ParquetStateStore
+
+
+def run_marketplace_stream(
+    events: DataFrame,
+    nft_store: ParquetStateStore,
+    makes_store: ParquetStateStore,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the event stream, folding each micro-batch into the two
+    state stores. ``Trigger.AvailableNow`` = one daemon wake (S13);
+    re-invoking with the same checkpoint resumes at the cursor."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # Crash-window replay: the NFT store commits LAST, so if it
+        # already points at this batch the whole fold completed before
+        # the checkpoint offset commit — skip. If only the makes store
+        # committed, re-merging the same batch is safe (max-merge is
+        # idempotent) but its dir must not be self-overwritten.
+        if nft_store.is_current(batch_id):
+            return
+        prior_makes = makes_store.current(spark)
+        batch_partial = nft_partial_state(batch_df, makes_state=prior_makes)
+        cur = nft_store.current(spark)
+        merged = batch_partial if cur is None else merge_nft_partials(cur, batch_partial)
+
+        if not makes_store.is_current(batch_id):
+            batch_makes = latest_makes(batch_df)
+            new_makes = (
+                batch_makes
+                if prior_makes is None
+                else merge_latest_makes(prior_makes, batch_makes)
+            )
+            makes_store.commit(new_makes, batch_id)
+        nft_store.commit(merged, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

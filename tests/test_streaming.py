@@ -146,3 +146,47 @@ def test_watermark_closes_windows_in_append_mode(spark, tmp_path):
     emitted = {(str(r["day"]), r["n"]) for r in spark.read.parquet(out_dir).collect()}
     # day 1 closed (watermark = Jan 10 - 1 day > Jan 2); day 10 still open
     assert emitted == {("2024-01-01", 3)}
+
+
+def test_marketplace_stream_cross_batch_accept_resolution(spark, tmp_path):
+    """M14 across batches: an AcceptOffer whose MakeOffer arrived in an
+    EARLIER micro-batch must still resolve the buyer — through the
+    carried makes state, not the batch's own events. The split is
+    placed immediately before the accept so the pair always straddles.
+    Final state must equal the full batch replay, column for column."""
+    import pandas as pd
+
+    from dwh_spark.operators.transitions import finalize_nfts, materialize_nfts
+    from dwh_spark.sources.marketplace_fixture import marketplace_events
+    from dwh_spark.streaming.ingest import ParquetStateStore
+    from dwh_spark.streaming.marketplace import run_marketplace_stream
+
+    events = marketplace_events(spark)
+    pdf = events.toPandas().sort_values(["height", "tx_index", "msg_id"]).reset_index(drop=True)
+    accept_ix = pdf.index[pdf["msg_type"] == "MsgAcceptOffer"][0]
+    make_ix = pdf.index[pdf["msg_type"] == "MsgMakeOffer"][0]
+    assert make_ix < accept_ix
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    for i, chunk in enumerate([pdf.iloc[:accept_ix], pdf.iloc[accept_ix:]]):
+        chunk_df = spark.createDataFrame(
+            pd.DataFrame({c: chunk[c].astype(object).where(chunk[c].notna(), None)
+                          for c in chunk.columns}),
+            events.schema,
+        )
+        tmp = str(tmp_path / f"tmp{i}")
+        chunk_df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"b{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    nft_store = ParquetStateStore(str(tmp_path / "nfts"))
+    makes_store = ParquetStateStore(str(tmp_path / "makes"))
+    run_marketplace_stream(
+        stream_events(spark, input_dir, events.schema, max_files_per_trigger=1),
+        nft_store, makes_store, str(tmp_path / "ckpt"),
+    )
+    got = sorted(map(tuple, finalize_nfts(nft_store.current(spark)).collect()))
+    want = sorted(map(tuple, materialize_nfts(events).collect()))
+    assert got == want
