@@ -50,6 +50,8 @@ _CHECK_FIRST = [
     "docs_corpus_build",
     "emb_ivf_probe_topk",
     "marketplace_stream_nfts_state",
+    "events_salted_rollup",
+    "events_zorder_keys",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

@@ -402,3 +402,66 @@ def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _TYPES]
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Skew + layout under the oracle gate: the salted two-phase aggregation
+# must be invisible in the result, and the Morton key must match an
+# independent bit-algebra derivation.
+# ---------------------------------------------------------------------------
+@query(
+    "events_salted_rollup",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators/skew.py): the salt
+    fan-out spreads a hot key over 16 tasks, and because count/sum are
+    associative-commutative the result is bit-identical to the plain
+    rollup — which is exactly what the oracle computes."""
+    from dwh_spark.operators.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_count_sum(ev, ["event_type"], F.col("value").cast("decimal(18,2)"))
+    return out.select(
+        "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+def _zorder_sql(a_sql: str, b_sql: str, bits: int = 8) -> str:
+    """DuckDB twin of functions.layout.zorder_key — independent
+    derivation of the same Morton interleave."""
+    terms = [
+        f"((({a_sql}) >> {i} & 1) << {2 * i}) + ((({b_sql}) >> {i} & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "events_zorder_keys",
+    oracle=f"""
+    SELECT event_id,
+           CAST({_zorder_sql("user_id & 255",
+                             "(epoch_us(date_trunc('day', ts)) // 86400000000) & 255")}
+                AS BIGINT) AS z
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, day) — the write-side
+    clustering expression (functions/layout.py) pinned value-exact
+    against an independent DuckDB bit-algebra derivation. Both filters
+    of a (user, time-range) query skip row groups once files are
+    range-written by z."""
+    from dwh_spark.functions.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    return ev.select(
+        "event_id",
+        zorder_key(F.col("user_id"), day, bits=8).alias("z"),
+    )
