@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     "docs_corpus_build",
     "emb_ivf_probe_topk",
     "marketplace_stream_nfts_state",
+    "marketplace_stream_users_state",
     "events_salted_rollup",
     "events_zorder_keys",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed

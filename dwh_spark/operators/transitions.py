@@ -432,6 +432,15 @@ ADDRESS_COLUMNS = ("sender", "recipient", "buyer", "bidder", "beneficiary")
 
 
 def materialize_users(events: DataFrame) -> DataFrame:
+    return finalize_users(user_partial_state(events))
+
+
+def user_partial_state(events: DataFrame) -> DataFrame:
+    """Per-address mergeable aggregates (min/max/min/sum) — every one
+    associative, so streaming micro-batches fold incrementally. The
+    sum is NOT idempotent: the streaming fold must guard against
+    double-applying a replayed batch (streaming/marketplace.py does,
+    via the store's CURRENT pointer)."""
     ev = successful(events).withColumn("seq", _seq())
     addr_array = F.array_union(
         F.split(F.coalesce(F.col("signers"), F.lit("")), ","),
@@ -441,10 +450,10 @@ def materialize_users(events: DataFrame) -> DataFrame:
         ev.select(F.explode(addr_array).alias("address"), "seq", "ts", "signers")
         .filter(F.col("address") != "")
     )
-    users = exploded.groupBy("address").agg(
+    return exploded.groupBy("address").agg(
         F.min("ts").alias("created_at"),
         F.max("ts").alias("updated_at"),
-        F.min("seq").alias("__first_seq"),
+        F.min("seq").alias("first_seq"),
         # sequence_number parity: the reference bumps it per signed msg
         # (marketplace.go:78-86); here = count of msgs signed
         F.sum(
@@ -452,15 +461,31 @@ def materialize_users(events: DataFrame) -> DataFrame:
             .otherwise(0)
         ).alias("sequence_number"),
     )
+
+
+def merge_user_partials(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("address")
+        .agg(
+            F.min("created_at").alias("created_at"),
+            F.max("updated_at").alias("updated_at"),
+            F.min("first_seq").alias("first_seq"),
+            F.sum("sequence_number").alias("sequence_number"),
+        )
+    )
+
+
+def finalize_users(partial: DataFrame) -> DataFrame:
     users = (
-        users.withColumn("name", F.col("address"))
+        partial.withColumn("name", F.col("address"))
         .withColumn("balance", F.lit(""))  # chain-queried in the reference; not replayable
         .withColumn("deleted_at", F.lit(None).cast("timestamp"))
     )
     return (
-        _assign_ids(users, order_by=["__first_seq", "address"])
+        _assign_ids(users, order_by=["first_seq", "address"])
         .withColumn("account_number", F.col("id"))
-        .drop("__first_seq")
+        .drop("first_seq")
         .select("id", "created_at", "updated_at", "deleted_at", "name", "address",
                 "balance", "account_number", "sequence_number")
     )

@@ -91,21 +91,22 @@ def marketplace_nfts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfts.filter(F.col("deleted_at").isNull()).select(*_NFTS_STATE_COLS)
 
 
-@query("marketplace_stream_nfts_state", oracle=_NFTS_STATE_ORACLE)
-def marketplace_stream_nfts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME golden final state, materialized INCREMENTALLY: the
-    event log is staged as 4 chain-ordered files, replayed by the real
-    streaming engine one file per micro-batch, folded into mergeable
-    partial state per batch (streaming/marketplace.py) and finalized at
-    read time. Equality with the hand-derived oracle proves stream =
-    batch for the reference's core state table."""
+# One stream drain per session serves every marketplace_stream_* query
+# — mirrors the reference, where one continuous indexer feeds all state
+# tables.
+_STREAM_STORES: dict[str, tuple] = {}
+
+
+def _stream_state(spark: SparkSession):
+    key = spark.sparkContext.applicationId
+    if key in _STREAM_STORES:
+        return _STREAM_STORES[key]
     import os
     import shutil
     import tempfile
 
     from pyspark.sql.window import Window
 
-    from dwh_spark.operators.transitions import finalize_nfts
     from dwh_spark.streaming.ingest import ParquetStateStore, stream_events
     from dwh_spark.streaming.marketplace import run_marketplace_stream
 
@@ -134,9 +135,26 @@ def marketplace_stream_nfts_state(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     nft_store = ParquetStateStore(os.path.join(root, "nft_state"))
     makes_store = ParquetStateStore(os.path.join(root, "makes_state"))
+    users_store = ParquetStateStore(os.path.join(root, "users_state"))
     run_marketplace_stream(
-        stream, nft_store, makes_store, os.path.join(root, "ckpt")
+        stream, nft_store, makes_store, os.path.join(root, "ckpt"),
+        users_store=users_store,
     )
+    _STREAM_STORES[key] = (nft_store, users_store)
+    return _STREAM_STORES[key]
+
+
+@query("marketplace_stream_nfts_state", oracle=_NFTS_STATE_ORACLE)
+def marketplace_stream_nfts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME golden final state, materialized INCREMENTALLY: the
+    event log is staged as chain-ordered files, replayed by the real
+    streaming engine in micro-batches, folded into mergeable partial
+    state per batch (streaming/marketplace.py) and finalized at read
+    time. Equality with the hand-derived oracle proves stream = batch
+    for the reference's core state table."""
+    from dwh_spark.operators.transitions import finalize_nfts
+
+    nft_store, _ = _stream_state(spark)
     final = finalize_nfts(nft_store.current(spark))
     return final.filter(F.col("deleted_at").isNull()).select(*_NFTS_STATE_COLS)
 
@@ -188,25 +206,39 @@ def marketplace_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "marketplace_users_state",
-    oracle=_values_sql(
-        [
-            (1, U1, 41, "2024-01-01 00:01:00", "2024-01-01 01:04:00"),
-            (2, U2, 24, "2024-01-01 00:08:00", "2024-01-01 01:07:00"),
-            (3, SB, 0, "2024-01-01 00:09:00", "2024-01-01 01:01:00"),
-            (4, BB, 0, "2024-01-01 00:12:00", "2024-01-01 01:02:00"),
-        ],
-        ["id", "address", "sequence_number", "created_at", "updated_at"],
-        ["BIGINT", "VARCHAR", "BIGINT", "TIMESTAMP", "TIMESTAMP"],
-    ),
+_USERS_STATE_ORACLE = _values_sql(
+    [
+        (1, U1, 41, "2024-01-01 00:01:00", "2024-01-01 01:04:00"),
+        (2, U2, 24, "2024-01-01 00:08:00", "2024-01-01 01:07:00"),
+        (3, SB, 0, "2024-01-01 00:09:00", "2024-01-01 01:01:00"),
+        (4, BB, 0, "2024-01-01 00:12:00", "2024-01-01 01:02:00"),
+    ],
+    ["id", "address", "sequence_number", "created_at", "updated_at"],
+    ["BIGINT", "VARCHAR", "BIGINT", "TIMESTAMP", "TIMESTAMP"],
 )
+
+_USERS_STATE_COLS = ("id", "address", "sequence_number", "created_at", "updated_at")
+
+
+@query("marketplace_users_state", oracle=_USERS_STATE_ORACLE)
 def marketplace_users_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M17/M18: find-or-create over every address appearing in any
     successful message (signers + reflected address fields); id is
     first-seen order, sequence_number counts signed messages."""
     users = materialize_users(marketplace_events(spark))
-    return users.select("id", "address", "sequence_number", "created_at", "updated_at")
+    return users.select(*_USERS_STATE_COLS)
+
+
+@query("marketplace_stream_users_state", oracle=_USERS_STATE_ORACLE)
+def marketplace_stream_users_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17/M18 incrementally: per-batch user partials (min/max/sum)
+    folded across micro-batches — the sum makes replay guarding
+    mandatory (the is_current check is what keeps sequence_number
+    exactly-once). Same golden oracle as the batch form."""
+    from dwh_spark.operators.transitions import finalize_users
+
+    _, users_store = _stream_state(spark)
+    return finalize_users(users_store.current(spark)).select(*_USERS_STATE_COLS)
 
 
 @query(

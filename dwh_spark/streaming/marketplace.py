@@ -29,7 +29,9 @@ from dwh_spark.operators.transitions import (
     latest_makes,
     merge_latest_makes,
     merge_nft_partials,
+    merge_user_partials,
     nft_partial_state,
+    user_partial_state,
 )
 from dwh_spark.streaming.ingest import ParquetStateStore
 
@@ -39,18 +41,21 @@ def run_marketplace_stream(
     nft_store: ParquetStateStore,
     makes_store: ParquetStateStore,
     checkpoint_dir: str,
+    users_store: ParquetStateStore | None = None,
 ) -> None:
-    """Drain the event stream, folding each micro-batch into the two
-    state stores. ``Trigger.AvailableNow`` = one daemon wake (S13);
+    """Drain the event stream, folding each micro-batch into the state
+    stores. ``Trigger.AvailableNow`` = one daemon wake (S13);
     re-invoking with the same checkpoint resumes at the cursor."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # Crash-window replay: the NFT store commits LAST, so if it
         # already points at this batch the whole fold completed before
-        # the checkpoint offset commit — skip. If only the makes store
-        # committed, re-merging the same batch is safe (max-merge is
-        # idempotent) but its dir must not be self-overwritten.
+        # the checkpoint offset commit — skip. For partially committed
+        # folds, each earlier store carries its own is_current guard:
+        # the makes/NFT max-merges are idempotent (the guard only
+        # avoids a self-overwrite), but the users sum-merge is NOT —
+        # its guard is what makes replay exactly-once.
         if nft_store.is_current(batch_id):
             return
         prior_makes = makes_store.current(spark)
@@ -66,6 +71,15 @@ def run_marketplace_stream(
                 else merge_latest_makes(prior_makes, batch_makes)
             )
             makes_store.commit(new_makes, batch_id)
+        if users_store is not None and not users_store.is_current(batch_id):
+            batch_users = user_partial_state(batch_df)
+            cur_users = users_store.current(spark)
+            users_store.commit(
+                batch_users
+                if cur_users is None
+                else merge_user_partials(cur_users, batch_users),
+                batch_id,
+            )
         nft_store.commit(merged, batch_id)
 
     q = (
