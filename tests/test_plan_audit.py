@@ -30,6 +30,7 @@ _ALLOW_BNLJ = {
     "marketplace_audit_counts",   # crossJoin with one-row count aggregate
     "docs_decontaminate",         # crossJoin of two one-row aggregates
     "emb_ivf_cells",              # centroids broadcast to every vector
+    "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
     "emb_cosine_topk",            # brute-force baseline: query-point broadcast
     "emb_lsh_topk",
     "emb_cosine_near_dups",
