@@ -98,10 +98,21 @@ class ParquetStateStore:
         is a replay that must be skipped. Reading CURRENT and
         re-writing the same dir would both violate Spark's
         no-overwrite-while-reading rule and re-merge state."""
+        return self.last_committed() == batch_id
+
+    def last_committed(self) -> int | None:
+        """Batch id of the snapshot CURRENT points at, or None before
+        the first commit. Within one checkpoint's lifetime batch ids
+        are strictly monotonic, so ``batch_id <= last_committed()`` is
+        the exactly-once replay guard — it covers both the crash-window
+        re-delivery of the last batch AND any stale re-delivery, which
+        matters for NON-idempotent merges (sums): an is_current check
+        alone would let an older batch id through and double-apply."""
         if not os.path.exists(self._pointer):
-            return False
+            return None
         with open(self._pointer) as fh:
-            return fh.read().strip() == self.version_dir(batch_id)
+            name = os.path.basename(fh.read().strip())
+        return int(name[1:]) if name.startswith("v") else None
 
     def current(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self._pointer):
@@ -138,15 +149,17 @@ def run_incremental_compaction(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # Crash-window replay (M22): if the crash landed BETWEEN
+        # Replay guard (M22): if the crash landed BETWEEN
         # store.commit() and the checkpoint's offset commit, this batch
         # is re-delivered with CURRENT already pointing at its own
         # snapshot. Merging again would read v{batch_id} and overwrite
         # it in place — Spark refuses ("Cannot overwrite a path that is
         # also being read from") and the stream wedges on every
         # restart. The snapshot is already the post-merge state, so the
-        # correct replay action is: nothing.
-        if store.is_current(batch_id):
+        # correct replay action is: nothing. The high-water form
+        # (<=, not ==) also drops any stale re-delivery.
+        lc = store.last_committed()
+        if lc is not None and batch_id <= lc:
             return
         batch_latest = latest_state_agg(batch_df, keys, seq)
         cur = store.current(spark)

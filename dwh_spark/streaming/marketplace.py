@@ -47,23 +47,27 @@ def run_marketplace_stream(
     stores. ``Trigger.AvailableNow`` = one daemon wake (S13);
     re-invoking with the same checkpoint resumes at the cursor."""
 
+    def _folded(store: ParquetStateStore, batch_id: int) -> bool:
+        # High-water replay guard: batch ids are strictly monotonic
+        # within a checkpoint, so anything at-or-below the committed
+        # water line is a re-delivery. The ``<=`` (not ``==``) form is
+        # what makes the NON-idempotent users sum exactly-once; for the
+        # idempotent max-merges it also avoids self-overwrites.
+        lc = store.last_committed()
+        return lc is not None and batch_id <= lc
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # Crash-window replay: the NFT store commits LAST, so if it
-        # already points at this batch the whole fold completed before
-        # the checkpoint offset commit — skip. For partially committed
-        # folds, each earlier store carries its own is_current guard:
-        # the makes/NFT max-merges are idempotent (the guard only
-        # avoids a self-overwrite), but the users sum-merge is NOT —
-        # its guard is what makes replay exactly-once.
-        if nft_store.is_current(batch_id):
+        # The NFT store commits LAST, so if it has folded this batch
+        # the whole fold completed before the checkpoint offset commit.
+        if _folded(nft_store, batch_id):
             return
         prior_makes = makes_store.current(spark)
         batch_partial = nft_partial_state(batch_df, makes_state=prior_makes)
         cur = nft_store.current(spark)
         merged = batch_partial if cur is None else merge_nft_partials(cur, batch_partial)
 
-        if not makes_store.is_current(batch_id):
+        if not _folded(makes_store, batch_id):
             batch_makes = latest_makes(batch_df)
             new_makes = (
                 batch_makes
@@ -71,7 +75,7 @@ def run_marketplace_stream(
                 else merge_latest_makes(prior_makes, batch_makes)
             )
             makes_store.commit(new_makes, batch_id)
-        if users_store is not None and not users_store.is_current(batch_id):
+        if users_store is not None and not _folded(users_store, batch_id):
             batch_users = user_partial_state(batch_df)
             cur_users = users_store.current(spark)
             users_store.commit(

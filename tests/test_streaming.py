@@ -190,3 +190,39 @@ def test_marketplace_stream_cross_batch_accept_resolution(spark, tmp_path):
     got = sorted(map(tuple, finalize_nfts(nft_store.current(spark)).collect()))
     want = sorted(map(tuple, materialize_nfts(events).collect()))
     assert got == want
+
+
+def test_users_sum_exactly_once_under_lost_checkpoint(spark, tmp_path):
+    """The users sequence_number is a SUM — not idempotent. A full
+    re-drive with a lost checkpoint re-delivers every batch id from 0;
+    the high-water guard (batch_id <= last_committed) must drop them
+    all, keeping the sums exactly-once."""
+    from dwh_spark.operators.transitions import finalize_users, materialize_users
+    from dwh_spark.sources.marketplace_fixture import marketplace_events
+    from dwh_spark.streaming.ingest import ParquetStateStore
+    from dwh_spark.streaming.marketplace import run_marketplace_stream
+
+    events = marketplace_events(spark)
+    input_dir = str(tmp_path / "input")
+    events.coalesce(2).write.parquet(input_dir)
+    nft_store = ParquetStateStore(str(tmp_path / "nfts"))
+    makes_store = ParquetStateStore(str(tmp_path / "makes"))
+    users_store = ParquetStateStore(str(tmp_path / "users"))
+
+    def drive(ckpt):
+        run_marketplace_stream(
+            stream_events(spark, input_dir, events.schema, max_files_per_trigger=1),
+            nft_store, makes_store, str(tmp_path / ckpt), users_store=users_store,
+        )
+
+    drive("ckpt1")
+    drive("ckpt2")  # lost checkpoint: batch ids restart at 0
+    got = {
+        r["address"]: r["sequence_number"]
+        for r in finalize_users(users_store.current(spark)).collect()
+    }
+    want = {
+        r["address"]: r["sequence_number"]
+        for r in materialize_users(events).collect()
+    }
+    assert got == want
