@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "marketplace_stream_users_state",
     "events_salted_rollup",
     "events_zorder_keys",
+    "events_scd2_intervals",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

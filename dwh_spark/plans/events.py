@@ -465,3 +465,33 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         zorder_key(F.col("user_id"), day, bits=8).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history construction: each event opens a validity interval that
+# the next event for the same key closes — the warehouse history-table
+# form of the reference's mutable-row updates (updated_at lifecycle).
+# ---------------------------------------------------------------------------
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM events
+    WHERE user_id % 50 = 0
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval construction: valid_from = the event's time,
+    valid_to = the next event's time for the same key (NULL = current
+    version). One window shuffle keyed by user_id; the key filter is
+    pushed to the scan so only sampled users are read."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
