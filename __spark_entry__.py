@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "events_salted_rollup",
     "events_zorder_keys",
     "events_scd2_intervals",
+    "events_column_profile",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

@@ -495,3 +495,35 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-as-a-query): all columns' stats in one scan.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value")
+
+
+def _profile_oracle() -> str:
+    aggs, arms = ["count(*) AS total"], []
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs += [
+            f"count({c}) AS n{i}", f"count(DISTINCT {c}) AS d{i}",
+            f"CAST(min({c}) AS VARCHAR) AS mn{i}",
+            f"CAST(max({c}) AS VARCHAR) AS mx{i}",
+        ]
+        arms.append(
+            f"SELECT '{c}' AS column_name, n{i} AS n, total - n{i} AS n_null, "
+            f"d{i} AS n_distinct, mn{i} AS min_val, mx{i} AS max_val FROM t"
+        )
+    return f"WITH t AS (SELECT {', '.join(aggs)} FROM events)\n" + "\nUNION ALL ".join(arms)
+
+
+@query("events_column_profile", oracle=_profile_oracle())
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column statistics (n / nulls / exact distinct / min / max)
+    for the events table in ONE scan — the multi-distinct aggregate
+    plans as a single Expand + partial agg, not per-column jobs
+    (functions/profile.py)."""
+    from dwh_spark.functions.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "events"), list(_PROFILE_COLS))
