@@ -51,6 +51,9 @@ _CHECK_FIRST = [
     "emb_ivf_probe_topk",
     "marketplace_stream_nfts_state",
     "marketplace_stream_users_state",
+    "marketplace_stream_offers_surviving",
+    "marketplace_stream_bids_surviving",
+    "marketplace_stream_ft_state",
     "events_salted_rollup",
     "events_zorder_keys",
     "events_scd2_intervals",

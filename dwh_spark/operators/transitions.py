@@ -386,8 +386,178 @@ def materialize_auction_bids(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# offers / bids as mergeable partials (streaming twin of the two
+# survivor materializations above): makes/bids are append-only facts
+# kept as a per-key struct SET (array_distinct ∘ flatten merge —
+# idempotent), deletions as a per-key max seq. State per key is bounded
+# by that key's own make/bid count — the same rows the reference's
+# table holds.
+# ---------------------------------------------------------------------------
+def offer_partial_state(events: DataFrame) -> DataFrame:
+    ev = successful(events).withColumn("seq", _seq())
+    t = F.col("msg_type")
+    is_make = t == MSG_MAKE_OFFER
+    is_remove = t.isin(MSG_ACCEPT_OFFER, MSG_REMOVE_OFFER)
+    payload = F.struct(
+        F.col("seq").alias("s"),
+        F.col("buyer").alias("buyer"),
+        F.col("price").alias("price"),
+        F.col("beneficiary").alias("buyer_beneficiary"),
+        F.col("event_attrs")["beneficiary_commission"].alias("beneficiary_commission"),
+        F.col("ts").alias("created_at"),
+    )
+    return (
+        ev.filter(is_make | is_remove)
+        .select(
+            "token_id",
+            F.col("event_attrs")["offer_id"].alias("offer_id"),
+            F.when(is_make, payload).alias("mk"),
+            F.when(is_remove, F.col("seq")).alias("rm"),
+        )
+        .groupBy("token_id", "offer_id")
+        .agg(
+            F.collect_set("mk").alias("makes"),
+            F.max("rm").alias("removed_seq"),
+        )
+    )
+
+
+def merge_offer_partials(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("token_id", "offer_id")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("makes"))).alias("makes"),
+            F.max("removed_seq").alias("removed_seq"),
+        )
+    )
+
+
+def finalize_offers(partial: DataFrame) -> DataFrame:
+    survivors = (
+        partial.select(
+            "token_id", "offer_id", "removed_seq", F.explode("makes").alias("mk")
+        )
+        .filter(F.col("removed_seq").isNull() | (F.col("mk.s") > F.col("removed_seq")))
+        .select(
+            "offer_id",
+            F.col("mk.buyer").alias("buyer"),
+            F.col("mk.price").alias("price"),
+            F.col("mk.buyer_beneficiary").alias("buyer_beneficiary"),
+            F.col("mk.beneficiary_commission").alias("beneficiary_commission"),
+            "token_id",
+            F.col("mk.created_at").alias("created_at"),
+        )
+        .withColumn("updated_at", F.col("created_at"))
+        .withColumn("deleted_at", F.lit(None).cast("timestamp"))
+    )
+    return _assign_ids(survivors, order_by=["created_at", "token_id", "offer_id"])
+
+
+def bid_partial_state(events: DataFrame) -> DataFrame:
+    ev = successful(events).withColumn("seq", _seq())
+    t = F.col("msg_type")
+    is_buyout_bid = (t == MSG_MAKE_BID) & F.col("event_attrs")["is_buyout"].isNotNull()
+    is_bid = (t == MSG_MAKE_BID) & ~is_buyout_bid.eqNullSafe(True)
+    is_clear = t.isin(MSG_REMOVE_AUCTION, MSG_BUYOUT, MSG_FINISH_AUCTION) | is_buyout_bid
+    payload = F.struct(
+        F.col("seq").alias("s"),
+        F.col("bidder").alias("bidder_address"),
+        F.col("beneficiary").alias("bidder_beneficiary"),
+        F.col("event_attrs")["beneficiary_commission"].alias("beneficiary_commission"),
+        F.col("bid").alias("price"),
+        F.col("ts").alias("created_at"),
+    )
+    return (
+        ev.filter(is_bid | is_clear)
+        .select(
+            "token_id",
+            F.when(is_bid, payload).alias("bd"),
+            F.when(is_clear, F.col("seq")).alias("cl"),
+        )
+        .groupBy("token_id")
+        .agg(F.collect_set("bd").alias("bids"), F.max("cl").alias("last_clear"))
+    )
+
+
+def merge_bid_partials(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("token_id")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("bids"))).alias("bids"),
+            F.max("last_clear").alias("last_clear"),
+        )
+    )
+
+
+def finalize_bids(partial: DataFrame) -> DataFrame:
+    survivors = (
+        partial.select("token_id", "last_clear", F.explode("bids").alias("bd"))
+        .filter(F.col("last_clear").isNull() | (F.col("bd.s") > F.col("last_clear")))
+        .select(
+            F.col("bd.bidder_address").alias("bidder_address"),
+            F.col("bd.bidder_beneficiary").alias("bidder_beneficiary"),
+            F.col("bd.beneficiary_commission").alias("beneficiary_commission"),
+            F.col("bd.price").alias("price"),
+            "token_id",
+            F.col("bd.created_at").alias("created_at"),
+        )
+        .withColumn("updated_at", F.col("created_at"))
+        .withColumn("deleted_at", F.lit(None).cast("timestamp"))
+    )
+    return _assign_ids(survivors, order_by=["created_at", "token_id", "bidder_address"])
+
+
+# ---------------------------------------------------------------------------
 # fungible tokens + transfers (M16)
 # ---------------------------------------------------------------------------
+def ft_partial_state(events: DataFrame) -> DataFrame:
+    """Per-denom mergeable partial: the create payload as a max-struct,
+    the transfer count as a sum (non-idempotent — needs the high-water
+    replay guard, like the users sums)."""
+    ev = successful(events).withColumn("seq", _seq())
+    t = F.col("msg_type")
+    return (
+        ev.filter(t.isin(MSG_CREATE_FT, MSG_TRANSFER_FT))
+        .select(
+            "denom",
+            F.when(
+                t == MSG_CREATE_FT,
+                F.struct(
+                    F.col("seq").alias("s"),
+                    F.col("sender").alias("owner_address"),
+                    F.col("amount").alias("emission_amount"),
+                    F.col("ts").alias("created_at"),
+                ),
+            ).alias("created"),
+            F.when(t == MSG_TRANSFER_FT, F.lit(1)).otherwise(F.lit(0)).alias("n_transfers"),
+        )
+        .groupBy("denom")
+        .agg(F.max("created").alias("created"), F.sum("n_transfers").alias("n_transfers"))
+    )
+
+
+def merge_ft_partials(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("denom")
+        .agg(F.max("created").alias("created"), F.sum("n_transfers").alias("n_transfers"))
+    )
+
+
+def finalize_ft_state(partial: DataFrame) -> DataFrame:
+    """(denom, owner, emission, transfer count) — the shape
+    marketplace_ft_state reports (the batch path derives it from the
+    fts ⋈ transfers surrogate-id join)."""
+    return partial.filter(F.col("created").isNotNull()).select(
+        "denom",
+        F.col("created.owner_address").alias("owner_address"),
+        F.col("created.emission_amount").alias("emission_amount"),
+        "n_transfers",
+    )
+
+
 def materialize_fungible_tokens(events: DataFrame) -> DataFrame:
     ev = successful(events).withColumn("seq", _seq())
     fts = ev.filter(F.col("msg_type") == MSG_CREATE_FT).select(

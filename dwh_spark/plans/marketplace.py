@@ -133,14 +133,16 @@ def _stream_state(spark: SparkSession):
     stream = stream_events(
         spark, input_dir, events.schema, max_files_per_trigger=2
     )
-    nft_store = ParquetStateStore(os.path.join(root, "nft_state"))
-    makes_store = ParquetStateStore(os.path.join(root, "makes_state"))
-    users_store = ParquetStateStore(os.path.join(root, "users_state"))
+    stores = {
+        name: ParquetStateStore(os.path.join(root, f"{name}_state"))
+        for name in ("nft", "makes", "users", "offers", "bids", "fts")
+    }
     run_marketplace_stream(
-        stream, nft_store, makes_store, os.path.join(root, "ckpt"),
-        users_store=users_store,
+        stream, stores["nft"], stores["makes"], os.path.join(root, "ckpt"),
+        users_store=stores["users"], offers_store=stores["offers"],
+        bids_store=stores["bids"], fts_store=stores["fts"],
     )
-    _STREAM_STORES[key] = (nft_store, users_store)
+    _STREAM_STORES[key] = stores
     return _STREAM_STORES[key]
 
 
@@ -154,35 +156,60 @@ def marketplace_stream_nfts_state(spark: SparkSession, sf_dir: str) -> DataFrame
     for the reference's core state table."""
     from dwh_spark.operators.transitions import finalize_nfts
 
-    nft_store, _ = _stream_state(spark)
-    final = finalize_nfts(nft_store.current(spark))
+    stores = _stream_state(spark)
+    final = finalize_nfts(stores["nft"].current(spark))
     return final.filter(F.col("deleted_at").isNull()).select(*_NFTS_STATE_COLS)
 
 
-@query(
-    "marketplace_offers_surviving",
-    oracle=_values_sql(
-        _OFFERS_FINAL,
-        ["token_id", "offer_id", "buyer", "price"],
-        ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR"],
-    ),
+_OFFERS_ORACLE = _values_sql(
+    _OFFERS_FINAL,
+    ["token_id", "offer_id", "buyer", "price"],
+    ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR"],
 )
+
+_BIDS_ORACLE = _values_sql(
+    [("TOKEN_6", U2, "50token")],
+    ["token_id", "bidder_address", "price"],
+    ["VARCHAR", "VARCHAR", "VARCHAR"],
+)
+
+
+@query("marketplace_offers_surviving", oracle=_OFFERS_ORACLE)
 def marketplace_offers_surviving(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = materialize_offers(marketplace_events(spark))
     return offers.select("token_id", "offer_id", "buyer", "price")
 
 
-@query(
-    "marketplace_bids_surviving",
-    oracle=_values_sql(
-        [("TOKEN_6", U2, "50token")],
-        ["token_id", "bidder_address", "price"],
-        ["VARCHAR", "VARCHAR", "VARCHAR"],
-    ),
-)
+@query("marketplace_bids_surviving", oracle=_BIDS_ORACLE)
 def marketplace_bids_surviving(spark: SparkSession, sf_dir: str) -> DataFrame:
     bids = materialize_auction_bids(marketplace_events(spark))
     return bids.select("token_id", "bidder_address", "price")
+
+
+@query("marketplace_stream_offers_surviving", oracle=_OFFERS_ORACLE)
+def marketplace_stream_offers_surviving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13/M14/M15 incrementally: makes kept as per-key struct sets
+    (idempotent array_distinct∘flatten merge), removals as per-key max
+    seq; survivors computed at read time. Same golden oracle as the
+    batch survivors."""
+    from dwh_spark.operators.transitions import finalize_offers
+
+    stores = _stream_state(spark)
+    return finalize_offers(stores["offers"].current(spark)).select(
+        "token_id", "offer_id", "buyer", "price"
+    )
+
+
+@query("marketplace_stream_bids_surviving", oracle=_BIDS_ORACLE)
+def marketplace_stream_bids_surviving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10-M12 incrementally: bids as per-token struct sets, clears as
+    per-token max seq."""
+    from dwh_spark.operators.transitions import finalize_bids
+
+    stores = _stream_state(spark)
+    return finalize_bids(stores["bids"].current(spark)).select(
+        "token_id", "bidder_address", "price"
+    )
 
 
 @query(
@@ -237,22 +264,32 @@ def marketplace_stream_users_state(spark: SparkSession, sf_dir: str) -> DataFram
     exactly-once). Same golden oracle as the batch form."""
     from dwh_spark.operators.transitions import finalize_users
 
-    _, users_store = _stream_state(spark)
-    return finalize_users(users_store.current(spark)).select(*_USERS_STATE_COLS)
+    stores = _stream_state(spark)
+    return finalize_users(stores["users"].current(spark)).select(*_USERS_STATE_COLS)
 
 
-@query(
-    "marketplace_ft_state",
-    oracle=_values_sql(
-        [
-            ("terra", U1, 298765, 1),
-            ("bitcoin", U2, 194999, 0),
-            ("tugrik", U1, 9999, 0),
-        ],
-        ["denom", "owner_address", "emission_amount", "n_transfers"],
-        ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
-    ),
+_FT_STATE_ORACLE = _values_sql(
+    [
+        ("terra", U1, 298765, 1),
+        ("bitcoin", U2, 194999, 0),
+        ("tugrik", U1, 9999, 0),
+    ],
+    ["denom", "owner_address", "emission_amount", "n_transfers"],
+    ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
 )
+
+
+@query("marketplace_stream_ft_state", oracle=_FT_STATE_ORACLE)
+def marketplace_stream_ft_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16 incrementally: create payload as max-struct, transfer counts
+    as guarded sums."""
+    from dwh_spark.operators.transitions import finalize_ft_state
+
+    stores = _stream_state(spark)
+    return finalize_ft_state(stores["fts"].current(spark))
+
+
+@query("marketplace_ft_state", oracle=_FT_STATE_ORACLE)
 def marketplace_ft_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M16: fungible tokens with their transfer counts (FK join via
     the surrogate id, as the reference's association table does)."""

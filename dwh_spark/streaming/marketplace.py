@@ -25,15 +25,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from collections.abc import Callable
+
 from dwh_spark.operators.transitions import (
+    bid_partial_state,
+    ft_partial_state,
     latest_makes,
+    merge_bid_partials,
+    merge_ft_partials,
     merge_latest_makes,
     merge_nft_partials,
+    merge_offer_partials,
     merge_user_partials,
     nft_partial_state,
+    offer_partial_state,
     user_partial_state,
 )
 from dwh_spark.streaming.ingest import ParquetStateStore
+
+# every state table beside nfts folds the same way: a per-batch partial
+# merged into the store under the high-water guard
+_SIDE_TABLES: dict[str, tuple[Callable, Callable]] = {
+    "users": (user_partial_state, merge_user_partials),
+    "offers": (offer_partial_state, merge_offer_partials),
+    "bids": (bid_partial_state, merge_bid_partials),
+    "fts": (ft_partial_state, merge_ft_partials),
+}
 
 
 def run_marketplace_stream(
@@ -42,17 +59,27 @@ def run_marketplace_stream(
     makes_store: ParquetStateStore,
     checkpoint_dir: str,
     users_store: ParquetStateStore | None = None,
+    offers_store: ParquetStateStore | None = None,
+    bids_store: ParquetStateStore | None = None,
+    fts_store: ParquetStateStore | None = None,
 ) -> None:
     """Drain the event stream, folding each micro-batch into the state
     stores. ``Trigger.AvailableNow`` = one daemon wake (S13);
     re-invoking with the same checkpoint resumes at the cursor."""
+    side = {
+        "users": users_store,
+        "offers": offers_store,
+        "bids": bids_store,
+        "fts": fts_store,
+    }
 
     def _folded(store: ParquetStateStore, batch_id: int) -> bool:
         # High-water replay guard: batch ids are strictly monotonic
         # within a checkpoint, so anything at-or-below the committed
         # water line is a re-delivery. The ``<=`` (not ``==``) form is
-        # what makes the NON-idempotent users sum exactly-once; for the
-        # idempotent max-merges it also avoids self-overwrites.
+        # what makes the NON-idempotent sums (users sequence_number, ft
+        # transfer counts) exactly-once; for the idempotent max/set
+        # merges it also avoids self-overwrites.
         lc = store.last_committed()
         return lc is not None and batch_id <= lc
 
@@ -75,15 +102,13 @@ def run_marketplace_stream(
                 else merge_latest_makes(prior_makes, batch_makes)
             )
             makes_store.commit(new_makes, batch_id)
-        if users_store is not None and not _folded(users_store, batch_id):
-            batch_users = user_partial_state(batch_df)
-            cur_users = users_store.current(spark)
-            users_store.commit(
-                batch_users
-                if cur_users is None
-                else merge_user_partials(cur_users, batch_users),
-                batch_id,
-            )
+        for name, store in side.items():
+            if store is None or _folded(store, batch_id):
+                continue
+            partial_fn, merge_fn = _SIDE_TABLES[name]
+            bp = partial_fn(batch_df)
+            cur_t = store.current(spark)
+            store.commit(bp if cur_t is None else merge_fn(cur_t, bp), batch_id)
         nft_store.commit(merged, batch_id)
 
     q = (
