@@ -156,7 +156,15 @@ def test_marketplace_stream_cross_batch_accept_resolution(spark, tmp_path):
     Final state must equal the full batch replay, column for column."""
     import pandas as pd
 
-    from dwh_spark.operators.transitions import finalize_nfts, materialize_nfts
+    from dwh_spark.operators.transitions import (
+        finalize_bids,
+        finalize_ft_state,
+        finalize_nfts,
+        finalize_offers,
+        materialize_auction_bids,
+        materialize_nfts,
+        materialize_offers,
+    )
     from dwh_spark.sources.marketplace_fixture import marketplace_events
     from dwh_spark.streaming.ingest import ParquetStateStore
     from dwh_spark.streaming.marketplace import run_marketplace_stream
@@ -181,15 +189,27 @@ def test_marketplace_stream_cross_batch_accept_resolution(spark, tmp_path):
         shutil.move(os.path.join(tmp, part), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    nft_store = ParquetStateStore(str(tmp_path / "nfts"))
-    makes_store = ParquetStateStore(str(tmp_path / "makes"))
+    stores = {
+        n: ParquetStateStore(str(tmp_path / n))
+        for n in ("nfts", "makes", "offers", "bids", "fts")
+    }
     run_marketplace_stream(
         stream_events(spark, input_dir, events.schema, max_files_per_trigger=1),
-        nft_store, makes_store, str(tmp_path / "ckpt"),
+        stores["nfts"], stores["makes"], str(tmp_path / "ckpt"),
+        offers_store=stores["offers"], bids_store=stores["bids"],
+        fts_store=stores["fts"],
     )
-    got = sorted(map(tuple, finalize_nfts(nft_store.current(spark)).collect()))
+    got = sorted(map(tuple, finalize_nfts(stores["nfts"].current(spark)).collect()))
     want = sorted(map(tuple, materialize_nfts(events).collect()))
     assert got == want
+    # the same straddling split must leave offers/bids/fts stream==batch
+    got_o = sorted(map(tuple, finalize_offers(stores["offers"].current(spark)).collect()))
+    want_o = sorted(map(tuple, materialize_offers(events).collect()))
+    assert got_o == want_o
+    got_b = sorted(map(tuple, finalize_bids(stores["bids"].current(spark)).collect()))
+    want_b = sorted(map(tuple, materialize_auction_bids(events).collect()))
+    assert got_b == want_b
+    assert finalize_ft_state(stores["fts"].current(spark)).count() == 3
 
 
 def test_users_sum_exactly_once_under_lost_checkpoint(spark, tmp_path):
