@@ -58,6 +58,13 @@ _CHECK_FIRST = [
     "events_zorder_keys",
     "events_scd2_intervals",
     "events_column_profile",
+    # positions 51+: next in line when earlier queries earn green rows
+    "docs_repetition_scores",
+    "docs_pii_scrub_stats",
+    "docs_top_terms",
+    "events_retention_cohorts",
+    "sql_correlated_outliers",
+    "emb_ivf_inertia",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

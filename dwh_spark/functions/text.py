@@ -110,6 +110,38 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.regexp_extract_all(text, F.lit(pattern), 1))
 
 
+def repetition_ratio(text: Column, k: int = 3) -> Column:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of k-shingle OCCURRENCES that are repeats of an earlier
+    shingle — ``1 − distinct/total``. 0 = no repetition; →1 for
+    loops/boilerplate. NULL for docs shorter than k tokens."""
+    total = n_tokens(text) - F.lit(k - 1)
+    distinct = F.size(shingles(text, k))
+    return F.when(total > 0, F.round(F.lit(1.0) - distinct / total, 6))
+
+
+# PII patterns — deliberately simple, deterministic, RE2/Java-portable
+# (no backrefs, no lookaround); each has a literal twin in the oracle.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "digitrun": r"[0-9]{9,}",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind]))
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact every PII pattern (longest/most-specific first so an
+    email's digits aren't half-eaten by the digit-run rule)."""
+    out = text
+    for kind in ("email", "ipv4", "digitrun"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
 def word_hash32(word: Column) -> Column:
     """First 32 bits of md5 as a bigint — engine-portable (DuckDB:
     ('0x' || substr(md5(w),1,8))::BIGINT)."""

@@ -557,3 +557,164 @@ def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality signals round 2: within-document repetition, PII scrubbing,
+# corpus vocabulary.
+# ---------------------------------------------------------------------------
+@query(
+    "docs_repetition_scores",
+    oracle="""
+    WITH r AS (
+      SELECT lang,
+             CASE WHEN len(string_split(text,' ')) - 2 > 0 THEN
+               round(1.0 - len(list_distinct([string_split(text,' ')[i] || ' ' ||
+                                              string_split(text,' ')[i+1] || ' ' ||
+                                              string_split(text,' ')[i+2]
+                                              for i in range(1, len(string_split(text,' ')) - 1)]))
+                     / CAST(len(string_split(text,' ')) - 2 AS DOUBLE), 6)
+             END AS rep
+      FROM documents
+    )
+    SELECT lang, count(rep) AS n_docs,
+           round(CAST(sum(CAST(rep AS DECIMAL(10,6))) AS DOUBLE) / count(rep), 6)
+             AS avg_repetition,
+           max(rep) AS max_repetition
+    FROM r GROUP BY 1
+    """,
+)
+def docs_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: fraction of 3-shingle
+    occurrences that repeat an earlier shingle, per language. Pure
+    codegen (the shingle pass is one regex scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = T.repetition_ratio(F.col("text"), k=3)
+    return (
+        docs.select("lang", rep.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.count("rep").alias("n_docs"),
+            F.round(
+                F.sum(F.col("rep").cast("decimal(10,6)")).cast("double") / F.count("rep"), 6
+            ).alias("avg_repetition"),
+            F.max("rep").alias("max_repetition"),
+        )
+    )
+
+
+# deterministic PII injection shared by both engines: the synthetic
+# corpus carries no real PII, so known markers are appended and the
+# scrubber must remove exactly them
+_PII_AUG_SQL = """text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+         ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+         ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0
+         THEN ' ref 9' || CAST(doc_id + 100000000 AS VARCHAR)
+         ELSE '' END"""
+
+
+@query(
+    "docs_pii_scrub_stats",
+    oracle=f"""
+    WITH aug AS (
+      SELECT source, ({_PII_AUG_SQL}) AS t FROM documents
+    ), scrubbed AS (
+      SELECT source,
+             regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}') AS emails,
+             regexp_extract_all(t, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}') AS ips,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '[EMAIL]', 'g'),
+               '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '[IPV4]', 'g'),
+               '[0-9]{{9,}}', '[DIGITRUN]', 'g') AS clean,
+             t
+      FROM aug
+    )
+    SELECT source,
+           CAST(sum(len(emails)) AS BIGINT) AS n_emails,
+           CAST(sum(len(ips)) AS BIGINT) AS n_ips,
+           CAST(sum(CASE WHEN clean != t THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_scrubbed,
+           CAST(sum(length(t) - length(clean)) AS BIGINT) AS chars_delta
+    FROM scrubbed GROUP BY 1
+    """,
+)
+def docs_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / long digit runs → typed redaction
+    tokens): deterministic markers are injected into the synthetic
+    corpus identically in both engines, and the scrubber must find and
+    remove exactly them. All regexp work is JVM-side codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@mail.example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".25")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" ref 9"), (F.col("doc_id") + 100000000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("source", aug.alias("t"))
+    clean = T.pii_scrub(F.col("t"))
+    return (
+        t.select(
+            "source",
+            T.pii_count(F.col("t"), "email").alias("e"),
+            T.pii_count(F.col("t"), "ipv4").alias("i"),
+            clean.alias("clean"),
+            "t",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("e").alias("n_emails"),
+            F.sum("i").alias("n_ips"),
+            F.sum(F.when(F.col("clean") != F.col("t"), 1).otherwise(0)).alias("n_docs_scrubbed"),
+            F.sum(F.length("t") - F.length("clean")).alias("chars_delta"),
+        )
+    )
+
+
+@query(
+    "docs_top_terms",
+    oracle="""
+    WITH df AS (
+      SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    ), counted AS (
+      SELECT lang, term, count(*) AS doc_freq FROM df GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, term, doc_freq,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY doc_freq DESC, term) AS rnk
+      FROM counted
+    )
+    SELECT lang, term, doc_freq, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-5 terms per language by DOCUMENT
+    frequency (distinct per doc before the explode, so a term counts
+    once per document). The rank window partitions by lang — bounded
+    state per partition, no global sort."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "lang", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term")
+    )
+    counted = df.groupBy("lang", "term").agg(F.count("*").alias("doc_freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("term"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "doc_freq", "rnk")
+    )

@@ -244,3 +244,68 @@ def emb_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely duplicate-level cosines don't occur."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_duplicates(emb, threshold=0.3)
+
+
+@query(
+    "emb_ivf_inertia",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, embedding AS c_emb, norm2 AS c_norm2
+          FROM base WHERE vec_id IN ({_CIDS})),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             round({_DOT.format(a='v.embedding', b='c.c_emb')}
+                   / (sqrt(v.norm2) * sqrt(c.c_norm2)), 6) AS cos_c
+      FROM base v CROSS JOIN c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id AS cell, cos_c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT cell, count(*) AS n_vectors,
+           round(CAST(sum(CAST(1.0 - cos_c AS DECIMAL(12,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_cos_distance
+    FROM assigned WHERE rn = 1 GROUP BY 1
+    """,
+)
+def emb_ivf_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality metric: per-cell mean cosine DISTANCE to the
+    centroid (the k-means inertia, cosine form) — how you decide
+    whether the IVF index needs more cells or another Lloyd iteration.
+    Same broadcast cross-score plan as cell assignment, keeping the
+    score instead of dropping it."""
+    from dwh_spark.operators.similarity import _dot_expr
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = with_norm(emb.filter(F.col("vec_id").isin(*CENTROID_IDS))).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    v = with_norm(emb)
+    scored = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("dot", F.expr(_dot_expr("embedding", "c_emb")))
+        .withColumn(
+            "cos_c", F.round(F.col("dot") / (F.sqrt("norm2") * F.sqrt("c_norm2")), 6)
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("centroid_id").alias("cell"), "cos_c")
+    )
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(
+            F.sum((F.lit(1.0) - F.col("cos_c")).cast("decimal(12,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_cos_distance"),
+    )

@@ -527,3 +527,43 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_spark.functions.profile import profile_columns
 
     return profile_columns(load_table(spark, sf_dir, "events"), list(_PROFILE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week, activity counted
+# per week offset — the classic warehouse retention matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(epoch_us(date_trunc('day', ts)) // 86400000000 // 7) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             (epoch_us(date_trunc('day', e.ts)) // 86400000000 // 7)
+               - f.cohort_week AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: cohort = the user's first-seen epoch week;
+    each (cohort, week offset) counts distinct users active that week.
+    Two shuffles (first-seen agg keyed by user; final rollup), the
+    cohort join stays on the user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7).cast("long")
+    weeks = ev.select("user_id", week.alias("week"))
+    firsts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        weeks.join(firsts, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_users"))

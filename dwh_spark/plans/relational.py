@@ -590,3 +590,33 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(d, 30).alias("due_date"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery — one ANSI string through BOTH engines:
+# Catalyst must decorrelate it into an aggregate + join (check the
+# plan: no per-row re-execution), DuckDB runs it natively.
+# ---------------------------------------------------------------------------
+_OUTLIER_ORDERS_SQL = """
+    SELECT o.o_custkey AS custkey,
+           count(*) AS n_outlier_orders,
+           CAST(max(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_total
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) >
+          (SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 2
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+    GROUP BY 1
+"""
+
+
+@query("sql_correlated_outliers", oracle=_OUTLIER_ORDERS_SQL)
+def sql_correlated_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders more than 2x their customer's
+    average): the identical ANSI string runs on both engines. Catalyst
+    decorrelates to per-customer aggregate + join — scale-safe, no
+    nested re-execution; the decimal casts keep the avg threshold
+    comparison exact in both engines."""
+    from dwh_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_OUTLIER_ORDERS_SQL)
