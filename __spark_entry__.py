@@ -65,6 +65,7 @@ _CHECK_FIRST = [
     "events_retention_cohorts",
     "sql_correlated_outliers",
     "emb_ivf_inertia",
+    "bucketed_cust_order_rollup",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

@@ -620,3 +620,64 @@ def sql_correlated_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_OUTLIER_ORDERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the write-side layout that deletes the
+# join shuffle entirely (SURVEY scale levers; Delta/Iceberg bucketing).
+# Tables are bucketed once per session into a temp warehouse; the
+# driver-facing parquet stays untouched.
+# ---------------------------------------------------------------------------
+_BUCKETED_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKETED_CACHE:
+        return _BUCKETED_CACHE[key]
+    import tempfile
+    import uuid
+
+    from dwh_spark.sources.sinks import write_bucketed
+
+    root = tempfile.mkdtemp(prefix="bucketed_")
+    uid = uuid.uuid4().hex[:8]
+    ot, ct = f"orders_b_{uid}", f"customer_b_{uid}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), ot,
+        bucket_by=["o_custkey"], n_buckets=16, sort_by=["o_custkey"],
+        path=f"{root}/orders",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer"), ct,
+        bucket_by=["c_custkey"], n_buckets=16, sort_by=["c_custkey"],
+        path=f"{root}/customer",
+    )
+    _BUCKETED_CACHE[key] = (ot, ct)
+    return _BUCKETED_CACHE[key]
+
+
+@query(
+    "bucketed_cust_order_rollup",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def bucketed_cust_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer⋈orders with BOTH sides bucketed(16) on the join key:
+    the sort-merge join consumes bucket locality — zero exchange on
+    either input (pinned by tests/test_plan_audit.py); the only
+    shuffle left is the 5-row segment rollup. At 100 TB this is the
+    difference between joining in place and moving the fact table.
+    Results must equal the plain join over the un-bucketed parquet."""
+    ot, ct = _bucketed_pair(spark, sf_dir)
+    o, c = spark.table(ot), spark.table(ct)
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -88,3 +88,16 @@ def test_scans_are_column_pruned(spark):
     assert scans and all("o_totalprice" not in ln for ln in scans), (
         "flagship scan reads columns the query never uses"
     )
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """The bucketed pair must join WITHOUT shuffling either input: no
+    hashpartitioning exchange on the join keys; the only exchange left
+    is the final segment rollup."""
+    from dwh_spark.plans.relational import bucketed_cust_order_rollup
+
+    df = bucketed_cust_order_rollup(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
