@@ -66,6 +66,8 @@ _CHECK_FIRST = [
     "sql_correlated_outliers",
     "emb_ivf_inertia",
     "bucketed_cust_order_rollup",
+    "streaming_daily_rollup_incremental",
+    "events_salted_hot_join",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

@@ -567,3 +567,35 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return activity.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "events_salted_hot_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def events_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dimension join (operators/skew.py:salted_join):
+    the fact side is salted, the dimension side replicated per salt, so
+    one hot user key spreads over 16 tasks instead of one straggler.
+    Salt assignment is distribution-only — the joined row set, and
+    therefore the rollup, is salt-invariant, which is exactly what the
+    plain-join oracle checks."""
+    from dwh_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["k"], n_salts=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )

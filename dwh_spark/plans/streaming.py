@@ -162,3 +162,41 @@ def streaming_user_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "sum_cents", "last_ts")
     )
+
+
+@query(
+    "streaming_daily_rollup_incremental",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_daily_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-AGGREGATE form of the daily rollup: each
+    micro-batch contributes per-(day, type) deltas that MERGE
+    additively into a versioned store (streaming/ingest.py:
+    run_incremental_rollup). Unlike the complete-mode windowed rollup
+    — which re-emits every group every trigger — this is O(touched
+    groups) per batch, the only shape that survives a rollup with
+    millions of groups. Must equal the batch aggregate exactly
+    (decimal sums, count merges)."""
+    from dwh_spark.streaming.ingest import run_incremental_rollup
+
+    stream, root = _staged_events(spark, sf_dir, max_files_per_trigger=2)
+    prepared = stream.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    store = ParquetStateStore(f"{root}/rollup_state")
+    run_incremental_rollup(
+        prepared, store, f"{root}/checkpoint",
+        keys=["day", "event_type"],
+        measures={"n": F.count("*"), "sum_dec": F.sum("v")},
+    )
+    final = store.current(spark)
+    return final.select(
+        "day", "event_type", "n", F.col("sum_dec").cast("double").alias("sum_value")
+    )

@@ -178,6 +178,53 @@ def run_incremental_compaction(
     q.awaitTermination()
 
 
+def run_incremental_rollup(
+    events: DataFrame,
+    store: ParquetStateStore,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    measures: dict[str, Column],
+) -> None:
+    """Continuous aggregate (the hypertable/materialized-rollup form):
+    per micro-batch, aggregate the batch's DELTAS per key and
+    additively MERGE them into the store. A complete-mode sink
+    re-emits the ENTIRE aggregate every batch — O(result size) per
+    trigger, a non-starter once the rollup has millions of groups;
+    this touches only the keys the batch contains.
+
+    ``measures`` must be additive aggregates over exact types (counts,
+    decimal/long sums — never float): additivity makes batch splits
+    invisible, exactness makes merge order invisible, and the batch-id
+    high-water guard makes replays exactly-once.
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        lc = store.last_committed()
+        if lc is not None and batch_id <= lc:
+            return
+        delta = batch_df.groupBy(*keys).agg(
+            *[v.alias(name) for name, v in measures.items()]
+        )
+        cur = store.current(spark)
+        merged = (
+            delta
+            if cur is None
+            else cur.unionByName(delta)
+            .groupBy(*keys)
+            .agg(*[F.sum(name).alias(name) for name in measures])
+        )
+        store.commit(merged, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_windowed_rollup(
     events: DataFrame,
     checkpoint_dir: str,
