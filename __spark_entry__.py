@@ -68,6 +68,7 @@ _CHECK_FIRST = [
     "bucketed_cust_order_rollup",
     "streaming_daily_rollup_incremental",
     "events_salted_hot_join",
+    "streaming_dedup_exactly_once",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

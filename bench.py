@@ -37,6 +37,11 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
     QUERIES["flagship_owned_orders"](spark, sf_dir).count()
+    # warm the binary/codegen path too — av_wav runs first alphabetically
+    # and was absorbing ~1-2 s of first-codegen cost into its number
+    QUERIES["av_wav_roundtrip_stats"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

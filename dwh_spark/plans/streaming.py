@@ -200,3 +200,42 @@ def streaming_daily_rollup_incremental(spark: SparkSession, sf_dir: str) -> Data
     return final.select(
         "day", "event_type", "n", F.col("sum_dec").cast("double").alias("sum_value")
     )
+
+
+@query(
+    "streaming_dedup_exactly_once",
+    oracle="""
+    SELECT count(*) AS n_unique,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (``dropDuplicates`` + watermark): the input is
+    staged DUPLICATED — every event appears twice, in different
+    micro-batches — and the dedup state must suppress the second
+    delivery even across batch boundaries. The watermark bounds the
+    dedup state store (keys older than the horizon are evicted — the
+    production requirement; unbounded dedup state is a slow OOM).
+    Output must equal the batch distinct count of the un-duplicated
+    table."""
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dwh_dedup_")
+    # two staged copies → the same event_id arrives in two batches
+    doubled = events.unionByName(events)
+    stage_stream_input(spark, doubled.repartition(4), f"{root}/input", 4)
+    stream = stream_events(spark, f"{root}/input", events.schema, max_files_per_trigger=2)
+    deduped = stream.withWatermark("ts", "365 days").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out").agg(
+        F.count("*").alias("n_unique"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
