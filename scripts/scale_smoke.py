@@ -166,6 +166,71 @@ def main() -> None:
         "sweep_max_concurrency (two-phase prefix sum over user intervals)",
         sweep_max_concurrency(intervals),
     )
+
+    # ---- marketplace replay at chain scale: 1M-message synthetic log ----
+    # 100k tokens × 10 messages each (mint + a cycling op mix), columns
+    # generated entirely on-executor — verifies the set-oriented replay
+    # (one LWW shuffle per state table) holds at 15,000× the fixture.
+    from dwh_spark.operators.transitions import (
+        materialize_nfts, materialize_users, merge_nft_partials, nft_partial_state,
+    )
+    from dwh_spark.schemas import MARKETPLACE_EVENTS
+
+    n_msgs = max(N_ROWS // 10, 100_000)
+    n_tokens = n_msgs // 10
+    i = F.col("id")
+    tok = F.concat(F.lit("TOK"), (i % n_tokens).cast("string"))
+    user = F.concat(F.lit("cosmos1u"), F.pmod(F.xxhash64("id"), F.lit(50_000)).cast("string"))
+    is_mint = i < n_tokens  # first pass mints every token, then ops cycle
+    op = F.element_at(
+        F.array(*[F.lit(t) for t in (
+            "MsgTransferNFT", "MsgPutNFTOnMarket", "MsgRemoveNFTFromMarket",
+            "MsgBuyNFT", "MsgEditNFTMetadata",
+        )]),
+        (i % 5 + 1).cast("int"),
+    )
+    mlog = spark.range(n_msgs).select(
+        i.alias("height"),
+        F.lit(0).cast("int").alias("tx_index"), F.lit(0).cast("int").alias("msg_id"),
+        F.concat(F.lit("H"), i.cast("string")).alias("tx_hash"),
+        F.lit(0).cast("int").alias("code"),
+        F.lit(200000).cast("long").alias("gas_wanted"),
+        F.lit(100000).cast("long").alias("gas_used"),
+        F.when(is_mint, F.lit("nft")).otherwise(F.lit("marketplace")).alias("route"),
+        F.when(is_mint, F.lit("MsgMintNFT")).otherwise(op).alias("msg_type"),
+        user.alias("signers"),
+        tok.alias("token_id"),
+        F.lit("basic").alias("denom"),
+        user.alias("sender"),
+        user.alias("recipient"),
+        user.alias("buyer"),
+        F.lit(None).cast("string").alias("bidder"),
+        F.lit(None).cast("string").alias("beneficiary"),
+        F.concat((i % 1000).cast("string"), F.lit("token")).alias("price"),
+        F.lit(None).cast("string").alias("buyout_price"),
+        F.lit(None).cast("string").alias("opening_price"),
+        F.lit(None).cast("string").alias("bid"),
+        F.lit(None).cast("long").alias("amount"),
+        F.lit(None).cast("timestamp").alias("time_to_sell"),
+        F.concat(F.lit("http://m/"), tok).alias("token_uri"),
+        F.create_map().cast("map<string,string>").alias("event_attrs"),
+        F.timestamp_micros(F.lit(1704067200000000) + i * 60_000_000).alias("ts"),
+    )
+    mkt_path = f"{PATH}_mktlog"
+    t = time.perf_counter()
+    mlog.write.mode("overwrite").parquet(mkt_path)
+    print(f"generate+write {n_msgs} marketplace messages: {time.perf_counter() - t:.1f}s")
+    big_log = spark.read.parquet(mkt_path)
+    got_schema = [(f.name, f.dataType.simpleString()) for f in big_log.schema.fields]
+    want_schema = [(f.name, f.dataType.simpleString()) for f in MARKETPLACE_EVENTS.fields]
+    assert got_schema == want_schema, f"generator drifted: {got_schema} != {want_schema}"
+    timed(f"materialize_nfts (full replay, {n_tokens} tokens)", materialize_nfts(big_log))
+    timed("materialize_users (address explode + agg)", materialize_users(big_log))
+    # incremental path: two half-log partials merged — the streaming fold shape
+    half = n_msgs // 2
+    p1 = nft_partial_state(big_log.filter(F.col("height") < half))
+    p2 = nft_partial_state(big_log.filter(F.col("height") >= half))
+    timed("merge_nft_partials (two half-log partials)", merge_nft_partials(p1, p2))
     spark.stop()
 
 
