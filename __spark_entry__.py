@@ -69,6 +69,7 @@ _CHECK_FIRST = [
     "streaming_daily_rollup_incremental",
     "events_salted_hot_join",
     "streaming_dedup_exactly_once",
+    "docs_length_histogram",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

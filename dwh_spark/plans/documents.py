@@ -718,3 +718,34 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "term", "doc_freq", "rnk")
     )
+
+
+@query(
+    "docs_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(least(floor(len(string_split(text, ' ')) / 25.0), 7) AS BIGINT)
+             AS bucket,
+           count(*) AS n_docs,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language (25-token buckets, top
+    bucket open-ended) — the length-distribution profile that sizes
+    packing budgets and length filters. Bucket arithmetic is identical
+    in both engines; one groupBy, map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = T.n_tokens(F.col("text"))
+    bucket = F.least(F.floor(n / 25.0), F.lit(7)).cast("long")
+    return (
+        docs.select("lang", bucket.alias("bucket"), n.alias("n_tok"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+    )

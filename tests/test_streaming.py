@@ -246,3 +246,41 @@ def test_users_sum_exactly_once_under_lost_checkpoint(spark, tmp_path):
         for r in materialize_users(events).collect()
     }
     assert got == want
+
+
+def test_incremental_rollup_sums_exactly_once(spark, tmp_path):
+    """The continuous-aggregate counts/sums are additive, NOT
+    idempotent — a lost-checkpoint full re-drive re-delivers batch ids
+    from 0 and the high-water guard must drop every one of them."""
+    from dwh_spark.streaming.ingest import run_incremental_rollup
+
+    events = load_table(spark, SF, "events")
+    input_dir = str(tmp_path / "input")
+    events.repartition(3).write.parquet(input_dir)
+    store = ParquetStateStore(str(tmp_path / "state"))
+
+    def drive(ckpt):
+        prepared = stream_events(spark, input_dir, events.schema, max_files_per_trigger=1).select(
+            F.to_date("ts").alias("day"), "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        run_incremental_rollup(
+            prepared, store, str(tmp_path / ckpt),
+            keys=["day", "event_type"],
+            measures={"n": F.count("*"), "sum_dec": F.sum("v")},
+        )
+
+    drive("ckpt1")
+    drive("ckpt2")  # lost checkpoint: batch ids restart at 0
+    got = {
+        (str(r["day"]), r["event_type"]): (r["n"], str(r["sum_dec"]))
+        for r in store.current(spark).collect()
+    }
+    want = {
+        (str(r["day"]), r["event_type"]): (r["n"], str(r["s"]))
+        for r in events.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    assert got == want
