@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "events_salted_hot_join",
     "streaming_dedup_exactly_once",
     "docs_length_histogram",
+    "emb_dup_clusters",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

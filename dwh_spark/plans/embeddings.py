@@ -309,3 +309,54 @@ def emb_ivf_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_cos_distance"),
     )
+
+
+@query(
+    "emb_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS label FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1)
+    SELECT component AS cluster_id,
+           count(*) AS n_vectors,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY 1
+    """,
+)
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup end state: connected components over the
+    LSH-bucketed cosine near-dup pairs (a~b, b~c collapse into one
+    cluster). Same dual-path component engine as the text dedup —
+    driver union-find at small edge counts, distributed min-label
+    propagation beyond the threshold."""
+    from dwh_spark.operators.graph import connected_components
+
+    pairs = cosine_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").alias("n_vectors"),
+        F.concat_ws(
+            ",",
+            F.transform(F.sort_array(F.collect_list("node")), lambda x: x.cast("string")),
+        ).alias("members"),
+    )
