@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     "streaming_dedup_exactly_once",
     "docs_length_histogram",
     "emb_dup_clusters",
+    "events_rolling_7d_actives",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

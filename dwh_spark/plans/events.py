@@ -599,3 +599,40 @@ def events_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("v").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "events_rolling_7d_actives",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+      SELECT unnest([day + CAST(i AS INT) FOR i IN range(0, 7)]) AS window_end, user_id
+      FROM ud
+    )
+    SELECT c.window_end, count(DISTINCT c.user_id) AS n_active_7d
+    FROM contrib c JOIN days d ON d.day = c.window_end
+    GROUP BY 1
+    """,
+)
+def events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day — the sliding-window
+    COUNT DISTINCT that a RANGE frame cannot do (distinct is not
+    frame-able). The scalable form: each (user, day) activity fans out
+    to the ≤7 window-ends it supports (bounded ×7 explode), then one
+    distinct-count per window — never a per-day re-scan of trailing
+    history."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("window_end"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, contrib.window_end == days.day, "left_semi")
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+    )
