@@ -133,8 +133,10 @@ def _stream_state(spark: SparkSession):
     stream = stream_events(
         spark, input_dir, events.schema, max_files_per_trigger=2
     )
+    # fixture states are dimension-scale: one part file per snapshot,
+    # or the 32-partition default drowns the fold in empty-file tasks
     stores = {
-        name: ParquetStateStore(os.path.join(root, f"{name}_state"))
+        name: ParquetStateStore(os.path.join(root, f"{name}_state"), write_partitions=1)
         for name in ("nft", "makes", "users", "offers", "bids", "fts")
     }
     run_marketplace_stream(

@@ -81,8 +81,14 @@ class ParquetStateStore:
       dir idempotently (M22 parity).
     """
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, write_partitions: int | None = None) -> None:
+        """``write_partitions`` caps each snapshot's file count —
+        dimension-scale states (thousands of rows) should pass 1:
+        under the default 32 shuffle partitions every snapshot writes
+        32 near-empty part files, and the per-file task/open overhead
+        dominates the whole fold. Leave None for fact-scale states."""
         self.root = root
+        self.write_partitions = write_partitions
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -123,6 +129,8 @@ class ParquetStateStore:
 
     def commit(self, df: DataFrame, batch_id: int) -> None:
         version_dir = self.version_dir(batch_id)
+        if self.write_partitions is not None:
+            df = df.coalesce(self.write_partitions)
         df.write.mode("overwrite").parquet(version_dir)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
