@@ -218,3 +218,32 @@ def test_jaccard_hashed_equals_string_variant(spark):
     a = {key(r): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
     b = {key(r): r["jaccard"] for r in jaccard_pairs_hashed(docs, threshold=0.5).collect()}
     assert a == b and len(a) > 0
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """More probes can only improve what IVF finds: for every query,
+    the best cosine under nprobe=2 is >= the best under nprobe=1, and
+    the nprobe=1 candidate set is a subset of nprobe=2's."""
+    from dwh_spark.operators.similarity import ivf_probe_topk
+    from dwh_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 8 == 0).limit(8)
+    queries = emb.filter(F.col("vec_id").isin(1, 2, 3))
+
+    def top(nprobe):
+        # k far above any cell size: top-k truncation would break the
+        # subset claim even though the CANDIDATE sets are nested
+        rows = ivf_probe_topk(emb, centroids, queries, k=10**6, nprobe=nprobe).collect()
+        best, found = {}, {}
+        for r in rows:
+            q = r["query_id"]
+            best[q] = max(best.get(q, -2.0), r["cosine"])
+            found.setdefault(q, set()).add(r["vec_id"])
+        return best, found
+
+    b1, f1 = top(1)
+    b2, f2 = top(2)
+    for q in b1:
+        assert b2[q] >= b1[q]
+        assert f1[q] <= f2[q]
