@@ -92,3 +92,52 @@ def running_user_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EVICTED_SCHEMA = StructType(
+    OUTPUT_SCHEMA.fields + [StructField("evicted", StringType())]
+)
+
+
+def running_user_state_with_ttl(events: DataFrame, ttl_ms: int) -> DataFrame:
+    """The accumulator with event-time state TTL: a key idle past
+    ``ttl_ms`` of WATERMARK progress is evicted (final row emitted with
+    ``evicted='ttl'``, state removed). This is the production form —
+    without a timeout the state store is O(all keys ever seen) and
+    grows forever; with it, state is O(keys active within the TTL
+    horizon). ``events`` must carry a watermark (event-time timeouts
+    are measured against it)."""
+
+    def _acc(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total, last_ts, last_type = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]], "n_events": [n], "sum_cents": [total],
+                    "last_ts": [last_ts], "last_type": [last_type],
+                    "evicted": ["ttl"],
+                }
+            )
+            return
+        out = list(_accumulate(key, pdfs, state))
+        # TTL measured from the key's OWN last event time — anchoring on
+        # the current watermark would evict keys that are still active
+        # (the watermark lags a batch; an active key's freshly-set
+        # timeout could land behind the very next watermark advance).
+        # Clamped above the watermark: setTimeoutTimestamp rejects
+        # timestamps at or below it.
+        _, _, last_ts, _ = state.get
+        deadline = int(last_ts.timestamp() * 1000) + ttl_ms
+        state.setTimeoutTimestamp(max(deadline, state.getCurrentWatermarkMs() + 1))
+        for pdf in out:
+            pdf["evicted"] = None
+            yield pdf
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _acc,
+        outputStructType=EVICTED_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

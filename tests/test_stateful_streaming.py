@@ -91,3 +91,55 @@ def test_all_late_batch_preserves_last_type(spark, tmp_path):
     want_type = newest.collect()[0]["event_type"]
     # every emission, including the all-late one, carries the true last_type
     assert all(r["last_type"] == want_type for r in rows)
+
+
+def test_event_time_ttl_evicts_idle_keys(spark, tmp_path):
+    """State TTL: a user active only in batch 0 whose last event falls
+    more than TTL behind the advancing watermark is EVICTED — the final
+    row arrives flagged, the state store shrinks. The active user's
+    state survives."""
+    import datetime as dt
+    import os
+    import shutil
+    import time as _t
+
+    from dwh_spark.streaming.stateful import running_user_state_with_ttl
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch0 = [(1, t0, 1, "click", 1.0), (2, t0, 2, "click", 1.0)]
+    # 40 days later: only user 2 is still active; watermark (max ts -
+    # 1 day) moves ~39 days past user 1's last event > 30-day TTL
+    batch1 = [(3, t0 + dt.timedelta(days=40), 2, "view", 2.0)]
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    for i, rows in enumerate([batch0, batch1]):
+        tmp = str(tmp_path / f"t{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"b{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    _t.sleep(0.1)
+
+    stream = stream_events(spark, input_dir, schema, max_files_per_trigger=1)
+    out = running_user_state_with_ttl(
+        stream.withWatermark("ts", "1 day"), ttl_ms=30 * 86400 * 1000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("ttl_state").collect()
+    evicted = [r for r in rows if r["evicted"] == "ttl"]
+    assert [r["user_id"] for r in evicted] == [1]
+    # the evicted row carries user 1's final accumulated state
+    assert evicted[0]["n_events"] == 1 and evicted[0]["sum_cents"] == 100
+    # user 2 was never evicted and accumulated across both batches
+    live = [r for r in rows if r["user_id"] == 2 and r["evicted"] is None]
+    assert max(r["n_events"] for r in live) == 2
