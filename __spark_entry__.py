@@ -72,6 +72,8 @@ _CHECK_FIRST = [
     "docs_length_histogram",
     "emb_dup_clusters",
     "events_rolling_7d_actives",
+    "events_partition_pruned_rollup",
+    "events_compaction_roundtrip",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

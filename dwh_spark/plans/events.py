@@ -636,3 +636,91 @@ def events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_end")
         .agg(F.count_distinct("user_id").alias("n_active_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-side layout levers under the oracle gate: partition pruning
+# and small-file compaction (the other half of the bucketed-join
+# story in plans/relational.py).
+# ---------------------------------------------------------------------------
+_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LAYOUT_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="events_by_day_") + "/data"
+        ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+        ev.write.partitionBy("day").mode("overwrite").parquet(path)
+        _LAYOUT_CACHE[key] = path
+    return _LAYOUT_CACHE[key]
+
+
+@query(
+    "events_partition_pruned_rollup",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-09'
+    GROUP BY 1
+    """,
+)
+def events_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-partitioned layout + a day-range filter: the scan touches
+    ONLY the 7 matching day directories (PartitionFilters, pinned in
+    tests/test_plan_audit.py) — on 100 TB this is reading a week, not
+    the table. Result must equal the same rollup over the flat
+    parquet."""
+    part = spark.read.parquet(_partitioned_events(spark, sf_dir))
+    return (
+        part.filter(
+            (F.col("day") >= F.lit("2024-01-03").cast("date"))
+            & (F.col("day") <= F.lit("2024-01-09").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_compaction_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(64 AS INT) AS files_before, CAST(1 AS INT) AS files_after
+    FROM events
+    """,
+)
+def events_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/sinks.py): 64 deliberately tiny
+    files compact to the byte-sized target (one file at this scale);
+    row count must round-trip exactly. The maintenance job every
+    streaming sink needs — footer/open overhead, not data, dominates
+    reads once files shrink below ~10 MB."""
+    import os
+    import tempfile
+
+    from dwh_spark.sources.sinks import compact_small_files
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="compact_")
+    small, compacted = f"{root}/small", f"{root}/compacted"
+    ev.repartition(64).write.parquet(small)
+
+    def n_parquet(p):
+        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+    files_before = n_parquet(small)
+    compact_small_files(spark, small, compacted)
+    files_after = n_parquet(compacted)
+    n_rows = spark.read.parquet(compacted).count()
+    return spark.range(1).select(
+        F.lit(n_rows).alias("n_rows"),
+        F.lit(files_before).cast("int").alias("files_before"),
+        F.lit(files_after).cast("int").alias("files_after"),
+    )

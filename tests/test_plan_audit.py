@@ -101,3 +101,13 @@ def test_bucketed_join_has_no_join_side_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "hashpartitioning(o_custkey" not in plan
     assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_partition_pruned_rollup_reads_only_matching_days(spark):
+    """The day-range filter must reach the partitioned scan as
+    PartitionFilters — directory-level pruning, not row filtering."""
+    from dwh_spark.plans.events import events_partition_pruned_rollup
+
+    df = events_partition_pruned_rollup(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:200]
