@@ -74,6 +74,8 @@ _CHECK_FIRST = [
     "events_rolling_7d_actives",
     "events_partition_pruned_rollup",
     "events_compaction_roundtrip",
+    "events_rank_battery",
+    "docs_collection_fn_battery",
     # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
     "marketplace_nfts_state",
     "marketplace_offers_surviving",

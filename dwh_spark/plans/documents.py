@@ -749,3 +749,44 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("long").alias("max_tokens"),
         )
     )
+
+
+@query(
+    "docs_collection_fn_battery",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+               WHERE doc_id % 41 = 0)
+    SELECT doc_id,
+           len(ws) AS n_words,
+           len(list_distinct(ws)) AS n_distinct,
+           list_contains(ws, 'the') AS has_the,
+           CAST(nullif(list_position(ws, 'the'), 0) AS BIGINT) AS the_pos,
+           array_to_string(ws[1:3], ' ') AS first3,
+           list_sort(list_distinct(ws))[1] AS alpha_first,
+           list_reverse_sort(list_distinct(ws))[1] AS alpha_last,
+           len(list_intersect(list_distinct(ws),
+                              ['the','a','of','and','is'])) AS n_stopwords
+    FROM w
+    """,
+)
+def docs_collection_fn_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection (array) function battery — size, distinct, contains,
+    position, slice, sort both directions, intersect — every result
+    checked against DuckDB's independent list implementations. All
+    pure codegen; the one semantic trap (BOTH engines return 0, not
+    NULL, for a missing array_position/list_position element) is
+    normalized to NULL explicitly on both sides."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 41 == 0)
+    ws = F.split(F.col("text"), " ")
+    dws = F.array_distinct(ws)
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(dws).alias("n_distinct"),
+        F.array_contains(ws, "the").alias("has_the"),
+        F.nullif(F.array_position(ws, "the"), F.lit(0)).alias("the_pos"),
+        F.concat_ws(" ", F.slice(ws, 1, 3)).alias("first3"),
+        F.element_at(F.array_sort(dws), 1).alias("alpha_first"),
+        F.element_at(F.sort_array(dws, asc=False), 1).alias("alpha_last"),
+        F.size(F.array_intersect(dws, F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "is")]))).alias("n_stopwords"),
+    )

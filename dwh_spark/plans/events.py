@@ -724,3 +724,49 @@ def events_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(files_before).cast("int").alias("files_before"),
         F.lit(files_after).cast("int").alias("files_after"),
     )
+
+
+@query(
+    "events_rank_battery",
+    oracle="""
+    SELECT user_id, event_id,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           row_number()   OVER w AS rn,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           ntile(4)       OVER w AS quartile,
+           CAST(lag(event_id)  OVER w AS BIGINT) AS prev_event,
+           CAST(lead(event_id) OVER w AS BIGINT) AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           CAST(nth_value(event_id, 2) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS second_event
+    FROM events
+    WHERE user_id % 37 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking/navigation window-function family in one
+    query — rank, dense_rank, row_number, percent_rank, cume_dist,
+    ntile, lag/lead, first_value, nth_value — each against DuckDB's
+    independent implementation. All windows share one (user_id)
+    partitioning: a single shuffle serves every function."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 37 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id", "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.nth_value("event_id", 2).over(w_full).alias("second_event"),
+    )
