@@ -790,3 +790,67 @@ def docs_collection_fn_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.sort_array(dws, asc=False), 1).alias("alpha_last"),
         F.size(F.array_intersect(dws, F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "is")]))).alias("n_stopwords"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model predictability (operators/lm.py): corpus-trained
+# MLE bigram model, mean per-occurrence probability per document,
+# aggregated per language. The probability-domain form keeps every
+# intermediate an exact integer ratio (log-perplexity would hit libm
+# drift between engines; see operators/lm.py docstring).
+# ---------------------------------------------------------------------------
+@query(
+    "docs_bigram_lm_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents
+    ), inst AS (
+      SELECT doc_id, lang, u.w1 AS w1, u.w2 AS w2
+      FROM toks,
+           unnest([{'w1': s[i], 'w2': s[i+1]} for i in range(1, len(s))]) AS t(u)
+    ), c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM inst GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+    ), scored AS (
+      SELECT i.doc_id, i.lang,
+             count(*) AS n_bigrams,
+             round(CAST(sum(CAST(round(c12 / CAST(c1 AS DOUBLE), 6)
+                                 AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6)
+               AS pred_score
+      FROM inst i
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+           round(CAST(sum(CAST(pred_score AS DECIMAL(12,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_pred,
+           min(pred_score) AS min_pred,
+           max(pred_score) AS max_pred
+    FROM scored GROUP BY 1
+    """,
+)
+def docs_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a bigram LM on the corpus and score each document by mean
+    bigram probability; report per-language distribution stats. Two
+    counting shuffles + one skew-tolerant scoring join + two small
+    aggs — nothing quadratic, nothing driver-side (operators/lm.py)."""
+    from dwh_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = lm.doc_predictability(docs)
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.round(
+            F.sum(F.col("pred_score").cast("decimal(12,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_pred"),
+        F.min("pred_score").alias("min_pred"),
+        F.max("pred_score").alias("max_pred"),
+    )

@@ -239,3 +239,141 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_unique"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (``F.session_window``, gap
+    30 min): Spark's state store merges overlapping per-user session
+    fragments across micro-batches — the streaming twin of the batch
+    lag+running-sum sessionization (plans/events.py), and the oracle
+    is that batch form. Semantics note pinned by the oracle: a gap of
+    EXACTLY 30 min starts a new session (session windows are
+    half-open: [start, last+gap)), hence ``>=`` where the batch
+    sessionization query uses ``>``; session_end is last event + gap.
+    Complete output mode, so the drained result is every session
+    regardless of watermark progress; at production scale the same
+    query runs in append mode with a watermark so closed sessions
+    emit once and state stays bounded."""
+    import uuid
+
+    stream, root = _staged_events(spark, sf_dir, max_files_per_trigger=2)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count("*").alias("n_events"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{root}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks_matched,
+           CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases_matched
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to purchases by the
+    same user within the following 30 minutes, both sides micro-batched
+    streams of the same event log. Inner stream-stream joins emit each
+    match as soon as both rows have arrived; the watermark's only job
+    is state eviction, so with a watermark wider than the staged
+    replay's disorder the drained output is exactly the batch join.
+    The staged files are round-robin splits (full time range per
+    micro-batch), so the test watermark must span the whole 30-day
+    fixture; production input is time-ordered file arrivals, where the
+    same query holds click state for only ~(delay + 30 min) and a
+    purchase row is droppable the moment it emits."""
+    import uuid
+
+    stream, root = _staged_events(spark, sf_dir, max_files_per_trigger=2)
+    # A stream-stream join runs FOUR state stores per shuffle partition
+    # (keyToNumValues + keyWithIndexToValue on each side); 32 partitions
+    # × 4 stores × n batches of commit overhead dwarfs the data at test
+    # scale. Same single-node pin (and restore) as the accumulator.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", "40 days")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"))
+        .withWatermark("purchase_ts", "40 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "inner",
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    pairs = spark.table(name)
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks_matched"),
+        F.countDistinct("purchase_id").alias("n_purchases_matched"),
+    )
