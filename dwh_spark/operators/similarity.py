@@ -389,3 +389,90 @@ def kmeans_iterate(
         )
         current.count()
     return current.select("centroid_id", F.col("c_emb").alias("embedding"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression tier of a real
+# IVF-PQ serving stack: vectors are stored as PQ_SUBS small codes
+# (here 4 × one-of-8 = 4 bytes per 64-dim float vector, a 64×
+# compression) and queries scan codes with an ADC lookup table instead
+# of touching raw floats. Inner-product metric so every score is the
+# same sequential double fold the rest of this module uses.
+# ---------------------------------------------------------------------------
+PQ_SUBS = 4
+PQ_SUBDIM = DIM // PQ_SUBS
+
+
+def pq_subvectors(df: DataFrame, vec: str = "embedding", out: str = "v_sub") -> DataFrame:
+    """Explode each vector into (sub, 16-dim slice) rows — PQ_SUBS rows
+    per input row, pure codegen."""
+    subs = F.array(
+        *[F.slice(F.col(vec), s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_SUBS)]
+    )
+    return df.select("*", F.posexplode(subs).alias("sub", out)).drop(vec)
+
+
+def pq_codebook(seeds: DataFrame, vec: str = "embedding", key: str = "vec_id") -> DataFrame:
+    """Per-subspace codebook from seed vectors: (code, sub, c_sub).
+    Seeds play the role k-means cluster centers do in a trained PQ —
+    deterministic here so the DuckDB oracle can replicate them; swap in
+    ``kmeans_iterate`` per subspace for a trained codebook."""
+    return pq_subvectors(
+        seeds.select(F.col(key).alias("code"), F.col(vec)), vec=vec, out="c_sub"
+    )
+
+
+def pq_encode(vectors: DataFrame, codebook: DataFrame, vec: str = "embedding",
+              key: str = "vec_id") -> DataFrame:
+    """Assign each (vector, subspace) its best code by rounded inner
+    product (ties → lowest code). One broadcast join + one map-side-
+    combinable max-of-struct aggregation — no window sort, so encoding
+    is a single shuffle on the vector key at any corpus size."""
+    v = pq_subvectors(vectors.select(key, vec), vec=vec, out="v_sub")
+    scored = v.join(F.broadcast(codebook), "sub").withColumn(
+        "score", F.round(F.expr(_dot_expr("v_sub", "c_sub")), 6)
+    )
+    best = (
+        scored.groupBy(key, "sub")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("code")).alias("nc"))).alias("b"))
+        .select(key, "sub", (-F.col("b.nc")).alias("code"))
+    )
+    return best
+
+
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame, codebook: DataFrame,
+                k: int = 5, vec: str = "embedding", key: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k: queries never touch stored vectors,
+    only their codes. The ADC lookup table (query × sub × code part
+    scores, Q·PQ_SUBS·|codes| rows) broadcasts to the code scan; the
+    per-(query, vec) score is an exact DECIMAL sum of the PQ_SUBS
+    rounded parts, so partition order cannot drift it. The final
+    per-query top-k is the same bounded window the exact tier uses
+    (queries are few by contract)."""
+    codes = pq_encode(vectors, codebook, vec=vec, key=key)
+    lut = (
+        pq_subvectors(
+            queries.select(F.col(key).alias("query_id"), F.col(vec)), vec=vec, out="q_sub"
+        )
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "query_id", "sub", "code",
+            F.round(F.expr(_dot_expr("q_sub", "c_sub")), 6).alias("part"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col(key) != F.col("query_id"))
+        .groupBy("query_id", key)
+        .agg(
+            F.round(
+                F.sum(F.col("part").cast("decimal(12,6)")).cast("double"), 6
+            ).alias("adc_score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.col(key))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", key, "adc_score", "rnk")
+    )

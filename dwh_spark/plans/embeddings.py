@@ -360,3 +360,59 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.sort_array(F.collect_list("node")), lambda x: x.cast("string")),
         ).alias("members"),
     )
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=f"""
+    WITH subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+    cb AS (
+      SELECT c.vec_id AS code, s.sub,
+             list_slice(c.embedding, s.sub * 16 + 1, s.sub * 16 + 16) AS c_sub
+      FROM embeddings c CROSS JOIN subs s
+      WHERE c.vec_id IN ({_CIDS})
+    ),
+    venc AS (
+      SELECT v.vec_id, cb.sub, cb.code,
+             row_number() OVER (PARTITION BY v.vec_id, cb.sub ORDER BY
+               round({_DOT.format(a='list_slice(v.embedding, cb.sub * 16 + 1, cb.sub * 16 + 16)', b='cb.c_sub')}, 6) DESC,
+               cb.code) AS rn
+      FROM embeddings v CROSS JOIN cb
+    ),
+    codes AS (SELECT vec_id, sub, code FROM venc WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.sub, cb.code,
+             round({_DOT.format(a='list_slice(q.embedding, cb.sub * 16 + 1, cb.sub * 16 + 16)', b='cb.c_sub')}, 6) AS part
+      FROM embeddings q CROSS JOIN cb
+      WHERE q.vec_id IN ({_IDS})
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id,
+             round(CAST(sum(CAST(l.part AS DECIMAL(12,6))) AS DOUBLE), 6) AS adc_score
+      FROM codes c JOIN lut l USING (sub, code)
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, adc_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_score DESC, vec_id) AS rnk
+      FROM adc
+    )
+    SELECT query_id, vec_id, adc_score, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/similarity.py PQ tier): 4×16-dim
+    subspaces, 8 codes each (seed codebook, deterministic so DuckDB can
+    replicate it), asymmetric-distance top-5 per query. At 100 TB the
+    code table is 4 bytes/vector — the only representation that fits a
+    billion-vector scan in memory — and both the encode and the ADC
+    scan are broadcast-join + map-side-combinable aggregations."""
+    from dwh_spark.operators.similarity import pq_adc_topk, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    seeds = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+    codebook = pq_codebook(seeds)
+    return pq_adc_topk(emb, queries, codebook, k=5)
