@@ -115,3 +115,68 @@ def connected_components(
     finally:
         # both paths have materialized everything they need by now
         sym.unpersist()
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank by bounded power iteration.
+
+    Each round is the classic message-passing shape: every node sends
+    ``rank · w/out_total`` along its out-edges (one join), messages
+    aggregate per destination (one map-side-combinable shuffle), and
+    ranks re-teleport with the damping factor. Rounds are a fixed
+    ``n_iter``, so the plan is a finite unrolled pipeline — no driver
+    loop over ``.collect()``; the node count (the only scalar pulled to
+    the driver) is bounded by the vertex-table cardinality.
+
+    Determinism across engines (registry.py rules): per-edge messages
+    are ``round(rank · (w / out_total), 12)`` — products of exact
+    6-decimal ranks with correctly-rounded double ratios — accumulated
+    as DECIMAL(16,12) so partition order can't drift the sum; ranks are
+    re-rounded to 6 decimals every round. Dangling nodes leak rank
+    (standard simplification), identically on both engines.
+
+    Returns (name, rank) after ``n_iter`` rounds.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("name"))
+        .union(edges.select(F.col(dst).alias("name")))
+        .distinct()
+    )
+    n = nodes.count()
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("out_total"))
+    # All float constants stay as IEEE-double *expressions* (1.0 - d,
+    # x / n), never Python-pre-folded: 1.0 - 0.85 != double(0.15) at
+    # the ulp level, and the oracle computes the SQL-side sequence.
+    n_dbl = F.lit(float(n))
+    ranks = nodes.select("name", F.round(F.lit(1.0) / n_dbl, 6).alias("rank"))
+    for _ in range(n_iter):
+        msgs = (
+            ranks.join(edges, ranks["name"] == edges[src])
+            .join(outw, src)
+            .select(
+                F.col(dst).alias("name"),
+                F.round(
+                    F.col("rank") * (F.col(weight) / F.col("out_total").cast("double")),
+                    12,
+                )
+                .cast("decimal(16,12)")
+                .alias("m"),
+            )
+        )
+        inbox = msgs.groupBy("name").agg(F.sum("m").cast("double").alias("s"))
+        ranks = nodes.join(inbox, "name", "left").select(
+            "name",
+            F.round(
+                (F.lit(1.0) - F.lit(damping)) / n_dbl
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                6,
+            ).alias("rank"),
+        )
+    return ranks

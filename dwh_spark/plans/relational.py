@@ -681,3 +681,111 @@ def bucketed_cust_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics under the oracle gate: weighted PageRank on
+# the customer-nation → supplier-nation trade graph (operators/graph.py
+# pagerank). The oracle UNROLLS the 5 power iterations as chained CTEs
+# — explicit, recursion-free SQL DuckDB executes exactly like the
+# Spark loop's finite unrolled pipeline.
+# ---------------------------------------------------------------------------
+_PR_EDGES_SQL = """
+    edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_total FROM edges GROUP BY 1),
+    nodes AS (SELECT src AS name FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (
+      SELECT name, round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 6) AS rank
+      FROM nodes
+    )"""
+
+
+def _pr_step(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT nd.name,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0.0 AS DOUBLE)), 6) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS name,
+               CAST(sum(CAST(round(p.rank * (e.w / CAST(o.out_total AS DOUBLE)), 12)
+                             AS DECIMAL(16,12))) AS DOUBLE) AS s
+        FROM {prev} p
+        JOIN edges e ON e.src = p.name
+        JOIN outw o ON o.src = p.name
+        GROUP BY 1
+      ) c ON c.name = nd.name
+    )"""
+
+
+_PR_ORACLE = (
+    "WITH " + _PR_EDGES_SQL
+    + "".join("," + _pr_step(f"pr{i}", f"pr{i + 1}") for i in range(5))
+    + "\n    SELECT name AS nation, rank AS pagerank FROM pr5"
+)
+
+
+@query("nation_trade_pagerank", oracle=_PR_ORACLE)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round weighted PageRank over the 25-node nation trade graph
+    (edge weight = lineitem count from customer nation to supplier
+    nation). Edge building is the usual broadcast-dimension star join;
+    each round is one join + one map-side-combinable shuffle; see
+    operators/graph.py pagerank for the cross-engine float rules."""
+    from dwh_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))), F.col("s_nationkey") == F.col("snk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = pagerank(edges, n_iter=5)
+    return ranks.select(F.col("name").alias("nation"), F.col("rank").alias("pagerank"))
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customers-per-order-count histogram; the
+    testdata carries no o_comment, so the comment exclusion is
+    dropped): LEFT OUTER join keeps zero-order customers, count(col)
+    skips their NULLs, then a second tiny histogram shuffle. Both aggs
+    partial-combine map-side; the join and first agg share the custkey
+    partitioning, so AQE coalesces them into one exchange."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
