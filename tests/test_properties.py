@@ -247,3 +247,64 @@ def test_ivf_multiprobe_recall_monotone(spark):
     for q in b1:
         assert b2[q] >= b1[q]
         assert f1[q] <= f2[q]
+
+
+def test_pagerank_mass_conservation_and_convergence(spark):
+    """On a graph with NO dangling nodes, total rank stays ~1.0 every
+    round (teleport + damped redistribution conserves mass up to the
+    6-decimal per-node rounding); more iterations keep ranks in
+    [0.15/n - eps, 1.0]."""
+    from dwh_spark.operators.graph import pagerank
+
+    # 4-node strongly-connected weighted cycle with a chord
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "d", 3), ("d", "a", 1), ("a", "c", 1)],
+        "src string, dst string, w long",
+    )
+    for n_iter in (1, 3, 5):
+        ranks = {r["name"]: r["rank"] for r in pagerank(edges, n_iter=n_iter).collect()}
+        total = sum(ranks.values())
+        assert abs(total - 1.0) < 1e-4, (n_iter, total)
+        assert all(0.15 / 4 - 1e-6 <= v <= 1.0 for v in ranks.values()), ranks
+    # the chord makes c strictly richer than the pure-cycle nodes' floor
+    assert ranks["c"] >= max(ranks.values()) - 1e-9
+
+
+def test_pq_adc_approximates_exact_topk(spark):
+    """PQ is lossy by design, but on the fixture corpus the ADC top-5
+    must overlap the exact cosine top-5 (recall > 0) and every ADC
+    score must be <= the max possible (sum of per-subspace maxima)."""
+    from dwh_spark.operators.similarity import pq_adc_topk, pq_codebook
+    from dwh_spark.plans.embeddings import CENTROID_IDS, QUERY_IDS
+    from dwh_spark.operators.similarity import cosine_topk
+    from dwh_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    seeds = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+    adc = pq_adc_topk(emb, queries, pq_codebook(seeds), k=5).collect()
+    exact = cosine_topk(emb, queries, k=5).collect()
+    adc_sets = {}
+    for r in adc:
+        adc_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # per-query candidate sets are full (5 each)
+    assert all(len(s) == 5 for s in adc_sets.values())
+    # non-trivial aggregate recall against the exact tier
+    hits = sum(len(adc_sets[q] & exact_sets[q]) for q in exact_sets)
+    assert hits >= 1, (adc_sets, exact_sets)
+
+
+def test_bigram_lm_scores_bounded_and_boilerplate_scores_high(spark):
+    """Every per-doc predictability is in (0, 1]; a corpus of repeated
+    boilerplate scores strictly higher than a one-off shuffled doc."""
+    from dwh_spark.operators.lm import doc_predictability
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((99, "dog the over quick lazy jumps fox brown the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_score"] for r in doc_predictability(docs).collect()}
+    assert all(0.0 < v <= 1.0 for v in out.values())
+    assert out[0] > out[99]
