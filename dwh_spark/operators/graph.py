@@ -144,10 +144,16 @@ def pagerank(
 
     Returns (name, rank) after ``n_iter`` rounds.
     """
+    # The aggregated edge list is vertex²-bounded (tiny next to the
+    # fact tables it came from) but is consumed once per round — persist
+    # it so the upstream build (often a multi-table star join) runs
+    # exactly once, not n_iter times.
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("name"))
         .union(edges.select(F.col(dst).alias("name")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
     outw = edges.groupBy(src).agg(F.sum(weight).alias("out_total"))

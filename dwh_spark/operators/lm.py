@@ -66,14 +66,23 @@ def doc_predictability(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (doc columns..., n_bigrams, pred_score).
     """
     inst = bigram_instances(docs, text_col)
-    model = bigram_model(inst)
-    p = F.round(F.col("c12") / F.col("c1"), 6).cast("decimal(12,6)")
     keys = [c for c in inst.columns if c not in ("w1", "w2")]
+    # Pre-aggregate to per-document bigram TYPE counts: the scoring
+    # join then moves one row per (doc, w1, w2) instead of one per
+    # occurrence, and the corpus model derives from the same counts
+    # (k·round(p, 6) in exact DECIMAL equals summing k occurrence
+    # copies, so the result is unchanged).
+    doc_bg = inst.groupBy(*keys, "w1", "w2").agg(F.count("*").alias("k"))
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    model = c12.join(c12.groupBy("w1").agg(F.sum("c12").alias("c1")), "w1")
+    p = F.round(F.col("c12") / F.col("c1"), 6).cast("decimal(12,6)")
     return (
-        inst.join(model, ["w1", "w2"])
+        doc_bg.join(model, ["w1", "w2"])
         .groupBy(*keys)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.sum(p).cast("double") / F.count("*"), 6).alias("pred_score"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(p * F.col("k")).cast("double") / F.sum("k"), 6
+            ).alias("pred_score"),
         )
     )
