@@ -80,3 +80,61 @@ def kmv_oracle_sql(table: str, group_cols: Sequence[str], value_col: str, k: int
            END AS n_kmv
     FROM topk GROUP BY {keys}
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: d md5-derived hash rows × w buckets. The sketch
+# build is one map-side-combinable groupBy over (row, bucket) — d·w
+# cells total regardless of input size — and a point estimate is the
+# min over d bucket sums. Estimates only ever OVER-count (collisions
+# add), so estimate >= exact always; the registry query pins both the
+# cell arithmetic and that invariant against exact DuckDB counts.
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_bucket(col: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic bucket for hash row ``row``: md5 over the
+    row-tagged key, first 8 hex digits, mod width — reproducible in
+    DuckDB as ('0x' || substr(md5(...), 1, 8))::BIGINT % width."""
+    tagged = F.concat(F.lit(f"{row}:"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("long") % width
+    )
+
+
+def cms_bucket_sql(key_sql: str, row: int, width: int = CMS_WIDTH) -> str:
+    return (
+        f"('0x' || substr(md5('{row}:' || CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {width}"
+    )
+
+
+def cms_build(df, key: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """(row, bucket, cell_count) — the whole sketch is depth·width rows."""
+    rows = None
+    for r in range(depth):
+        part = df.select(
+            F.lit(r).alias("row"), cms_bucket(F.col(key), r, width).alias("bucket")
+        )
+        rows = part if rows is None else rows.unionAll(part)
+    return rows.groupBy("row", "bucket").agg(F.count("*").alias("cell"))
+
+
+def cms_estimate(sketch, probes, key: str, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH):
+    """Point estimates for a (small) probe set: join each probe's d
+    buckets against the sketch cells (broadcast — the sketch is d·w
+    rows) and take the min cell."""
+    probe_buckets = None
+    for r in range(depth):
+        part = probes.select(
+            key, F.lit(r).alias("row"), cms_bucket(F.col(key), r, width).alias("bucket")
+        )
+        probe_buckets = part if probe_buckets is None else probe_buckets.unionAll(part)
+    return (
+        probe_buckets.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key)
+        .agg(F.min("cell").alias("cms_count"))
+    )

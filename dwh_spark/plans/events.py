@@ -770,3 +770,116 @@ def events_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event"),
         F.nth_value("event_id", 2).over(w_full).alias("second_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketch.py): d×w cells, md5-derived
+# buckets identical in both engines; probe the exact top-10 users and
+# pin the estimates cell-for-cell (the >= invariant is implied by
+# exact equality of both sides' arithmetic).
+# ---------------------------------------------------------------------------
+from dwh_spark.operators.sketch import (  # noqa: E402
+    CMS_DEPTH,
+    cms_bucket_sql,
+    cms_build,
+    cms_estimate,
+)
+
+_CMS_ROWS_SQL = "\n      UNION ALL ".join(
+    f"SELECT {r} AS row, {cms_bucket_sql('user_id', r)} AS bucket FROM events"
+    for r in range(CMS_DEPTH)
+)
+_CMS_PROBE_CASE = "CASE r.row " + " ".join(
+    f"WHEN {r} THEN {cms_bucket_sql('e.user_id', r)}" for r in range(CMS_DEPTH)
+) + " END"
+
+
+@query(
+    "events_cms_user_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS cell
+      FROM ({_CMS_ROWS_SQL})
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1
+      ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probes AS (
+      SELECT e.user_id, e.exact_n, r.row, {_CMS_PROBE_CASE} AS bucket
+      FROM exact e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row) r
+    )
+    SELECT p.user_id, p.exact_n, CAST(min(c.cell) AS BIGINT) AS cms_n
+    FROM probes p JOIN cells c USING (row, bucket)
+    GROUP BY 1, 2
+    """,
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4×64 count-min sketch over user_id (one shuffle, 256
+    cells total at ANY input size) and probe the exact top-10 users:
+    output (user_id, exact_n, cms_n). At 100 TB the sketch build is
+    the only pass over the data; estimates come from 256 broadcast
+    rows. cms_n >= exact_n always (collisions over-count) — pinned
+    exactly, not just directionally, against the oracle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id")
+    exact_top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(sketch, exact_top.select("user_id"), "user_id")
+    return exact_top.join(est, "user_id").select(
+        "user_id", "exact_n", F.col("cms_count").alias("cms_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-bounded window frames at exact integer-microsecond
+# precision: RANGE BETWEEN 1 HOUR PRECEDING AND CURRENT ROW. Both
+# engines order by BIGINT epoch-microseconds (Spark: timestamp →
+# DECIMAL(26,6) seconds → exact ×1e6; DuckDB: epoch_us) so the frame
+# boundary is an integer compare — no float-ulp flakiness, no
+# sub-second truncation (the round-1 sessionization lesson).
+# ---------------------------------------------------------------------------
+@query(
+    "events_interval_frame_sums",
+    oracle="""
+    WITH framed AS (
+      SELECT user_id, event_id, event_type,
+             CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n_last_hour, sum_last_hour
+    FROM framed WHERE event_type = 'purchase' AND user_id % 17 = 0
+    """,
+)
+def events_interval_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity (count + exact decimal sum)
+    via a RANGE frame over integer microseconds; output restricted to
+    purchases of a user slice AFTER the frame is computed, so every
+    event still contributes to the windows. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    us = (F.col("ts").cast("decimal(26,6)") * 1000000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    framed = (
+        ev.withColumn("us", us)
+        .withColumn("n_last_hour", F.count("*").over(w))
+        .withColumn(
+            "sum_last_hour",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+    )
+    return framed.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 17 == 0)
+    ).select("user_id", "event_id", "n_last_hour", "sum_last_hour")
