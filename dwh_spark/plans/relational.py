@@ -789,3 +789,94 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "datetime_function_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE)   AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(date_trunc('week', o_orderdate) AS DATE)    AS week_start,
+           CAST(extract(year FROM o_orderdate) AS INT)      AS y,
+           CAST(extract(month FROM o_orderdate) AS INT)     AS m,
+           CAST(extract(day FROM o_orderdate) AS INT)       AS d,
+           CAST(dayofweek(o_orderdate) AS INT)              AS dow0,
+           CAST(dayofyear(o_orderdate) AS INT)              AS doy,
+           CAST(weekofyear(o_orderdate) AS INT)             AS iso_week,
+           last_day(CAST(o_orderdate AS DATE))              AS month_end,
+           CAST(o_orderdate + INTERVAL 3 DAY AS DATE)       AS plus3d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
+    FROM orders WHERE o_orderkey % 997 = 0
+    """,
+)
+def datetime_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime semantics battery pinned across engines: truncation
+    grain starts (month/quarter/ISO-Monday week), field extraction,
+    day-of-week NORMALIZED to 0=Sunday (Spark's dayofweek is 1=Sunday,
+    DuckDB's dayofweek is 0=Sunday — the one-off is explicit here, not
+    an accident), ISO week numbers, month-end clamping via last_day
+    and +2-month interval arithmetic, and day differences. All pure
+    codegen date algebra on a keyed slice."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.filter(F.col("o_orderkey") % 997 == 0).select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        (F.dayofweek(d) - 1).alias("dow0"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_add(d.cast("date"), 3).alias("plus3d"),
+        F.add_months(d.cast("date"), 2).alias("plus2mo"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@query(
+    "reconcile_daily_counts",
+    oracle="""
+    WITH od AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), ed AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT coalesce(od.day, ed.day) AS day,
+           CAST(coalesce(od.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(ed.n_events, 0) AS BIGINT) AS n_events,
+           (od.day IS NULL OR ed.day IS NULL) AS one_sided
+    FROM od FULL OUTER JOIN ed ON od.day = ed.day
+    """,
+)
+def reconcile_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two daily rollups (the missing
+    join flavor in the battery set): days present in either source,
+    zero-filled counts, a one-sided flag. Both inputs pre-aggregate to
+    day grain before the join, so the outer join moves only O(days)
+    rows regardless of fact size."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    od = o.groupBy(F.to_date("o_orderdate").alias("o_day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    ed = ev.groupBy(F.to_date("ts").alias("e_day")).agg(
+        F.count("*").alias("n_events")
+    )
+    return od.join(ed, od.o_day == ed.e_day, "full_outer").select(
+        F.coalesce("o_day", "e_day").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.col("o_day").isNull() | F.col("e_day").isNull()).alias("one_sided"),
+    )
