@@ -880,3 +880,41 @@ def reconcile_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         (F.col("o_day").isNull() | F.col("e_day").isNull()).alias("one_sided"),
     )
+
+
+@query(
+    "orders_unpivot_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             max(o_totalprice) AS max_price
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, m.measure,
+           CASE m.measure WHEN 'n_orders' THEN n_orders
+                          WHEN 'total_price' THEN total_price
+                          ELSE max_price END AS value
+    FROM agg CROSS JOIN (SELECT unnest(['n_orders', 'total_price', 'max_price'])
+                         AS measure) m
+    """,
+)
+def orders_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (the inverse of the pivot battery): one row
+    per (priority, measure). The melt happens on the 5-row aggregate,
+    not the fact table — unpivot AFTER aggregation is the shape that
+    survives scale (melting the fact side first would 3× the shuffle
+    volume for the same answer)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "max_price"],
+        "measure",
+        "value",
+    )
