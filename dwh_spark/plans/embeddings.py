@@ -416,3 +416,73 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
     codebook = pq_codebook(seeds)
     return pq_adc_topk(emb, queries, codebook, k=5)
+
+
+@query(
+    "emb_int8_quantization",
+    oracle=f"""
+    WITH stats AS (
+      SELECT vec_id, label,
+             list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                         (a, b) -> greatest(a, b)) AS maxabs
+      FROM embeddings
+    ),
+    err AS (
+      SELECT s.vec_id, s.label,
+             round(list_reduce(list_transform(e.embedding,
+                     x -> abs(CAST(x AS DOUBLE)
+                              - round(CAST(x AS DOUBLE) * (127.0 / s.maxabs))
+                                / (127.0 / s.maxabs))),
+                   (a, b) -> greatest(a, b)), 6) AS max_err
+      FROM stats s JOIN embeddings e USING (vec_id)
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(CAST(sum(CAST(max_err AS DECIMAL(12,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_max_err,
+           max(max_err) AS worst_err
+    FROM err GROUP BY 1
+    """,
+)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127/max|x|,
+    the storage format a billion-vector corpus actually ships: 4 bytes
+    -> 1 byte per dim) with dequantization error audited per label.
+    Everything is fold/transform codegen over the array column — the
+    quantize, dequantize, and error reduction happen in one scan with
+    no shuffle before the final tiny label rollup. Both engines run
+    the identical sequential double folds; per-vector max error is
+    rounded to 6 before the exact-DECIMAL average."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    maxabs = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(xd(x))),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    scale = F.lit(127.0) / F.col("maxabs")
+    max_err = F.round(
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.abs(xd(x) - F.round(xd(x) * scale, 0) / scale),
+            ),
+            F.lit(0.0),
+            lambda a, b: F.greatest(a, b),
+        ),
+        6,
+    )
+    return (
+        emb.withColumn("maxabs", maxabs)
+        .withColumn("max_err", max_err)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("max_err").cast("decimal(12,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_max_err"),
+            F.max("max_err").alias("worst_err"),
+        )
+    )
