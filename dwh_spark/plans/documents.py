@@ -854,3 +854,47 @@ def docs_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pred_score").alias("min_pred"),
         F.max("pred_score").alias("max_pred"),
     )
+
+
+@query(
+    "docs_levenshtein_sample_pairs",
+    oracle="""
+    WITH sample AS (
+      SELECT doc_id, lang, substr(text, 1, 40) AS head
+      FROM documents WHERE doc_id % 101 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist,
+           round(1.0 - levenshtein(a.head, b.head)
+                       / CAST(greatest(length(a.head), length(b.head)) AS DOUBLE),
+                 6) AS sim_ratio
+    FROM sample a JOIN sample b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    """,
+)
+def docs_levenshtein_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity over 40-char prefixes of a keyed
+    sample, paired within language. Levenshtein is O(m·n) per pair and
+    all-pairs is quadratic — the sample gate and the lang blocking key
+    are the point: at corpus scale this only ever runs INSIDE an LSH/
+    MinHash candidate bucket (operators/dedup.py), never corpus-wide;
+    the query pins the distance function both engines compute."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 101 == 0)
+    s = docs.select("doc_id", "lang", F.substring("text", 1, 40).alias("head"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+                 F.col("head").alias("head_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+                 F.col("head").alias("head_b"))
+    lev = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a", "id_b",
+            lev.alias("edit_dist"),
+            F.round(
+                F.lit(1.0)
+                - lev / F.greatest(F.length("head_a"), F.length("head_b")).cast("double"),
+                6,
+            ).alias("sim_ratio"),
+        )
+    )

@@ -883,3 +883,48 @@ def events_interval_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.filter(
         (F.col("event_type") == "purchase") & (F.col("user_id") % 17 == 0)
     ).select("user_id", "event_id", "n_last_hour", "sum_last_hour")
+
+
+# ---------------------------------------------------------------------------
+# Bitmap aggregation: the roaring-bitmap trick in miniature. Distinct
+# "active days" per user is usually a count(DISTINCT) (an extra
+# dedup shuffle at scale); as a bit_or of single-set-bit masks it
+# becomes a plain map-side-combinable aggregate, and popcount reads
+# the answer off the mask. Segment rollups then OR the user masks.
+# ---------------------------------------------------------------------------
+@query(
+    "events_activity_bitmaps",
+    oracle="""
+    WITH masks AS (
+      SELECT user_id,
+             CAST(bit_or(CAST(1 AS BIGINT) << (CAST(extract(day FROM ts) AS INT) - 1))
+                  AS BIGINT) AS day_mask
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(bit_count(day_mask)) AS BIGINT) AS total_active_days,
+           CAST(max(bit_count(day_mask)) AS INT) AS max_active_days,
+           CAST(bit_count(bit_or(day_mask)) AS INT) AS cohort_covered_days
+    FROM masks GROUP BY 1
+    """,
+)
+def events_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user day-of-month activity bitmaps (bit 0 = day 1, Jan-2024
+    fixture spans one month) rolled up per cohort: distinct active
+    days = popcount, cohort coverage = popcount of OR-merged masks.
+    Two combinable shuffles, no count(DISTINCT) dedup exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    # shiftleft's numBits is literal-only in the Python API — the
+    # column-shift form goes through expr()
+    masks = ev.groupBy("user_id").agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), day(ts) - 1)")
+        ).alias("day_mask")
+    )
+    return masks.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.bit_count("day_mask")).alias("total_active_days"),
+        F.max(F.bit_count("day_mask")).alias("max_active_days"),
+        F.bit_count(F.bit_or("day_mask")).alias("cohort_covered_days"),
+    )
