@@ -231,6 +231,48 @@ def main() -> None:
     p1 = nft_partial_state(big_log.filter(F.col("height") < half))
     p2 = nft_partial_state(big_log.filter(F.col("height") >= half))
     timed("merge_nft_partials (two half-log partials)", merge_nft_partials(p1, p2))
+
+    # ---- round-3 operators at scale ----
+    from dwh_spark.operators.graph import pagerank
+    from dwh_spark.operators.lm import doc_predictability
+    from dwh_spark.operators.similarity import pq_adc_topk, pq_codebook
+    from dwh_spark.operators.sketch import cms_build, cms_estimate
+
+    # CMS: sketch the full event table; probe 10 fixed users
+    sketch = cms_build(ev, "user_id")
+    probes = spark.range(10).select(F.col("id").alias("user_id"))
+    timed(
+        "cms_build + 10 probes (4x64 cells over all events)",
+        cms_estimate(sketch, probes, "user_id"),
+    )
+    # PQ: encode the 1M vectors, ADC-scan with 8 queries
+    codebook = pq_codebook(vecs.limit(8))
+    timed(
+        "pq_adc_topk (encode 1M vectors + ADC scan, 8 queries)",
+        pq_adc_topk(vecs, qset, codebook),
+    )
+    # bigram LM over the synthetic doc corpus (500k docs at default)
+    timed(
+        "bigram_lm doc_predictability (train + score, one corpus)",
+        doc_predictability(d.select("doc_id", "text")),
+    )
+    # PageRank: 5 rounds over a 1M-edge power-lawish synthetic graph
+    n_edges = max(N_ROWS // 10, 100_000)
+    graph = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("src"),
+        # skewed destinations: low ids are hubs
+        F.pmod(F.xxhash64("id", F.lit(7)), F.pmod(F.xxhash64("id", F.lit(13)), F.lit(99_999)) + 1).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    ).groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # consume the rank column: under a bare count() Catalyst proves the
+    # per-round left-join keys unique (they come from an Aggregate) and
+    # eliminates the entire message-passing subtree
+    timed(
+        f"pagerank (5 rounds, ~{n_edges} raw edges, 100k nodes)",
+        pagerank(graph, n_iter=5).agg(
+            F.sum("rank").alias("mass"), F.count("*").alias("n")
+        ),
+    )
     spark.stop()
 
 
