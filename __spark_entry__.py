@@ -40,7 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # yield their slot. Add new queries to _CHECK_FIRST until they have a
 # green driver row.
 _CHECK_FIRST = [
-    # new this round — need a first verdict
+    # new in round 3 — need a first verdict
+    "nation_trade_pagerank",
+    "q13_customer_distribution",
+    "docs_bigram_lm_scores",
+    "streaming_session_windows",
+    "streaming_click_purchase_join",
+    "emb_pq_adc_topk",
+    "events_cms_user_counts",
+    "events_interval_frame_sums",
+    "datetime_function_battery",
+    "reconcile_daily_counts",
+    "orders_unpivot_measures",
+    "emb_int8_quantization",
+    "events_activity_bitmaps",
+    "docs_levenshtein_sample_pairs",
+    # new in round 2 — still awaiting a first driver verdict
     "flagship_nft_offers_nested",
     "marketplace_multicoin_totals",
     "events_session_concurrency",
