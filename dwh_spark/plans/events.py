@@ -928,3 +928,90 @@ def events_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.bit_count("day_mask")).alias("max_active_days"),
         F.bit_count(F.bit_or("day_mask")).alias("cohort_covered_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two time-travel replays): classify every
+# user as added / removed / changed / unchanged between two cutoffs.
+# The two snapshots share one scan+shuffle via a conditional latest-
+# state rank per cutoff; the diff itself is a single full-outer join
+# at user cardinality.
+# ---------------------------------------------------------------------------
+_DIFF_T1 = "2024-01-10 00:00:00"
+_DIFF_T2 = "2024-01-20 00:00:00"
+
+
+@query(
+    "events_snapshot_diff",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{_DIFF_T1}'
+      ) WHERE rn = 1
+    ), s2 AS (
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{_DIFF_T2}'
+      ) WHERE rn = 1
+    ),
+    diff AS (
+      SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+                  WHEN s2.user_id IS NULL THEN 'removed'
+                  WHEN s1.event_id <> s2.event_id THEN 'changed'
+                  ELSE 'unchanged' END AS change,
+             coalesce(s2.event_type, s1.event_type) AS current_type
+      FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    )
+    SELECT change, current_type, count(*) AS n_users
+    FROM diff GROUP BY 1, 2
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two point-in-time replays (state at t1 vs t2):
+    added / removed / changed / unchanged user counts by current type.
+    Both snapshots rank over ONE scan of the log (rows ≤ t1 rank under
+    both cutoffs — the t1 rank just ignores later rows), so the plan
+    is one shuffle on user_id plus a user-cardinality self-diff, not
+    two independent replays. 'removed' is structurally empty for an
+    append-only log (asserted by the oracle's identical semantics) —
+    the branch exists because the same diff runs over snapshots of
+    MUTABLE state (deleted_at in the marketplace tables)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") <= F.lit(_DIFF_T2))
+    w1 = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ev.withColumn("rn2", F.row_number().over(w1)).withColumn(
+        "rn1",
+        F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(
+                F.when(F.col("ts") <= F.lit(_DIFF_T1), 0).otherwise(1),
+                F.desc("ts"),
+                F.desc("event_id"),
+            )
+        ),
+    )
+    s1 = ranked.filter(
+        (F.col("rn1") == 1) & (F.col("ts") <= F.lit(_DIFF_T1))
+    ).select(
+        F.col("user_id").alias("u1"),
+        F.col("event_id").alias("e1"),
+        F.col("event_type").alias("t1"),
+    )
+    s2 = ranked.filter(F.col("rn2") == 1).select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("e2"),
+        F.col("event_type").alias("t2"),
+    )
+    diff = s1.join(s2, s1.u1 == s2.u2, "full_outer").select(
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(F.col("e1") != F.col("e2"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+        F.coalesce("t2", "t1").alias("current_type"),
+    )
+    return diff.groupBy("change", "current_type").agg(F.count("*").alias("n_users"))
