@@ -284,3 +284,81 @@ def test_incremental_rollup_sums_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_session_window_stream_resumes_and_merges_across_restart(spark, tmp_path):
+    """Kill-and-resume for the native session-window aggregation: half
+    the event files drain under one stream, the process "dies", and a
+    NEW stream on the same checkpoint drains the rest. Sessions that
+    straddle the restart must merge in the state store exactly as if
+    one stream saw everything — final result equals the batch gap
+    sessionization (the streaming_session_windows oracle claim, plus
+    durability)."""
+    events = load_table(spark, SF, "events")
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    # two chain-ordered halves as separate files
+    ordered = events.orderBy("ts", "event_id")
+    n = events.count()
+    half_ts = ordered.limit(n // 2).agg(F.max("ts")).collect()[0][0]
+    for i, part in enumerate(
+        (events.filter(F.col("ts") <= half_ts), events.filter(F.col("ts") > half_ts))
+    ):
+        tmp = str(tmp_path / f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    ckpt = str(tmp_path / "ckpt")
+    schema = events.schema
+
+    def drain(name):
+        agg = (
+            stream_events(spark, input_dir, schema, max_files_per_trigger=1)
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    # first drain sees only file 0 (file 1 not yet "arrived")
+    os.rename(os.path.join(input_dir, "batch1.parquet"), str(tmp_path / "held"))
+    drain("sw_run1")
+    os.rename(str(tmp_path / "held"), os.path.join(input_dir, "batch1.parquet"))
+    resumed = drain("sw_run2")  # new stream, same checkpoint
+
+    # batch truth: gap sessionization over the full table
+    w = F.window  # noqa: F841  (readability only)
+    from pyspark.sql.window import Window as W
+
+    ww = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(ww)
+    is_new = F.when(gap.isNull() | (gap >= F.expr("INTERVAL '30' MINUTE")), 1).otherwise(0)
+    run = ww.rowsBetween(W.unboundedPreceding, W.currentRow)
+    batch = (
+        events.withColumn("sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start"),
+            (F.max("ts") + F.expr("INTERVAL '30' MINUTE")).alias("end"),
+        )
+    )
+    got = sorted(
+        (r["user_id"], r["sw"]["start"], r["sw"]["end"], r["n_events"])
+        for r in resumed.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["start"], r["end"], r["n_events"]) for r in batch.collect()
+    )
+    assert got == want
