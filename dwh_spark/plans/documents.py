@@ -898,3 +898,46 @@ def docs_levenshtein_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("sim_ratio"),
         )
     )
+
+
+@query(
+    "docs_weighted_sample_stats",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS q FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id, lang, q
+      FROM scored
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 < q
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           round(CAST(sum(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6)
+             AS avg_quality
+    FROM sampled GROUP BY 1
+    """,
+)
+def docs_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: include doc_id with
+    probability = its quality score, decided by comparing an md5-hash
+    uniform (first 8 hex digits / 2^32 — an EXACT power-of-two
+    division) against the score. No RNG state, no seed coordination:
+    the same doc always draws the same uniform on any executor, any
+    engine — the reproducibility property a training-data pipeline
+    needs for sample audits. One scan, no shuffle before the lang
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    sampled = docs.select("doc_id", "lang", q.alias("q")).filter(u < F.col("q"))
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(10,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_quality"),
+    )

@@ -1015,3 +1015,46 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("t2", "t1").alias("current_type"),
     )
     return diff.groupBy("change", "current_type").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "events_value_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(any_value(m.med), 6) AS median,
+           round(any_value(m.p75) - any_value(m.p25), 6) AS iqr,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY 1
+    """,
+)
+def events_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion stats per type: median, IQR, and MAD (median
+    absolute deviation — needs the two-pass shape: per-group median,
+    broadcast back, median of deviations). Both engines share the
+    SQL-standard lerp percentile, so the numbers match exactly; the
+    100 TB swap is percentile_approx at both passes."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("p75") - F.first("p25"), 6).alias("iqr"),
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )
