@@ -55,6 +55,9 @@ _CHECK_FIRST = [
     "emb_int8_quantization",
     "events_activity_bitmaps",
     "docs_levenshtein_sample_pairs",
+    "events_snapshot_diff",
+    "events_value_robust_stats",
+    "docs_weighted_sample_stats",
     # new in round 2 — still awaiting a first driver verdict
     "flagship_nft_offers_nested",
     "marketplace_multicoin_totals",
