@@ -40,61 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # yield their slot. Add new queries to _CHECK_FIRST until they have a
 # green driver row.
 _CHECK_FIRST = [
-    # new in round 3 — need a first verdict
-    "nation_trade_pagerank",
-    "q13_customer_distribution",
-    "docs_bigram_lm_scores",
-    "streaming_session_windows",
-    "streaming_click_purchase_join",
-    "emb_pq_adc_topk",
-    "events_cms_user_counts",
+    # NTZ-regression repairs (r2 err / judge-reproduced crashes, fixed by
+    # the TIMESTAMP_NTZ→TIMESTAMP normalization in sources/catalog.py)
+    "events_asof_last_click",
+    "events_error_purchase_proximity",
+    "events_foreign_errors_in_sessions",
     "events_interval_frame_sums",
-    "datetime_function_battery",
-    "reconcile_daily_counts",
-    "orders_unpivot_measures",
-    "emb_int8_quantization",
-    "events_activity_bitmaps",
-    "docs_levenshtein_sample_pairs",
-    "events_snapshot_diff",
-    "events_value_robust_stats",
-    "docs_weighted_sample_stats",
-    # new in round 2 — still awaiting a first driver verdict
-    "flagship_nft_offers_nested",
-    "marketplace_multicoin_totals",
-    "events_session_concurrency",
-    "docs_jaccard_hashed_shingles",
-    "docs_pack_sequences",
-    "docs_train_test_split",
-    "docs_corpus_build",
-    "emb_ivf_probe_topk",
-    "marketplace_stream_nfts_state",
-    "marketplace_stream_users_state",
-    "marketplace_stream_offers_surviving",
-    "marketplace_stream_bids_surviving",
-    "marketplace_stream_ft_state",
-    "events_salted_rollup",
-    "events_zorder_keys",
-    "events_scd2_intervals",
-    "events_column_profile",
-    # positions 51+: next in line when earlier queries earn green rows
-    "docs_repetition_scores",
-    "docs_pii_scrub_stats",
-    "docs_top_terms",
-    "events_retention_cohorts",
-    "sql_correlated_outliers",
-    "emb_ivf_inertia",
-    "bucketed_cust_order_rollup",
-    "streaming_daily_rollup_incremental",
-    "events_salted_hot_join",
+    "streaming_daily_rollup",
     "streaming_dedup_exactly_once",
-    "docs_length_histogram",
-    "emb_dup_clusters",
-    "events_rolling_7d_actives",
-    "events_partition_pruned_rollup",
-    "events_compaction_roundtrip",
-    "events_rank_battery",
-    "docs_collection_fn_battery",
-    # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), now fixed
+    "streaming_click_purchase_join",
+    # red in CORRECTNESS_r01 (fixture NaN / HUGEINT typing), fixed in r2,
+    # still awaiting a driver re-check
     "marketplace_nfts_state",
     "marketplace_offers_surviving",
     "marketplace_bids_surviving",
@@ -108,27 +64,26 @@ _CHECK_FIRST = [
     "events_daily_type_pivot",
     "docs_token_stats",
     "av_audio_chunking",
-    # registered 51st-70th in r01 → never driver-checked
-    "q3_shipping_priority",
-    "q5_region_volume",
+    # never driver-checked after two rounds — the Hasura-parity read
+    # path (Q2/Q3/Q6/Q8 carriers) and remaining registered-late queries
     "filters_combinators",
-    "agg_all_orders",
     "pagination_page3",
     "point_lookup_composite",
+    "semi_anti_customers",
+    "streaming_latest_state",
+    "streaming_user_accumulator",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "agg_all_orders",
     "topk_orders_per_segment",
     "setops_customer_segments",
     "rollup_region_nation",
-    "semi_anti_customers",
     "cube_orders_status_priority",
     "sql_big_spenders",
     "scalar_function_battery",
-    "streaming_latest_state",
-    "streaming_daily_rollup",
-    "streaming_user_accumulator",
-    "events_asof_last_click",
-    "events_error_purchase_proximity",
     "orders_daily_moving_stats",
-    "events_foreign_errors_in_sessions",
+    "docs_collection_fn_battery",
+    # new in round 3 — need a first verdict (appended as implemented)
 ]
 
 

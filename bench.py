@@ -31,32 +31,49 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM, parquet footers, and every table's scan once so
-    # per-query numbers measure the query, not session startup
-    from dwh_spark.sources.catalog import load_tables
+    # per-query numbers measure the query, not session startup. Warm-up
+    # failures must not kill the run — they only cost measurement noise.
+    try:
+        from dwh_spark.sources.catalog import load_tables
 
-    for df in load_tables(spark, sf_dir).values():
-        df.count()
-    QUERIES["flagship_owned_orders"](spark, sf_dir).count()
-    # warm the binary/codegen path too — av_wav runs first alphabetically
-    # and was absorbing ~1-2 s of first-codegen cost into its number
-    QUERIES["av_wav_roundtrip_stats"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+        for df in load_tables(spark, sf_dir).values():
+            df.count()
+        QUERIES["flagship_owned_orders"](spark, sf_dir).count()
+        # warm the binary/codegen path too — av_wav runs first
+        # alphabetically and was absorbing ~1-2 s of first-codegen cost
+        QUERIES["av_wav_roundtrip_stats"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# warmup failed: {exc}", file=sys.stderr)
 
+    # Per-query fault isolation: one crashing query must never zero the
+    # file — failures are recorded as {"err": ...} and the JSON line is
+    # always emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc).split("\n")[0][:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    queries_out: dict[str, object] = dict(timings)
+    for name, err in errors.items():
+        queries_out[name] = {"err": err}
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": queries_out,
+        "n_ok": len(timings),
+        "n_err": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -39,18 +39,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Schema comes from parquet footer metadata
     (exact, no inference cost).
 
-    ``events.ts`` is written as parquet ``timestamp[ns]``, which Spark's
-    reader rejects; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
-    microsecond timestamps with integer division — bit-identical to
-    DuckDB's ns→us handling (float division would lose precision at
-    1e18 nanoseconds).
+    ``events.ts`` has shipped in two fixture encodings, both normalized
+    here to session-timezone TIMESTAMP so every downstream operator
+    (``unix_micros``, watermarks, decimal casts) sees one type:
+
+    - parquet ``timestamp[ns]`` (round-1 fixtures): Spark's reader
+      rejects nanos, so we read nanos-as-long
+      (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+      microseconds with integer division — bit-identical to DuckDB's
+      ns→us handling (float division loses precision at 1e18 ns).
+    - parquet ``timestamp[us]`` without UTC adjustment (round-2+
+      fixtures): Spark infers TIMESTAMP_NTZ, which watermarks and
+      epoch functions reject. The session timezone is pinned UTC
+      (session.py), so ``cast("timestamp")`` is value-exact and
+      matches DuckDB's naive-UTC reading of the same file.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # o_orderdate / l_shipdate / ts — normalize every temporal
+            # column to one type engine-wide
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
