@@ -16,3 +16,4 @@ import dwh_spark.plans.metadata  # noqa: F401
 import dwh_spark.plans.relational  # noqa: F401
 import dwh_spark.plans.streaming  # noqa: F401
 import dwh_spark.plans.temporal  # noqa: F401
+import dwh_spark.plans.tpch_extra  # noqa: F401
