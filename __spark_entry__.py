@@ -84,6 +84,20 @@ _CHECK_FIRST = [
     "orders_daily_moving_stats",
     "docs_collection_fn_battery",
     # new in round 3 — need a first verdict (appended as implemented)
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_parts_suppliers_semi",
+    "q22_idle_customers",
 ]
 
 

@@ -138,3 +138,99 @@ def cms_estimate(sketch, probes, key: str, depth: int = CMS_DEPTH,
         .groupBy(key)
         .agg(F.min("cell").alias("cms_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), engine-portable edition. Spark's
+# approx_count_distinct is HLL++ and DuckDB's approx_distinct is its
+# own sketch — they can never hash-match. This build derives every
+# register from the same md5 hash both engines compute bit-identically:
+#   bucket = top p bits of the 60-bit hash, rho = leading-zero count of
+#   the remaining 52 bits + 1 (computed EXACTLY via length(bin(x)) —
+#   no float log), register = max(rho).
+# The harmonic-mean denominator sum(2^-reg) is kept as an exact BIGINT
+# by scaling with 2^53 (register term 2^(53-reg), empty register 2^53;
+# max total 256·2^53 < 2^63). The only cross-engine float ops are one
+# IEEE division for the raw estimate and one ln() for the linear-
+# counting small-range correction — both computed from exact integer
+# inputs with identical expression shape on both sides.
+#
+# Scale: the register table is m rows per group regardless of input
+# size, built by one map-side-combinable groupBy — THE mergeable
+# distinct sketch for 100 TB rollups (union = max per register).
+# ---------------------------------------------------------------------------
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_C = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)  # raw-estimate numerator
+_LOW_BITS = 60 - HLL_P  # 52
+_LOW_MASK = (1 << _LOW_BITS) - 1
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate, bit-identical to
+    :func:`hll_oracle_sql`. Returns (group_cols..., n_hll)."""
+    keys = list(group_cols)
+    h = _hash60(F.col(value_col))
+    regs = (
+        df.select(
+            *keys,
+            F.shiftright(h, _LOW_BITS).alias("__bucket"),
+            h.bitwiseAND(F.lit(_LOW_MASK)).alias("__low"),
+        )
+        .withColumn(
+            "__rho",
+            F.when(F.col("__low") == 0, F.lit(_LOW_BITS + 1)).otherwise(
+                F.lit(_LOW_BITS + 1) - F.length(F.bin(F.col("__low")))
+            ),
+        )
+        .groupBy(*keys, "__bucket")
+        .agg(F.max("__rho").alias("__reg"))
+    )
+    per_group = regs.groupBy(*keys).agg(
+        F.sum(F.expr("shiftleft(1L, 53 - __reg)")).alias("__s"),
+        F.count("*").alias("__present"),
+    )
+    v = F.lit(HLL_M) - F.col("__present")  # empty registers
+    sum_scaled = F.col("__s") + v * F.lit(1 << 53)
+    raw = F.lit(_HLL_C) / sum_scaled.cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc).otherwise(raw)
+    return per_group.select(*keys, F.floor(est).alias("n_hll"))
+
+
+def hll_oracle_sql(table: str, group_cols: Sequence[str], value_col: str) -> str:
+    """DuckDB rendition of :func:`hll_distinct` — identical hash,
+    identical exact-integer register sum, identical estimate shape."""
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH hashed AS (
+      SELECT {keys},
+             ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table}
+    ),
+    regs AS (
+      SELECT {keys}, h >> {_LOW_BITS} AS bucket,
+             max(CASE WHEN (h & {_LOW_MASK}) = 0 THEN {_LOW_BITS + 1}
+                      ELSE {_LOW_BITS + 1} - length(bin(h & {_LOW_MASK})) END) AS reg
+      FROM hashed GROUP BY {keys}, bucket
+    ),
+    agg AS (
+      SELECT {keys},
+             sum((1::BIGINT << (53 - reg)))::BIGINT
+               + ({HLL_M} - count(*)) * ({1 << 53}::BIGINT) AS sum_scaled,
+             {HLL_M} - count(*) AS v
+      FROM regs GROUP BY {keys}
+    )
+    SELECT {keys},
+           floor(CASE WHEN {_HLL_C!r} / CAST(sum_scaled AS DOUBLE) <= {2.5 * HLL_M}
+                       AND v > 0
+                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v AS DOUBLE))
+                      ELSE {_HLL_C!r} / CAST(sum_scaled AS DOUBLE)
+                 END)::BIGINT AS n_hll
+    FROM agg
+    """

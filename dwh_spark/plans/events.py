@@ -262,6 +262,36 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(kmv_distinct(ev, ["event_type"], "user_id", k=64), "event_type")
 
 
+from dwh_spark.operators.sketch import hll_distinct, hll_oracle_sql  # noqa: E402
+
+
+@query(
+    "events_hll_distinct_users",
+    oracle=f"""
+    WITH exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.n_exact, h.n_hll
+    FROM exact e JOIN ({hll_oracle_sql("events", ["event_type"], "user_id")}) h
+      USING (event_type)
+    """,
+)
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type beside the exact
+    count (reference estimated-count use: documents stats,
+    x/dmetadata/storage.go count paths). Unlike KMV's distinct
+    pre-pass, HLL's state is m=256 registers per group built by one
+    map-side-combinable groupBy — at 100 TB the shuffle moves only
+    (group, bucket, max-rho) rows, never raw user ids, and two register
+    tables union by per-register max without touching the data again."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(hll_distinct(ev, ["event_type"], "user_id"), "event_type")
+
+
 @query(
     "events_value_quantiles",
     oracle="""

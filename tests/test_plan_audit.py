@@ -28,6 +28,7 @@ _STREAMING = {
 # accidental O(n·m) join.
 _ALLOW_BNLJ = {
     "marketplace_audit_counts",   # crossJoin with one-row count aggregate
+    "q22_idle_customers",         # scalar subquery: one-row avg-balance broadcast
     "docs_decontaminate",         # crossJoin of two one-row aggregates
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
