@@ -387,7 +387,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return train.agg(F.count("*").alias("n_train")).crossJoin(
-        contaminated.agg(F.count("*").alias("n_contaminated"))
+        F.broadcast(contaminated.agg(F.count("*").alias("n_contaminated")))
     )
 
 

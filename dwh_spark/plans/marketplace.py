@@ -230,7 +230,7 @@ def marketplace_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_messages"),
             F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("n_failed"),
         )
-        .crossJoin(txes.agg(F.count("*").alias("n_txes")))
+        .crossJoin(F.broadcast(txes.agg(F.count("*").alias("n_txes"))))
         .select("n_txes", "n_messages", "n_failed")
     )
 

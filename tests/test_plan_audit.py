@@ -63,6 +63,18 @@ def test_no_row_at_a_time_python(spark, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
 
 
+@pytest.mark.parametrize("name", ["marketplace_audit_counts", "docs_decontaminate"])
+def test_one_row_crossjoins_are_broadcast(spark, name):
+    """The single-row-aggregate crossJoins carry an explicit
+    F.broadcast hint — the plan must replicate the 1-row side
+    (BroadcastNestedLoopJoin / BroadcastExchange), never rely on the
+    size estimator cooperating at scale (VERDICT r3 item 5)."""
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        f"{name}: 1-row crossJoin not planned as a broadcast"
+    )
+
+
 @pytest.mark.parametrize(
     "name,pushed",
     [
