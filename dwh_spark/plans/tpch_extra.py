@@ -697,3 +697,227 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q12 shape: conditional priority counts by ship mode. The fixture
+# has no l_shipmode/l_commitdate/l_receiptdate, so (documented proxies)
+# l_returnflag stands in as the mode-like grouping column and "late"
+# means shipped >90 days after the order date. Exercises: fact-fact
+# equi join + CASE-conditional integer sums — q12's defining shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q12_shipmode_priority_counts",
+    oracle="""
+    SELECT l_returnflag AS ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def q12_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q21 shape: the double-correlated EXISTS / NOT-EXISTS anti-join —
+# suppliers whose late lineitem is the ONLY late one on a multi-supplier
+# finished order. Proxies as in q12: late = shipped >90 days after order
+# date; the original's single-nation filter is dropped (100 fixture
+# suppliers over 25 nations would leave ~4) — the join shape, not the
+# selectivity, is the point. Scale: the fact-fact join shuffles on
+# l_orderkey once and both EXISTS arms reuse that key; supplier names
+# resolve via broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH fj AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'),
+    late AS (SELECT l_orderkey, l_suppkey FROM fj
+             WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY),
+    all_f AS (SELECT DISTINCT l_orderkey, l_suppkey FROM fj),
+    late_d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM late)
+    SELECT s_name AS name, count(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM all_f l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late_d l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1 ORDER BY numwait DESC, name LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    fj = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = fj.filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    all_f = fj.select("l_orderkey", "l_suppkey").distinct()
+    late_d = late.distinct()
+    l2 = all_f.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late_d.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        late.join(
+            l2,
+            (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3),
+            "leftanti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            waiting.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("name"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q11 shape: grouped value vs a scalar fraction of the global
+# total. partsupp is absent → "stock value" of a part is proxied by the
+# value ASIA-region suppliers shipped of it (extendedprice × quantity).
+# The threshold uses the exact-decimal form v·1000 > total so a
+# float-rounded fraction can never flip a boundary part (q22 pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH stock AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2)) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey AND r_name = 'ASIA'),
+    tot AS (SELECT sum(val) AS t FROM stock)
+    SELECT l_partkey AS partkey, CAST(sum(val) AS DOUBLE) AS stock_value
+    FROM stock CROSS JOIN tot
+    GROUP BY l_partkey, t
+    HAVING sum(val) * 1000 > t
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    stock = li.join(
+        F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        (_dec("l_extendedprice") * _dec("l_quantity")).alias("val"),
+    )
+    tot = stock.agg(F.sum("val").alias("t"))
+    return (
+        stock.groupBy("l_partkey")
+        .agg(F.sum("val").alias("v"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 1000 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("stock_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q16 shape: distinct-supplier counts per part attribute triple
+# with a NOT-IN supplier exclusion. The complaint regex is proxied by
+# negative account balance (no comment column in the fixture supplier).
+# Exercises: anti join on a broadcast exclusion list + count(DISTINCT)
+# over a three-column group.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand AS brand, p_type AS type, p_size AS size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    complained = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(complained), li.l_suppkey == F.col("s_suppkey"), "leftanti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -29,6 +29,7 @@ _STREAMING = {
 _ALLOW_BNLJ = {
     "marketplace_audit_counts",   # crossJoin with one-row count aggregate
     "q22_idle_customers",         # scalar subquery: one-row avg-balance broadcast
+    "q11_important_stock",        # scalar subquery: one-row global-total broadcast
     "docs_decontaminate",         # crossJoin of two one-row aggregates
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
