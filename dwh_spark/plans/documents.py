@@ -438,6 +438,45 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_dup_clusters_distributed",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS label FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1)
+    SELECT component AS cluster_id,
+           count(*) AS n_docs,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY 1
+    """,
+)
+def docs_dup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as docs_dup_clusters, but forced down the
+    distributed large-star/small-star contraction path
+    (``driver_threshold=0``) — the driver's oracle row certifies the
+    scale path itself, not just the union-find shortcut the small
+    fixture would otherwise take (r3 verdict item 4)."""
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    comp = connected_components(pairs.select("id_a", "id_b"), driver_threshold=0)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+        ).alias("members"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data layout: sequence packing + reproducible splits.
 # ---------------------------------------------------------------------------

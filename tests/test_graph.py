@@ -1,5 +1,5 @@
 """Both connected-components paths (driver union-find, distributed
-label propagation) produce identical components."""
+large-star/small-star contraction) produce identical components."""
 
 from dwh_spark.operators.graph import connected_components
 
@@ -31,5 +31,30 @@ def test_driver_union_find_path(spark):
     assert _components(spark, EDGES) == WANT
 
 
-def test_distributed_propagation_path(spark):
+def test_distributed_star_contraction_path(spark):
     assert _components(spark, EDGES, driver_threshold=0) == WANT
+
+
+def test_star_contraction_long_chain_converges_fast(spark):
+    """A diameter-40 chain must finish inside max_rounds=6: star
+    contraction halves path lengths per round (O(log² n)), where naive
+    min-label propagation would need 40 rounds."""
+    chain = [(i, i + 1) for i in range(100, 140)]
+    want = {i: 100 for i in range(100, 141)}
+    assert _components(spark, chain, driver_threshold=0, max_rounds=6) == want
+
+
+def test_star_contraction_string_nodes(spark):
+    """Doc-id (string) nodes: lexicographic min is the component id on
+    both paths, matching the dedup canonical-survivor policy."""
+    edges = [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, **kw).collect()
+        }
+        assert got == {
+            "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+            "x": "x", "y": "x",
+        }
