@@ -17,8 +17,13 @@ Scale notes:
 - MinHash here uses lexicographic-min md5(seed:shingle) as the hash
   family — engine-portable, deterministic, no RNG state to ship.
 - SimHash blocks on the high 16 bits, so the hamming join only
-  compares within blocks (at scale: permute-and-reblock to cover
-  rotations; one permutation implemented).
+  compares within blocks — single-permutation, misses pairs whose
+  differing bits straddle the block boundary. The rotation-complete
+  form is :func:`simhash_near_duplicates_rotated`: a 60-bit
+  fingerprint cut into ``n_blocks`` disjoint blocks, one candidate
+  table per block (each table IS one permutation with that block
+  rotated to the front, Manku et al. WWW'07); by pigeonhole any pair
+  at hamming ≤ n_blocks-1 matches exactly in at least one block.
 """
 
 from __future__ import annotations
@@ -309,7 +314,11 @@ def simhash_near_duplicates(
     df: DataFrame, text: str = "text", key: str = "doc_id", max_hamming: int = 4
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on the high
-    16 bits so the join never goes quadratic in the table size."""
+    16 bits so the join never goes quadratic in the table size.
+
+    Single-permutation: pairs whose differing bits straddle the block
+    boundary are missed; :func:`simhash_near_duplicates_rotated` is the
+    recall-complete variant."""
     sh = simhash(df, text, key)
     blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), 16))
     a = blocked.select(F.col(key).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
@@ -320,4 +329,95 @@ def simhash_near_duplicates(
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash60(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over distinct words: bit weights from the first
+    15 hex chars of md5(word) — engine-portable like every hash here,
+    and wide enough that 15-bit blocks still have 32k bucket values
+    (the 32-bit fingerprint's 4-block cut would leave 256)."""
+    toks = df.select(key, F.explode(F.array_distinct(words(F.col(text)))).alias("word"))
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    )
+    expanded = hashed.select(
+        key, "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
+    )
+    weighted = expanded.withColumn(
+        "w", F.when(F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    )
+    return (
+        weighted.groupBy(key, "j")
+        .agg(F.sum("w").alias("wsum"))
+        .groupBy(key)
+        .agg(
+            F.sum(
+                F.when(F.col("wsum") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_blocked_pairs(
+    sh: DataFrame,
+    key: str = "doc_id",
+    n_blocks: int = 4,
+    block_bits: int = 15,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Permute-and-reblock candidate join over a (key, simhash) frame.
+
+    The fingerprint is cut into ``n_blocks`` disjoint ``block_bits``
+    slices; each block index is one permutation of the bits with that
+    block rotated to the front, and candidates equi-join on
+    (block index, block value). Pigeonhole: a pair at hamming ≤
+    n_blocks-1 has fewer differing bits than blocks, so at least one
+    block matches exactly — full recall up to that distance, including
+    pairs whose differing bits straddle every single-cut boundary.
+
+    Scale: ×n_blocks row fan-out on the slim (key, fingerprint) frame,
+    one equi-join shuffle on the block key; never all-pairs. Bucket
+    population is n/2^block_bits per value — widen ``block_bits`` (and
+    the fingerprint) before narrowing ``n_blocks`` if buckets run hot.
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole guarantee needs n_blocks > max_hamming "
+            f"(got {n_blocks} blocks for hamming {max_hamming})"
+        )
+    mask = (1 << block_bits) - 1
+    blk = sh.select(
+        F.col(key),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i"),
+    ).withColumn(
+        "val",
+        F.expr(f"shiftright(simhash, i * {block_bits})").bitwiseAND(F.lit(mask)),
+    )
+    a = blk.select(F.col(key).alias("id_a"), F.col("simhash").alias("sh_a"), "i", "val")
+    b = blk.select(F.col(key).alias("id_b"), F.col("simhash").alias("sh_b"), "i", "val")
+    return (
+        a.join(b, ["i", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_duplicates_rotated(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Rotation-complete SimHash near-dup pairs: 60-bit fingerprint,
+    one candidate table per 15-bit block (Manku et al. WWW'07 scheme),
+    guaranteed to find every pair at hamming ≤ n_blocks-1."""
+    return simhash_blocked_pairs(
+        simhash60(df, text, key), key, n_blocks, 15, max_hamming
     )

@@ -283,6 +283,55 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_duplicates(load_table(spark, sf_dir, "documents"), max_hamming=4)
 
 
+@query(
+    "docs_simhash_rotation_near_dups",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM toks
+    ),
+    weighted AS (
+      SELECT doc_id, bits.j,
+             sum(CASE WHEN (h >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS wsum
+      FROM hashed, (SELECT unnest(range(0, 60)) AS j) bits
+      GROUP BY 1, 2
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             sum(CASE WHEN wsum > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM weighted GROUP BY 1
+    ),
+    blk AS (
+      SELECT doc_id, simhash, blocks.i,
+             (simhash >> (15 * blocks.i)) & 32767 AS val
+      FROM sh2, (SELECT unnest(range(0, 4)) AS i) blocks
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM blk a JOIN blk b
+        ON a.i = b.i AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def docs_simhash_rotation_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation-complete SimHash near-dups (permute-and-reblock,
+    operators/dedup.py): a 60-bit fingerprint cut into four 15-bit
+    blocks, candidates equi-joined per block — by pigeonhole every
+    hamming ≤ 3 pair is found, including the thousands of fixture
+    pairs whose differing bits straddle a single-cut block boundary
+    and are invisible to docs_simhash_near_dups' one-permutation
+    blocking."""
+    return D.simhash_near_duplicates_rotated(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, n_blocks=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data preparation: context-window chunking and benchmark
 # decontamination — the two steps between "deduped corpus" and

@@ -1,0 +1,74 @@
+"""Permute-and-reblock SimHash: pigeonhole recall guarantee.
+
+The single-permutation blocker (high-16-bit cut) misses pairs whose
+differing bits straddle the block boundary; the rotated scheme must
+find every pair at hamming <= n_blocks-1 regardless of where the
+differing bits fall.
+"""
+
+from pyspark.sql import functions as F
+
+from dwh_spark.operators.dedup import (
+    simhash60,
+    simhash_blocked_pairs,
+    simhash_near_duplicates_rotated,
+)
+
+import pytest
+
+
+def _pairs(spark, fingerprints, **kw):
+    sh = spark.createDataFrame(fingerprints, "doc_id long, simhash long")
+    return {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_blocked_pairs(sh, **kw).collect()
+    }
+
+
+def test_boundary_straddling_pair_found(spark):
+    # diffs at the top bit of blocks 0, 1 and 2 — every one-cut
+    # blocking that keys on any of those blocks misses this pair;
+    # block 3 is clean, so the rotated join finds it.
+    b = (1 << 14) | (1 << 29) | (1 << 44)
+    got = _pairs(spark, [(1, 0), (2, b)])
+    assert got == {(1, 2): 3}
+
+
+def test_hamming_above_block_count_excluded(spark):
+    # four differing bits across four blocks: no clean block, and the
+    # distance exceeds max_hamming anyway — must not appear.
+    b = (1 << 3) | (1 << 17) | (1 << 32) | (1 << 47)
+    assert _pairs(spark, [(1, 0), (2, b)]) == {}
+
+
+def test_pigeonhole_guarantee_needs_enough_blocks(spark):
+    sh = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError):
+        simhash_blocked_pairs(sh, max_hamming=4, n_blocks=4)
+
+
+def test_rotated_matches_brute_force(spark):
+    """End-to-end on texts: the blocked join finds EXACTLY the pairs a
+    quadratic all-pairs scan finds at hamming <= 3."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely unrelated text about spark shuffles"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash60(docs).collect()}
+    want = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates_rotated(docs).collect()
+    }
+    assert got == want and (1, 5) in got  # the exact-dup pair at hd 0
