@@ -1,0 +1,235 @@
+"""Minimal pure-Python/numpy image codecs: PNG + BMP decode, PNG + BMP
+encode, bicubic resize.
+
+The reference really decodes, bicubic-resizes, and re-encodes images
+(`x/imgresizer/resizer.go:242-263`; PNG best-compression re-encode at
+`resizer.go:49,184`). This container has no PIL, so the pixel path is
+vendored from the public specs instead of stubbed:
+
+- PNG per RFC 2083 / the W3C PNG spec: chunk walk, zlib inflate, all
+  five scanline filters, color types 0/2/3/4/6 at bit depth 8.
+  Interlace (Adam7) and sub-byte depths raise — the fixture never
+  produces them and a real deployment would install a codec library.
+- BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24/32-bit,
+  bottom-up or top-down.
+- Resize: separable 4-tap bicubic convolution (Keys 1981, a = -0.5 —
+  the same kernel family Go's resize libraries and PIL call BICUBIC),
+  half-pixel center alignment, edge clamp. Fully numpy-vectorized:
+  weights are computed per output coordinate and applied with fancy
+  indexing — no per-pixel Python loop in the resize.
+
+Everything here is deterministic: fixed zlib level, fixed filter
+strategy (None), fixed rounding — so a re-encoded image's bytes are
+reproducible across runs and partitions.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type
+_CTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering → (height, width*channels) uint8.
+
+    Filters None/Up are vectorized whole-row; Sub is a per-lane cumsum
+    (recon[x] = raw[x] + recon[x-bpp] telescopes to a running sum);
+    Average/Paeth carry a true left dependency and fall back to a
+    per-column loop — our encoder always writes None, so the loop only
+    runs on foreign PNGs.
+    """
+    bpp = channels
+    stride = width * bpp
+    rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), np.uint16)
+    prior = np.zeros(stride, np.uint16)
+    for y in range(height):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub
+            lanes = line.reshape(width, bpp).astype(np.int64)
+            recon = (np.cumsum(lanes, axis=0) % 256).reshape(stride).astype(np.uint16)
+        elif ftype == 2:  # Up
+            recon = (line + prior) % 256
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, np.uint16)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (line[x] + (left + prior[x]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, np.uint16)
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prior = recon
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8 array (C per source color type;
+    palette images expand to RGB)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    idat: list[bytes] = []
+    palette = None
+    w = h = ctype = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace:
+                raise NotImplementedError("Adam7 interlace")
+            if comp or filt:
+                raise ValueError("bad IHDR compression/filter method")
+        elif typ == b"PLTE":
+            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    channels = _CTYPE_CHANNELS[ctype]
+    flat = _unfilter(zlib.decompress(b"".join(idat)), w, h, channels)
+    arr = flat.reshape(h, w, channels)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette image without PLTE")
+        arr = palette[arr[:, :, 0]]
+    return arr
+
+
+def png_encode(arr: np.ndarray, level: int = 9) -> bytes:
+    """(H, W[, C]) uint8 → PNG bytes. Filter None on every scanline and
+    a fixed zlib level (9 = the reference's png.BestCompression,
+    resizer.go:49) keep the output byte-deterministic."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → (H, W, 3|4) uint8 RGB(A)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    (pix_offset,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size}")
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    h = abs(h_raw)
+    nbytes = bpp // 8
+    row_bytes = (w * nbytes + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        data[pix_offset : pix_offset + row_bytes * h], np.uint8
+    ).reshape(h, row_bytes)[:, : w * nbytes].reshape(h, w, nbytes)
+    if h_raw > 0:  # bottom-up storage
+        rows = rows[::-1]
+    # BGR(A) → RGB(A)
+    if nbytes == 3:
+        return np.ascontiguousarray(rows[:, :, ::-1])
+    return np.ascontiguousarray(rows[:, :, [2, 1, 0, 3]])
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit bottom-up BMP bytes (fixture
+    generator; the pipeline re-encodes to PNG like the reference)."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("bmp_encode expects RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    bgr = arr[::-1, :, ::-1]  # bottom-up, BGR
+    body = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h))
+    pix_offset = 14 + 40
+    file_size = pix_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def _cubic_weights(frac: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys bicubic kernel weights for the 4 taps at offsets
+    (-1, 0, +1, +2) around each sample position; frac in [0, 1)."""
+    # distances from the sample position to each tap
+    d = np.stack([frac + 1.0, frac, 1.0 - frac, 2.0 - frac])
+    x = np.abs(d)
+    w = np.where(
+        x <= 1.0,
+        (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0,
+        np.where(x < 2.0, a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a, 0.0),
+    )
+    # normalize: clamped taps at the borders would otherwise shift gain
+    return w / w.sum(axis=0, keepdims=True)
+
+
+def _resample_axis(arr: np.ndarray, out_n: int, axis: int) -> np.ndarray:
+    in_n = arr.shape[axis]
+    # half-pixel center alignment: dst center i+0.5 maps to src coord
+    pos = (np.arange(out_n) + 0.5) * (in_n / out_n) - 0.5
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    weights = _cubic_weights(frac)  # (4, out_n)
+    taps = np.clip(base[None, :] + np.arange(-1, 3)[:, None], 0, in_n - 1)  # (4, out_n)
+    moved = np.moveaxis(arr, axis, 0).astype(np.float64)  # (in_n, ...)
+    gathered = moved[taps]  # (4, out_n, ...)
+    extra = (1,) * (gathered.ndim - 2)
+    out = (gathered * weights.reshape(4, out_n, *extra)).sum(axis=0)
+    return np.moveaxis(out, 0, axis)
+
+
+def resize_bicubic(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Separable bicubic resize of (H, W[, C]) uint8 → uint8.
+
+    Exact on constant and linear-gradient interiors (the Keys kernel
+    reproduces degree-1 polynomials); deterministic rounding via
+    np.rint then clip.
+    """
+    out = _resample_axis(arr, out_h, 0)
+    out = _resample_axis(out, out_w, 1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)

@@ -18,11 +18,11 @@ JVM-side column algebra:
   original) as a rank-1 window.
 
 Pixel decoding (B2/B4) is the only step that needs Python: it runs as
-``mapInPandas`` over Arrow batches. The image codec libraries are not
-installed in this environment, so the decoder is STUBBED — the batch
-plumbing (schema, batching, fan-out) is real and tested with a
-deterministic fake decoder; `pillow_decoder` raises
-``NotImplementedError`` unless PIL is importable.
+``mapInPandas`` over Arrow batches. PNG and BMP decode/resize/re-encode
+are REAL even without PIL — vendored pure-numpy codecs
+(multimodal/codecs.py: inflate, unfilter, Keys bicubic, deflate);
+jpeg/gif/tiff/webp need a codec library and raise without PIL.
+``deterministic_decoder`` remains for format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -144,23 +144,42 @@ def deterministic_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
     return tag + hashlib.md5(tag + content).digest()
 
 
-def pillow_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
-    """B2+B4 — real decode → bicubic resize → PNG best-compression
+def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
+    """B2+B4 — REAL decode → bicubic resize → PNG best-compression
     re-encode (resizer.go:242-263, png.BestCompression at :49).
-    STUB: Pillow is not installed in this environment."""
+
+    Uses PIL when importable; otherwise the vendored pure-Python
+    codecs (multimodal/codecs.py) handle png and bmp for real —
+    actual inflate, unfilter, Keys bicubic resample, deflate. The
+    remaining formats (jpeg/gif/tiff/webp) genuinely need a codec
+    library and raise without PIL.
+    """
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image codecs unavailable: pillow_decoder needs PIL; "
-            "use deterministic_decoder for plumbing tests"
-        ) from exc
+    except ImportError:
+        from dwh_spark.multimodal import codecs
+
+        if fmt == "png":
+            arr = codecs.png_decode(content)
+        elif fmt == "bmp":
+            arr = codecs.bmp_decode(content)
+        else:
+            raise NotImplementedError(
+                f"{fmt} decode needs an image codec library (PIL absent; "
+                "vendored codecs cover png/bmp)"
+            )
+        return codecs.png_encode(codecs.resize_bicubic(arr, w, h))
     img = Image.open(io.BytesIO(content))  # pragma: no cover
     out = io.BytesIO()  # pragma: no cover
     img.resize((w, h), Image.BICUBIC).save(out, "PNG", optimize=True)  # pragma: no cover
     return out.getvalue()  # pragma: no cover
+
+
+# historical name (r1-r3 referred to the PIL-gated stub as
+# pillow_decoder); same callable, now with a real no-PIL path
+pillow_decoder = pixel_decoder
 
 
 def decode_and_resize(

@@ -207,6 +207,105 @@ def imgs_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "imgs_real_pixel_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+           r.target_w, r.target_h,
+           r.target_w AS dec_w, r.target_h AS dec_h,
+           (doc_id * 37) % 256 AS mean_r,
+           (doc_id * 59) % 256 AS mean_g,
+           (doc_id * 83) % 256 AS mean_b
+    FROM documents
+    CROSS JOIN (VALUES (40, 30), (16, 12)) AS r(target_w, target_h)
+    """,
+)
+def imgs_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2+B4 for REAL: every doc becomes a genuine 32x24 constant-color
+    image — PNG for even doc_ids, 24-bit BMP for odd — encoded by the
+    vendored codecs in a mapInPandas stage. The pipeline then sniffs,
+    fans out to two resolutions, pixel-decodes, bicubic-resizes and
+    re-encodes to PNG (pixel_decoder), and finally DECODES THE OUTPUT
+    AGAIN to report decoded dimensions and per-channel means.
+
+    The oracle is independent of every codec: bicubic resampling of a
+    constant image is that constant, so the means must equal the
+    channel values the construction arithmetic assigned
+    ((doc_id*37|59|83) % 256) and the decoded dims must equal the
+    resize targets. A bug anywhere in encode → sniff → decode →
+    resample → re-encode → re-decode shows up as a wrong mean, wrong
+    size, or a crashed row.
+    """
+    from dwh_spark.multimodal.images import pixel_decoder
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = "doc_id long, owner string, token_id string, content binary"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                arr = np.empty((24, 32, 3), np.uint8)
+                arr[:, :, 0] = (d * 37) % 256
+                arr[:, :, 1] = (d * 59) % 256
+                arr[:, :, 2] = (d * 83) % 256
+                content = codecs.png_encode(arr) if d % 2 == 0 else codecs.bmp_encode(arr)
+                out.append((d, "owner", str(d), content))
+            yield pd.DataFrame(out, columns=["doc_id", "owner", "token_id", "content"])
+
+    images = docs.mapInPandas(gen, gen_schema)
+    fanned = resize_fanout(images, resolutions=((40, 30), (16, 12)))
+    resized = decode_and_resize(fanned, decoder=pixel_decoder)
+
+    stats_schema = (
+        "token_id string, format string, target_w int, target_h int, "
+        "dec_w int, dec_h int, mean_r long, mean_g long, mean_b long"
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for tok, fmt, tw, th, blob in zip(
+                pdf["token_id"], pdf["format"], pdf["target_w"],
+                pdf["target_h"], pdf["resized"],
+            ):
+                arr = codecs.png_decode(bytes(blob))
+                rows.append((
+                    tok, fmt, int(tw), int(th),
+                    int(arr.shape[1]), int(arr.shape[0]),
+                    int(round(arr[:, :, 0].mean())),
+                    int(round(arr[:, :, 1].mean())),
+                    int(round(arr[:, :, 2].mean())),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "token_id", "format", "target_w", "target_h",
+                    "dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    verified = resized.mapInPandas(verify, stats_schema)
+    return verified.select(
+        F.col("token_id").cast("long").alias("doc_id"),
+        "format",
+        "target_w", "target_h", "dec_w", "dec_h",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+@query(
     "imgs_point_read_fallback",
     oracle="""
     SELECT doc_id,

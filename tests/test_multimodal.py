@@ -60,9 +60,33 @@ def test_decode_and_resize_stub_batches(spark):
     assert out[("t2", 0)] == (b"<svg/>", 6)
 
 
-def test_pillow_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError, match="image codecs unavailable"):
-        pillow_decoder(b"\x89PNG", 10, 10, "png")
+def test_pixel_decoder_real_png_roundtrip():
+    """No PIL in this env, so this exercises the vendored codec path:
+    a real 16x12 constant-color PNG decodes, bicubic-resizes to 8x6,
+    and re-encodes to a PNG whose pixels are still that color."""
+    import numpy as np
+
+    from dwh_spark.multimodal import codecs
+
+    src = codecs.png_encode(np.full((12, 16, 3), 99, np.uint8))
+    resized = pillow_decoder(src, 8, 6, "png")
+    arr = codecs.png_decode(resized)
+    assert arr.shape == (6, 8, 3) and (arr == 99).all()
+
+
+def test_pixel_decoder_real_bmp():
+    import numpy as np
+
+    from dwh_spark.multimodal import codecs
+
+    src = codecs.bmp_encode(np.full((10, 10, 3), 42, np.uint8))
+    arr = codecs.png_decode(pillow_decoder(src, 5, 4, "bmp"))
+    assert arr.shape == (4, 5, 3) and (arr == 42).all()
+
+
+def test_pixel_decoder_unsupported_format_raises():
+    with pytest.raises(NotImplementedError, match="needs an image codec"):
+        pillow_decoder(b"\xff\xd8\xff\xe0", 10, 10, "jpeg")
 
 
 def test_content_address_shape(spark):
