@@ -13,6 +13,7 @@ import dwh_spark.plans.events  # noqa: F401
 import dwh_spark.plans.images  # noqa: F401
 import dwh_spark.plans.marketplace  # noqa: F401
 import dwh_spark.plans.metadata  # noqa: F401
+import dwh_spark.plans.pipeline_extra  # noqa: F401
 import dwh_spark.plans.relational  # noqa: F401
 import dwh_spark.plans.streaming  # noqa: F401
 import dwh_spark.plans.temporal  # noqa: F401

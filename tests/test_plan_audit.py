@@ -31,6 +31,7 @@ _ALLOW_BNLJ = {
     "q22_idle_customers",         # scalar subquery: one-row avg-balance broadcast
     "q11_important_stock",        # scalar subquery: one-row global-total broadcast
     "docs_decontaminate",         # crossJoin of two one-row aggregates
+    "events_session_funnel_windows",  # three one-row stage-count broadcasts
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
     "emb_ivf_inertia",            # same centroid broadcast, score kept for the metric
