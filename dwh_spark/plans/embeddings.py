@@ -486,3 +486,102 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_err").alias("worst_err"),
         )
     )
+
+
+@query(
+    "emb_ivf_recall_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, embedding AS c_emb, norm2 AS c_norm2
+          FROM base WHERE vec_id IN ({_CIDS})),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+          FROM base WHERE vec_id IN ({_IDS})),
+    exact_scored AS (
+      SELECT q.query_id, v.vec_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round({_DOT.format(a='v.embedding', b='q.q_emb')}
+                     / (sqrt(v.norm2) * sqrt(q.q_norm2)), 6) DESC, v.vec_id) AS rnk
+      FROM base v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    ),
+    exact AS (SELECT query_id, vec_id FROM exact_scored WHERE rnk <= 5),
+    vcell_scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               round({_DOT.format(a='v.embedding', b='c.c_emb')}
+                     / (sqrt(v.norm2) * sqrt(c.c_norm2)), 6) DESC,
+               c.centroid_id) AS rn
+      FROM base v CROSS JOIN c
+    ),
+    vcell AS (SELECT vec_id, centroid_id AS cell FROM vcell_scored WHERE rn = 1),
+    qcell_scored AS (
+      SELECT q.query_id, q.q_emb, q.q_norm2, c.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round({_DOT.format(a='q.q_emb', b='c.c_emb')}
+                     / (sqrt(q.q_norm2) * sqrt(c.c_norm2)), 6) DESC,
+               c.centroid_id) AS rn
+      FROM q CROSS JOIN c
+    ),
+    qcell AS (SELECT query_id, q_emb, q_norm2, centroid_id AS cell
+              FROM qcell_scored WHERE rn <= 2),
+    probe_scored AS (
+      SELECT qc.query_id, vc.vec_id,
+             row_number() OVER (PARTITION BY qc.query_id ORDER BY
+               round({_DOT.format(a='b.embedding', b='qc.q_emb')}
+                     / (sqrt(b.norm2) * sqrt(qc.q_norm2)), 6) DESC, vc.vec_id) AS rnk
+      FROM qcell qc
+      JOIN vcell vc ON vc.cell = qc.cell AND vc.vec_id <> qc.query_id
+      JOIN base b ON b.vec_id = vc.vec_id
+    ),
+    probe AS (SELECT query_id, vec_id FROM probe_scored WHERE rnk <= 5),
+    overlap AS (
+      SELECT e.query_id, count(*) AS n_overlap
+      FROM exact e JOIN probe p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(coalesce(max(o.n_overlap), 0) AS BIGINT) AS n_overlap,
+           round(CAST(coalesce(max(o.n_overlap), 0) AS DOUBLE) / count(*), 6)
+             AS recall_at_5
+    FROM exact e LEFT JOIN overlap o ON o.query_id = e.query_id
+    GROUP BY 1
+    """,
+)
+def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: recall@5 of the IVF multi-probe index
+    against the exact brute-force ranking, per query. This is the
+    audit you run after building/retuning an ANN index — a cell count
+    or nprobe that silently tanks recall shows up as a number, not a
+    hunch. Both sides reuse the registry's existing plans (broadcast
+    query/centroid sides; the only wide scan is the corpus pass each
+    ranking already needs)."""
+    from dwh_spark.operators.similarity import cosine_topk as _ct
+    from dwh_spark.operators.similarity import ivf_probe_topk as _ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    exact = _ct(emb, queries, k=5).select("query_id", "vec_id")
+    probe = _ivf(emb, centroids, queries, k=5, nprobe=2).select("query_id", "vec_id")
+    overlap = (
+        exact.join(probe, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall_at_5"),
+        )
+    )
