@@ -51,7 +51,6 @@ _CHECK_FIRST = [
     "imgs_real_pixel_stats",
     "docs_simhash_rotation_near_dups",
     "docs_dup_clusters_distributed",
-    "docs_embedding_near_dups",
     "q11_important_stock",
     "q16_supplier_part_counts",
     "events_range_hypertable_rollup",

@@ -19,6 +19,7 @@ where the exact distinct state would be unbounded.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -165,6 +166,12 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 _HLL_C = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)  # raw-estimate numerator
 _LOW_BITS = 60 - HLL_P  # 52
 _LOW_MASK = (1 << _LOW_BITS) - 1
+# floor(m·ln(m/v)) for v=1..m-1, precomputed ONCE and embedded as
+# literals on BOTH engines — the linear-counting branch must not
+# depend on two libm ln() implementations rounding identically.
+_HLL_LC_TABLE = [
+    math.floor(float(HLL_M) * math.log(float(HLL_M) / v)) for v in range(1, HLL_M)
+]
 
 
 def hll_distinct(
@@ -198,9 +205,17 @@ def hll_distinct(
     v = F.lit(HLL_M) - F.col("__present")  # empty registers
     sum_scaled = F.col("__s") + v * F.lit(1 << 53)
     raw = F.lit(_HLL_C) / sum_scaled.cast("double")
-    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
-    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc).otherwise(raw)
-    return per_group.select(*keys, F.floor(est).alias("n_hll"))
+    # linear counting via the shared literal table (not F.log): ln() is
+    # not guaranteed correctly-rounded in either engine, so a 1-ulp
+    # divergence could flip the floor when m·ln(m/v) grazes an integer
+    # (r3 ADVICE); both engines index the identical precomputed ints.
+    lc = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC_TABLE]), v.cast("int"))
+    return per_group.select(
+        *keys,
+        F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc)
+        .otherwise(F.floor(raw))
+        .alias("n_hll"),
+    )
 
 
 def hll_oracle_sql(table: str, group_cols: Sequence[str], value_col: str) -> str:
@@ -227,10 +242,10 @@ def hll_oracle_sql(table: str, group_cols: Sequence[str], value_col: str) -> str
       FROM regs GROUP BY {keys}
     )
     SELECT {keys},
-           floor(CASE WHEN {_HLL_C!r} / CAST(sum_scaled AS DOUBLE) <= {2.5 * HLL_M}
-                       AND v > 0
-                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v AS DOUBLE))
-                      ELSE {_HLL_C!r} / CAST(sum_scaled AS DOUBLE)
-                 END)::BIGINT AS n_hll
+           CASE WHEN {_HLL_C!r} / CAST(sum_scaled AS DOUBLE) <= {2.5 * HLL_M}
+                 AND v > 0
+                THEN ([{", ".join(str(x) for x in _HLL_LC_TABLE)}])[v]::BIGINT
+                ELSE floor({_HLL_C!r} / CAST(sum_scaled AS DOUBLE))::BIGINT
+           END AS n_hll
     FROM agg
     """
