@@ -173,7 +173,9 @@ def av_video_real_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed (ffmpeg_frame_decoder)."""
     from dwh_spark.multimodal.av import decode_avi_frame_stats
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # 32-way spread: the single-row-group fixture would otherwise run
+    # every AVI encode/decode on ONE core
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     def gen(batches):
         import numpy as np

@@ -180,8 +180,13 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
+        # explicit 32-way spread: the fixture parquet is a single
+        # row-group (one input split), which would serialize the
+        # shingle explode + md5 on one core; the pinned count also
+        # stops AQE re-coalescing the bytes-small exchange
         _PAIRS_CACHE[key] = D.jaccard_pairs_hashed(
-            load_table(spark, sf_dir, "documents"), threshold=0.7
+            load_table(spark, sf_dir, "documents").repartition(32, "doc_id"),
+            threshold=0.7,
         ).cache()
     return _PAIRS_CACHE[key]
 
@@ -929,7 +934,13 @@ def docs_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs — nothing quadratic, nothing driver-side (operators/lm.py)."""
     from dwh_spark.operators import lm
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # 32-way spread before the bigram explode (single-row-group input,
+    # see _jaccard_pairs_cached)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(32, "doc_id")
+    )
     scored = lm.doc_predictability(docs)
     return scored.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

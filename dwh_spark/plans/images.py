@@ -238,7 +238,10 @@ def imgs_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dwh_spark.multimodal.images import pixel_decoder
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # 32-way spread: the single-row-group fixture would otherwise run
+    # every PNG/BMP encode+decode on ONE core (the mapInPandas stages
+    # inherit input partitioning)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     gen_schema = "doc_id long, owner string, token_id string, content binary"
 

@@ -139,33 +139,46 @@ def docs_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     position), so one window min does argmin + tie-break with no UDF.
     Scale: everything partitions by doc_id; no shuffle wider than the
     doc's own gram stream."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the fixture's documents.parquet is a single row-group, so without
+    # an explicit spread the explode+md5 (the dominant cost) runs on ONE
+    # core — and AQE would re-coalesce a bytes-small shuffle right back
+    # to one partition, so the count is pinned explicitly. Partitioning
+    # by doc_id doubles as the window's required clustering downstream.
+    docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
     s = F.split(F.col("text"), " ")
+    # n_grams = len(s) - k + 1 is known BEFORE the explode — carrying it
+    # as a column avoids a whole count() window pass over the exploded
+    # gram stream (one sort instead of two)
     grams = (
-        docs.select("doc_id", F.posexplode(
-            F.filter(
-                F.transform(
-                    s,
-                    lambda _, i: F.when(
-                        i < F.size(s) - (_WIN_K - 1),
-                        F.concat_ws(
-                            " ",
-                            F.element_at(s, i + 1),
-                            F.element_at(s, i + 2),
-                            F.element_at(s, i + 3),
+        docs.select(
+            "doc_id",
+            (F.size(s) - (_WIN_K - 1)).cast("long").alias("n_grams"),
+            F.posexplode(
+                F.filter(
+                    F.transform(
+                        s,
+                        lambda _, i: F.when(
+                            i < F.size(s) - (_WIN_K - 1),
+                            F.concat_ws(
+                                " ",
+                                F.element_at(s, i + 1),
+                                F.element_at(s, i + 2),
+                                F.element_at(s, i + 3),
+                            ),
                         ),
                     ),
-                ),
-                lambda g: g.isNotNull(),
-            )
-        ).alias("pos", "gram"))
+                    lambda g: g.isNotNull(),
+                )
+            ).alias("pos", "gram"),
+        )
     )
     h = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
     keyed = grams.select(
         "doc_id",
         "pos",
+        "n_grams",
         (h * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("pos"))).alias("key"),
-    ).withColumn("n_grams", F.count("*").over(Window.partitionBy("doc_id")))
+    )
     frame = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
