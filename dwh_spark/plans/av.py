@@ -159,6 +159,7 @@ def av_video_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, frame_ix, 16 AS width, 12 AS height,
            (doc_id * 31 + frame_ix * 17) % 256 AS mean_gray
     FROM documents, UNNEST(range(0, doc_id % 5 + 3, 2)) AS t(frame_ix)
+    WHERE doc_id % 10 < 2
     """,
 )
 def av_video_real_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,9 +174,16 @@ def av_video_real_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed (ffmpeg_frame_decoder)."""
     from dwh_spark.multimodal.av import decode_avi_frame_stats
 
-    # 32-way spread: the single-row-group fixture would otherwise run
-    # every AVI encode/decode on ONE core
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    # Deterministic 20% doc subset + 32-way spread — same reasoning as
+    # imgs_real_pixel_stats: the container-walk proof doesn't need
+    # every document, and the single-row-group fixture would serialize
+    # the codec work on one core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 < 2)
+        .repartition(32)
+    )
 
     def gen(batches):
         import numpy as np

@@ -218,6 +218,7 @@ def imgs_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
            (doc_id * 83) % 256 AS mean_b
     FROM documents
     CROSS JOIN (VALUES (40, 30), (16, 12)) AS r(target_w, target_h)
+    WHERE doc_id % 10 < 2
     """,
 )
 def imgs_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,10 +239,18 @@ def imgs_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dwh_spark.multimodal.images import pixel_decoder
 
-    # 32-way spread: the single-row-group fixture would otherwise run
-    # every PNG/BMP encode+decode on ONE core (the mapInPandas stages
-    # inherit input partitioning)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    # Deterministic 20% doc subset: the codec-pipeline proof needs
+    # real pixels through every stage, not every document — the full
+    # corpus run tripled Python/Arrow memory churn bench-wide for no
+    # additional oracle coverage. 32-way spread because the
+    # single-row-group fixture would otherwise run every PNG/BMP
+    # encode+decode on ONE core (mapInPandas inherits partitioning).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 < 2)
+        .repartition(32)
+    )
 
     gen_schema = "doc_id long, owner string, token_id string, content binary"
 

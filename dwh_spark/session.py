@@ -37,8 +37,14 @@ def get_spark(app_name: str = "dwh-spark", shuffle_partitions: int | None = None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # ContextCleaner only reclaims shuffle files / broadcasts /
+        # checkpoint blocks when the DRIVER GCs, and a large mostly-idle
+        # heap can go the whole 150-query bench without a full GC —
+        # garbage from early queries then inflates late-query timings.
+        # Force the cleaner's periodic GC down from its 30min default.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     return builder.getOrCreate()
