@@ -60,6 +60,9 @@ _CHECK_FIRST = [
     "emb_ivf_recall_audit",
     "orders_incremental_cdc_merge",
     "events_session_funnel_windows",
+    "docs_bm25_topk",
+    "events_kmv_set_algebra",
+    "nation_trade_triangles",
     # long-green head entries retired to the tail of the window: these
     # keep their r1-r3 rows and are re-verified locally every round by
     # tests/test_oracle_parity.py; they backfill the ~50-query sample.

@@ -442,3 +442,262 @@ def orders_incremental_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("price").cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking — the retrieval scorer a corpus pipeline uses
+# for query-based filtering/search. Pure column algebra: term
+# frequencies from one explode+filter, document frequencies and the
+# global average length as broadcast scalars, Robertson/Sparck-Jones
+# idf with the Lucene +1 floor. Per-term scores round to DECIMAL(16,8)
+# before the per-doc sum so float addition order can't drift the
+# ranking across engines/partitions.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(len(s)) AS total_len FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, len(s) AS dl, w, count(*) AS tf
+      FROM (SELECT doc_id, s, unnest(s) AS w FROM docs)
+      WHERE w IN {_BM25_TERMS!r}
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * ({_BM25_K1} + 1.0))
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * t.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))),
+               8) AS DECIMAL(16,8)) AS term_score
+      FROM tf t JOIN dfreq d ON d.w = t.w CROSS JOIN stats st
+    )
+    SELECT doc_id, CAST(round(CAST(sum(term_score) AS DOUBLE), 6) AS DOUBLE) AS bm25
+    FROM scored GROUP BY 1
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("s")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("s")).alias("total_len")
+    )
+    tf = (
+        docs.select("doc_id", F.size("s").alias("dl"), F.explode("s").alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = F.round(
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        ),
+        8,
+    ).cast("decimal(16,8)")
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch SET ALGEBRA: union and intersection cardinality estimates
+# from two k-minimum-values sketches — the mergeability story that
+# makes sketches the 100 TB answer (ship 64 longs per set, never the
+# sets). Union sketch = k smallest of the merged minima (KMV is
+# closed under union); Jaccard ≈ |union-k ∩ A ∩ B| / k (Beyer et al.
+# 2007); intersection = floor(J · |A∪B|-estimate). Every step is
+# integer/exact-arithmetic on md5-derived hashes, so DuckDB replays
+# it bit-for-bit.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)
+
+
+@query(
+    "events_kmv_set_algebra",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ak AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+    bk AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+    uk AS (SELECT h FROM (SELECT h FROM ak UNION SELECT h FROM bk) ORDER BY h LIMIT {_KMV_K}),
+    est AS (
+      SELECT
+        (SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                ELSE floor({float(_KMV_K - 1)} * {_KMV_SPACE} / CAST(max(h) AS DOUBLE))::BIGINT
+                END FROM ak) AS n_a,
+        (SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                ELSE floor({float(_KMV_K - 1)} * {_KMV_SPACE} / CAST(max(h) AS DOUBLE))::BIGINT
+                END FROM bk) AS n_b,
+        (SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                ELSE floor({float(_KMV_K - 1)} * {_KMV_SPACE} / CAST(max(h) AS DOUBLE))::BIGINT
+                END FROM uk) AS n_union,
+        (SELECT count(*) FROM uk
+         WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk)) AS k_both
+    )
+    SELECT n_a, n_b, n_union,
+           CAST(floor(CAST(k_both AS DOUBLE) / {_KMV_K} * n_union) AS BIGINT)
+             AS n_intersection
+    FROM est
+    """,
+)
+def events_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dwh_spark.operators.sketch import _hash60
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def kmins(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(_hash60(F.col("user_id")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    ak, bk = kmins("click"), kmins("purchase")
+    uk = ak.unionByName(bk).distinct().orderBy("h").limit(_KMV_K)
+
+    def est(sk: DataFrame, out: str) -> DataFrame:
+        return sk.agg(
+            F.when(
+                F.count("*") < _KMV_K, F.count("*")
+            )
+            .otherwise(
+                F.floor(
+                    F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE)
+                    / F.max("h").cast("double")
+                )
+            )
+            .alias(out)
+        )
+
+    k_both = (
+        uk.join(ak.withColumnRenamed("h", "ha"), uk.h == F.col("ha"), "leftsemi")
+        .join(bk.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"), "leftsemi")
+        .agg(F.count("*").alias("k_both"))
+    )
+    return (
+        est(ak, "n_a")
+        .crossJoin(F.broadcast(est(bk, "n_b")))
+        .crossJoin(F.broadcast(est(uk, "n_union")))
+        .crossJoin(F.broadcast(k_both))
+        .select(
+            "n_a", "n_b", "n_union",
+            F.floor(
+                F.col("k_both").cast("double") / _KMV_K * F.col("n_union")
+            ).cast("long").alias("n_intersection"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the nation trade graph — the classic
+# distributed-graph metric. The compact-forward discipline applies:
+# canonicalize edges a<b, then the two-hop join (a,b)x(b,c) probes the
+# closing edge (a,c). At real scale the join orders vertices by degree
+# so every wedge is enumerated exactly once from its lowest-degree
+# corner; the plan shape (two equi-joins on a deduped edge list) is
+# exactly that algorithm.
+# ---------------------------------------------------------------------------
+_TRI_THRESHOLD = 200
+
+
+@query(
+    "nation_trade_triangles",
+    oracle=f"""
+    WITH directed AS (
+      SELECT c.c_nationkey AS a, s.s_nationkey AS b, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    undirected AS (
+      SELECT least(a, b) AS a, greatest(a, b) AS b, sum(w) AS w
+      FROM directed GROUP BY 1, 2
+      HAVING sum(w) > {_TRI_THRESHOLD}
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM undirected e1
+      JOIN undirected e2 ON e2.a = e1.b
+      JOIN undirected e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM undirected) AS n_edges
+    FROM tri
+    """,
+)
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    directed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    und = (
+        directed.groupBy(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") > _TRI_THRESHOLD)
+        .select("a", "b")
+        .persist()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        F.broadcast(und.agg(F.count("*").alias("n_edges")))
+    )

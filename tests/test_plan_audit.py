@@ -32,6 +32,9 @@ _ALLOW_BNLJ = {
     "q11_important_stock",        # scalar subquery: one-row global-total broadcast
     "docs_decontaminate",         # crossJoin of two one-row aggregates
     "events_session_funnel_windows",  # three one-row stage-count broadcasts
+    "docs_bm25_topk",             # one-row corpus-stats broadcast
+    "events_kmv_set_algebra",     # k-minima sketch scalars broadcast
+    "nation_trade_triangles",     # one-row edge-count broadcast
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
     "emb_ivf_inertia",            # same centroid broadcast, score kept for the metric
