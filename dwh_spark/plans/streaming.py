@@ -377,3 +377,49 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("click_id").alias("n_clicks_matched"),
         F.countDistinct("purchase_id").alias("n_purchases_matched"),
     )
+
+
+@query(
+    "streaming_dim_enrichment",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+)
+def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join — the lookup-enrichment pattern the
+    reference performs per transaction (S2: pre-joined columns): each
+    micro-batch broadcast-joins the static customer→nation dimension
+    (no state, no stream-side shuffle), then a complete-mode rollup per
+    nation. The oracle is the equivalent batch join — stream/batch
+    parity is the claim, as for every streaming query here."""
+    import uuid
+
+    stream, root = _staged_events(spark, sf_dir, max_files_per_trigger=2)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("nation")
+        )
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("nation").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    name = f"dim_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{root}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("nation", "n_events", "sum_value")

@@ -20,6 +20,7 @@ _STREAMING = {
     "streaming_latest_state",
     "streaming_daily_rollup",
     "streaming_user_accumulator",
+    "streaming_dim_enrichment",
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where one side is a
