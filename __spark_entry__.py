@@ -64,6 +64,7 @@ _CHECK_FIRST = [
     "events_kmv_set_algebra",
     "nation_trade_triangles",
     "streaming_dim_enrichment",
+    "orders_jdbc_roundtrip",
     # long-green head entries retired to the tail of the window: these
     # keep their r1-r3 rows and are re-verified locally every round by
     # tests/test_oracle_parity.py; they backfill the ~50-query sample.

@@ -701,3 +701,50 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         F.broadcast(und.agg(F.count("*").alias("n_edges")))
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 JDBC sink, driver-verified: a REAL JDBC round-trip through the
+# embedded Derby engine that ships in Spark's jars — batched prepared
+# statements out (sources/sinks.py:write_jdbc), a JDBC scan back in.
+# The reference's Postgres surface is exactly this path with a
+# different URL; Derby-in-process is what a sandbox can verify.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_jdbc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dwh_spark.sources.sinks import write_jdbc
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='dwh_jdbc_')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    # tiny aggregate → one connection; a fact-sized write would
+    # repartition to the sink's connection budget first (sinks.py note)
+    write_jdbc(agg.coalesce(1), url, "status_rollup", mode="overwrite", driver=driver)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "status_rollup")
+        .option("driver", driver)
+        .load()
+    )
+    return back.select(
+        F.col("status").cast("string").alias("status"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_price").cast("double").alias("total_price"),
+    )
