@@ -65,6 +65,8 @@ _CHECK_FIRST = [
     "nation_trade_triangles",
     "streaming_dim_enrichment",
     "orders_jdbc_roundtrip",
+    "events_value_histogram_quantiles",
+    "customer_forget_cascade",
     # long-green head entries retired to the tail of the window: these
     # keep their r1-r3 rows and are re-verified locally every round by
     # tests/test_oracle_parity.py; they backfill the ~50-query sample.

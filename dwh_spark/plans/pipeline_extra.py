@@ -748,3 +748,138 @@ def orders_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("total_price").cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles: the APPROXIMATE path beside
+# events_value_robust_stats' exact two-pass median. A 128-bucket
+# equi-width histogram is one map-side-combinable groupBy (128 rows of
+# state regardless of input size, trivially mergeable across
+# partitions/days), and any quantile reads off the cumulative counts.
+# Estimates are bucket LOWER BOUNDS — pure integer/decimal algebra,
+# so both engines agree exactly; the bound error is width-bounded.
+# ---------------------------------------------------------------------------
+_HIST_BUCKETS = 128
+
+
+@query(
+    "events_value_histogram_quantiles",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+             CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+             count(*) AS n
+      FROM events
+    ),
+    bucketed AS (
+      SELECT least(CAST(floor((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - lo)
+                               / ((hi - lo) / {_HIST_BUCKETS})) AS BIGINT),
+                   {_HIST_BUCKETS - 1}) AS bucket,
+             count(*) AS cnt
+      FROM events CROSS JOIN bounds
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum_cnt FROM bucketed
+    ),
+    q AS (
+      SELECT (SELECT min(bucket) FROM cum, bounds WHERE cum_cnt >= 0.50 * n) AS b50,
+             (SELECT min(bucket) FROM cum, bounds WHERE cum_cnt >= 0.95 * n) AS b95,
+             (SELECT min(bucket) FROM cum, bounds WHERE cum_cnt >= 0.99 * n) AS b99
+    )
+    SELECT round(lo + b50 * ((hi - lo) / {_HIST_BUCKETS}), 6) AS p50_lb,
+           round(lo + b95 * ((hi - lo) / {_HIST_BUCKETS}), 6) AS p95_lb,
+           round(lo + b99 * ((hi - lo) / {_HIST_BUCKETS}), 6) AS p99_lb,
+           n AS n_rows
+    FROM q CROSS JOIN bounds
+    """,
+)
+def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        _dec("value").cast("double").alias("v")
+    )
+    bounds = ev.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    width = (F.col("hi") - F.col("lo")) / _HIST_BUCKETS
+    bucketed = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width).cast("long"),
+                F.lit(_HIST_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = bucketed.select(
+        "bucket",
+        F.sum("cnt").over(Window.orderBy("bucket")).alias("cum_cnt"),
+    ).crossJoin(F.broadcast(bounds))
+    qb = cum.agg(
+        F.min(F.when(F.col("cum_cnt") >= 0.50 * F.col("n"), F.col("bucket"))).alias("b50"),
+        F.min(F.when(F.col("cum_cnt") >= 0.95 * F.col("n"), F.col("bucket"))).alias("b95"),
+        F.min(F.when(F.col("cum_cnt") >= 0.99 * F.col("n"), F.col("bucket"))).alias("b99"),
+    )
+    return (
+        qb.crossJoin(F.broadcast(bounds))
+        .select(
+            F.round(F.col("lo") + F.col("b50") * width, 6).alias("p50_lb"),
+            F.round(F.col("lo") + F.col("b95") * width, 6).alias("p95_lb"),
+            F.round(F.col("lo") + F.col("b99") * width, 6).alias("p99_lb"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade: given a forget-set of customers,
+# propagate the delete through the FK chain (orders → lineitems) and
+# report the audit counts a compliance job must emit. Pure semi/anti
+# joins — the forget set broadcasts; the fact tables never shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_forget_cascade",
+    oracle="""
+    WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    doomed_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT (SELECT count(*) FROM forget) AS n_customers_forgotten,
+           (SELECT count(*) FROM doomed_orders) AS n_orders_deleted,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders))
+             AS n_lineitems_deleted,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM forget)
+             AS n_customers_remaining,
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM doomed_orders)
+             AS n_orders_remaining
+    """,
+)
+def customer_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    forget = cust.filter(F.col("c_custkey") % 97 == 0)
+    doomed = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "leftsemi"
+    ).select("o_orderkey")
+    n_li = li.join(
+        F.broadcast(doomed), li.l_orderkey == doomed.o_orderkey, "leftsemi"
+    ).agg(F.count("*").alias("n_lineitems_deleted"))
+    return (
+        forget.agg(F.count("*").alias("n_customers_forgotten"))
+        .crossJoin(F.broadcast(doomed.agg(F.count("*").alias("n_orders_deleted"))))
+        .crossJoin(F.broadcast(n_li))
+        .crossJoin(F.broadcast(cust.agg(F.count("*").alias("__nc"))))
+        .crossJoin(F.broadcast(orders.agg(F.count("*").alias("__no"))))
+        .select(
+            "n_customers_forgotten",
+            "n_orders_deleted",
+            "n_lineitems_deleted",
+            (F.col("__nc") - F.col("n_customers_forgotten")).alias("n_customers_remaining"),
+            (F.col("__no") - F.col("n_orders_deleted")).alias("n_orders_remaining"),
+        )
+    )

@@ -36,6 +36,8 @@ _ALLOW_BNLJ = {
     "docs_bm25_topk",             # one-row corpus-stats broadcast
     "events_kmv_set_algebra",     # k-minima sketch scalars broadcast
     "nation_trade_triangles",     # one-row edge-count broadcast
+    "events_value_histogram_quantiles",  # one-row min/max/quantile-bucket broadcasts
+    "customer_forget_cascade",    # one-row audit-count broadcasts
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
     "emb_ivf_inertia",            # same centroid broadcast, score kept for the metric
