@@ -308,3 +308,98 @@ def test_bigram_lm_scores_bounded_and_boilerplate_scores_high(spark):
     out = {r["doc_id"]: r["pred_score"] for r in doc_predictability(docs).collect()}
     assert all(0.0 < v <= 1.0 for v in out.values())
     assert out[0] > out[99]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_contraction_equals_union_find(spark, edges):
+    """The distributed large-star/small-star path must produce the
+    exact component labeling of the driver union-find on ANY graph —
+    random multigraphs included (duplicate edges, both orientations,
+    arbitrary topology)."""
+    from dwh_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3), min_size=6, max_size=30
+    )
+)
+def test_winnowing_guarantee_on_random_docs(spark, words):
+    """Winnowing's defining guarantee: every window of _WIN_W
+    consecutive k-grams contributes its minimum — so the selected set
+    is nonempty whenever any full window exists, and every selected
+    key IS some window's minimum (validated against a pure-Python
+    reference implementation)."""
+    from dwh_spark.plans.registry import QUERIES
+    import dwh_spark.plans.pipeline_extra as P
+    import hashlib
+
+    text = " ".join(words)
+    k, w, mod = P._WIN_K, P._WIN_W, P._POS_MOD
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    keys = [
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) * mod + (mod - 1 - i)
+        for i, g in enumerate(grams)
+    ]
+    expected = {
+        min(keys[i : i + w]) for i in range(len(grams) - w + 1)
+    }
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    s = F.split(F.col("text"), " ")
+    from pyspark.sql.window import Window
+
+    exploded = docs.select(
+        "doc_id",
+        (F.size(s) - (k - 1)).cast("long").alias("n_grams"),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    s,
+                    lambda _, i: F.when(
+                        i < F.size(s) - (k - 1),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(s, i + 1),
+                            F.element_at(s, i + 2),
+                            F.element_at(s, i + 3),
+                        ),
+                    ),
+                ),
+                lambda g: g.isNotNull(),
+            )
+        ).alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
+    keyed = exploded.select(
+        "doc_id", "pos", "n_grams",
+        (h * mod + (F.lit(mod - 1) - F.col("pos"))).alias("key"),
+    )
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    got = {
+        r["sel_key"]
+        for r in keyed.withColumn("sel_key", F.min("key").over(frame))
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select("sel_key")
+        .distinct()
+        .collect()
+    }
+    assert got == expected
