@@ -252,7 +252,12 @@ def docs_jaccard_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.7)
+    # 32-way spread before the shingle+signature explode (single-split
+    # fixture input, see _jaccard_pairs_cached)
+    return D.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        threshold=0.7,
+    )
 
 
 @query(
@@ -285,7 +290,10 @@ def docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_duplicates(load_table(spark, sf_dir, "documents"), max_hamming=4)
+    return D.simhash_near_duplicates(
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        max_hamming=4,
+    )
 
 
 @query(
@@ -333,7 +341,9 @@ def docs_simhash_rotation_near_dups(spark: SparkSession, sf_dir: str) -> DataFra
     and are invisible to docs_simhash_near_dups' one-permutation
     blocking."""
     return D.simhash_near_duplicates_rotated(
-        load_table(spark, sf_dir, "documents"), max_hamming=3, n_blocks=4
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        max_hamming=3,
+        n_blocks=4,
     )
 
 
