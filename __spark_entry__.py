@@ -68,6 +68,7 @@ _CHECK_FIRST = [
     "events_value_histogram_quantiles",
     "customer_forget_cascade",
     "av_audio_chunk_energy",
+    "events_hll_union_merge",
     # long-green head entries retired to the tail of the window: these
     # keep their r1-r3 rows and are re-verified locally every round by
     # tests/test_oracle_parity.py; they backfill the ~50-query sample.

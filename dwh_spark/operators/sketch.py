@@ -174,16 +174,19 @@ _HLL_LC_TABLE = [
 ]
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     group_cols: Sequence[str],
     value_col: str,
 ) -> DataFrame:
-    """Per-group HLL distinct-count estimate, bit-identical to
-    :func:`hll_oracle_sql`. Returns (group_cols..., n_hll)."""
+    """Per-group HLL register table: (group_cols..., __bucket, __reg).
+
+    This IS the sketch's mergeable state — union of sets = per-bucket
+    ``max(__reg)`` across their register tables, losslessly. Exposed so
+    set-algebra queries can merge sketches without re-reading data."""
     keys = list(group_cols)
     h = _hash60(F.col(value_col))
-    regs = (
+    return (
         df.select(
             *keys,
             F.shiftright(h, _LOW_BITS).alias("__bucket"),
@@ -198,6 +201,12 @@ def hll_distinct(
         .groupBy(*keys, "__bucket")
         .agg(F.max("__rho").alias("__reg"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """(group_cols..., n_hll) from a register table (raw estimate with
+    the small-range linear-counting branch, shared literal table)."""
+    keys = list(group_cols)
     per_group = regs.groupBy(*keys).agg(
         F.sum(F.expr("shiftleft(1L, 53 - __reg)")).alias("__s"),
         F.count("*").alias("__present"),
@@ -216,6 +225,16 @@ def hll_distinct(
         .otherwise(F.floor(raw))
         .alias("n_hll"),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate, bit-identical to
+    :func:`hll_oracle_sql`. Returns (group_cols..., n_hll)."""
+    return hll_estimate(hll_registers(df, group_cols, value_col), group_cols)
 
 
 def hll_oracle_sql(table: str, group_cols: Sequence[str], value_col: str) -> str:

@@ -883,3 +883,94 @@ def customer_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__no") - F.col("n_orders_deleted")).alias("n_orders_remaining"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: the union of two sketches is the per-bucket MAX of
+# their register tables, losslessly — this query proves it by
+# estimating |click-users ∪ purchase-users| BOTH ways (merge the two
+# per-type sketches; sketch the unioned rows directly) and emitting
+# both numbers: they must be bit-identical, and the oracle pins each.
+# This is why 256-register sketches replace count(DISTINCT) at 100 TB:
+# daily sketches merge into weeks/months without touching raw data.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hll_union_merge",
+    oracle=None,  # assembled below from the sketch module's constants
+)
+def events_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dwh_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase"))
+    per_type = hll_registers(both, ["event_type"], "user_id")
+    merged = (
+        per_type.groupBy("__bucket")
+        .agg(F.max("__reg").alias("__reg"))
+        .withColumn("set_name", F.lit("click_or_purchase"))
+    )
+    est_merged = hll_estimate(merged, ["set_name"]).select(
+        F.col("n_hll").alias("n_hll_merged")
+    )
+    direct = hll_registers(
+        both.withColumn("set_name", F.lit("click_or_purchase")),
+        ["set_name"],
+        "user_id",
+    )
+    est_direct = hll_estimate(direct, ["set_name"]).select(
+        F.col("n_hll").alias("n_hll_direct")
+    )
+    exact = both.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        est_merged.crossJoin(F.broadcast(est_direct))
+        .crossJoin(F.broadcast(exact))
+        .select("n_hll_merged", "n_hll_direct", "n_exact")
+    )
+
+
+def _hll_union_oracle() -> str:
+    from dwh_spark.operators.sketch import (
+        _HLL_C, _HLL_LC_TABLE, _LOW_BITS, _LOW_MASK, HLL_M,
+    )
+
+    lc = ", ".join(str(x) for x in _HLL_LC_TABLE)
+    est = f"""
+      SELECT CASE WHEN {_HLL_C!r} / CAST(sum_scaled AS DOUBLE) <= {2.5 * HLL_M}
+                   AND v > 0
+                  THEN ([{lc}])[v]::BIGINT
+                  ELSE floor({_HLL_C!r} / CAST(sum_scaled AS DOUBLE))::BIGINT
+             END
+      FROM (SELECT sum((1::BIGINT << (53 - reg)))::BIGINT
+                     + ({HLL_M} - count(*)) * ({1 << 53}::BIGINT) AS sum_scaled,
+                   {HLL_M} - count(*) AS v
+            FROM {{regs}})
+    """
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    per_type AS (
+      SELECT event_type, h >> {_LOW_BITS} AS bucket,
+             max(CASE WHEN (h & {_LOW_MASK}) = 0 THEN {_LOW_BITS + 1}
+                      ELSE {_LOW_BITS + 1} - length(bin(h & {_LOW_MASK})) END) AS reg
+      FROM hashed GROUP BY 1, 2
+    ),
+    merged AS (SELECT bucket, max(reg) AS reg FROM per_type GROUP BY 1),
+    direct AS (
+      SELECT h >> {_LOW_BITS} AS bucket,
+             max(CASE WHEN (h & {_LOW_MASK}) = 0 THEN {_LOW_BITS + 1}
+                      ELSE {_LOW_BITS + 1} - length(bin(h & {_LOW_MASK})) END) AS reg
+      FROM hashed GROUP BY 1
+    )
+    SELECT ({est.format(regs="merged")}) AS n_hll_merged,
+           ({est.format(regs="direct")}) AS n_hll_direct,
+           (SELECT count(DISTINCT user_id) FROM events
+            WHERE event_type IN ('click', 'purchase')) AS n_exact
+    """
+
+
+from dwh_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["events_hll_union_merge"] = _hll_union_oracle()
