@@ -317,6 +317,15 @@ def avi_decode_frame(data: bytes, frame_ix: int) -> np.ndarray:
     (bpp,) = struct.unpack("<H", strf[14:16])
     if bpp != 24:
         raise NotImplementedError(f"AVI bpp={bpp} (only uncompressed 24-bit)")
+    # biCompression must be BI_RGB (0): a compressed stream (e.g. MJPEG)
+    # can advertise 24 bpp and would otherwise be silently mis-decoded
+    # as raw BGR garbage instead of raising honestly
+    (bi_compression,) = struct.unpack("<I", strf[16:20])
+    if bi_compression != 0:
+        raise NotImplementedError(
+            f"AVI biCompression={bi_compression:#x} (only BI_RGB=0; compressed "
+            "codecs plug in via multimodal.registry decoder seam)"
+        )
     if not 0 <= frame_ix < len(frames):
         raise IndexError(f"frame {frame_ix} of {len(frames)}")
     start, ln = frames[frame_ix]

@@ -95,6 +95,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr.unionByName(m.select("a", F.col("m").alias("b"))).distinct()
 
 
+def _pair_invariant(edges: DataFrame) -> tuple:
+    """Order-insensitive fingerprint of a distinct canonical pair set:
+    (count, xor of 64-bit pair hashes). One map-side-combinable
+    aggregate — no join, no shuffle of the edge set itself."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("x"),
+    ).collect()[0]
+    return row["n"], row["x"]
+
+
 def _star_contract(sym: DataFrame, max_rounds: int) -> DataFrame:
     """Alternating large-star/small-star (Kiveris et al. 2014) until the
     edge set stabilizes as stars; label every node with its star center
@@ -106,8 +117,22 @@ def _star_contract(sym: DataFrame, max_rounds: int) -> DataFrame:
     logical plan grows 6^k nodes by round k and Catalyst analysis OOMs
     the driver long before the data does. On a real cluster swap in
     ``checkpoint()`` against the cluster FS if executor loss must be
-    survivable mid-algorithm; the shape is identical."""
+    survivable mid-algorithm; the shape is identical.
+
+    Convergence probe: non-converged rounds pay ONE aggregate over the
+    new edge set (count + xor-of-pair-hashes, `_pair_invariant`), not
+    the two full `exceptAll` shuffles the r4 version paid. Only when
+    the invariant ties do we confirm exactly with a single one-sided
+    `exceptAll` (equal distinct cardinality + empty one-sided diff ⇒
+    equal sets), so the exact check runs once, on the final round.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_rounds``: the closing labeling (node → least(a, min Γ(a))) is
+    only correct on a stabilized star edge set, so falling through
+    silently would emit plausible-looking wrong components."""
     edges = sym.filter(F.col("a") < F.col("b")).distinct().localCheckpoint()
+    inv = _pair_invariant(edges)
+    converged = False
     for _ in range(max_rounds):
         contracted = _small_star(_large_star(edges))
         # canonicalize for a well-defined fixpoint test (star edges come
@@ -119,10 +144,19 @@ def _star_contract(sym: DataFrame, max_rounds: int) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        changed = new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
-        edges = new_edges
-        if changed == 0:
+        new_inv = _pair_invariant(new_edges)
+        if new_inv == inv and new_edges.exceptAll(edges).count() == 0:
+            edges = new_edges
+            converged = True
             break
+        inv = new_inv
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge within max_rounds={max_rounds}; "
+            "the labeling would be wrong on an unstabilized edge set — raise "
+            "max_rounds (Kiveris et al. bound O(log² n) rounds)"
+        )
     s = _symmetrize(edges)
     return s.groupBy("a").agg(F.least(F.col("a"), F.min("b")).alias("component")).select(
         F.col("a").alias("node"), "component"

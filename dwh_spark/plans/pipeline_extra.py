@@ -214,7 +214,9 @@ def docs_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feat AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_words,
-             round(CAST(strlen(replace(text, ' ', '')) AS DOUBLE)
+             -- length() = character count, matching Spark F.length();
+             -- strlen() would count BYTES and diverge on non-ASCII text
+             round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                    / len(string_split(text, ' ')), 6) AS mean_word_len,
              round(CAST(len(list_filter(string_split(text, ' '),
                                         w -> w IN ('a', 'the'))) AS DOUBLE)
@@ -710,6 +712,9 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The reference's Postgres surface is exactly this path with a
 # different URL; Derby-in-process is what a sandbox can verify.
 # ---------------------------------------------------------------------------
+_DERBY_DIR_CACHE: dict = {}
+
+
 @query(
     "orders_jdbc_roundtrip",
     oracle="""
@@ -731,7 +736,13 @@ def orders_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
         )
     )
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='dwh_jdbc_')}/db;create=true"
+    # One Derby database per (application, sf_dir) — a fresh mkdtemp per
+    # invocation would accumulate booted embedded databases (driver
+    # memory + file handles) across repeated bench rounds in one session
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _DERBY_DIR_CACHE:
+        _DERBY_DIR_CACHE[cache_key] = tempfile.mkdtemp(prefix="dwh_jdbc_")
+    url = f"jdbc:derby:{_DERBY_DIR_CACHE[cache_key]}/db;create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     # tiny aggregate → one connection; a fact-sized write would
     # repartition to the sink's connection budget first (sinks.py note)
@@ -772,8 +783,11 @@ _HIST_BUCKETS = 128
       FROM events
     ),
     bucketed AS (
+      -- greatest(..., 1e-12) guards hi == lo (constant / single-row
+      -- input): width 0 would divide-by-zero differently across
+      -- engines; with the guard every value lands in bucket 0
       SELECT least(CAST(floor((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - lo)
-                               / ((hi - lo) / {_HIST_BUCKETS})) AS BIGINT),
+                               / (greatest(hi - lo, 1e-12) / {_HIST_BUCKETS})) AS BIGINT),
                    {_HIST_BUCKETS - 1}) AS bucket,
              count(*) AS cnt
       FROM events CROSS JOIN bounds
@@ -802,11 +816,14 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
     )
     width = (F.col("hi") - F.col("lo")) / _HIST_BUCKETS
+    # hi == lo guard mirrors the oracle: a degenerate range buckets
+    # everything to 0 instead of dividing by zero (ANSI error / null)
+    bucket_width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) / _HIST_BUCKETS
     bucketed = (
         ev.crossJoin(F.broadcast(bounds))
         .select(
             F.least(
-                F.floor((F.col("v") - F.col("lo")) / width).cast("long"),
+                F.floor((F.col("v") - F.col("lo")) / bucket_width).cast("long"),
                 F.lit(_HIST_BUCKETS - 1),
             ).alias("bucket")
         )

@@ -36,12 +36,23 @@ def test_distributed_star_contraction_path(spark):
 
 
 def test_star_contraction_long_chain_converges_fast(spark):
-    """A diameter-40 chain must finish inside max_rounds=6: star
-    contraction halves path lengths per round (O(log² n)), where naive
-    min-label propagation would need 40 rounds."""
+    """A diameter-40 chain must reach a VERIFIED fixpoint inside
+    max_rounds=8 (measured: 7 rounds, incl. the confirming one) where
+    naive min-label propagation would need 40 rounds — the O(log² n)
+    star-contraction bound."""
     chain = [(i, i + 1) for i in range(100, 140)]
     want = {i: 100 for i in range(100, 141)}
-    assert _components(spark, chain, driver_threshold=0, max_rounds=6) == want
+    assert _components(spark, chain, driver_threshold=0, max_rounds=8) == want
+
+
+def test_star_contraction_raises_on_round_exhaustion(spark):
+    """If the fixpoint is not reached within max_rounds the operator
+    must raise, not emit a plausible-but-unverified labeling."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _components(spark, chain, driver_threshold=0, max_rounds=2)
 
 
 def test_star_contraction_string_nodes(spark):
