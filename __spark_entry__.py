@@ -34,81 +34,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST ~50 queries in dict
-# order, so ordering is evidence policy: queries with no driver verdict
-# yet (r01 checked only the first 50 registered) and queries whose r01
-# row was red come first; long-green queries keep their r01 rows and
-# yield their slot. Add new queries to _CHECK_FIRST until they have a
-# green driver row.
+# order, so ordering is evidence policy (r5 rotation, per VERDICT r4
+# item 5): (1) queries with no driver verdict yet lead, (2) queries
+# whose code changed this round re-verify next, (3) the ~50-query
+# window backfills with the LONGEST-UNCHECKED greens — every r1-last-
+# checked query cycles through this round, r2/r3 stale next rounds —
+# so every registry query gets a fresh driver verdict within ~3 rounds.
 _CHECK_FIRST = [
-    # never driver-checked: r3's rotation off-by-one (entry 51 of a
-    # 50-query sample window) and a query registered after the list
-    # was last updated (VERDICT r3 "Next round" items 1)
-    "q22_idle_customers",
-    "events_hll_distinct_users",
-    # new in round 4 — need a first verdict (appended as implemented)
-    "q12_shipmode_priority_counts",
-    "q21_waiting_suppliers",
-    "imgs_real_pixel_stats",
-    "av_video_real_frame_stats",
-    "docs_simhash_rotation_near_dups",
-    "docs_dup_clusters_distributed",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "events_range_hypertable_rollup",
-    "docs_fingerprint_winnowing",
+    # -- new in round 5: no driver verdict yet
+    "imgs_jpeg_pixel_stats",
+    "imgs_gif_pixel_stats",
+    # -- code touched in round 5 (advisor fixes): re-verify
     "docs_quality_composite_filter",
-    "emb_ivf_recall_audit",
-    "orders_incremental_cdc_merge",
-    "events_session_funnel_windows",
-    "docs_bm25_topk",
-    "events_kmv_set_algebra",
-    "nation_trade_triangles",
-    "streaming_dim_enrichment",
-    "orders_jdbc_roundtrip",
     "events_value_histogram_quantiles",
-    "customer_forget_cascade",
-    "av_audio_chunk_energy",
-    "events_hll_union_merge",
-    # long-green head entries retired to the tail of the window: these
-    # keep their r1-r3 rows and are re-verified locally every round by
-    # tests/test_oracle_parity.py; they backfill the ~50-query sample.
-    "events_asof_last_click",
-    "events_error_purchase_proximity",
-    "events_foreign_errors_in_sessions",
-    "events_interval_frame_sums",
-    "streaming_daily_rollup",
-    "streaming_dedup_exactly_once",
-    "streaming_click_purchase_join",
-    "marketplace_nfts_state",
-    "marketplace_offers_surviving",
-    "marketplace_bids_surviving",
-    "marketplace_audit_counts",
-    "marketplace_users_state",
-    "marketplace_ft_state",
-    "marketplace_listed_value",
-    "events_sessionization",
-    "events_json_extract",
-    "events_funnel_signup_purchase",
-    "events_daily_type_pivot",
-    "docs_token_stats",
-    "av_audio_chunking",
-    "filters_combinators",
-    "pagination_page3",
-    "point_lookup_composite",
-    "semi_anti_customers",
-    "streaming_latest_state",
-    "streaming_user_accumulator",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "agg_all_orders",
-    "topk_orders_per_segment",
-    "setops_customer_segments",
-    "rollup_region_nation",
-    "cube_orders_status_priority",
-    "sql_big_spenders",
-    "scalar_function_battery",
-    "orders_daily_moving_stats",
-    "docs_collection_fn_battery",
+    "orders_jdbc_roundtrip",
+    "docs_dup_clusters_distributed",
+    "docs_dup_clusters",
+    "av_video_real_frame_stats",
+    # -- stale: last driver check was round 1 (all 37 cycle now)
+    "av_wav_roundtrip_stats",
+    "av_video_frame_digests",
+    "docs_exact_dedup",
+    "docs_quality_scores",
+    "docs_langid_confusion",
+    "docs_fingerprint_clusters",
+    "docs_jaccard_pairs",
+    "docs_minhash_near_dups",
+    "docs_simhash_near_dups",
+    "docs_chunk_windows",
+    "docs_decontaminate",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+    "emb_ivf_cells",
+    "emb_label_stats",
+    "emb_cosine_near_dups",
+    "events_latest_state",
+    "events_stalest_topk",
+    "events_daily_rollup",
+    "events_kmv_distinct_users",
+    "events_value_quantiles",
+    "events_state_as_of",
+    "events_hourly_daily_rollup",
+    "imgs_format_bytes",
+    "imgs_resize_fanout_stats",
+    "imgs_decode_resize_bytes",
+    "imgs_dedup_new",
+    "imgs_keep_latest",
+    "imgs_point_read_fallback",
+    "metadata_validate",
+    "metadata_scd1_merge",
+    "metadata_refresh_schedule",
+    "metadata_task_priority_order",
+    "metadata_fetch_stage",
+    "flagship_owned_orders",
+    "q1_pricing_summary",
+    # -- stale: last checked round 2 (head of next rotation; the rest
+    #    of r2/r3 cycle in rounds 6-7)
+    "docs_jaccard_hashed_shingles",
+    "docs_pack_sequences",
+    "docs_train_test_split",
+    "docs_corpus_build",
+    "docs_repetition_scores",
+    "docs_pii_scrub_stats",
+    "docs_top_terms",
+    "docs_length_histogram",
+    "docs_bigram_lm_scores",
+    "docs_levenshtein_sample_pairs",
 ]
 
 

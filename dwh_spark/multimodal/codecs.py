@@ -30,6 +30,10 @@ import zlib
 
 import numpy as np
 
+# Baseline JPEG lives in its own module (multimodal/jpeg.py) but is
+# re-exported here so callers have one codec namespace.
+from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode  # noqa: F401
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # channels per PNG color type
@@ -337,3 +341,192 @@ def avi_decode_frame(data: bytes, frame_ix: int) -> np.ndarray:
     if h_raw > 0:
         rows = rows[::-1]
     return np.ascontiguousarray(rows[:, :, ::-1])
+
+
+# ------------------------------------------------------------------- GIF
+# GIF87a/89a first-frame decode + a fixture encoder, per the public
+# GIF89a specification. The reference's resize pipeline accepts gif
+# (x/imgresizer/resizer.go:253); first-frame decode is what its
+# image.Decode call produces for animations too. GIF is palette-based
+# and LOSSLESS, so fixture images round-trip bit-exactly — unlike
+# JPEG, no quality caveats. LZW codes pack LSB-first (opposite of
+# JPEG's bitstream).
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    # bit reader, LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            dict_ = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = dict_[code]
+        elif code < len(dict_):
+            entry = dict_[code]
+            dict_.append(prev + entry[:1])
+        elif code == len(dict_):  # KwKwK case
+            entry = prev + prev[:1]
+            dict_.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+        n_out += len(entry)
+        if prev is not None or True:
+            pass
+        prev = entry
+        if len(dict_) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out[:n_pixels]
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF bytes → (H, W, 3) uint8 RGB of the FIRST frame (composited
+    onto the logical screen is out of scope: frame 0 at its own size,
+    like image/gif's Decode of the first image)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        introducer = data[pos]
+        if introducer == 0x3B:  # trailer
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if introducer != 0x2C:
+            raise ValueError(f"unexpected GIF block {introducer:#x}")
+        _left, _top, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        palette = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        min_code_size = data[pos]
+        pos += 1
+        chunks = []
+        while data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            deinter = np.empty_like(idx)
+            rows = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            deinter[rows] = idx
+            idx = deinter
+        return np.ascontiguousarray(palette[idx])
+    raise ValueError("truncated GIF: no image descriptor")
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    buf = b""
+    for px in indices.tolist():
+        cand = buf + bytes([px])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        # decoder widens after SEEING the code that fills the width
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        buf = bytes([px])
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB with ≤256 distinct colors → GIF89a bytes
+    (fixture generator; lossless, single frame, global color table)."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("gif_encode expects RGB")
+    flat = arr.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"gif_encode: {len(palette)} colors (max 256)")
+    # color table size must be a power of two ≥ 2
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), np.uint8)
+    table[: len(palette)] = palette
+    min_code_size = max(2, bits)
+    lzw = _gif_lzw_encode(idx.astype(np.uint8), min_code_size)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -18,10 +18,11 @@ JVM-side column algebra:
   original) as a rank-1 window.
 
 Pixel decoding (B2/B4) is the only step that needs Python: it runs as
-``mapInPandas`` over Arrow batches. PNG and BMP decode/resize/re-encode
-are REAL even without PIL — vendored pure-numpy codecs
-(multimodal/codecs.py: inflate, unfilter, Keys bicubic, deflate);
-jpeg/gif/tiff/webp need a codec library and raise without PIL.
+``mapInPandas`` over Arrow batches. PNG, BMP, baseline JPEG, and GIF
+decode/resize/re-encode are REAL even without PIL — vendored
+pure-numpy codecs (multimodal/codecs.py + jpeg.py: inflate, unfilter,
+Huffman+IDCT, LZW, Keys bicubic, deflate); tiff/webp need a codec
+library and raise without PIL.
 ``deterministic_decoder`` remains for format-agnostic plumbing tests.
 """
 
@@ -149,10 +150,10 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
     re-encode (resizer.go:242-263, png.BestCompression at :49).
 
     Uses PIL when importable; otherwise the vendored pure-Python
-    codecs (multimodal/codecs.py) handle png and bmp for real —
-    actual inflate, unfilter, Keys bicubic resample, deflate. The
-    remaining formats (jpeg/gif/tiff/webp) genuinely need a codec
-    library and raise without PIL.
+    codecs (multimodal/codecs.py + jpeg.py) handle png, bmp, baseline
+    jpeg (Huffman + batched IDCT, 4:2:0/4:2:2/4:4:4), and gif (LZW)
+    for real. The remaining formats (tiff/webp) genuinely need a
+    codec library and raise without PIL.
     """
     try:
         import io
@@ -165,10 +166,14 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
             arr = codecs.png_decode(content)
         elif fmt == "bmp":
             arr = codecs.bmp_decode(content)
+        elif fmt == "jpeg":
+            arr = codecs.jpeg_decode(content)
+        elif fmt == "gif":
+            arr = codecs.gif_decode(content)
         else:
             raise NotImplementedError(
                 f"{fmt} decode needs an image codec library (PIL absent; "
-                "vendored codecs cover png/bmp)"
+                "vendored codecs cover png/bmp/jpeg/gif)"
             )
         return codecs.png_encode(codecs.resize_bicubic(arr, w, h))
     img = Image.open(io.BytesIO(content))  # pragma: no cover

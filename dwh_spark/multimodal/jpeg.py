@@ -1,0 +1,519 @@
+"""Pure-numpy baseline-sequential JPEG (ITU-T T.81) codec.
+
+The reference decodes JPEG in its image-resize pipeline
+(`x/imgresizer/resizer.go:244-255`; its e2e test exercises jpeg among
+7 formats, `x/imgresizer/resizer_test.go:10-27`). This container has
+no PIL/libjpeg, so — like the PNG/BMP codecs in codecs.py — the format
+is vendored from the public spec:
+
+- **Decode** (the product path): baseline DCT, SOF0/SOF1, Huffman
+  tables and quant tables read from the file's own DHT/DQT segments
+  (so real-world JPEGs with Annex-K or optimized tables decode, not
+  just our own output), any sampling factors in {1,2}×{1,2} (covers
+  4:4:4, 4:2:0, 4:2:2, 4:4:0), 1- or 3-component scans, restart
+  markers (DRI/RSTn). Progressive (SOF2), arithmetic coding and
+  12-bit precision raise NotImplementedError honestly.
+- **Encode** (fixture generator): interchange-format JFIF writer with
+  IJG-style quality scaling of the Annex-K-shaped quant tables
+  (quality=100 → all-ones tables), flat canonical Huffman tables
+  (4-bit DC / 8-bit AC codes — spec-valid, self-described in DHT,
+  chosen over memorized Annex-K tables so a transcription slip can't
+  corrupt the bitstream), 4:2:0 or 4:4:4 subsampling.
+
+Determinism: every rounding site uses np.rint (ties-to-even) and the
+bit-writer pads with 1-bits per spec, so encode bytes are reproducible
+across runs and partitions.
+
+Entropy coding is per-block Python (inherently sequential bitstream);
+DCT/IDCT, color transform, subsample/upsample are batched numpy over
+all blocks of a plane at once. At pipeline level parallelism comes
+from Arrow-batched mapInPandas over rows, not from inside one image.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+# Zigzag scan: raster index of each zigzag position (T.81 Figure 5).
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# Annex-K-shaped base quantization tables (luminance / chrominance),
+# natural (raster) order; scaled by IJG quality before use.
+_BASE_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.float64)
+_BASE_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.float64)
+
+# Orthonormal 8-point DCT-II matrix: forward F = C·b·Cᵀ, inverse b = Cᵀ·F·C.
+_k = np.arange(8)
+_DCT = np.sqrt(2.0 / 8.0) * np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16)
+_DCT[0] = np.sqrt(1.0 / 8.0)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling; quality=100 → all-ones (lossless-DC) tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    out = []
+    for base in (_BASE_Q_LUMA, _BASE_Q_CHROMA):
+        out.append(np.clip(np.floor((base * scale + 50.0) / 100.0), 1, 255))
+    return out[0], out[1]
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _plane_to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(BV·8, BH·8) → (BV·BH, 8, 8) in MCU-friendly raster block order."""
+    bv, bh = plane.shape[0] // 8, plane.shape[1] // 8
+    return plane.reshape(bv, 8, bh, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _blocks_to_plane(blocks: np.ndarray, bv: int, bh: int) -> np.ndarray:
+    return blocks.reshape(bv, bh, 8, 8).transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8)
+
+
+# ------------------------------------------------------------------ bit I/O
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+class _MarkerReached(Exception):
+    pass
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data; unstuffs 0xFF 0x00,
+    stops (raises _MarkerReached) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                raise _MarkerReached
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, index: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (index % 8):
+            raise ValueError("missing expected JPEG restart marker")
+        self.pos += 2
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical (length, code) → symbol map from a DHT BITS/HUFFVAL spec."""
+    table: dict = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, length) from the same canonical construction."""
+    table: dict = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# Encoder Huffman specs: flat canonical codes — every DC category is a
+# 4-bit code, every AC (run,size) symbol an 8-bit code. Spec-valid
+# (all-ones code unused: 12 ≤ 15 and 162 ≤ 255) and fully described by
+# the DHT segment we emit, so any conformant decoder reads them.
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_VALS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_ENC_AC_BITS = [0] * 7 + [len(_ENC_AC_VALS)] + [0] * 8
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (category, appended bits)."""
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+# ------------------------------------------------------------------- encode
+
+
+@dataclass
+class _Comp:
+    cid: int
+    h: int
+    v: int
+    tq: int  # quant table id
+
+
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 gray → baseline JFIF bytes.
+
+    quality=100 gives all-ones quant tables: constant-gray input then
+    round-trips EXACTLY (DC is integral, AC zero, chroma 128) — the
+    property the oracle-pinned fixture query relies on.
+    """
+    arr = np.asarray(arr, np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qluma, qchroma = _quality_tables(quality)
+    if gray:
+        comps = [_Comp(1, 1, 1, 0)]
+        planes = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        if subsampling == "4:2:0":
+            comps = [_Comp(1, 2, 2, 0), _Comp(2, 1, 1, 1), _Comp(3, 1, 1, 1)]
+        elif subsampling == "4:4:4":
+            comps = [_Comp(1, 1, 1, 0), _Comp(2, 1, 1, 1), _Comp(3, 1, 1, 1)]
+        else:
+            raise ValueError(f"subsampling {subsampling!r} (4:2:0 or 4:4:4)")
+        planes = []
+        max_h = max(c.h for c in comps)
+        max_v = max(c.v for c in comps)
+        for ci, c in enumerate(comps):
+            p = ycc[:, :, ci]
+            if (c.h, c.v) != (max_h, max_v):
+                # box-average downsample (pad to even with edge rows first)
+                fy, fx = max_v // c.v, max_h // c.h
+                ph = p if h % fy == 0 else np.pad(p, ((0, fy - h % fy), (0, 0)), "edge")
+                ph = ph if w % fx == 0 else np.pad(ph, ((0, 0), (0, fx - w % fx)), "edge")
+                p = ph.reshape(ph.shape[0] // fy, fy, ph.shape[1] // fx, fx).mean((1, 3))
+                p = np.rint(p)
+            planes.append(p)
+    max_h = max(c.h for c in comps)
+    max_v = max(c.v for c in comps)
+    mcu_cols = -(-w // (8 * max_h))
+    mcu_rows = -(-h // (8 * max_v))
+    qtables = {0: qluma, 1: qchroma}
+
+    # per-component quantized zigzag blocks, vectorized DCT per plane
+    comp_blocks: list[np.ndarray] = []
+    for c, p in zip(comps, planes):
+        th, tw = mcu_rows * c.v * 8, mcu_cols * c.h * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), "edge")
+        blocks = _plane_to_blocks(p - 128.0)  # level shift
+        coefs = _DCT @ blocks @ _DCT.T
+        q = np.rint(coefs / qtables[c.tq].reshape(8, 8)).astype(np.int64)
+        zz = q.reshape(-1, 64)[:, ZIGZAG]
+        comp_blocks.append(zz.reshape(mcu_rows * c.v, mcu_cols * c.h, 64))
+
+    dc_enc = _huff_encode_table(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_enc = _huff_encode_table(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw = _BitWriter()
+    dc_pred = [0] * len(comps)
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            for ci, c in enumerate(comps):
+                for bv in range(c.v):
+                    for bh in range(c.h):
+                        zz = comp_blocks[ci][mr * c.v + bv, mc * c.h + bh]
+                        diff = int(zz[0]) - dc_pred[ci]
+                        dc_pred[ci] = int(zz[0])
+                        size, bits = _magnitude(diff)
+                        code, ln = dc_enc[size]
+                        bw.write(code, ln)
+                        bw.write(bits, size)
+                        run = 0
+                        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                        for i in range(1, last_nz + 1):
+                            v = int(zz[i])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = ac_enc[0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            size, bits = _magnitude(v)
+                            code, ln = ac_enc[(run << 4) | size]
+                            bw.write(code, ln)
+                            bw.write(bits, size)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_enc[0x00]  # EOB
+                            bw.write(code, ln)
+    bw.flush()
+
+    # ------- markers
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    used_q = sorted({c.tq for c in comps})
+    for tq in used_q:
+        zz_q = qtables[tq][ZIGZAG].astype(np.uint8)  # DQT is zigzag order
+        out += seg(0xFFDB, bytes([tq]) + zz_q.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c.cid, (c.h << 4) | c.v, c.tq])
+    out += seg(0xFFC0, sof)
+    for tc_th, bits, vals in (
+        (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
+        (0x10, _ENC_AC_BITS, _ENC_AC_VALS),
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([len(comps)])
+    for c in comps:
+        sos += bytes([c.cid, 0x00])  # DC table 0, AC table 0 for all comps
+    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------- decode
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W, 3) uint8 RGB (gray replicates to 3
+    channels so downstream resize/PNG-encode sees one shape)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}  # zigzag order
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT — may hold several tables
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                if pq:
+                    vals = np.frombuffer(payload[p : p + 128], ">u2").astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(payload[p : p + 64], np.uint8).astype(np.int64)
+                    p += 64
+                qtables[tq] = vals
+        elif marker == 0xC4:  # DHT — may hold several tables
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                p += 17 + n
+                (dc_tables if tc == 0 else ac_tables)[th] = _huff_decode_table(bits, vals)
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            precision, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision} (only 8)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append(_Comp(cid, hv >> 4, hv & 0x0F, tq))
+            if any(c.h not in (1, 2) or c.v not in (1, 2) for c in comps):
+                raise NotImplementedError("JPEG sampling factors beyond 1-2")
+            frame = (fh, fw, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF marker {marker:#x}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            scan = {payload[1 + 2 * i]: payload[2 + 2 * i] for i in range(ns)}
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+    fh, fw, comps = frame
+    max_h = max(c.h for c in comps)
+    max_v = max(c.v for c in comps)
+    mcu_cols = -(-fw // (8 * max_h))
+    mcu_rows = -(-fh // (8 * max_v))
+
+    coef = {
+        c.cid: np.zeros((mcu_rows * c.v, mcu_cols * c.h, 64), np.int64) for c in comps
+    }
+    br = _BitReader(data, pos)
+
+    def read_symbol(table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    dc_pred = {c.cid: 0 for c in comps}
+    mcu_index = 0
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                br.sync_restart(mcu_index // restart_interval - 1)
+                dc_pred = {c.cid: 0 for c in comps}
+            for c in comps:
+                tdc = dc_tables[scan[c.cid] >> 4]
+                tac = ac_tables[scan[c.cid] & 0x0F]
+                for bv in range(c.v):
+                    for bh in range(c.h):
+                        zz = coef[c.cid][mr * c.v + bv, mc * c.h + bh]
+                        size = read_symbol(tdc)
+                        diff = _extend(br.read_bits(size), size)
+                        dc_pred[c.cid] += diff
+                        zz[0] = dc_pred[c.cid]
+                        i = 1
+                        while i < 64:
+                            rs = read_symbol(tac)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            if i > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[i] = _extend(br.read_bits(rs & 0x0F), rs & 0x0F)
+                            i += 1
+            mcu_index += 1
+
+    # dequantize + de-zigzag + batched IDCT per component
+    planes = {}
+    for c in comps:
+        bv, bh = mcu_rows * c.v, mcu_cols * c.h
+        zz = coef[c.cid].reshape(-1, 64) * qtables[c.tq][None, :]
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        blocks = _DCT.T @ nat.reshape(-1, 8, 8).astype(np.float64) @ _DCT
+        plane = _blocks_to_plane(blocks, bv, bh) + 128.0
+        # crop to this component's true size, then replicate-upsample
+        ch = -(-fh * c.v // max_v)
+        cw = -(-fw * c.h // max_h)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, max_v // c.v, 0), max_h // c.h, 1)
+        planes[c.cid] = plane[:fh, :fw]
+    if len(comps) == 1:
+        y = np.clip(np.rint(planes[comps[0].cid]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = (planes[c.cid] for c in comps)
+    return _ycbcr_to_rgb(np.rint(y), np.rint(cb), np.rint(cr))

@@ -318,6 +318,208 @@ def imgs_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "imgs_jpeg_pixel_stats",
+    oracle="""
+    SELECT doc_id,
+           'jpeg' AS format,
+           CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:4:4' END AS subsampling,
+           r.target_w, r.target_h,
+           r.target_w AS dec_w, r.target_h AS dec_h,
+           (doc_id * 37) % 256 AS mean_r,
+           (doc_id * 37) % 256 AS mean_g,
+           (doc_id * 37) % 256 AS mean_b
+    FROM documents
+    CROSS JOIN (VALUES (40, 30), (16, 12)) AS r(target_w, target_h)
+    WHERE doc_id % 10 IN (2, 7)
+    """,
+)
+def imgs_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 for JPEG — the dominant real-corpus format
+    (x/imgresizer/resizer.go:251): every selected doc becomes a genuine
+    baseline JFIF (vendored pure-numpy encoder, multimodal/jpeg.py) —
+    4:2:0 for even doc_ids, 4:4:4 for odd — then flows through the SAME
+    pipeline as imgs_real_pixel_stats: sniff → fan-out → jpeg-decode →
+    bicubic resize → PNG re-encode → decode again for stats.
+
+    Oracle independence rests on a JPEG identity: a constant-GRAY
+    image at quality=100 (all-ones quant tables) round-trips EXACTLY —
+    Y is the gray value (integral DC, zero AC), chroma is flat 128
+    under either subsampling, and the RGB reconstruction returns the
+    gray unchanged. So the decoded channel means must equal the
+    construction arithmetic (doc_id*37 % 256) with no codec terms in
+    the oracle. Huffman/quant tables are read from each file's own
+    DHT/DQT, so this exercises the real decode path, not a replay.
+    """
+    from dwh_spark.multimodal.images import pixel_decoder
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 10).isin(2, 7))
+        .repartition(32)  # single-row-group fixture would pin one core
+    )
+
+    gen_schema = "doc_id long, owner string, token_id string, content binary"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                arr = np.full((24, 32, 3), (d * 37) % 256, np.uint8)
+                sub = "4:2:0" if d % 2 == 0 else "4:4:4"
+                content = codecs.jpeg_encode(arr, quality=100, subsampling=sub)
+                out.append((d, "owner", str(d), content))
+            yield pd.DataFrame(out, columns=["doc_id", "owner", "token_id", "content"])
+
+    images = docs.mapInPandas(gen, gen_schema)
+    fanned = resize_fanout(images, resolutions=((40, 30), (16, 12)))
+    resized = decode_and_resize(fanned, decoder=pixel_decoder)
+
+    stats_schema = (
+        "token_id string, format string, target_w int, target_h int, "
+        "dec_w int, dec_h int, mean_r long, mean_g long, mean_b long"
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for tok, fmt, tw, th, blob in zip(
+                pdf["token_id"], pdf["format"], pdf["target_w"],
+                pdf["target_h"], pdf["resized"],
+            ):
+                arr = codecs.png_decode(bytes(blob))
+                rows.append((
+                    tok, fmt, int(tw), int(th),
+                    int(arr.shape[1]), int(arr.shape[0]),
+                    int(round(arr[:, :, 0].mean())),
+                    int(round(arr[:, :, 1].mean())),
+                    int(round(arr[:, :, 2].mean())),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "token_id", "format", "target_w", "target_h",
+                    "dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    verified = resized.mapInPandas(verify, stats_schema)
+    return verified.select(
+        F.col("token_id").cast("long").alias("doc_id"),
+        "format",
+        F.when(F.col("token_id").cast("long") % 2 == 0, "4:2:0")
+        .otherwise("4:4:4")
+        .alias("subsampling"),
+        "target_w", "target_h", "dec_w", "dec_h",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+@query(
+    "imgs_gif_pixel_stats",
+    oracle="""
+    SELECT doc_id,
+           'gif' AS format,
+           r.target_w, r.target_h,
+           r.target_w AS dec_w, r.target_h AS dec_h,
+           (doc_id * 37) % 256 AS mean_r,
+           (doc_id * 59) % 256 AS mean_g,
+           (doc_id * 83) % 256 AS mean_b
+    FROM documents
+    CROSS JOIN (VALUES (40, 30), (16, 12)) AS r(target_w, target_h)
+    WHERE doc_id % 10 = 3
+    """,
+)
+def imgs_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 for GIF (x/imgresizer/resizer.go:253): constant-color GIF89a
+    images (vendored LZW encoder) through sniff → fan-out → LZW decode
+    → palette expand → bicubic → PNG. GIF is palette-lossless, so
+    unlike JPEG the full RGB color (37/59/83 channels) round-trips
+    exactly and the oracle pins all three channel means."""
+    from dwh_spark.multimodal.images import pixel_decoder
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 3)
+        .repartition(32)
+    )
+
+    gen_schema = "doc_id long, owner string, token_id string, content binary"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                arr = np.empty((24, 32, 3), np.uint8)
+                arr[:, :, 0] = (d * 37) % 256
+                arr[:, :, 1] = (d * 59) % 256
+                arr[:, :, 2] = (d * 83) % 256
+                out.append((d, "owner", str(d), codecs.gif_encode(arr)))
+            yield pd.DataFrame(out, columns=["doc_id", "owner", "token_id", "content"])
+
+    images = docs.mapInPandas(gen, gen_schema)
+    fanned = resize_fanout(images, resolutions=((40, 30), (16, 12)))
+    resized = decode_and_resize(fanned, decoder=pixel_decoder)
+
+    stats_schema = (
+        "token_id string, format string, target_w int, target_h int, "
+        "dec_w int, dec_h int, mean_r long, mean_g long, mean_b long"
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for tok, fmt, tw, th, blob in zip(
+                pdf["token_id"], pdf["format"], pdf["target_w"],
+                pdf["target_h"], pdf["resized"],
+            ):
+                arr = codecs.png_decode(bytes(blob))
+                rows.append((
+                    tok, fmt, int(tw), int(th),
+                    int(arr.shape[1]), int(arr.shape[0]),
+                    int(round(arr[:, :, 0].mean())),
+                    int(round(arr[:, :, 1].mean())),
+                    int(round(arr[:, :, 2].mean())),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "token_id", "format", "target_w", "target_h",
+                    "dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    verified = resized.mapInPandas(verify, stats_schema)
+    return verified.select(
+        F.col("token_id").cast("long").alias("doc_id"),
+        "format",
+        "target_w", "target_h", "dec_w", "dec_h",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+@query(
     "imgs_point_read_fallback",
     oracle="""
     SELECT doc_id,

@@ -115,3 +115,145 @@ def test_avi_roundtrip_per_frame():
 def test_avi_rejects_non_avi():
     with pytest.raises(ValueError, match="RIFF"):
         C.avi_decode_frame(b"RIFFxxxxWAVE", 0)
+
+
+# ------------------------------------------------------------------- JPEG
+
+
+def test_jpeg_constant_gray_exact_roundtrip():
+    """quality=100 → all-ones quant tables: constant gray round-trips
+    EXACTLY under both subsamplings (the identity the oracle-pinned
+    imgs_jpeg_pixel_stats query relies on)."""
+    from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    for sub in ("4:2:0", "4:4:4"):
+        for g in (0, 7, 128, 254, 255):
+            a = np.full((24, 32, 3), g, np.uint8)
+            dec = jpeg_decode(jpeg_encode(a, quality=100, subsampling=sub))
+            assert dec.shape == (24, 32, 3)
+            assert (dec == g).all(), (sub, g)
+
+
+def test_jpeg_random_gray_bounded_error():
+    """Non-constant content exercises the AC Huffman path; at q100 the
+    only loss is DCT round-off, bounded to ±3 grey levels."""
+    from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(42)
+    for sub in ("4:2:0", "4:4:4"):
+        gray = rng.integers(0, 256, (40, 56), np.uint8)
+        a = np.repeat(gray[:, :, None], 3, 2)
+        dec = jpeg_decode(jpeg_encode(a, quality=100, subsampling=sub))
+        assert np.abs(dec.astype(int) - a.astype(int)).max() <= 3
+
+
+def test_jpeg_odd_dimensions_crop():
+    """Dims not multiples of 8/16 pad to whole MCUs internally and crop
+    back on decode."""
+    from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(7)
+    for hw in ((17, 23), (9, 33), (1, 1), (5, 64)):
+        a = rng.integers(0, 256, (*hw, 3), np.uint8)
+        assert jpeg_decode(jpeg_encode(a, quality=95)).shape == (*hw, 3)
+
+
+def test_jpeg_single_component_gray():
+    from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (20, 30), np.uint8)
+    dec = jpeg_decode(jpeg_encode(g, quality=100))
+    assert dec.shape == (20, 30, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all() and (dec[:, :, 1] == dec[:, :, 2]).all()
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_color_quality_loss_bounded():
+    """Block-aligned two-color image at q90: quantization + chroma
+    subsampling loss stays visually small (≤12 levels)."""
+    from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    a = np.zeros((32, 32, 3), np.uint8)
+    a[:16] = (200, 30, 60)
+    a[16:] = (10, 180, 220)
+    for sub in ("4:2:0", "4:4:4"):
+        dec = jpeg_decode(jpeg_encode(a, quality=90, subsampling=sub))
+        assert np.abs(dec.astype(int) - a.astype(int)).max() <= 12
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest
+
+    from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01not a jpeg")
+    # flip SOF0 (0xC0) to SOF2 progressive (0xC2) in a real stream
+    blob = bytearray(jpeg_encode(np.zeros((8, 8, 3), np.uint8)))
+    ix = bytes(blob).find(b"\xff\xc0")
+    blob[ix + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(blob))
+
+
+def test_jpeg_deterministic_bytes():
+    from dwh_spark.multimodal.jpeg import jpeg_encode
+
+    a = np.arange(24 * 32 * 3, dtype=np.uint8).reshape(24, 32, 3)
+    assert jpeg_encode(a, quality=85) == jpeg_encode(a, quality=85)
+
+
+# -------------------------------------------------------------------- GIF
+
+
+def test_gif_lossless_roundtrip():
+    from dwh_spark.multimodal.codecs import gif_decode, gif_encode
+
+    rng = np.random.default_rng(11)
+    for hw in ((24, 32), (17, 23), (1, 1), (64, 5)):
+        pal = rng.integers(0, 256, (13, 3), np.uint8)
+        a = pal[rng.integers(0, 13, hw)]
+        dec = gif_decode(gif_encode(a))
+        assert dec.shape == (*hw, 3)
+        assert (dec == a).all()
+
+
+def test_gif_256_colors_code_growth():
+    """Full 256-color palette forces LZW code width growth toward 12
+    bits and dictionary resets."""
+    from dwh_spark.multimodal.codecs import gif_decode, gif_encode
+
+    rng = np.random.default_rng(5)
+    pal = np.array([[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)], np.uint8)
+    a = pal[rng.integers(0, 256, (80, 90))]
+    assert (gif_decode(gif_encode(a)) == a).all()
+
+
+def test_gif_rejects_garbage_and_too_many_colors():
+    import pytest
+
+    from dwh_spark.multimodal.codecs import gif_decode, gif_encode
+
+    with pytest.raises(ValueError):
+        gif_decode(b"NOTAGIF00")
+    rng = np.random.default_rng(1)
+    rainbow = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    while len(np.unique(rainbow.reshape(-1, 3), axis=0)) <= 256:
+        rainbow = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    with pytest.raises(ValueError):
+        gif_encode(rainbow)
+
+
+def test_pixel_decoder_covers_jpeg_and_gif():
+    """decode_and_resize's real decoder now takes jpeg and gif bytes
+    end-to-end (decode → bicubic → PNG re-encode)."""
+    from dwh_spark.multimodal.codecs import gif_encode, png_decode
+    from dwh_spark.multimodal.images import pixel_decoder
+    from dwh_spark.multimodal.jpeg import jpeg_encode
+
+    a = np.full((24, 32, 3), 77, np.uint8)
+    for blob, fmt in ((jpeg_encode(a, quality=100), "jpeg"), (gif_encode(a), "gif")):
+        out = png_decode(pixel_decoder(blob, 16, 12, fmt))
+        assert out.shape == (12, 16, 3)
+        assert (out == 77).all()

@@ -85,8 +85,9 @@ def test_pixel_decoder_real_bmp():
 
 
 def test_pixel_decoder_unsupported_format_raises():
+    # jpeg/gif decode for real as of r5; tiff/webp still need a library
     with pytest.raises(NotImplementedError, match="needs an image codec"):
-        pillow_decoder(b"\xff\xd8\xff\xe0", 10, 10, "jpeg")
+        pillow_decoder(b"II*\x00rest", 10, 10, "tiff")
 
 
 def test_content_address_shape(spark):
