@@ -44,6 +44,7 @@ _CHECK_FIRST = [
     # -- new in round 5: no driver verdict yet
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
+    "events_mrl_quantile_audit",
     # -- code touched in round 5 (advisor fixes): re-verify
     "docs_quality_composite_filter",
     "events_value_histogram_quantiles",

@@ -851,6 +851,142 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Mergeable BOUNDED-rank-error quantiles: the distribution-independent
+# companion to the 128-bucket histogram above (whose error is data-
+# dependent). Deterministic MRL compactor sketch, one per partition,
+# merged in partition order on the driver (32 sketches × k·log(n/k)
+# floats — the map-side-combine shape; raw values never leave their
+# partition). The query AUDITS the sketch against the exact order
+# statistic: the oracle pins the exact quantiles and the audit
+# booleans, so a sketch whose certified ±err_bound guarantee fails
+# turns the row red. See operators/quantile_sketch.py.
+# ---------------------------------------------------------------------------
+_MRL_K = 256
+_MRL_PARTS = 32
+_MRL_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "events_mrl_quantile_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    nn AS (SELECT count(*) AS n FROM v),
+    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+    tgt AS (
+      SELECT CAST(q AS DOUBLE) AS q, CAST(ceil(q * n) AS BIGINT) AS t, n
+      FROM (VALUES (0.5), (0.9), (0.99)) qs(q) CROSS JOIN nn
+    ),
+    ex AS (
+      SELECT t.q, min(r.v) AS exact_q
+      FROM tgt t JOIN ranked r ON r.rn >= t.t GROUP BY t.q
+    )
+    SELECT t.q AS quantile, t.n AS n_rows, e.exact_q,
+           TRUE AS within_bound, TRUE AS bound_le_5pct_plus_k
+    FROM tgt t JOIN ex e ON t.q = e.q
+    """,
+)
+def events_mrl_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from dwh_spark.operators.quantile_sketch import MRLSketch
+
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_id"),
+            _dec("value").cast("double").alias("v"),
+        )
+        # deterministic partition SETS (hash on event_id) + deterministic
+        # in-partition ORDER (sorted) ⇒ bit-reproducible sketches
+        .repartition(_MRL_PARTS, "event_id")
+        .sortWithinPartitions("v")
+    )
+
+    sk_schema = (
+        "pid long, k long, n long, err_bound long, weight long, vals array<double>"
+    )
+
+    def build(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        s = MRLSketch(_MRL_K)
+        for pdf in batches:
+            s.insert_batch(pdf["v"].to_numpy())
+        pid = TaskContext.get().partitionId()
+        rows = [
+            (pid, s.k, s.n, s.err_bound, w, vals) for w, vals in s.to_rows()
+        ]
+        if not rows:  # empty partition still reports, for exact n
+            rows = [(pid, s.k, 0, 0, 0, [])]
+        yield pd.DataFrame(
+            rows, columns=["pid", "k", "n", "err_bound", "weight", "vals"]
+        )
+
+    # per-partition sketches are tiny; collect and merge in pid order
+    parts: dict[int, list] = {}
+    meta: dict[int, tuple[int, int]] = {}
+    for row in v.select("v").mapInPandas(build, sk_schema).collect():
+        parts.setdefault(row["pid"], []).append((row["weight"], list(row["vals"])))
+        meta[row["pid"]] = (row["n"], row["err_bound"])
+    merged = MRLSketch(_MRL_K)
+    for pid in sorted(parts):
+        n, err = meta[pid]
+        merged.merge(MRLSketch.from_rows(parts[pid], _MRL_K, n, err))
+    n = merged.n
+    bound = merged.audit_bound()
+    ests = {q: merged.quantile(q) for q in _MRL_QS}
+    targets = {q: max(1, math.ceil(q * n)) for q in _MRL_QS}
+
+    # one distributed pass audits every estimate against exact ranks
+    # (rank interval [lo, hi] of the estimate vs target ± bound) and
+    # pulls the exact order statistics via a global row_number — the
+    # exact path is the audit, the sketch is the scale path
+    vals = v.select("v")
+    w = Window.orderBy("v")
+    ranked = vals.withColumn("rn", F.row_number().over(w))
+    aggs = []
+    for i, q in enumerate(_MRL_QS):
+        e = float(ests[q])
+        aggs += [
+            F.sum(F.when(F.col("v") < e, 1).otherwise(0)).alias(f"lt{i}"),
+            F.sum(F.when(F.col("v") <= e, 1).otherwise(0)).alias(f"le{i}"),
+            F.min(F.when(F.col("rn") >= targets[q], F.col("v"))).alias(f"ex{i}"),
+        ]
+    stats = ranked.agg(*aggs).collect()[0]
+
+    out_schema = StructType([
+        StructField("quantile", DoubleType()),
+        StructField("n_rows", LongType()),
+        StructField("exact_q", DoubleType()),
+        StructField("within_bound", BooleanType()),
+        StructField("bound_le_5pct_plus_k", BooleanType()),
+    ])
+    out = []
+    for i, q in enumerate(_MRL_QS):
+        lo = int(stats[f"lt{i}"]) + 1  # lowest rank the estimate occupies
+        hi = int(stats[f"le{i}"])      # highest rank (ties widen this)
+        err = max(lo - targets[q], targets[q] - hi, 0)
+        out.append((
+            float(q), n, float(stats[f"ex{i}"]),
+            # the certified bound must stay near 5% of n; the additive
+            # k term is the buffer discretization floor that dominates
+            # only when n is fixture-small (a k-sized sketch of n < k
+            # values is exact but its worst-case CLAIM is still ±k)
+            bool(err <= bound), bool(bound <= 0.05 * n + _MRL_K),
+        ))
+    return spark.createDataFrame(out, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Right-to-be-forgotten cascade: given a forget-set of customers,
 # propagate the delete through the FK chain (orders → lineitems) and
 # report the audit counts a compliance job must emit. Pure semi/anti

@@ -3,6 +3,7 @@ the fixture-driven oracle parity test can't isolate."""
 
 import datetime as dt
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from dwh_spark.operators.sketch import kmv_distinct
@@ -114,3 +115,100 @@ def test_kmeans_recovers_planted_clusters(spark):
     # seeds all near center 0: k-means must still separate at least the
     # two far clusters; full recovery expected with these margins
     assert purity and distinct == 3
+
+
+# ------------------------------------------------- MRL quantile sketch
+
+
+def _mrl_build_split(values, k, n_parts, rng):
+    """Build via random partition split + random-order merges, the way
+    per-partition sketches combine in the operator."""
+    from dwh_spark.operators.quantile_sketch import MRLSketch
+
+    parts = np.array_split(values, n_parts)
+    sketches = []
+    for p in parts:
+        s = MRLSketch(k)
+        # insert in arrow-batch-sized chunks
+        for i in range(0, len(p), 1000):
+            s.insert_batch(p[i : i + 1000])
+        sketches.append(s)
+    rng.shuffle(sketches)
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.merge(s)
+    return out
+
+
+def test_mrl_rank_error_within_tracked_bound():
+    """The sketch's own certified bound must hold: for every queried
+    quantile, |true_rank(estimate) - target_rank| <= audit_bound(),
+    across distributions, sizes, split counts and merge orders."""
+    rng = np.random.default_rng(1234)
+    distributions = {
+        "uniform": lambda n: rng.uniform(0, 1e6, n),
+        "zipfish": lambda n: 1.0 / rng.uniform(1e-6, 1.0, n),
+        "constant": lambda n: np.full(n, 42.5),
+        "sorted": lambda n: np.arange(n, dtype=float),
+        "fewdistinct": lambda n: rng.integers(0, 10, n).astype(float),
+    }
+    for name, gen in distributions.items():
+        for n in (999, 20_000, 120_000):
+            values = gen(n)
+            sk = _mrl_build_split(values, k=256, n_parts=7, rng=rng)
+            assert sk.n == n
+            sorted_vals = np.sort(values)
+            for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+                est = sk.quantile(q)
+                target = max(1, int(np.ceil(q * n)))
+                # ties: the estimate value occupies a rank INTERVAL
+                # [lo, hi]; the guarantee is that the interval comes
+                # within audit_bound of the target rank
+                lo = int(np.searchsorted(sorted_vals, est, side="left")) + 1
+                hi = int(np.searchsorted(sorted_vals, est, side="right"))
+                err = max(lo - target, target - hi, 0)
+                assert err <= sk.audit_bound(), (
+                    name, n, q, err, sk.audit_bound()
+                )
+
+
+def test_mrl_bound_is_nontrivial():
+    """The guarantee has teeth: at n=120k, k=256 the certified bound
+    stays under 5% of n (vs the histogram's data-dependent error)."""
+    rng = np.random.default_rng(7)
+    sk = _mrl_build_split(rng.uniform(0, 1, 120_000), k=256, n_parts=7, rng=rng)
+    assert sk.audit_bound() <= 0.05 * sk.n
+
+
+def test_mrl_deterministic_across_merge_orders():
+    """Canonical collapse order: the same partition contents merged in
+    any order give identical estimates (needed for the driver gate)."""
+    rng = np.random.default_rng(99)
+    values = rng.uniform(0, 1e3, 50_000)
+    a = _mrl_build_split(values, k=128, n_parts=5, rng=np.random.default_rng(1))
+    b = _mrl_build_split(values, k=128, n_parts=5, rng=np.random.default_rng(2))
+    for q in (0.1, 0.5, 0.99):
+        assert a.quantile(q) == b.quantile(q)
+
+
+def test_mrl_exact_below_k():
+    """Fewer than k values: the sketch has seen everything; quantiles
+    are exact and err_bound is 0."""
+    from dwh_spark.operators.quantile_sketch import MRLSketch
+
+    s = MRLSketch(64)
+    s.insert_batch(np.array([5.0, 1.0, 9.0, 3.0]))
+    assert s.err_bound == 0
+    assert s.quantile(0.5) == 3.0
+    assert s.quantile(1.0) == 9.0
+
+
+def test_mrl_serialization_roundtrip():
+    from dwh_spark.operators.quantile_sketch import MRLSketch
+
+    rng = np.random.default_rng(3)
+    s = MRLSketch(64)
+    s.insert_batch(rng.uniform(0, 1, 5000))
+    s2 = MRLSketch.from_rows(s.to_rows(), s.k, s.n, s.err_bound)
+    for q in (0.2, 0.5, 0.8):
+        assert s.quantile(q) == s2.quantile(q)
