@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "docs_dup_clusters_distributed",
     "docs_dup_clusters",
     "av_video_real_frame_stats",
+    "streaming_latest_state",
     # -- stale: last driver check was round 1 (all 37 cycle now)
     "av_wav_roundtrip_stats",
     "av_video_frame_digests",

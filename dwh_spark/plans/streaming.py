@@ -74,7 +74,10 @@ def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     still crosses batch boundaries (multi-batch restart/idempotency is
     pinned in tests/test_streaming.py) at half the snapshot-write cost."""
     stream, root = _staged_events(spark, sf_dir, max_files_per_trigger=2)
-    store = ParquetStateStore(f"{root}/state")
+    # fact-scale state ⇒ range-partitioned manifest-tracked snapshots
+    # (8 key-range files per version; lookup() prunes through the
+    # manifest) — the MERGE body below is unchanged by the layout
+    store = ParquetStateStore(f"{root}/state", range_key="user_id", n_files=8)
     run_incremental_compaction(
         stream, store, f"{root}/checkpoint",
         keys=["user_id"], seq=F.struct("ts", "event_id"),

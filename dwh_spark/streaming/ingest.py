@@ -79,16 +79,39 @@ class ParquetStateStore:
     - snapshot dirs are keyed by batch_id, so a replayed batch (crash
       between snapshot write and checkpoint commit) rewrites the same
       dir idempotently (M22 parity).
+
+    **Partitioned snapshots** (``range_key``): a 100 TB state table
+    cannot live one file deep — pass ``range_key`` (+ ``n_files``) and
+    every snapshot is written as N range-partitioned files plus a
+    ``_manifest.json`` recording each file's key range and row count
+    (the Delta/Iceberg file-statistics shape, one level deep). The
+    manifest is written before the pointer flips, so a crash mid-write
+    can never expose a half-manifest snapshot; ``lookup()`` uses it to
+    prune to the one file covering a key instead of scanning the
+    snapshot. The foreachBatch MERGE bodies are unchanged — layout is
+    entirely the store's concern.
     """
 
-    def __init__(self, root: str, write_partitions: int | None = None) -> None:
+    MANIFEST = "_manifest.json"  # leading _ ⇒ invisible to parquet scans
+
+    def __init__(
+        self,
+        root: str,
+        write_partitions: int | None = None,
+        range_key: str | None = None,
+        n_files: int = 8,
+    ) -> None:
         """``write_partitions`` caps each snapshot's file count —
         dimension-scale states (thousands of rows) should pass 1:
         under the default 32 shuffle partitions every snapshot writes
         32 near-empty part files, and the per-file task/open overhead
-        dominates the whole fold. Leave None for fact-scale states."""
+        dominates the whole fold. Leave None for fact-scale states, or
+        pass ``range_key`` to range-partition fact-scale snapshots
+        into ``n_files`` manifest-tracked files."""
         self.root = root
         self.write_partitions = write_partitions
+        self.range_key = range_key
+        self.n_files = n_files
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -129,13 +152,103 @@ class ParquetStateStore:
 
     def commit(self, df: DataFrame, batch_id: int) -> None:
         version_dir = self.version_dir(batch_id)
-        if self.write_partitions is not None:
+        if self.range_key is not None:
+            df = df.repartitionByRange(self.n_files, F.col(self.range_key))
+        elif self.write_partitions is not None:
             df = df.coalesce(self.write_partitions)
         df.write.mode("overwrite").parquet(version_dir)
+        if self.range_key is not None:
+            self._write_manifest(df.sparkSession, version_dir, batch_id)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version_dir)
         os.replace(tmp, self._pointer)  # atomic on POSIX
+
+    # ------------------------------------------------------ manifest
+
+    def _write_manifest(
+        self, spark: SparkSession, version_dir: str, batch_id: int
+    ) -> None:
+        """One pass over the freshly-written snapshot collects per-file
+        (row count, min/max of the range key) — the same statistics an
+        Iceberg manifest carries. Small output: n_files rows."""
+        import json
+
+        key = self.range_key
+        stats = (
+            spark.read.parquet(version_dir)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
+            )
+            .collect()
+        )
+        manifest = {
+            "batch_id": batch_id,
+            "range_key": key,
+            "n_rows": int(sum(r["n_rows"] for r in stats)),
+            "files": sorted(
+                (
+                    {
+                        "file": os.path.basename(r["file"]),
+                        "n_rows": int(r["n_rows"]),
+                        "min_key": r["min_key"],
+                        "max_key": r["max_key"],
+                    }
+                    for r in stats
+                ),
+                key=lambda f: f["file"],
+            ),
+        }
+        tmp = os.path.join(version_dir, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, default=str)
+        os.replace(tmp, os.path.join(version_dir, self.MANIFEST))
+
+    def manifest(self) -> dict | None:
+        """Manifest of the CURRENT snapshot (None for unpartitioned
+        stores or before the first commit)."""
+        import json
+
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as fh:
+            version_dir = fh.read().strip()
+        path = os.path.join(version_dir, self.MANIFEST)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def lookup(self, spark: SparkSession, value) -> DataFrame | None:
+        """Point-read by range key through the manifest: open ONLY the
+        file(s) whose [min_key, max_key] covers ``value`` — at a
+        billion state rows this touches one file, not the snapshot.
+        Requires a ``range_key`` store with at least one commit."""
+        man = self.manifest()
+        if man is None:
+            raise ValueError("lookup() needs a range_key store with a commit")
+        with open(self._pointer) as fh:
+            version_dir = fh.read().strip()
+
+        def covers(lo, hi) -> bool:
+            if lo is None:
+                return False
+            try:
+                return lo <= value <= hi  # native order (ints stay ints in JSON)
+            except TypeError:
+                return str(lo) <= str(value) <= str(hi)  # timestamps et al.
+
+        paths = [
+            os.path.join(version_dir, f["file"])
+            for f in man["files"]
+            if covers(f["min_key"], f["max_key"])
+        ]
+        if not paths:
+            return self.current(spark).filter(F.lit(False))
+        return spark.read.parquet(*paths).filter(F.col(man["range_key"]) == value)
 
 
 def run_incremental_compaction(

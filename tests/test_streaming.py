@@ -362,3 +362,76 @@ def test_session_window_stream_resumes_and_merges_across_restart(spark, tmp_path
         (r["user_id"], r["start"], r["end"], r["n_events"]) for r in batch.collect()
     )
     assert got == want
+
+
+def test_partitioned_store_manifest_and_restart(spark, tmp_path):
+    """range_key mode: every snapshot is N key-range files + a
+    manifest whose per-file stats sum to the store; restart resumes
+    and re-manifests correctly; the MERGE body is untouched."""
+    events = load_table(spark, SF, "events")
+    first, second = (
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    )
+    input_dir = str(tmp_path / "input")
+    first.coalesce(1).write.parquet(input_dir)
+
+    store = ParquetStateStore(str(tmp_path / "state"), range_key="user_id", n_files=4)
+    ckpt = str(tmp_path / "ckpt")
+    keys, seq = ["user_id"], F.struct("ts", "event_id")
+    schema = events.schema
+
+    run_incremental_compaction(stream_events(spark, input_dir, schema), store, ckpt, keys, seq)
+    man1 = store.manifest()
+    assert man1 is not None and len(man1["files"]) <= 4
+
+    second.coalesce(1).write.mode("append").parquet(input_dir)
+    run_incremental_compaction(stream_events(spark, input_dir, schema), store, ckpt, keys, seq)
+
+    man2 = store.manifest()
+    assert man2["batch_id"] > man1["batch_id"]
+    state = store.current(spark)
+    # manifest row counts must reconcile exactly with the snapshot
+    assert man2["n_rows"] == state.count()
+    assert sum(f["n_rows"] for f in man2["files"]) == man2["n_rows"]
+    # key ranges are disjoint and ordered (range partitioning)
+    spans = sorted(
+        (f["min_key"], f["max_key"]) for f in man2["files"] if f["min_key"] is not None
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    # final state still equals the batch replay (layout is invisible)
+    got = {r["user_id"]: r["event_id"] for r in state.collect()}
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in latest_state_agg(events, keys, F.struct("ts", "event_id")).collect()
+    }
+    assert got == want
+
+
+def test_partitioned_store_lookup_prunes_files(spark, tmp_path):
+    """lookup() must read only the manifest-covered file(s) for a key
+    and return exactly the state row for that key."""
+    events = load_table(spark, SF, "events")
+    input_dir = str(tmp_path / "input")
+    events.coalesce(1).write.parquet(input_dir)
+    store = ParquetStateStore(str(tmp_path / "state"), range_key="user_id", n_files=4)
+    run_incremental_compaction(
+        stream_events(spark, input_dir, events.schema), store,
+        str(tmp_path / "ckpt"), ["user_id"], F.struct("ts", "event_id"),
+    )
+    state = {r["user_id"]: r["event_id"] for r in store.current(spark).collect()}
+    some_keys = sorted(state)[:3] + sorted(state)[-3:]
+    man = store.manifest()
+    for k in some_keys:
+        df = store.lookup(spark, k)
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["event_id"] == state[k]
+        # pruning: the lookup plan reads fewer files than the snapshot
+        n_covering = sum(
+            1 for f in man["files"]
+            if f["min_key"] is not None and f["min_key"] <= k <= f["max_key"]
+        )
+        assert n_covering < len(man["files"])
+    # a key outside every range returns empty, not an error
+    assert store.lookup(spark, max(state) + 10**9).count() == 0
