@@ -323,12 +323,25 @@ def avi_decode_frame(data: bytes, frame_ix: int) -> np.ndarray:
         raise NotImplementedError(f"AVI bpp={bpp} (only uncompressed 24-bit)")
     # biCompression must be BI_RGB (0): a compressed stream (e.g. MJPEG)
     # can advertise 24 bpp and would otherwise be silently mis-decoded
-    # as raw BGR garbage instead of raising honestly
+    # as raw BGR garbage. Compressed fourccs route through the plugin
+    # seam (multimodal/registry.py) so a deployment with PyAV/ffmpeg
+    # decodes them without touching this walk.
     (bi_compression,) = struct.unpack("<I", strf[16:20])
     if bi_compression != 0:
-        raise NotImplementedError(
-            f"AVI biCompression={bi_compression:#x} (only BI_RGB=0; compressed "
-            "codecs plug in via multimodal.registry decoder seam)"
+        from dwh_spark.multimodal import registry
+
+        fourcc = strf[16:20].decode("latin1")
+        plugged = registry.get_video_decoder(fourcc)
+        if plugged is None:
+            raise NotImplementedError(
+                f"AVI biCompression={fourcc!r} (only BI_RGB=0; register a "
+                "decoder via multimodal.registry / $DWH_SPARK_CODEC_PLUGINS)"
+            )
+        if not 0 <= frame_ix < len(frames):
+            raise IndexError(f"frame {frame_ix} of {len(frames)}")
+        start, ln = frames[frame_ix]
+        return np.asarray(
+            plugged(data[start : start + ln], w, abs(h_raw)), np.uint8
         )
     if not 0 <= frame_ix < len(frames):
         raise IndexError(f"frame {frame_ix} of {len(frames)}")

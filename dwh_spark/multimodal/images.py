@@ -171,10 +171,16 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
         elif fmt == "gif":
             arr = codecs.gif_decode(content)
         else:
-            raise NotImplementedError(
-                f"{fmt} decode needs an image codec library (PIL absent; "
-                "vendored codecs cover png/bmp/jpeg/gif)"
-            )
+            from dwh_spark.multimodal import registry
+
+            plugged = registry.get_image_decoder(fmt)
+            if plugged is None:
+                raise NotImplementedError(
+                    f"{fmt} decode needs an image codec library (PIL absent; "
+                    "vendored codecs cover png/bmp/jpeg/gif — register one "
+                    "via multimodal.registry / $DWH_SPARK_CODEC_PLUGINS)"
+                )
+            arr = plugged(content)
         return codecs.png_encode(codecs.resize_bicubic(arr, w, h))
     img = Image.open(io.BytesIO(content))  # pragma: no cover
     out = io.BytesIO()  # pragma: no cover

@@ -257,3 +257,86 @@ def test_pixel_decoder_covers_jpeg_and_gif():
         out = png_decode(pixel_decoder(blob, 16, 12, fmt))
         assert out.shape == (12, 16, 3)
         assert (out == 77).all()
+
+
+# --------------------------------------------------------- decoder seam
+
+
+def test_registry_image_decoder_seam():
+    """A registered decoder for a format the vendored codecs lack
+    (tiff) carries the full pixel path end-to-end; unregistered
+    formats still raise."""
+    import pytest
+
+    from dwh_spark.multimodal import registry
+    from dwh_spark.multimodal.codecs import png_decode
+    from dwh_spark.multimodal.images import pixel_decoder
+
+    registry._reset_for_tests()
+    try:
+        registry.register_image_decoder(
+            "tiff", lambda data: np.full((8, 10, 3), data[0], np.uint8)
+        )
+        out = png_decode(pixel_decoder(b"\x63fake-tiff-bytes", 5, 4, "tiff"))
+        assert out.shape == (4, 5, 3)
+        assert (out == 0x63).all()
+        with pytest.raises(NotImplementedError, match="webp"):
+            pixel_decoder(b"RIFF....WEBP", 5, 4, "webp")
+    finally:
+        registry._reset_for_tests()
+
+
+def test_registry_video_decoder_seam():
+    """A fake fourcc ('FAKE') in biCompression routes the frame bytes
+    to the registered decoder instead of raising."""
+    import struct
+
+    import pytest
+
+    from dwh_spark.multimodal import codecs, registry
+
+    # craft a 1-frame AVI then stamp a fake compressed fourcc into strf
+    frames = np.full((1, 4, 6, 3), 9, np.uint8)
+    blob = bytearray(codecs.avi_encode(frames))
+    ix = bytes(blob).find(b"strf")
+    # strf payload starts at ix+8; biCompression is bytes 16:20 of it
+    blob[ix + 8 + 16 : ix + 8 + 20] = b"FAKE"
+    registry._reset_for_tests()
+    try:
+        with pytest.raises(NotImplementedError, match="FAKE"):
+            codecs.avi_decode_frame(bytes(blob), 0)
+
+        def fake_decoder(frame_bytes, w, h):
+            assert len(frame_bytes) > 0 and (w, h) == (6, 4)
+            return np.full((h, w, 3), 42, np.uint8)
+
+        registry.register_video_decoder("FAKE", fake_decoder)
+        arr = codecs.avi_decode_frame(bytes(blob), 0)
+        assert arr.shape == (4, 6, 3) and (arr == 42).all()
+    finally:
+        registry._reset_for_tests()
+
+
+def test_registry_env_plugin_loading(tmp_path, monkeypatch):
+    """$DWH_SPARK_CODEC_PLUGINS modules import (and register) on first
+    lookup in a fresh process state — the executor-side pattern."""
+    import sys
+
+    from dwh_spark.multimodal import registry
+
+    plugin = tmp_path / "fake_codec_plugin.py"
+    plugin.write_text(
+        "import numpy as np\n"
+        "from dwh_spark.multimodal import registry\n"
+        "registry.register_image_decoder('webp',"
+        " lambda data: np.zeros((2, 2, 3), np.uint8))\n"
+    )
+    registry._reset_for_tests()
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv(registry.PLUGIN_ENV, "fake_codec_plugin")
+    try:
+        assert registry.get_image_decoder("webp") is not None
+        assert registry.get_image_decoder("tiff") is None
+    finally:
+        registry._reset_for_tests()
+        sys.modules.pop("fake_codec_plugin", None)
