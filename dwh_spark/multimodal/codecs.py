@@ -239,11 +239,12 @@ def resize_bicubic(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
-# ------------------------------------------------------------------ AVI (raw)
-# Minimal RIFF/AVI support for UNCOMPRESSED ('DIB ') video: the one
-# video container decodable from the public spec without a codec
-# library. Compressed streams (h264/vp9/mjpeg) genuinely need
-# ffmpeg/PyAV and still raise in av.py's ffmpeg_frame_decoder.
+# ------------------------------------------------------------------ AVI
+# Minimal RIFF/AVI support: UNCOMPRESSED ('DIB ') streams decode from
+# the raw BGR planes; Motion-JPEG ('MJPG') streams decode through the
+# vendored baseline JPEG codec (each '00dc' chunk is a standalone
+# JPEG). Other compressed codecs (h264/vp9) genuinely need ffmpeg/PyAV
+# — they route through the multimodal/registry.py plugin seam.
 
 
 def _riff_chunks(data: bytes, pos: int, end: int):
@@ -319,30 +320,38 @@ def avi_decode_frame(data: bytes, frame_ix: int) -> np.ndarray:
         raise ValueError("truncated AVI: missing strf/movi frames")
     _, w, h_raw = struct.unpack("<Iii", strf[:12])
     (bpp,) = struct.unpack("<H", strf[14:16])
-    if bpp != 24:
-        raise NotImplementedError(f"AVI bpp={bpp} (only uncompressed 24-bit)")
-    # biCompression must be BI_RGB (0): a compressed stream (e.g. MJPEG)
-    # can advertise 24 bpp and would otherwise be silently mis-decoded
-    # as raw BGR garbage. Compressed fourccs route through the plugin
-    # seam (multimodal/registry.py) so a deployment with PyAV/ffmpeg
-    # decodes them without touching this walk.
+    # Dispatch on biCompression BEFORE trusting bpp: a compressed
+    # stream (e.g. MJPEG) can advertise 24 bpp and would otherwise be
+    # silently mis-decoded as raw BGR garbage.
     (bi_compression,) = struct.unpack("<I", strf[16:20])
     if bi_compression != 0:
-        from dwh_spark.multimodal import registry
-
-        fourcc = strf[16:20].decode("latin1")
-        plugged = registry.get_video_decoder(fourcc)
-        if plugged is None:
-            raise NotImplementedError(
-                f"AVI biCompression={fourcc!r} (only BI_RGB=0; register a "
-                "decoder via multimodal.registry / $DWH_SPARK_CODEC_PLUGINS)"
-            )
         if not 0 <= frame_ix < len(frames):
             raise IndexError(f"frame {frame_ix} of {len(frames)}")
         start, ln = frames[frame_ix]
+        fourcc = strf[16:20].decode("latin1")
+        if fourcc in ("MJPG", "mjpg"):
+            # Motion-JPEG: every '00dc' chunk is a standalone baseline
+            # JPEG — decoded by the vendored jpeg.py. (MJPEG variants
+            # that omit DHT rely on default Annex-K tables the stream
+            # doesn't carry; jpeg_decode raises on those honestly.)
+            return jpeg_decode(data[start : start + ln])
+        # other fourccs (h264/vp9/...) route through the plugin seam
+        # (multimodal/registry.py): a deployment with PyAV/ffmpeg
+        # registers decoders without touching this walk
+        from dwh_spark.multimodal import registry
+
+        plugged = registry.get_video_decoder(fourcc)
+        if plugged is None:
+            raise NotImplementedError(
+                f"AVI biCompression={fourcc!r} (vendored: BI_RGB + MJPG; "
+                "register others via multimodal.registry / "
+                "$DWH_SPARK_CODEC_PLUGINS)"
+            )
         return np.asarray(
             plugged(data[start : start + ln], w, abs(h_raw)), np.uint8
         )
+    if bpp != 24:
+        raise NotImplementedError(f"AVI bpp={bpp} (only uncompressed 24-bit)")
     if not 0 <= frame_ix < len(frames):
         raise IndexError(f"frame {frame_ix} of {len(frames)}")
     start, ln = frames[frame_ix]
@@ -543,3 +552,44 @@ def gif_encode(arr: np.ndarray) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def avi_encode_mjpeg(frames: np.ndarray, quality: int = 100, fps: int = 24) -> bytes:
+    """(N, H, W, 3) uint8 RGB → Motion-JPEG AVI: one standalone
+    baseline JPEG (multimodal/jpeg.py) per '00dc' chunk,
+    biCompression='MJPG'. The compressed-codec fixture generator —
+    at quality=100 a constant-GRAY frame round-trips exactly (the
+    jpeg.py identity), which the oracle-pinned query exploits."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("avi_encode_mjpeg expects RGB frames")
+    blobs = [jpeg_encode(f, quality=quality, subsampling="4:2:0") for f in frames]
+    movi_items = b"".join(
+        b"00dc" + struct.pack("<I", len(b)) + b + (b"\x00" if len(b) & 1 else b"")
+        for b in blobs
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+    max_size = max(len(b) for b in blobs)
+    strf_payload = struct.pack(
+        "<Iii HH 4s IiiII".replace(" ", ""),
+        40, w, h, 1, 24, b"MJPG", max_size, 0, 0, 0, 0,
+    )
+    strf = b"strf" + struct.pack("<I", len(strf_payload)) + strf_payload
+    strh_payload = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strh = b"strh" + struct.pack("<I", len(strh_payload)) + strh_payload
+    strl_items = strh + strf
+    strl = b"LIST" + struct.pack("<I", 4 + len(strl_items)) + b"strl" + strl_items
+    avih_payload = struct.pack(
+        "<IIIIIIIIII", 1_000_000 // fps, max_size * fps, 0, 0, n, 0, 1,
+        max_size, w, h,
+    ) + b"\x00" * 16
+    avih = b"avih" + struct.pack("<I", len(avih_payload)) + avih_payload
+    hdrl_items = avih + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_items)) + b"hdrl" + hdrl_items
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -208,6 +208,56 @@ def av_video_real_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "av_video_mjpeg_frame_stats",
+    oracle="""
+    SELECT doc_id, frame_ix, 16 AS width, 12 AS height,
+           (doc_id * 29 + frame_ix * 23) % 256 AS mean_gray
+    FROM documents, UNNEST(range(0, doc_id % 4 + 2)) AS t(frame_ix)
+    WHERE doc_id % 10 = 4
+    """,
+)
+def av_video_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED video decode — Motion-JPEG: each doc becomes a
+    genuine MJPG AVI (biCompression='MJPG', one vendored baseline JPEG
+    per '00dc' chunk, codecs.avi_encode_mjpeg), every frame is sampled,
+    and avi_decode_frame routes the chunks through the jpeg.py Huffman+
+    IDCT path. Constant-GRAY frames at quality=100 round-trip exactly
+    (the jpeg.py identity), so the oracle pins per-frame means from the
+    construction arithmetic with no codec terms — container walk,
+    fourcc dispatch, JPEG entropy decode and color conversion all have
+    to be right for the hash to match."""
+    from dwh_spark.multimodal.av import decode_avi_frame_stats
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 4)
+        .repartition(32)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 4 + 2
+                frames = np.empty((n, 12, 16, 3), np.uint8)
+                for f in range(n):
+                    frames[f] = (d * 29 + f * 23) % 256
+                out.append((d, n, codecs.avi_encode_mjpeg(frames, quality=100)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_frames", "content"])
+
+    vids = docs.mapInPandas(gen, "doc_id long, n_frames long, content binary")
+    sampled = sample_frames(vids, every=1)
+    return decode_avi_frame_stats(sampled)
+
+
+@query(
     "av_audio_chunk_energy",
     oracle="""
     WITH docs AS (

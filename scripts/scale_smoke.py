@@ -189,33 +189,36 @@ def main() -> None:
         )]),
         (i % 5 + 1).cast("int"),
     )
-    mlog = spark.range(n_msgs).select(
-        i.alias("height"),
-        F.lit(0).cast("int").alias("tx_index"), F.lit(0).cast("int").alias("msg_id"),
-        F.concat(F.lit("H"), i.cast("string")).alias("tx_hash"),
-        F.lit(0).cast("int").alias("code"),
-        F.lit(200000).cast("long").alias("gas_wanted"),
-        F.lit(100000).cast("long").alias("gas_used"),
-        F.when(is_mint, F.lit("nft")).otherwise(F.lit("marketplace")).alias("route"),
-        F.when(is_mint, F.lit("MsgMintNFT")).otherwise(op).alias("msg_type"),
-        user.alias("signers"),
-        tok.alias("token_id"),
-        F.lit("basic").alias("denom"),
-        user.alias("sender"),
-        user.alias("recipient"),
-        user.alias("buyer"),
-        F.lit(None).cast("string").alias("bidder"),
-        F.lit(None).cast("string").alias("beneficiary"),
-        F.concat((i % 1000).cast("string"), F.lit("token")).alias("price"),
-        F.lit(None).cast("string").alias("buyout_price"),
-        F.lit(None).cast("string").alias("opening_price"),
-        F.lit(None).cast("string").alias("bid"),
-        F.lit(None).cast("long").alias("amount"),
-        F.lit(None).cast("timestamp").alias("time_to_sell"),
-        F.concat(F.lit("http://m/"), tok).alias("token_uri"),
-        F.create_map().cast("map<string,string>").alias("event_attrs"),
-        F.timestamp_micros(F.lit(1704067200000000) + i * 60_000_000).alias("ts"),
-    )
+    def make_log(token_col):
+        return spark.range(n_msgs).select(
+            i.alias("height"),
+            F.lit(0).cast("int").alias("tx_index"), F.lit(0).cast("int").alias("msg_id"),
+            F.concat(F.lit("H"), i.cast("string")).alias("tx_hash"),
+            F.lit(0).cast("int").alias("code"),
+            F.lit(200000).cast("long").alias("gas_wanted"),
+            F.lit(100000).cast("long").alias("gas_used"),
+            F.when(is_mint, F.lit("nft")).otherwise(F.lit("marketplace")).alias("route"),
+            F.when(is_mint, F.lit("MsgMintNFT")).otherwise(op).alias("msg_type"),
+            user.alias("signers"),
+            token_col.alias("token_id"),
+            F.lit("basic").alias("denom"),
+            user.alias("sender"),
+            user.alias("recipient"),
+            user.alias("buyer"),
+            F.lit(None).cast("string").alias("bidder"),
+            F.lit(None).cast("string").alias("beneficiary"),
+            F.concat((i % 1000).cast("string"), F.lit("token")).alias("price"),
+            F.lit(None).cast("string").alias("buyout_price"),
+            F.lit(None).cast("string").alias("opening_price"),
+            F.lit(None).cast("string").alias("bid"),
+            F.lit(None).cast("long").alias("amount"),
+            F.lit(None).cast("timestamp").alias("time_to_sell"),
+            F.concat(F.lit("http://m/"), token_col).alias("token_uri"),
+            F.create_map().cast("map<string,string>").alias("event_attrs"),
+            F.timestamp_micros(F.lit(1704067200000000) + i * 60_000_000).alias("ts"),
+        )
+
+    mlog = make_log(tok)
     mkt_path = f"{PATH}_mktlog"
     t = time.perf_counter()
     mlog.write.mode("overwrite").parquet(mkt_path)
@@ -231,6 +234,32 @@ def main() -> None:
     p1 = nft_partial_state(big_log.filter(F.col("height") < half))
     p2 = nft_partial_state(big_log.filter(F.col("height") >= half))
     timed("merge_nft_partials (two half-log partials)", merge_nft_partials(p1, p2))
+
+    # ---- hot-key skew replay: power-law token activity ----
+    # A real chain is power-law — one hot collection can take >20% of
+    # all messages. The LWW fold is a groupBy of combinable max/min
+    # aggregates, so the hot token is pre-reduced MAP-SIDE: each input
+    # partition emits ONE partial row for the hot key and the reduce
+    # task receives #partitions rows, not 270k — no salting needed,
+    # unlike a window-rank formulation which would ship every hot-key
+    # row to a single task. This run proves skewed ≈ uniform wall time.
+    hot = F.pmod(F.xxhash64("id", F.lit(99)), F.lit(10)) < 3  # 27% of non-mints
+    tok_skew = F.when(is_mint | ~hot, tok).otherwise(F.lit("TOK0"))
+    mlog_skew = make_log(tok_skew)
+    skew_path = f"{PATH}_mktlog_skew"
+    t = time.perf_counter()
+    mlog_skew.write.mode("overwrite").parquet(skew_path)
+    print(f"generate+write {n_msgs} SKEWED marketplace messages: {time.perf_counter() - t:.1f}s")
+    skew_log = spark.read.parquet(skew_path)
+    n_hot = skew_log.filter(F.col("token_id") == "TOK0").count()
+    print(f"hottest token share: {n_hot / n_msgs:.1%} of {n_msgs} messages")
+    timed(
+        f"materialize_nfts (SKEWED replay, hottest token {n_hot / n_msgs:.0%})",
+        materialize_nfts(skew_log),
+    )
+    ps1 = nft_partial_state(skew_log.filter(F.col("height") < half))
+    ps2 = nft_partial_state(skew_log.filter(F.col("height") >= half))
+    timed("merge_nft_partials (SKEWED half-log partials)", merge_nft_partials(ps1, ps2))
 
     # ---- round-3 operators at scale ----
     from dwh_spark.operators.graph import pagerank

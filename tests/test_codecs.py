@@ -340,3 +340,43 @@ def test_registry_env_plugin_loading(tmp_path, monkeypatch):
     finally:
         registry._reset_for_tests()
         sys.modules.pop("fake_codec_plugin", None)
+
+
+def test_avi_mjpeg_roundtrip():
+    """MJPG AVI: '00dc' chunks are standalone baseline JPEGs decoded by
+    the vendored codec; constant gray at q100 is exact, random gray is
+    DCT-round-off bounded."""
+    from dwh_spark.multimodal import codecs
+
+    frames = np.empty((4, 12, 16, 3), np.uint8)
+    for f in range(4):
+        frames[f] = (f * 37 + 11) % 256
+    blob = codecs.avi_encode_mjpeg(frames, quality=100)
+    for f in range(4):
+        arr = codecs.avi_decode_frame(blob, f)
+        assert arr.shape == (12, 16, 3)
+        assert (arr == (f * 37 + 11) % 256).all()
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (2, 24, 32), np.uint8)
+    fr = np.repeat(g[:, :, :, None], 3, 3)
+    blob = codecs.avi_encode_mjpeg(fr, quality=100)
+    for f in range(2):
+        err = np.abs(codecs.avi_decode_frame(blob, f).astype(int) - fr[f].astype(int)).max()
+        assert err <= 3
+
+
+def test_avi_unknown_fourcc_still_raises():
+    import pytest
+
+    from dwh_spark.multimodal import codecs, registry
+
+    frames = np.zeros((1, 4, 6, 3), np.uint8)
+    blob = bytearray(codecs.avi_encode(frames))
+    ix = bytes(blob).find(b"strf")
+    blob[ix + 8 + 16 : ix + 8 + 20] = b"H264"
+    registry._reset_for_tests()
+    try:
+        with pytest.raises(NotImplementedError, match="H264"):
+            codecs.avi_decode_frame(bytes(blob), 0)
+    finally:
+        registry._reset_for_tests()
