@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",
     "av_video_mjpeg_frame_stats",
+    "imgs_tiff_pixel_stats",
     # -- code touched in round 5 (advisor fixes): re-verify
     "docs_quality_composite_filter",
     "events_value_histogram_quantiles",

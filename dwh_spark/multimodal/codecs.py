@@ -593,3 +593,252 @@ def avi_encode_mjpeg(frames: np.ndarray, quality: int = 100, fps: int = 24) -> b
     hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_items)) + b"hdrl" + hdrl_items
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------------------------- TIFF
+# Baseline TIFF 6.0 decode (x/imgresizer/resizer.go:252's format):
+# both byte orders, chunky planar config, strip-organized, 8-bit
+# samples, Compression = none / LZW (TIFF variant: MSB-first packing,
+# early code-width change) / PackBits, Photometric = gray (0/1), RGB,
+# palette. Tiled TIFFs, 16-bit samples and planar=2 raise honestly.
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW: MSB-first bit order, codes 256=Clear 257=EOI,
+    width bumps EARLY (at table sizes 510/1022/2046, one code before
+    the GIF convention)."""
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expected and bitpos + width <= nbits:
+        code = 0
+        for _ in range(width):
+            code = (code << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        prev = entry
+        if len(table) in (510, 1022, 2046):  # early change
+            width += 1
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    accbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+        acc &= (1 << accbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # Clear
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code in (511, 1023, 2047):  # early change, encoder side
+            width += 1
+        if next_code >= 4094:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf])
+    emit(257)  # EOI
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < expected and pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """TIFF bytes (first IFD) → (H, W, C) uint8 (C=1 gray, 3 RGB)."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order signature")
+
+    def u16(pos: int) -> int:
+        return struct.unpack(bo + "H", data[pos : pos + 2])[0]
+
+    def u32(pos: int) -> int:
+        return struct.unpack(bo + "I", data[pos : pos + 4])[0]
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[int, list[int]] = {}
+    _SZ = {1: 1, 3: 2, 4: 4}
+    for e in range(n_entries):
+        p = ifd + 2 + 12 * e
+        tag, typ = u16(p), u16(p + 2)
+        count = u32(p + 4)
+        if typ not in _SZ:
+            continue  # RATIONAL resolutions etc. — not needed
+        size = _SZ[typ] * count
+        vp = p + 8 if size <= 4 else u32(p + 8)
+        rd = {1: lambda q: data[q], 3: u16, 4: u32}[typ]
+        tags[tag] = [rd(vp + _SZ[typ] * i) for i in range(count)]
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    planar = one(284, 1)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} (only 8)")
+    if planar != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = bytes(data[off : off + cnt])
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = n_rows * w * spp
+        if compression == 1:
+            raw += strip[:expected]
+        elif compression == 5:
+            raw += _tiff_lzw_decode(strip, expected)
+        elif compression == 32773:
+            raw += _packbits_decode(strip, expected)
+        else:
+            raise NotImplementedError(f"TIFF compression {compression}")
+    arr = np.frombuffer(bytes(raw), np.uint8)
+    if len(arr) < h * w * spp:
+        raise ValueError("truncated TIFF strip data")
+    arr = arr[: h * w * spp].reshape(h, w, spp)
+    if photometric == 0:  # white-is-zero gray
+        return (255 - arr[:, :, :1]).astype(np.uint8)
+    if photometric == 1:  # black-is-zero gray
+        return arr[:, :, :1]
+    if photometric == 2:  # RGB (ignore any extra/alpha samples)
+        return np.ascontiguousarray(arr[:, :, :3])
+    if photometric == 3:  # palette: ColorMap is 16-bit per channel
+        cmap = tags.get(320)
+        if not cmap:
+            raise ValueError("palette TIFF without ColorMap")
+        n = len(cmap) // 3
+        pal = (np.array(cmap, np.uint16).reshape(3, n).T >> 8).astype(np.uint8)
+        return pal[arr[:, :, 0]]
+    raise NotImplementedError(f"TIFF photometric {photometric}")
+
+
+def tiff_encode(arr: np.ndarray, compression: str = "none") -> bytes:
+    """(H, W, 3) RGB or (H, W) gray uint8 → little-endian chunky TIFF,
+    one strip, Compression none|lzw (fixture generator)."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else arr.shape[2]
+    if not gray and spp != 3:
+        raise ValueError("tiff_encode expects RGB or gray")
+    payload = arr.tobytes()
+    comp_tag = {"none": 1, "lzw": 5}[compression]
+    if compression == "lzw":
+        payload = _tiff_lzw_encode(payload)
+
+    entries: list[tuple[int, int, int, int]] = []  # tag, type, count, value
+    header_size = 8
+    n_tags = 9 if gray else 10
+    ifd_size = 2 + 12 * n_tags + 4
+    bps_off = header_size + ifd_size  # BitsPerSample array for RGB
+    data_off = bps_off + (6 if not gray else 0)
+    entries.append((256, 3, 1, w))
+    entries.append((257, 3, 1, h))
+    if gray:
+        entries.append((258, 3, 1, 8))
+    else:
+        entries.append((258, 3, 3, bps_off))
+    entries.append((259, 3, 1, comp_tag))
+    entries.append((262, 3, 1, 1 if gray else 2))
+    entries.append((273, 4, 1, data_off))
+    entries.append((277, 3, 1, spp))
+    entries.append((278, 3, 1, h))
+    entries.append((279, 4, 1, len(payload)))
+    if not gray:
+        entries.append((284, 3, 1, 1))
+    entries.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        if typ == 3 and count == 1:
+            out += struct.pack("<HHIHH", tag, typ, count, value, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)  # no next IFD
+    if not gray:
+        out += struct.pack("<HHH", 8, 8, 8)
+    out += payload
+    return bytes(out)

@@ -162,14 +162,15 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
     except ImportError:
         from dwh_spark.multimodal import codecs
 
-        if fmt == "png":
-            arr = codecs.png_decode(content)
-        elif fmt == "bmp":
-            arr = codecs.bmp_decode(content)
-        elif fmt == "jpeg":
-            arr = codecs.jpeg_decode(content)
-        elif fmt == "gif":
-            arr = codecs.gif_decode(content)
+        _vendored = {
+            "png": codecs.png_decode,
+            "bmp": codecs.bmp_decode,
+            "jpeg": codecs.jpeg_decode,
+            "gif": codecs.gif_decode,
+            "tiff": codecs.tiff_decode,
+        }
+        if fmt in _vendored:
+            arr = _vendored[fmt](content)
         else:
             from dwh_spark.multimodal import registry
 
@@ -177,8 +178,8 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
             if plugged is None:
                 raise NotImplementedError(
                     f"{fmt} decode needs an image codec library (PIL absent; "
-                    "vendored codecs cover png/bmp/jpeg/gif — register one "
-                    "via multimodal.registry / $DWH_SPARK_CODEC_PLUGINS)"
+                    "vendored codecs cover png/bmp/jpeg/gif/tiff — register "
+                    "one via multimodal.registry / $DWH_SPARK_CODEC_PLUGINS)"
                 )
             arr = plugged(content)
         return codecs.png_encode(codecs.resize_bicubic(arr, w, h))

@@ -520,6 +520,106 @@ def imgs_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "imgs_tiff_pixel_stats",
+    oracle="""
+    SELECT doc_id,
+           'tiff' AS format,
+           CASE WHEN doc_id % 2 = 0 THEN 'none' ELSE 'lzw' END AS compression,
+           r.target_w, r.target_h,
+           r.target_w AS dec_w, r.target_h AS dec_h,
+           (doc_id * 37) % 256 AS mean_r,
+           (doc_id * 59) % 256 AS mean_g,
+           (doc_id * 83) % 256 AS mean_b
+    FROM documents
+    CROSS JOIN (VALUES (40, 30), (16, 12)) AS r(target_w, target_h)
+    WHERE doc_id % 10 = 5
+    """,
+)
+def imgs_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 for TIFF (x/imgresizer/resizer.go:252): constant-color TIFFs
+    — uncompressed strips for even doc_ids, TIFF-LZW (MSB-first,
+    early-change) for odd — through sniff → IFD walk → strip decode →
+    bicubic → PNG. TIFF is lossless, so the oracle pins all three
+    channel means from the construction arithmetic, and the
+    compression column proves both strip paths ran."""
+    from dwh_spark.multimodal.images import pixel_decoder
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 5)
+        .repartition(32)
+    )
+
+    gen_schema = "doc_id long, owner string, token_id string, content binary"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                arr = np.empty((24, 32, 3), np.uint8)
+                arr[:, :, 0] = (d * 37) % 256
+                arr[:, :, 1] = (d * 59) % 256
+                arr[:, :, 2] = (d * 83) % 256
+                comp = "none" if d % 2 == 0 else "lzw"
+                out.append((d, "owner", str(d), codecs.tiff_encode(arr, comp)))
+            yield pd.DataFrame(out, columns=["doc_id", "owner", "token_id", "content"])
+
+    images = docs.mapInPandas(gen, gen_schema)
+    fanned = resize_fanout(images, resolutions=((40, 30), (16, 12)))
+    resized = decode_and_resize(fanned, decoder=pixel_decoder)
+
+    stats_schema = (
+        "token_id string, format string, target_w int, target_h int, "
+        "dec_w int, dec_h int, mean_r long, mean_g long, mean_b long"
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for tok, fmt, tw, th, blob in zip(
+                pdf["token_id"], pdf["format"], pdf["target_w"],
+                pdf["target_h"], pdf["resized"],
+            ):
+                arr = codecs.png_decode(bytes(blob))
+                rows.append((
+                    tok, fmt, int(tw), int(th),
+                    int(arr.shape[1]), int(arr.shape[0]),
+                    int(round(arr[:, :, 0].mean())),
+                    int(round(arr[:, :, 1].mean())),
+                    int(round(arr[:, :, 2].mean())),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "token_id", "format", "target_w", "target_h",
+                    "dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    verified = resized.mapInPandas(verify, stats_schema)
+    return verified.select(
+        F.col("token_id").cast("long").alias("doc_id"),
+        "format",
+        F.when(F.col("token_id").cast("long") % 2 == 0, "none")
+        .otherwise("lzw")
+        .alias("compression"),
+        "target_w", "target_h", "dec_w", "dec_h",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+@query(
     "imgs_point_read_fallback",
     oracle="""
     SELECT doc_id,

@@ -264,7 +264,7 @@ def test_pixel_decoder_covers_jpeg_and_gif():
 
 def test_registry_image_decoder_seam():
     """A registered decoder for a format the vendored codecs lack
-    (tiff) carries the full pixel path end-to-end; unregistered
+    (webp) carries the full pixel path end-to-end; unregistered
     formats still raise."""
     import pytest
 
@@ -275,13 +275,13 @@ def test_registry_image_decoder_seam():
     registry._reset_for_tests()
     try:
         registry.register_image_decoder(
-            "tiff", lambda data: np.full((8, 10, 3), data[0], np.uint8)
+            "webp", lambda data: np.full((8, 10, 3), data[0], np.uint8)
         )
-        out = png_decode(pixel_decoder(b"\x63fake-tiff-bytes", 5, 4, "tiff"))
+        out = png_decode(pixel_decoder(b"\x63fake-webp-bytes", 5, 4, "webp"))
         assert out.shape == (4, 5, 3)
         assert (out == 0x63).all()
-        with pytest.raises(NotImplementedError, match="webp"):
-            pixel_decoder(b"RIFF....WEBP", 5, 4, "webp")
+        with pytest.raises(NotImplementedError, match="jp2"):
+            pixel_decoder(b"who knows", 5, 4, "jp2")
     finally:
         registry._reset_for_tests()
 
@@ -380,3 +380,71 @@ def test_avi_unknown_fourcc_still_raises():
             codecs.avi_decode_frame(bytes(blob), 0)
     finally:
         registry._reset_for_tests()
+
+
+# ------------------------------------------------------------------- TIFF
+
+
+def test_tiff_roundtrip_none_and_lzw():
+    from dwh_spark.multimodal.codecs import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(17)
+    for comp in ("none", "lzw"):
+        a = rng.integers(0, 256, (23, 31, 3), np.uint8)
+        dec = tiff_decode(tiff_encode(a, comp))
+        assert dec.shape == (23, 31, 3) and (dec == a).all()
+        g = rng.integers(0, 256, (9, 14), np.uint8)
+        dec = tiff_decode(tiff_encode(g, comp))
+        assert dec.shape == (9, 14, 1) and (dec[:, :, 0] == g).all()
+
+
+def test_tiff_lzw_code_width_growth_and_reset():
+    """A big random image pushes the LZW table past the 510/1022/2046
+    early-change boundaries and the 4094 reset."""
+    from dwh_spark.multimodal.codecs import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(23)
+    big = rng.integers(0, 256, (80, 120, 3), np.uint8)
+    assert (tiff_decode(tiff_encode(big, "lzw")) == big).all()
+
+
+def test_tiff_big_endian_and_packbits():
+    """Hand-built MM (big-endian) gray TIFF with PackBits strips."""
+    import struct as st
+
+    from dwh_spark.multimodal.codecs import tiff_decode
+
+    # 2x4 gray image rows: [10 10 10 10], [20 30 30 30]
+    # packbits: (-3, 10) run of 4... encode: [0xFD, 10] = repeat 10 x4;
+    # row2: literal 20 then repeat 30 x3: [0x00, 20, 0xFE, 30]
+    payload = bytes([0xFD, 10, 0x00, 20, 0xFE, 30])
+    entries = [
+        (256, 3, 1, 4), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 32773),
+        (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, 2),
+        (279, 4, 1, len(payload)),
+    ]
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_off = 8 + ifd_size
+    out = bytearray(b"MM\x00*" + st.pack(">I", 8))
+    out += st.pack(">H", len(entries))
+    for tag, typ, count, value in entries:
+        if tag == 273:
+            value = data_off
+        if typ == 3:
+            out += st.pack(">HHIHH", tag, typ, count, value, 0)
+        else:
+            out += st.pack(">HHII", tag, typ, count, value)
+    out += st.pack(">I", 0)
+    out += payload
+    arr = tiff_decode(bytes(out))
+    assert arr.shape == (2, 4, 1)
+    assert arr[:, :, 0].tolist() == [[10, 10, 10, 10], [20, 30, 30, 30]]
+
+
+def test_tiff_rejects_garbage_and_tiled():
+    import pytest
+
+    from dwh_spark.multimodal.codecs import tiff_decode
+
+    with pytest.raises(ValueError):
+        tiff_decode(b"NOTATIFF")

@@ -85,9 +85,9 @@ def test_pixel_decoder_real_bmp():
 
 
 def test_pixel_decoder_unsupported_format_raises():
-    # jpeg/gif decode for real as of r5; tiff/webp still need a library
+    # jpeg/gif/tiff decode for real as of r5; webp still needs a library
     with pytest.raises(NotImplementedError, match="needs an image codec"):
-        pillow_decoder(b"II*\x00rest", 10, 10, "tiff")
+        pillow_decoder(b"RIFF\x00\x00\x00\x00WEBP", 10, 10, "webp")
 
 
 def test_content_address_shape(spark):
