@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # so every registry query gets a fresh driver verdict within ~3 rounds.
 _CHECK_FIRST = [
     # -- new in round 5: no driver verdict yet
+    "imgs_webp_pixel_stats",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

@@ -18,11 +18,13 @@ JVM-side column algebra:
   original) as a rank-1 window.
 
 Pixel decoding (B2/B4) is the only step that needs Python: it runs as
-``mapInPandas`` over Arrow batches. PNG, BMP, baseline JPEG, and GIF
-decode/resize/re-encode are REAL even without PIL — vendored
-pure-numpy codecs (multimodal/codecs.py + jpeg.py: inflate, unfilter,
-Huffman+IDCT, LZW, Keys bicubic, deflate); tiff/webp need a codec
-library and raise without PIL.
+``mapInPandas`` over Arrow batches. All six raster formats the
+reference decodes (resizer.go:244-255) — PNG, BMP, baseline JPEG,
+GIF, TIFF, lossless WebP — decode/resize/re-encode for REAL even
+without PIL, via vendored pure-numpy codecs (multimodal/codecs.py +
+jpeg.py + vp8l.py: inflate, unfilter, Huffman+IDCT, LZW, VP8L prefix
+codes + transforms, Keys bicubic, deflate); lossy-WebP and other
+exotics need a codec library and raise without PIL.
 ``deterministic_decoder`` remains for format-agnostic plumbing tests.
 """
 
@@ -150,10 +152,11 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
     re-encode (resizer.go:242-263, png.BestCompression at :49).
 
     Uses PIL when importable; otherwise the vendored pure-Python
-    codecs (multimodal/codecs.py + jpeg.py) handle png, bmp, baseline
-    jpeg (Huffman + batched IDCT, 4:2:0/4:2:2/4:4:4), and gif (LZW)
-    for real. The remaining formats (tiff/webp) genuinely need a
-    codec library and raise without PIL.
+    codecs (multimodal/codecs.py + jpeg.py + vp8l.py) handle png, bmp,
+    baseline jpeg (Huffman + batched IDCT, 4:2:0/4:2:2/4:4:4), gif
+    (LZW), tiff (strips; none/LZW/PackBits), and lossless webp (VP8L)
+    for real. Lossy-WebP/other exotics still need a codec library and
+    raise without PIL (or a registry plugin).
     """
     try:
         import io
@@ -168,6 +171,7 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
             "jpeg": codecs.jpeg_decode,
             "gif": codecs.gif_decode,
             "tiff": codecs.tiff_decode,
+            "webp": codecs.webp_decode,
         }
         if fmt in _vendored:
             arr = _vendored[fmt](content)
@@ -178,8 +182,9 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
             if plugged is None:
                 raise NotImplementedError(
                     f"{fmt} decode needs an image codec library (PIL absent; "
-                    "vendored codecs cover png/bmp/jpeg/gif/tiff — register "
-                    "one via multimodal.registry / $DWH_SPARK_CODEC_PLUGINS)"
+                    "vendored codecs cover png/bmp/jpeg/gif/tiff/webp — "
+                    "register one via multimodal.registry / "
+                    "$DWH_SPARK_CODEC_PLUGINS)"
                 )
             arr = plugged(content)
         return codecs.png_encode(codecs.resize_bicubic(arr, w, h))

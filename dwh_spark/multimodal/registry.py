@@ -1,15 +1,16 @@
 """Pluggable codec registry — the injection seam for real decoders.
 
-The vendored pure-numpy codecs cover png/bmp/jpeg/gif images,
-uncompressed AVI video, and PCM WAV audio. Real corpora also carry
-tiff/webp, MJPEG/H.264, MP3 — formats that genuinely need native
-libraries (PIL, PyAV/ffmpeg) this sandbox doesn't have. This module is
+The vendored pure-numpy codecs cover png/bmp/jpeg/gif/tiff and
+lossless-webp images, uncompressed + MJPEG AVI video, and PCM WAV
+audio. Real corpora also carry lossy webp (VP8), HEIC, H.264, MP3 —
+formats that genuinely need native libraries (PIL, PyAV/ffmpeg) this
+sandbox doesn't have. This module is
 the documented seam where a deployment plugs those in WITHOUT touching
 plan or operator code (the reference's analogue: image.Decode's
 format registry that `x/imgresizer/resizer.go:244-255` dispatches
 through):
 
-- ``register_image_decoder("tiff", fn)`` — ``fn(bytes) -> (H,W,C)
+- ``register_image_decoder("heic", fn)`` — ``fn(bytes) -> (H,W,C)
   uint8 ndarray``; ``images.pixel_decoder`` consults this before
   raising for a format the vendored codecs don't cover.
 - ``register_video_decoder("MJPG", fn)`` — ``fn(frame_bytes, w, h) ->

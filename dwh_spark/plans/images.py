@@ -620,6 +620,123 @@ def imgs_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "imgs_webp_pixel_stats",
+    oracle="""
+    SELECT doc_id,
+           'webp' AS format,
+           CASE doc_id % 3 WHEN 0 THEN 'palette'
+                           WHEN 1 THEN 'subgreen_lz77_cache'
+                           ELSE 'predictor_color' END AS variant,
+           r.target_w, r.target_h,
+           r.target_w AS dec_w, r.target_h AS dec_h,
+           (doc_id * 37) % 256 AS mean_r,
+           (doc_id * 59) % 256 AS mean_g,
+           (doc_id * 83) % 256 AS mean_b
+    FROM documents
+    CROSS JOIN (VALUES (40, 30), (16, 12)) AS r(target_w, target_h)
+    WHERE doc_id % 10 = 4
+    """,
+)
+def imgs_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 for WebP (x/imgresizer/resizer.go:254): constant-color
+    lossless WebPs (vendored VP8L encoder, multimodal/vp8l.py) through
+    sniff → RIFF walk → prefix-code decode → inverse transforms →
+    bicubic → PNG. Three encoder variants by doc_id so one driver row
+    exercises three decoder paths: color-indexing with 8-pixel/byte
+    bundling, subtract-green + LZ77 + color cache, and predictor +
+    cross-color transforms. VP8L is lossless, so the oracle pins all
+    three channel means from the construction arithmetic."""
+    from dwh_spark.multimodal.images import pixel_decoder
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 4)
+        .repartition(32)
+    )
+
+    gen_schema = "doc_id long, owner string, token_id string, content binary"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import vp8l
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                arr = np.empty((24, 32, 3), np.uint8)
+                arr[:, :, 0] = (d * 37) % 256
+                arr[:, :, 1] = (d * 59) % 256
+                arr[:, :, 2] = (d * 83) % 256
+                if d % 3 == 0:
+                    data = vp8l.webp_encode(arr, palette=True)
+                elif d % 3 == 1:
+                    data = vp8l.webp_encode(
+                        arr, subtract_green=True, cache_bits=4
+                    )
+                else:
+                    data = vp8l.webp_encode(
+                        arr,
+                        subtract_green=True,
+                        predictor_mode=d % 14,
+                        color_transform=(13, 27, 5),
+                    )
+                out.append((d, "owner", str(d), data))
+            yield pd.DataFrame(out, columns=["doc_id", "owner", "token_id", "content"])
+
+    images = docs.mapInPandas(gen, gen_schema)
+    fanned = resize_fanout(images, resolutions=((40, 30), (16, 12)))
+    resized = decode_and_resize(fanned, decoder=pixel_decoder)
+
+    stats_schema = (
+        "token_id string, format string, target_w int, target_h int, "
+        "dec_w int, dec_h int, mean_r long, mean_g long, mean_b long"
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for tok, fmt, tw, th, blob in zip(
+                pdf["token_id"], pdf["format"], pdf["target_w"],
+                pdf["target_h"], pdf["resized"],
+            ):
+                arr = codecs.png_decode(bytes(blob))
+                rows.append((
+                    tok, fmt, int(tw), int(th),
+                    int(arr.shape[1]), int(arr.shape[0]),
+                    int(round(arr[:, :, 0].mean())),
+                    int(round(arr[:, :, 1].mean())),
+                    int(round(arr[:, :, 2].mean())),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "token_id", "format", "target_w", "target_h",
+                    "dec_w", "dec_h", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    verified = resized.mapInPandas(verify, stats_schema)
+    return verified.select(
+        F.col("token_id").cast("long").alias("doc_id"),
+        "format",
+        F.when(F.col("token_id").cast("long") % 3 == 0, "palette")
+        .when(F.col("token_id").cast("long") % 3 == 1, "subgreen_lz77_cache")
+        .otherwise("predictor_color")
+        .alias("variant"),
+        "target_w", "target_h", "dec_w", "dec_h",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+@query(
     "imgs_point_read_fallback",
     oracle="""
     SELECT doc_id,

@@ -264,7 +264,7 @@ def test_pixel_decoder_covers_jpeg_and_gif():
 
 def test_registry_image_decoder_seam():
     """A registered decoder for a format the vendored codecs lack
-    (webp) carries the full pixel path end-to-end; unregistered
+    (jp2) carries the full pixel path end-to-end; unregistered
     formats still raise."""
     import pytest
 
@@ -275,13 +275,13 @@ def test_registry_image_decoder_seam():
     registry._reset_for_tests()
     try:
         registry.register_image_decoder(
-            "webp", lambda data: np.full((8, 10, 3), data[0], np.uint8)
+            "jp2", lambda data: np.full((8, 10, 3), data[0], np.uint8)
         )
-        out = png_decode(pixel_decoder(b"\x63fake-webp-bytes", 5, 4, "webp"))
+        out = png_decode(pixel_decoder(b"\x63fake-jp2-bytes", 5, 4, "jp2"))
         assert out.shape == (4, 5, 3)
         assert (out == 0x63).all()
-        with pytest.raises(NotImplementedError, match="jp2"):
-            pixel_decoder(b"who knows", 5, 4, "jp2")
+        with pytest.raises(NotImplementedError, match="ico"):
+            pixel_decoder(b"who knows", 5, 4, "ico")
     finally:
         registry._reset_for_tests()
 
@@ -448,3 +448,101 @@ def test_tiff_rejects_garbage_and_tiled():
 
     with pytest.raises(ValueError):
         tiff_decode(b"NOTATIFF")
+
+
+# ------------------------------------------------------------------ VP8L
+
+
+def _vp8l_rt(arr, **kw):
+    from dwh_spark.multimodal import vp8l
+
+    out = vp8l.webp_decode(vp8l.webp_encode(arr, **kw))
+    if arr.shape[2] == 3:
+        assert out.shape == arr.shape
+        assert np.array_equal(out, arr)
+    else:
+        assert out.shape == arr.shape
+        assert np.array_equal(out, arr)
+
+
+def test_vp8l_literal_lz77_cache_roundtrips():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    _vp8l_rt(arr, use_lz77=False)
+    _vp8l_rt(arr)  # lz77 on
+    _vp8l_rt(arr, cache_bits=6)
+    # runs crossing row boundaries hit overlapping dist-1 copies
+    runs = np.repeat(rng.integers(0, 256, (1, 5, 3), dtype=np.uint8), 40, 1)
+    _vp8l_rt(runs.reshape(8, 25, 3), cache_bits=4)
+
+
+def test_vp8l_all_predictor_modes_roundtrip():
+    """Every inverse predictor (modes 0-13 incl. Select and the two
+    ClampAddSubtract forms, RFC 9649 §4.2.4) reconstructs exactly."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (11, 19, 3), dtype=np.uint8)
+    for mode in range(14):
+        _vp8l_rt(arr, predictor_mode=mode, subtract_green=(mode % 2 == 0))
+
+
+def test_vp8l_color_and_subtract_green_transforms():
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    _vp8l_rt(arr, subtract_green=True)
+    # cross-color deltas are signed int8 multipliers
+    _vp8l_rt(arr, color_transform=(34, 0xEC, 7), subtract_green=True)
+    _vp8l_rt(arr, color_transform=(0x80, 0x7F, 0xFF))
+
+
+def test_vp8l_palette_every_bundling_width():
+    """Color-indexing at 8/4/2/1 pixels per byte (RFC 9649 §4.2.5)."""
+    rng = np.random.default_rng(17)
+    for ncol in (2, 4, 16, 200):
+        vals = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = vals[rng.integers(0, ncol, (9, 31))]
+        _vp8l_rt(img, palette=True)
+
+
+def test_vp8l_alpha_and_edge_sizes():
+    rng = np.random.default_rng(19)
+    _vp8l_rt(rng.integers(0, 256, (8, 8, 4), dtype=np.uint8), cache_bits=4)
+    _vp8l_rt(np.array([[[1, 2, 3]]], dtype=np.uint8))  # 1x1
+    const = np.full((24, 32, 3), 77, np.uint8)
+    data = __import__("dwh_spark.multimodal.vp8l", fromlist=["x"]).webp_encode(const)
+    assert len(data) < 64  # single-symbol trees + one long copy
+    _vp8l_rt(const)
+
+
+def test_vp8l_distance_mapping_bijective():
+    from dwh_spark.multimodal.vp8l import dist_to_plane, plane_to_dist
+
+    for width in (5, 32, 1000):
+        for dist in (1, 2, 5, 31, 32, 33, 100, 1000, 4095):
+            assert plane_to_dist(dist_to_plane(dist, width), width) == dist
+
+
+def test_vp8l_prefix_code_value_roundtrip():
+    from dwh_spark.multimodal.vp8l import (
+        BitReader,
+        BitWriter,
+        prefix_decode,
+        prefix_encode,
+    )
+
+    for v in list(range(1, 70)) + [500, 4095, 4096]:
+        code, extra, nbits = prefix_encode(v)
+        bw = BitWriter()
+        bw.write(extra, nbits)
+        assert prefix_decode(code, BitReader(bw.getvalue() or b"\x00")) == v
+
+
+def test_webp_rejects_lossy_and_garbage():
+    import pytest
+
+    from dwh_spark.multimodal.vp8l import webp_decode
+
+    with pytest.raises(ValueError):
+        webp_decode(b"not riff at all, definitely")
+    lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x08\x00\x00\x00" + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="VP8"):
+        webp_decode(lossy)

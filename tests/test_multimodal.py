@@ -85,9 +85,17 @@ def test_pixel_decoder_real_bmp():
 
 
 def test_pixel_decoder_unsupported_format_raises():
-    # jpeg/gif/tiff decode for real as of r5; webp still needs a library
+    # every raster format the reference decodes is vendored as of r5;
+    # a format with no vendored codec and no registry plugin raises
     with pytest.raises(NotImplementedError, match="needs an image codec"):
-        pillow_decoder(b"RIFF\x00\x00\x00\x00WEBP", 10, 10, "webp")
+        pillow_decoder(b"\x00\x00\x01\x00\x01\x00", 10, 10, "ico")
+
+
+def test_pixel_decoder_lossy_webp_raises():
+    # lossless VP8L decodes for real; lossy VP8 is the honest gap
+    lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x08\x00\x00\x00" + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="needs a native codec"):
+        pillow_decoder(lossy, 10, 10, "webp")
 
 
 def test_content_address_shape(spark):
