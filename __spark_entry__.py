@@ -43,6 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # -- new in round 5: no driver verdict yet
     "imgs_webp_pixel_stats",
+    "av_audio_g711_decode_stats",
+    "av_audio_adpcm_decode_stats",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

@@ -7,9 +7,9 @@ The reference really decodes, bicubic-resizes, and re-encodes images
 vendored from the public specs instead of stubbed:
 
 - PNG per RFC 2083 / the W3C PNG spec: chunk walk, zlib inflate, all
-  five scanline filters, color types 0/2/3/4/6 at bit depth 8.
-  Interlace (Adam7) and sub-byte depths raise — the fixture never
-  produces them and a real deployment would install a codec library.
+  five scanline filters, color types 0/2/3/4/6, bit depths 1/2/4/8/16
+  (16-bit reduces to the high byte), Adam7 interlace — the full
+  still-image feature set.
 - BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24/32-bit,
   bottom-up or top-down.
 - Resize: separable 4-tap bicubic convolution (Keys 1981, a = -0.5 —
@@ -42,8 +42,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Reverse PNG scanline filtering → (height, width*channels) uint8.
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering → (height, stride) uint8 of raw
+    row bytes. ``stride`` is bytes per row, ``bpp`` the filter's
+    left-neighbor offset (bytes per pixel, min 1 — so sub-byte depths
+    use 1 per the spec).
 
     Filters None/Up are vectorized whole-row; Sub is a per-lane cumsum
     (recon[x] = raw[x] + recon[x-bpp] telescopes to a running sum);
@@ -51,8 +61,6 @@ def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
     per-column loop — our encoder always writes None, so the loop only
     runs on foreign PNGs.
     """
-    bpp = channels
-    stride = width * bpp
     rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
     out = np.empty((height, stride), np.uint16)
     prior = np.zeros(stride, np.uint16)
@@ -62,7 +70,7 @@ def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
         if ftype == 0:  # None
             recon = line
         elif ftype == 1:  # Sub
-            lanes = line.reshape(width, bpp).astype(np.int64)
+            lanes = line.reshape(stride // bpp, bpp).astype(np.int64)
             recon = (np.cumsum(lanes, axis=0) % 256).reshape(stride).astype(np.uint16)
         elif ftype == 2:  # Up
             recon = (line + prior) % 256
@@ -88,15 +96,45 @@ def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _unpack_samples(
+    rowbytes: np.ndarray, pw: int, channels: int, depth: int
+) -> np.ndarray:
+    """Raw unfiltered row bytes (ph, stride) → samples (ph, pw,
+    channels) uint8. Depth 16 keeps the high byte (the spec's sample
+    reduction); sub-byte depths unpack MSB-first and scale grayscale
+    later (palette indices are used raw)."""
+    ph = rowbytes.shape[0]
+    if depth == 8:
+        return rowbytes[:, : pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        return rowbytes[:, : pw * channels * 2].reshape(ph, pw, channels, 2)[
+            :, :, :, 0
+        ]
+    # depth 1/2/4: single-channel only (gray or palette index)
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    shifts = [8 - depth * (i + 1) for i in range(per)]
+    cols = [(rowbytes >> s) & mask for s in shifts]
+    samples = np.stack(cols, axis=2).reshape(ph, -1)[:, :pw]
+    return samples.reshape(ph, pw, 1)
+
+
+def _png_stride(pw: int, channels: int, depth: int) -> int:
+    return (pw * channels * depth + 7) // 8
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes → (H, W, C) uint8 array (C per source color type;
-    palette images expand to RGB)."""
+    palette images expand to RGB). Full spec coverage: color types
+    0/2/3/4/6, bit depths 1/2/4/8/16 (16-bit reduces to the high
+    byte), and Adam7 interlace (each pass is an independently filtered
+    sub-image scattered into the output grid)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     idat: list[bytes] = []
     palette = None
-    w = h = ctype = None
+    w = h = ctype = depth = interlace = None
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         typ = data[pos + 4 : pos + 8]
@@ -106,10 +144,10 @@ def png_decode(data: bytes) -> np.ndarray:
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-            if interlace:
-                raise NotImplementedError("Adam7 interlace")
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"bad PNG bit depth {depth}")
+            if depth < 8 and ctype not in (0, 3):
+                raise ValueError(f"depth {depth} invalid for color type {ctype}")
             if comp or filt:
                 raise ValueError("bad IHDR compression/filter method")
         elif typ == b"PLTE":
@@ -121,26 +159,58 @@ def png_decode(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("truncated PNG: missing IHDR/IDAT")
     channels = _CTYPE_CHANNELS[ctype]
-    flat = _unfilter(zlib.decompress(b"".join(idat)), w, h, channels)
-    arr = flat.reshape(h, w, channels)
+    bpp = max(1, channels * depth // 8)
+    buf = zlib.decompress(b"".join(idat))
+    samples = np.zeros((h, w, channels), np.uint8)
+    if interlace:
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = _png_stride(pw, channels, depth)
+            need = ph * (stride + 1)
+            rowbytes = _unfilter(buf[off : off + need], stride, ph, bpp)
+            off += need
+            samples[y0::ys, x0::xs] = _unpack_samples(rowbytes, pw, channels, depth)
+    else:
+        stride = _png_stride(w, channels, depth)
+        rowbytes = _unfilter(buf, stride, h, bpp)
+        samples = _unpack_samples(rowbytes, w, channels, depth)
     if ctype == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
-        arr = palette[arr[:, :, 0]]
-    return arr
+        return palette[samples[:, :, 0]]
+    if depth < 8:  # grayscale: scale to full 8-bit range (255/(2^d-1))
+        samples = (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    return samples
 
 
-def png_encode(arr: np.ndarray, level: int = 9) -> bytes:
+def png_encode(arr: np.ndarray, level: int = 9, interlace: bool = False) -> bytes:
     """(H, W[, C]) uint8 → PNG bytes. Filter None on every scanline and
     a fixed zlib level (9 = the reference's png.BestCompression,
-    resizer.go:49) keep the output byte-deterministic."""
+    resizer.go:49) keep the output byte-deterministic. ``interlace``
+    writes Adam7 pass order (depth 8 only; mostly useful to exercise
+    the deinterlacing decode path with real streams)."""
     arr = np.ascontiguousarray(arr, np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty passes carry no bytes, not even filters
+            parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         crc = zlib.crc32(typ + payload) & 0xFFFFFFFF

@@ -356,3 +356,241 @@ def av_audio_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunked.select(
         "doc_id", "chunk_ix", "content", "chunk_start", "chunk_end"
     ).mapInPandas(energy, "doc_id long, chunk_ix long, n_chunk_samples long, rms long")
+
+
+@query(
+    "av_audio_g711_decode_stats",
+    oracle="""
+    WITH bytes AS (
+        SELECT d.doc_id, i,
+               (d.doc_id * 7 + i * 13) % 256 AS b
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 6) d
+        CROSS JOIN (SELECT unnest(generate_series(0, 799)) AS i) s
+        WHERE i < 400 + (d.doc_id % 5) * 100
+    ),
+    decoded AS (
+        SELECT doc_id, i,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   -- mu-law expansion (G.711): complement, then
+                   -- ((mant*8+132) << exp) - 132 with the sign from
+                   -- the complemented byte's high bit
+                   CASE WHEN (255 - b) >= 128
+                        THEN 132 - CAST(((255 - b) % 16 * 8 + 132)
+                                        * power(2, ((255 - b) // 16) % 8) AS BIGINT)
+                        ELSE CAST(((255 - b) % 16 * 8 + 132)
+                                  * power(2, ((255 - b) // 16) % 8) AS BIGINT) - 132
+                   END
+               ELSE
+                   -- A-law expansion: xor 0x55, segment-wise unpack,
+                   -- high bit set means positive
+                   CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+                   CASE ((xor(b, 85) // 16) % 8)
+                        WHEN 0 THEN (xor(b, 85) % 16) * 16 + 8
+                        WHEN 1 THEN (xor(b, 85) % 16) * 16 + 264
+                        ELSE CAST(((xor(b, 85) % 16) * 16 + 264)
+                                  * power(2, ((xor(b, 85) // 16) % 8) - 1) AS BIGINT)
+                   END
+               END AS val
+        FROM bytes
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+           count(*) AS n_samples,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           min(val) AS min_val,
+           max(val) AS max_val
+    FROM decoded
+    GROUP BY doc_id
+    """,
+)
+def av_audio_g711_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode: per doc, a deterministic byte
+    stream becomes a genuine G.711 WAV — mu-law (fmt tag 0x0007) for
+    even doc_ids, A-law (0x0006) for odd — and the Spark side walks
+    the RIFF container, dispatches on the format tag, and expands the
+    companded bytes to linear int16 (multimodal/audio.py, vendored
+    CCITT G.711). The oracle re-derives the expansion in closed-form
+    integer SQL from the same byte arithmetic, so the container walk,
+    tag dispatch, complement/xor, segment unpack, and sign handling
+    all have to agree sample-exactly."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 6)
+        .repartition(32)
+    )
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import audio as _audio_mod
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 + (d % 5) * 100
+                i = _np.arange(n, dtype=_np.int64)
+                payload = ((d * 7 + i * 13) % 256).astype(_np.uint8).tobytes()
+                codec = "ulaw" if d % 2 == 0 else "alaw"
+                # wrap the raw companded bytes in a real WAV container
+                import struct as _struct
+
+                tag = (
+                    _audio_mod.WAVE_MULAW if codec == "ulaw" else _audio_mod.WAVE_ALAW
+                )
+                wav = (
+                    b"RIFF" + _struct.pack("<I", 36 + n) + b"WAVE"
+                    + b"fmt " + _struct.pack("<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8)
+                    + b"data" + _struct.pack("<I", n) + payload
+                )
+                rows.append((d, codec, wav))
+            yield _pd.DataFrame(rows, columns=["doc_id", "codec", "content"])
+
+    audio = docs.mapInPandas(gen, "doc_id long, codec string, content binary")
+
+    def decode(batches):
+        import pandas as _pd
+
+        from dwh_spark.multimodal import audio as _audio_mod
+
+        for pdf in batches:
+            rows = []
+            for d, codec, blob in zip(pdf["doc_id"], pdf["codec"], pdf["content"]):
+                samples, _rate = _audio_mod.wav_decode(bytes(blob))
+                s = samples[:, 0].astype("int64")
+                rows.append(
+                    (int(d), codec, len(s), int(s.sum()), int(s.min()), int(s.max()))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "n_samples", "sum_val", "min_val", "max_val",
+                ],
+            )
+
+    return audio.mapInPandas(
+        decode,
+        "doc_id long, codec string, n_samples long, sum_val long, "
+        "min_val long, max_val long",
+    )
+
+
+@query(
+    "av_audio_adpcm_decode_stats",
+    oracle="""
+    WITH RECURSIVE d9 AS (
+        SELECT doc_id,
+               (doc_id * 31) % 4096 - 2048 AS pred0,
+               doc_id % 89 AS idx0
+        FROM documents WHERE doc_id % 10 = 9
+    ),
+    adpcm(doc_id, i, pred, idx) AS (
+        SELECT doc_id, 0, pred0, idx0 FROM d9
+        UNION ALL
+        SELECT doc_id, i + 1,
+               GREATEST(-32768, LEAST(32767, pred
+                   + CASE WHEN nib >= 8 THEN -1 ELSE 1 END
+                     * (step // 8
+                        + (nib % 2) * (step // 4)
+                        + ((nib // 2) % 2) * (step // 2)
+                        + ((nib // 4) % 2) * step))),
+               GREATEST(0, LEAST(88, idx
+                   + CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                                  WHEN 6 THEN 6 WHEN 7 THEN 8
+                                  ELSE -1 END))
+        FROM (
+            SELECT doc_id, i, pred, idx,
+                   (doc_id * 7 + (i + 1) * 13) % 16 AS nib,
+                   [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+                    50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+                    230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+                    876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+                    2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+                    7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+                    20350,22385,24623,27086,29794,32767][idx + 1] AS step
+            FROM adpcm WHERE i < 400
+        ) t
+    )
+    SELECT doc_id,
+           'ima_adpcm' AS codec,
+           count(*) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS sum_val,
+           min(pred) AS min_val,
+           max(pred) AS max_val
+    FROM adpcm
+    GROUP BY doc_id
+    """,
+)
+def av_audio_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL adaptive-codec decode: per doc, one IMA ADPCM block (WAV
+    fmt tag 0x0011) is assembled from a deterministic nibble stream
+    plus a (predictor, step-index) header, and the Spark side decodes
+    it through the vendored state machine (multimodal/audio.py) after
+    the RIFF walk + tag dispatch. The oracle runs the SAME 89-step
+    IMA state machine as a recursive CTE in DuckDB — step-table
+    lookup, magnitude accumulation, clamping, and index adjustment
+    per sample — so the two engines must agree on every one of the
+    401 sequential states per doc, not just on aggregate shape."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 9)
+        .repartition(32)
+    )
+
+    def gen(batches):
+        import struct as _struct
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pred0 = (d * 31) % 4096 - 2048
+                idx0 = d % 89
+                nibs = [(d * 7 + i * 13) % 16 for i in range(1, 401)]
+                body = bytearray(_struct.pack("<hBB", pred0, idx0, 0))
+                for lo, hi in zip(nibs[::2], nibs[1::2]):
+                    body.append(lo | (hi << 4))
+                block_align = len(body)  # 4 + 200
+                wav = (
+                    b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+                    + b"fmt " + _struct.pack(
+                        "<IHHIIHH", 16, 0x0011, 1, 8000, 4055, block_align, 4
+                    )
+                    + b"data" + _struct.pack("<I", len(body)) + bytes(body)
+                )
+                rows.append((d, wav))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    audio = docs.mapInPandas(gen, "doc_id long, content binary")
+
+    def decode(batches):
+        import pandas as _pd
+
+        from dwh_spark.multimodal import audio as _audio_mod
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["content"]):
+                samples, _rate = _audio_mod.wav_decode(bytes(blob))
+                s = samples[:, 0].astype("int64")
+                rows.append(
+                    (int(d), "ima_adpcm", len(s), int(s.sum()),
+                     int(s.min()), int(s.max()))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "n_samples", "sum_val", "min_val", "max_val",
+                ],
+            )
+
+    return audio.mapInPandas(
+        decode,
+        "doc_id long, codec string, n_samples long, sum_val long, "
+        "min_val long, max_val long",
+    )

@@ -268,7 +268,12 @@ def imgs_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr[:, :, 0] = (d * 37) % 256
                 arr[:, :, 1] = (d * 59) % 256
                 arr[:, :, 2] = (d * 83) % 256
-                content = codecs.png_encode(arr) if d % 2 == 0 else codecs.bmp_encode(arr)
+                if d % 2 == 0:
+                    # half the PNGs are Adam7-interlaced so the driver
+                    # row also pins the deinterlacing decode path
+                    content = codecs.png_encode(arr, interlace=(d % 4 == 0))
+                else:
+                    content = codecs.bmp_encode(arr)
                 out.append((d, "owner", str(d), content))
             yield pd.DataFrame(out, columns=["doc_id", "owner", "token_id", "content"])
 

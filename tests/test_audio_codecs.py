@@ -1,0 +1,137 @@
+"""Vendored audio sample codecs: G.711 companding, IMA ADPCM, WAV
+container dispatch (multimodal/audio.py)."""
+
+import numpy as np
+import pytest
+
+from dwh_spark.multimodal import audio as A
+
+
+def test_g711_byte_identity():
+    """decode→encode is the identity on code bytes — the strong G.711
+    conformance check. The single mu-law exception is 0x7F (negative
+    zero decodes to 0, which re-encodes as positive zero 0xFF)."""
+    for u in range(256):
+        if u == 0x7F:
+            assert A.ulaw_decode_byte(u) == 0
+            continue
+        assert A.ulaw_encode_sample(A.ulaw_decode_byte(u)) == u
+    for a in range(256):
+        assert A.alaw_encode_sample(A.alaw_decode_byte(a)) == a
+
+
+def test_g711_quantization_error_bounded():
+    """Companding error is bounded by half the top-segment step:
+    mu-law 8159-point quantizer over +-32k → <= 1024; A-law 13-bit →
+    <= 528 (including the >>3 truncation)."""
+    xs = np.arange(-32768, 32768, 13, dtype=np.int64)
+    for enc, dec, bound in (
+        (A.ulaw_encode_sample, A.ulaw_decode_byte, 1024),
+        (A.alaw_encode_sample, A.alaw_decode_byte, 528),
+    ):
+        err = max(abs(dec(enc(int(x))) - int(x)) for x in xs)
+        assert err <= bound, err
+
+
+def test_g711_vectorized_matches_scalar():
+    data = bytes(range(256))
+    assert A.ulaw_decode(data).tolist() == [
+        A.ulaw_decode_byte(u) for u in range(256)
+    ]
+    assert A.alaw_decode(data).tolist() == [
+        A.alaw_decode_byte(a) for a in range(256)
+    ]
+
+
+def test_ima_adpcm_exact_reconstruction():
+    """The encoder's internal reconstruction IS the decode contract:
+    decode(encode(x)) must equal it bit-for-bit, and must track the
+    input within the adaptive quantizer's reach."""
+    rng = np.random.default_rng(3)
+    s = np.cumsum(rng.integers(-300, 300, 1001)).clip(-32000, 32000).astype(np.int16)
+    blk, recon = A.ima_adpcm_encode_block(s, index=20)
+    dec = A.ima_adpcm_decode_block(blk)
+    assert np.array_equal(dec, recon)
+    assert np.abs(dec.astype(int) - s.astype(int)).max() < 2000
+
+
+def test_ima_adpcm_clamps_and_index_bounds():
+    # extreme jumps drive predictor/index into their clamps
+    s = np.array([0] + [32767, -32768] * 100, np.int16)
+    blk, recon = A.ima_adpcm_encode_block(s, index=0)
+    dec = A.ima_adpcm_decode_block(blk)
+    assert np.array_equal(dec, recon)
+    with pytest.raises(ValueError, match="odd"):
+        A.ima_adpcm_encode_block(np.zeros(4, np.int16))
+    bad = bytearray(blk)
+    bad[2] = 99  # step index out of range
+    with pytest.raises(ValueError, match="step index"):
+        A.ima_adpcm_decode_block(bytes(bad))
+
+
+def test_wav_roundtrip_all_codecs():
+    rng = np.random.default_rng(7)
+    s = np.cumsum(rng.integers(-400, 400, 1001)).clip(-32000, 32000).astype(np.int16)
+    for codec, tol in (
+        ("pcm16", 0), ("float32", 0), ("pcm8", 255),
+        ("ulaw", 1024), ("alaw", 528), ("ima_adpcm", 2000),
+    ):
+        out, rate = A.wav_decode(A.wav_encode(s, 16000, codec))
+        assert rate == 16000
+        assert out.shape == (1001, 1), codec
+        assert np.abs(out[:, 0].astype(int) - s.astype(int)).max() <= tol, codec
+
+
+def test_wav_stereo_and_24_32_bit():
+    rng = np.random.default_rng(9)
+    st = rng.integers(-30000, 30000, (64, 2)).astype(np.int16)
+    out, _ = A.wav_decode(A.wav_encode(st, 44100, "pcm16"))
+    assert np.array_equal(out, st)
+    # hand-build 24-bit and 32-bit payloads: high bytes must survive
+    import struct
+
+    def wav(tag, bits, payload, ba):
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, tag, 1, 8000, 8000 * ba, ba, bits)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    vals32 = np.array([0x12340000, -0x23450000], "<i4")
+    out32, _ = A.wav_decode(wav(1, 32, vals32.tobytes(), 4))
+    assert out32[:, 0].tolist() == [0x1234, -0x2345]
+    p24 = b"\x00\x00\x40" + b"\x00\x00\xc0"  # +0x400000, -0x400000
+    out24, _ = A.wav_decode(wav(1, 24, p24, 3))
+    assert out24[:, 0].tolist() == [0x4000, -0x4000]
+
+
+def test_wav_unknown_tag_registry_seam():
+    import struct
+
+    from dwh_spark.multimodal import registry
+
+    payload = b"\x01\x02\x03\x04"
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 0x0055, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 4) + payload
+    )
+    registry._reset_for_tests()
+    try:
+        with pytest.raises(NotImplementedError, match="0x0055"):
+            A.wav_decode(wav)
+        registry.register_audio_decoder(
+            "wav_fmt_0x0055",
+            lambda data: np.frombuffer(data, np.uint8).astype(np.int16).reshape(-1, 1),
+        )
+        out, rate = A.wav_decode(wav)
+        assert rate == 8000 and out[:, 0].tolist() == [1, 2, 3, 4]
+    finally:
+        registry._reset_for_tests()
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        A.wav_decode(b"RIFFxxxxAVI LIST")
+    with pytest.raises(ValueError, match="fmt/data"):
+        A.wav_decode(b"RIFF\x04\x00\x00\x00WAVE")

@@ -77,11 +77,90 @@ def test_png_average_and_paeth_filters():
     )
 
 
-def test_png_interlace_rejected():
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 pass order re-assembles exactly, including dims that make
+    some passes empty (1x1: six of seven passes have zero pixels)."""
+    rng = np.random.default_rng(23)
+    for hw in ((24, 32), (13, 9), (1, 1), (2, 3), (8, 8), (7, 17)):
+        img = rng.integers(0, 256, (*hw, 3), np.uint8)
+        assert np.array_equal(C.png_decode(C.png_encode(img, interlace=True)), img)
+    rgba = rng.integers(0, 256, (11, 6, 4), np.uint8)
+    assert np.array_equal(C.png_decode(C.png_encode(rgba, interlace=True)), rgba)
+
+
+def _manual_depth_png(w, h, depth, ctype, rows_bits, palette=None):
+    """Build a PNG whose rows are pre-packed sample bytes (filter 0)."""
+    raw = b"".join(b"\x00" + bytes(r) for r in rows_bits)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+
+    def chunk(t, p):
+        return (
+            struct.pack(">I", len(p)) + t + p
+            + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_sub_byte_gray_depths():
+    # depth 1: 10 pixels -> 2 bytes/row, MSB first; 1 scales to 255
+    png = _manual_depth_png(10, 2, 1, 0, [[0b10110001, 0b01000000],
+                                          [0b00000001, 0b11000000]])
+    arr = C.png_decode(png)
+    assert arr.shape == (2, 10, 1)
+    assert arr[0, :, 0].tolist() == [255, 0, 255, 255, 0, 0, 0, 255, 0, 255]
+    # depth 2: values 0..3 scale by 85
+    png = _manual_depth_png(5, 1, 2, 0, [[0b00011011, 0b10000000]])
+    assert C.png_decode(png)[0, :, 0].tolist() == [0, 85, 170, 255, 170]
+    # depth 4: values scale by 17
+    png = _manual_depth_png(3, 1, 4, 0, [[0x5F, 0xA0]])
+    assert C.png_decode(png)[0, :, 0].tolist() == [5 * 17, 255, 170]
+
+
+def test_png_sub_byte_palette_indices_not_scaled():
+    pal = [10, 20, 30, 200, 100, 50, 0, 0, 255]  # 3 RGB entries
+    # depth 4, indices 0,2,1 packed two per byte
+    png = _manual_depth_png(3, 1, 4, 3, [[0x02, 0x10]], palette=pal)
+    arr = C.png_decode(png)
+    assert arr.shape == (1, 3, 3)
+    assert arr[0].tolist() == [[10, 20, 30], [0, 0, 255], [200, 100, 50]]
+
+
+def test_png_16bit_reduces_to_high_byte():
+    # one RGB pixel, 16 bits/sample big-endian: 0xAB12 -> 0xAB
+    row = [0xAB, 0x12, 0x00, 0xFF, 0x7F, 0x01]
+    png = _manual_depth_png(1, 1, 16, 2, [row])
+    arr = C.png_decode(png)
+    assert arr.shape == (1, 1, 3)
+    assert arr[0, 0].tolist() == [0xAB, 0x00, 0x7F]
+    # 16-bit filtering offsets by bpp=6 bytes: two pixels with Sub filter
+    row2 = bytes([1]) + bytes([10, 0, 20, 0, 30, 0, 5, 0, 5, 0, 5, 0])
+    raw = zlib.compress(row2)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+
+    def chunk(t, p):
+        return (
+            struct.pack(">I", len(p)) + t + p
+            + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+        )
+
+    png2 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+    )
+    arr2 = C.png_decode(png2)
+    assert arr2[0, 0].tolist() == [10, 20, 30]
+    assert arr2[0, 1].tolist() == [15, 25, 35]
+
+
+def test_png_invalid_depth_rejected():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0)
     crc = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     data = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + crc
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="bit depth"):
         C.png_decode(data)
 
 
