@@ -45,6 +45,8 @@ _CHECK_FIRST = [
     "imgs_webp_pixel_stats",
     "av_audio_g711_decode_stats",
     "av_audio_adpcm_decode_stats",
+    "docs_duplicated_ngram_spans",
+    "orders_bloom_prejoin_prune",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

@@ -1050,3 +1050,125 @@ def docs_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("q").cast("decimal(10,6)")).cast("double") / F.count("*"), 6
         ).alias("avg_quality"),
     )
+
+
+@query(
+    "docs_duplicated_ngram_spans",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                               || ' ' || s[i+3] || ' ' || s[i+4]), 1, 15))::BIGINT
+                   AS h
+        FROM docs, UNNEST(range(1, len(s) - 3)) AS t(i)
+        WHERE len(s) >= 5
+    ),
+    dup_hashes AS (
+        SELECT h FROM grams GROUP BY h HAVING count(*) > 1
+    ),
+    dup_pos AS (
+        SELECT g.doc_id, g.pos,
+               max(g.pos + 5) OVER (
+                   PARTITION BY g.doc_id ORDER BY g.pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM grams g JOIN dup_hashes d USING (h)
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_dup_gram_positions,
+               CAST(sum(LEAST(5, GREATEST(0, pos + 5 - COALESCE(prev_end, pos))))
+                    AS BIGINT) AS dup_covered_tokens
+        FROM dup_pos GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(d.s) AS n_tokens,
+           GREATEST(len(d.s) - 4, 0) AS n_grams,
+           COALESCE(p.n_dup_gram_positions, 0) AS n_dup_gram_positions,
+           COALESCE(p.dup_covered_tokens, 0) AS dup_covered_tokens,
+           round(COALESCE(p.dup_covered_tokens, 0) / CAST(len(d.s) AS DOUBLE), 6)
+               AS dup_fraction
+    FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def docs_duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication detection, the hashed-n-gram form of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): every word 5-gram is hashed (engine-portable
+    md5-long), grams occurring more than once corpus-wide mark their
+    positions as duplicated, and per document the marked [pos, pos+5)
+    intervals are UNION-merged (gaps-and-islands over a running
+    max-end window) into a covered-token count and duplication
+    fraction.
+
+    100 TB design: this is the scale substitute for the paper's
+    suffix array — one map-side-combinable shuffle on the gram hash
+    (the inverted index), a semi-join back on the same key, and a
+    per-doc window; no cross-doc comparisons and no driver state.
+    The gram hash keys are near-uniform so the inverted-index shuffle
+    has no planted skew; a natural-language corpus's head grams
+    ("of the ...") are exactly what AQE skew splitting handles.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("s")
+    )
+    base = docs.select(
+        "doc_id",
+        F.size("s").cast("long").alias("n_tokens"),
+        F.greatest(F.size("s") - 4, F.lit(0)).cast("long").alias("n_grams"),
+    )
+    grams = (
+        docs.filter(F.size("s") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("s") - 5),
+                    lambda i: F.concat_ws(" ", F.slice("s", i + 1, 5)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+    )
+    dup_hashes = grams.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dup_pos = grams.join(dup_hashes, "h").withColumn(
+        "prev_end", F.max(F.col("pos") + 5).over(w)
+    )
+    per_doc = dup_pos.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_gram_positions"),
+        F.sum(
+            F.least(
+                F.lit(5),
+                F.greatest(
+                    F.lit(0),
+                    F.col("pos") + 5 - F.coalesce(F.col("prev_end"), F.col("pos")),
+                ),
+            )
+        ).alias("dup_covered_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        F.coalesce("n_dup_gram_positions", F.lit(0)).alias("n_dup_gram_positions"),
+        F.coalesce("dup_covered_tokens", F.lit(0)).alias("dup_covered_tokens"),
+        F.round(
+            F.coalesce("dup_covered_tokens", F.lit(0))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )

@@ -1127,3 +1127,156 @@ def _hll_union_oracle() -> str:
 from dwh_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["events_hll_union_merge"] = _hll_union_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom-filter pre-join pruning (round 5). The classic 100 TB
+# join-reduction move: build a tiny bit-array sketch over the dim-side
+# keys (one map-side-combinable bit_or shuffle), broadcast it, and
+# drop probe rows whose keys can't be in the dim BEFORE the expensive
+# join shuffle. The sketch is mergeable (bit_or is associative/
+# commutative), the hash family is engine-portable md5, and the oracle
+# rebuilds the same 960-bit filter in SQL — so bit layout, hash
+# derivation, membership logic, and the false-positive accounting all
+# have to agree. 960 = 16 words x 60 bits keeps every shift inside a
+# signed 64-bit lane on both engines.
+# ---------------------------------------------------------------------------
+_BLOOM_WORDS = 16
+_BLOOM_BITS_PER_WORD = 60
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BITS_PER_WORD
+_BLOOM_K = 4
+
+
+def _bloom_bit(j: F.Column, key: F.Column) -> F.Column:
+    """Bit position for hash j of key: md5-long (engine-portable) mod m."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", j.cast("string"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _BLOOM_M
+
+
+@query(
+    "orders_bloom_prejoin_prune",
+    oracle=f"""
+    WITH build AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    build_bits AS (
+        SELECT ('0x' || substr(md5(j::VARCHAR || ':' || c_custkey::VARCHAR),
+                               1, 15))::BIGINT % {_BLOOM_M} AS bit
+        FROM build, UNNEST([0, 1, 2, 3]) AS t(j)
+    ),
+    words AS (
+        SELECT bit // {_BLOOM_BITS_PER_WORD} AS word,
+               bit_or(1::BIGINT << (bit % {_BLOOM_BITS_PER_WORD})) AS mask
+        FROM build_bits GROUP BY 1
+    ),
+    probe_bits AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               ('0x' || substr(md5(j::VARCHAR || ':' || o_custkey::VARCHAR),
+                               1, 15))::BIGINT % {_BLOOM_M} AS bit
+        FROM orders, UNNEST([0, 1, 2, 3]) AS t(j)
+    ),
+    checked AS (
+        SELECT p.o_orderkey,
+               min(p.o_custkey) AS o_custkey,
+               min(p.o_orderpriority) AS o_orderpriority,
+               bool_and(COALESCE((w.mask >> (p.bit % {_BLOOM_BITS_PER_WORD}))
+                                 & 1, 0) = 1) AS passed
+        FROM probe_bits p
+        LEFT JOIN words w ON w.word = p.bit // {_BLOOM_BITS_PER_WORD}
+        GROUP BY p.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+           CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+           CAST(sum(CASE WHEN passed AND o_custkey NOT IN
+                              (SELECT c_custkey FROM build)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+    FROM checked
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning with a false-positive audit: a
+    960-bit / 4-hash filter over BUILDING-segment customers is built
+    as 16 (word, bit_or-mask) rows, broadcast, and every order probes
+    its 4 bits map-side; per priority the query reports probe rows,
+    bloom passes, true members (exact semi-join ground truth), and
+    false positives. Zero false negatives is implied by the oracle
+    equality (n_passed accounting must match exactly).
+
+    100 TB design: the build side is one combinable bit_or shuffle to
+    16 rows; the probe side never shuffles (broadcast hash join on the
+    16-row sketch + a broadcast ground-truth semi-join only for the
+    audit — production would drop the audit join and keep the pure
+    map-side filter before the real join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+    build_bits = build.select(F.explode(js).alias("j"), "c_custkey").select(
+        _bloom_bit(F.col("j"), F.col("c_custkey")).alias("bit")
+    )
+    words = build_bits.groupBy(
+        (F.col("bit") / _BLOOM_BITS_PER_WORD).cast("long").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(bit % {_BLOOM_BITS_PER_WORD} AS INT))"
+            )
+        ).alias("mask")
+    )
+
+    probe_bits = orders.select(
+        "o_orderkey", "o_custkey", "o_orderpriority", F.explode(js).alias("j")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        _bloom_bit(F.col("j"), F.col("o_custkey")).alias("bit"),
+    )
+    checked = (
+        probe_bits.join(
+            F.broadcast(words),
+            (F.col("bit") / _BLOOM_BITS_PER_WORD).cast("long") == F.col("word"),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.min("o_custkey").alias("o_custkey"),
+            F.min("o_orderpriority").alias("o_orderpriority"),
+            F.bool_and(
+                F.coalesce(
+                    F.expr(
+                        f"shiftright(mask, "
+                        f"CAST(bit % {_BLOOM_BITS_PER_WORD} AS INT)) % 2"
+                    ),
+                    F.lit(0).cast("long"),
+                )
+                == 1
+            ).alias("passed"),
+        )
+    )
+    truth = build.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+        "is_member", F.lit(True)
+    ).distinct()
+    audited = checked.join(F.broadcast(truth), "o_custkey", "left").withColumn(
+        "is_member", F.coalesce("is_member", F.lit(False))
+    )
+    return audited.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("n_passed"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_true_members"),
+        F.sum(
+            F.when(F.col("passed") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+    )
