@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "av_audio_adpcm_decode_stats",
     "docs_duplicated_ngram_spans",
     "orders_bloom_prejoin_prune",
+    "orders_window_function_battery",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

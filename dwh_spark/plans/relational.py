@@ -918,3 +918,67 @@ def orders_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@query(
+    "orders_window_function_battery",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderpriority,
+               CAST(round(percent_rank() OVER ord, 6) AS DECIMAL(10,6)) AS pr,
+               CAST(round(cume_dist() OVER ord, 6) AS DECIMAL(10,6)) AS cd,
+               ntile(4) OVER ord AS tile,
+               rank() OVER ord AS rnk,
+               dense_rank() OVER ord AS drnk,
+               o_totalprice - lag(o_totalprice, 1, o_totalprice) OVER ord AS dprice
+        FROM orders
+        WINDOW ord AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(rnk) AS BIGINT) AS sum_rank,
+           CAST(sum(drnk) AS BIGINT) AS sum_dense_rank,
+           CAST(sum(tile) AS BIGINT) AS sum_ntile,
+           round(CAST(sum(pr) AS DOUBLE), 4) AS sum_percent_rank,
+           round(CAST(sum(cd) AS DOUBLE), 4) AS sum_cume_dist,
+           round(CAST(sum(CAST(round(dprice, 2) AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_lag_diff
+    FROM w GROUP BY o_orderpriority
+    """,
+)
+def orders_window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface in one query: percent_rank,
+    cume_dist, ntile, rank, dense_rank, lag — all over ONE window
+    definition so Catalyst evaluates them in a single Window operator
+    after a single (priority, price, key) sort; the oracle recomputes
+    every function in DuckDB. Determinism: the window orders by a
+    unique (price, orderkey) pair so ranks never tie-break
+    differently, and the fractional functions are rounded to
+    DECIMAL before summing (exact, order-insensitive addition —
+    double sums would drift between engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ord_w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = orders.select(
+        "o_orderpriority",
+        F.round(F.percent_rank().over(ord_w), 6).cast("decimal(10,6)").alias("pr"),
+        F.round(F.cume_dist().over(ord_w), 6).cast("decimal(10,6)").alias("cd"),
+        F.ntile(4).over(ord_w).alias("tile"),
+        F.rank().over(ord_w).alias("rnk"),
+        F.dense_rank().over(ord_w).alias("drnk"),
+        (
+            F.col("o_totalprice")
+            - F.lag("o_totalprice", 1).over(ord_w)
+        ).alias("dprice"),
+    ).withColumn("dprice", F.coalesce("dprice", F.lit(0.0)))
+    return w.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("rnk").cast("long").alias("sum_rank"),
+        F.sum("drnk").cast("long").alias("sum_dense_rank"),
+        F.sum("tile").cast("long").alias("sum_ntile"),
+        F.round(F.sum("pr").cast("double"), 4).alias("sum_percent_rank"),
+        F.round(F.sum("cd").cast("double"), 4).alias("sum_cume_dist"),
+        F.round(
+            F.sum(F.round(F.col("dprice"), 2).cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_lag_diff"),
+    )
