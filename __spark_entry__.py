@@ -48,6 +48,8 @@ _CHECK_FIRST = [
     "docs_duplicated_ngram_spans",
     "orders_bloom_prejoin_prune",
     "orders_window_function_battery",
+    "events_gap_fill_locf",
+    "events_retention_cohorts",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

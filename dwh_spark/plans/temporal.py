@@ -229,3 +229,213 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_id", "session_start", "session_end"
     )
     return sweep_max_concurrency(sessions)
+
+
+@query(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_val
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.user_id, CAST(g.day AS DATE) AS day
+        FROM spans s,
+             UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g(day)
+    ),
+    joined AS (
+        SELECT g.user_id, g.day,
+               d.day_val,
+               CASE WHEN d.day_val IS NOT NULL THEN g.day END AS obs_day
+        FROM grid g LEFT JOIN daily d USING (user_id, day)
+    ),
+    filled AS (
+        SELECT user_id, day, day_val,
+               last_value(day_val IGNORE NULLS) OVER past AS locf_val,
+               last_value(obs_day IGNORE NULLS) OVER past AS prev_day,
+               first_value(day_val IGNORE NULLS) OVER fut AS next_val,
+               first_value(obs_day IGNORE NULLS) OVER fut AS next_day
+        FROM joined
+        WINDOW past AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fut AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+        SELECT user_id, day,
+               day_val IS NOT NULL AS observed,
+               COALESCE(locf_val, next_val) AS locf_out,
+               CASE
+                   WHEN day_val IS NOT NULL THEN day_val
+                   WHEN locf_val IS NULL THEN next_val
+                   WHEN next_val IS NULL THEN locf_val
+                   ELSE locf_val + (next_val - locf_val)
+                        * (day - prev_day) / (next_day - prev_day)
+               END AS interp_out
+        FROM filled
+    )
+    SELECT user_id,
+           count(*) AS n_days,
+           CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_observed,
+           CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_filled,
+           CAST(round(sum(CAST(round(locf_out, 6) AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS locf_checksum,
+           CAST(round(sum(CAST(round(interp_out, 6) AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS interp_checksum
+    FROM interp GROUP BY user_id
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — the hypertable `time_bucket_gapfill`
+    /`locf`/`interpolate` surface: per user, the daily-total series is
+    densified onto a complete day grid (sequence + explode, no join
+    amplification beyond the grid), missing days are filled two ways —
+    last-observation-carried-forward and linear interpolation between
+    the bracketing observed days (leading gaps backfill, trailing gaps
+    carry forward) — and per-user checksums pin every filled value.
+
+    Determinism: daily totals are exact DECIMAL sums (no division);
+    the interpolation runs in IEEE doubles from identical inputs on
+    both engines, each filled value is rounded to DECIMAL(18,6) BEFORE
+    the per-user sum (addition order can't drift), and the final
+    2-dp round happens ON THE DECIMAL, not after a double cast —
+    rounding a half-way decimal like x.715 as a double diverges
+    between Spark (shortest-repr HALF_UP) and DuckDB (binary value).
+
+    100 TB design: the grid explode is per-user-span (no cross join),
+    both fills are two window passes over the same (user, day) sort,
+    and the whole query is one shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_val")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "obs_day", F.when(F.col("day_val").isNotNull(), F.col("day"))
+    )
+    past = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fut = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = joined.select(
+        "user_id",
+        "day",
+        "day_val",
+        F.last("day_val", ignorenulls=True).over(past).alias("locf_val"),
+        F.last("obs_day", ignorenulls=True).over(past).alias("prev_day"),
+        F.first("day_val", ignorenulls=True).over(fut).alias("next_val"),
+        F.first("obs_day", ignorenulls=True).over(fut).alias("next_day"),
+    )
+    interp = filled.select(
+        "user_id",
+        F.col("day_val").isNotNull().alias("observed"),
+        F.coalesce("locf_val", "next_val").alias("locf_out"),
+        F.when(F.col("day_val").isNotNull(), F.col("day_val"))
+        .when(F.col("locf_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("locf_val"))
+        .otherwise(
+            F.col("locf_val")
+            + (F.col("next_val") - F.col("locf_val"))
+            * F.datediff("day", "prev_day")
+            / F.datediff("next_day", "prev_day")
+        )
+        .alias("interp_out"),
+    )
+    return interp.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("n_observed"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1)).alias("n_filled"),
+        F.round(F.sum(F.round("locf_out", 6).cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("locf_checksum"),
+        F.round(F.sum(F.round("interp_out", 6).cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("interp_checksum"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+        FROM events e JOIN firsts f USING (user_id)
+    ),
+    cohort_sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY 1
+    )
+    SELECT a.cohort_week,
+           (a.active_week - a.cohort_week) // 7 AS week_offset,
+           count(DISTINCT a.user_id) AS n_retained,
+           round(count(DISTINCT a.user_id)
+                 / CAST(min(c.cohort_size) AS DOUBLE), 4) AS retention
+    FROM activity a JOIN cohort_sizes c USING (cohort_week)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the product-analytics staple: users
+    are assigned to the ISO week of their first event, each (cohort,
+    week-offset) cell counts distinct users active that week, and the
+    retention rate divides by the cohort size (one exact integer
+    division per cell). Both engines truncate to Monday-start ISO
+    weeks, so the cell boundaries agree exactly.
+
+    100 TB design: two aggregations on user_id (first-touch + distinct
+    activity) that share one shuffle key, a broadcast-sized cohort
+    table, and a final small-cell rollup — no row explosion."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        events.select(
+            "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+        )
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_retained"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_retained",
+            F.round(
+                F.col("n_retained") / F.col("cohort_size").cast("double"), 4
+            ).alias("retention"),
+        )
+    )
