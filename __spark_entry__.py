@@ -50,6 +50,9 @@ _CHECK_FIRST = [
     "orders_window_function_battery",
     "events_gap_fill_locf",
     "events_retention_cohorts",
+    "docs_minhash_lsh_audit",
+    "docs_lang_temperature_mixture",
+    "orders_multiformat_roundtrip",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

@@ -1172,3 +1172,155 @@ def docs_duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_fraction"),
     )
+
+
+@query(
+    "docs_minhash_lsh_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seeds.seed,
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM overlap
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+    ),
+    tp AS (SELECT * FROM cands INTERSECT SELECT * FROM truth)
+    SELECT (SELECT count(*) FROM cands) AS n_candidates,
+           (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM tp) AS n_true_positives,
+           (SELECT count(*) FROM tp) * 1000000
+               // GREATEST((SELECT count(*) FROM cands), 1) AS precision_ppm,
+           (SELECT count(*) FROM tp) * 1000000
+               // GREATEST((SELECT count(*) FROM truth), 1) AS recall_ppm
+    """,
+)
+def docs_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pipeline quality audit — precision/recall of the
+    MinHash-LSH candidate stage against exact-Jaccard ground truth
+    (J >= 0.7), the companion to emb_ivf_recall_audit on the text
+    side. Ratios are reported in exact integer parts-per-million
+    (floor division) so no floating rounding can drift between
+    engines. At 100 TB this audit runs on a sampled stratum; the
+    candidate stage itself stays bucket-bounded (no all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    cands = D.lsh_candidate_pairs(docs)
+    truth = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    tp = cands.join(truth, ["id_a", "id_b"])
+    counts = (
+        cands.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(F.broadcast(truth.agg(F.count("*").alias("n_true_pairs"))))
+        .crossJoin(F.broadcast(tp.agg(F.count("*").alias("n_true_positives"))))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_true_positives",
+        F.expr(
+            "CAST((n_true_positives * 1000000) DIV GREATEST(n_candidates, 1) "
+            "AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST((n_true_positives * 1000000) DIV GREATEST(n_true_pairs, 1) "
+            "AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+@query(
+    "docs_lang_temperature_mixture",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    weights AS (
+        SELECT lang, n_docs,
+               sqrt(CAST(n_docs AS DOUBLE))
+                   / (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) FROM stats)
+                   AS w
+        FROM stats
+    ),
+    sampled AS (
+        SELECT d.lang
+        FROM documents d JOIN weights s USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0
+              < LEAST(s.w * 200.0 / s.n_docs, 1.0)
+    )
+    SELECT w.lang, w.n_docs,
+           round(w.w, 6) AS weight,
+           COALESCE(c.n_sampled, 0) AS n_sampled
+    FROM weights w
+    LEFT JOIN (SELECT lang, count(*) AS n_sampled FROM sampled GROUP BY 1) c
+        USING (lang)
+    """,
+)
+def docs_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture (the multilingual rebalancing
+    move, alpha = 0.5 as in multilingual pretraining recipes): each
+    language's target share is sqrt(n)/sum(sqrt(n)) — flattening the
+    head (en) and boosting the tail — and documents are drawn
+    deterministically by comparing the md5-uniform of doc_id against
+    the per-language inclusion rate. No RNG state: the same corpus
+    yields the same sample on any engine, any executor (the audit
+    property a training pipeline needs). sqrt is IEEE
+    correctly-rounded, so the double weights agree bit-for-bit.
+
+    100 TB design: one count aggregate, a broadcast of the tiny
+    per-language rate table, and a map-side filter — one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = stats.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("tot")
+    )
+    weights = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.sqrt(F.col("n_docs").cast("double")) / F.col("tot")).alias("w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    sampled = (
+        docs.join(F.broadcast(weights), "lang")
+        .filter(u < F.least(F.col("w") * 200.0 / F.col("n_docs"), F.lit(1.0)))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        weights.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("w", 6).alias("weight"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )

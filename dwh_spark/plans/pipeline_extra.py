@@ -1280,3 +1280,71 @@ def orders_bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("passed") & ~F.col("is_member"), 1).otherwise(0)
         ).alias("n_false_positives"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-format source/sink roundtrip (round 5). The reference reads
+# from chain/HTTP/queue/DB endpoints; a Spark warehouse additionally
+# speaks the columnar/text lake formats. This query proves ORC, CSV,
+# and JSON write+read fidelity END-TO-END: orders is materialized in
+# each format (once per session, cached like the Derby dir), read
+# back through the format's own parser with the parquet schema
+# enforced, and per-format aggregates must match the oracle computed
+# on the original table — a lossy serializer (double formatting,
+# timestamp zone drift, header confusion) breaks the hash.
+# ---------------------------------------------------------------------------
+_FORMAT_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "orders_multiformat_roundtrip",
+    oracle="""
+    SELECT fmt, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           CAST(min(o_orderdate) AS VARCHAR) AS min_date
+    FROM orders, UNNEST(['orc', 'csv', 'json']) AS t(fmt)
+    GROUP BY fmt
+    """,
+)
+def orders_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-series source/format coverage beyond parquet: ORC (columnar,
+    binary-exact), CSV (header + explicit schema; Spark prints doubles
+    as shortest round-trip decimals and ISO timestamps), and JSON
+    lines. Each copy is written once per (session, sf_dir) and read
+    back through the real parser; the aggregates (exact decimal sum,
+    key range, min timestamp rendered as a string) pin value fidelity
+    per format against the original parquet."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _FORMAT_DIR_CACHE:
+        base = tempfile.mkdtemp(prefix="dwh_formats_")
+        orders.write.mode("overwrite").orc(f"{base}/orc")
+        orders.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+        orders.write.mode("overwrite").json(f"{base}/json")
+        _FORMAT_DIR_CACHE[cache_key] = base
+    base = _FORMAT_DIR_CACHE[cache_key]
+    schema = orders.schema
+    frames = {
+        "orc": spark.read.orc(f"{base}/orc"),
+        "csv": spark.read.option("header", True).schema(schema).csv(f"{base}/csv"),
+        "json": spark.read.schema(schema).json(f"{base}/json"),
+    }
+    per_fmt = [
+        df.groupBy(F.lit(fmt).alias("fmt")).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.date_format(
+                F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("min_date"),
+        )
+        for fmt, df in frames.items()
+    ]
+    out = per_fmt[0]
+    for f_df in per_fmt[1:]:
+        out = out.unionByName(f_df)
+    return out
