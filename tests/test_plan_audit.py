@@ -38,6 +38,8 @@ _ALLOW_BNLJ = {
     "nation_trade_triangles",     # one-row edge-count broadcast
     "events_value_histogram_quantiles",  # one-row min/max/quantile-bucket broadcasts
     "customer_forget_cascade",    # one-row audit-count broadcasts
+    "docs_lang_temperature_mixture",  # one-row sqrt-total broadcast
+    "docs_minhash_lsh_audit",     # three one-row count broadcasts
     "events_hll_union_merge",     # one-row sketch-estimate broadcasts
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
