@@ -53,6 +53,8 @@ _CHECK_FIRST = [
     "docs_minhash_lsh_audit",
     "docs_lang_temperature_mixture",
     "orders_multiformat_roundtrip",
+    "orders_constraint_checks",
+    "orders_set_ops_battery",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

@@ -982,3 +982,132 @@ def orders_window_function_battery(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.round(F.col("dprice"), 2).cast("decimal(18,2)")).cast("double"), 2
         ).alias("sum_lag_diff"),
     )
+
+
+@query(
+    "orders_constraint_checks",
+    oracle="""
+    SELECT 'pk_unique_orderkey' AS check_name,
+           (SELECT count(*) FROM (
+               SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1
+           )) AS n_violations,
+           (SELECT count(*) FROM orders) AS n_checked
+    UNION ALL
+    SELECT 'not_null_custkey',
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'fk_custkey_exists',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'positive_totalprice',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'status_domain',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+           (SELECT count(*) FROM orders)
+    """,
+)
+def orders_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint battery (the dbt-test /
+    Deequ shape): primary-key uniqueness, NOT NULL, referential
+    integrity (FK orphans via a broadcast anti join), a positivity
+    range check, and a value-domain check — each reported as
+    (check, violations, population) so a warehouse gate can assert
+    all-zeros. One scan feeds the single-table checks; the FK check
+    is the only join and broadcasts the dim-side keys.
+
+    100 TB design: every check is a map-side predicate count except
+    PK-uniqueness (one keyed aggregate) and the FK anti join (dim
+    broadcast; at fact-sized dims it becomes a shuffled left_anti on
+    the same key the fact is usually bucketed by)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    n_total = orders.agg(F.count("*").alias("n_checked"))
+
+    def row(name: str, violations: DataFrame) -> DataFrame:
+        return (
+            violations.agg(F.count("*").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+            .crossJoin(F.broadcast(n_total))
+        )
+
+    pk_dupes = (
+        orders.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    )
+    null_ck = orders.filter(F.col("o_custkey").isNull())
+    orphans = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    nonpos = orders.filter(F.col("o_totalprice") <= 0)
+    domain = orders.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+    out = row("pk_unique_orderkey", pk_dupes)
+    for name, v in (
+        ("not_null_custkey", null_ck),
+        ("fk_custkey_exists", orphans),
+        ("positive_totalprice", nonpos),
+        ("status_domain", domain),
+    ):
+        out = out.unionByName(row(name, v))
+    return out
+
+
+@query(
+    "orders_set_ops_battery",
+    oracle="""
+    WITH y95 AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate < TIMESTAMP '1996-01-01'),
+         y96 AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT
+        (SELECT count(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96))
+            AS n_intersect,
+        (SELECT count(*) FROM (SELECT * FROM y95 INTERSECT ALL
+                               SELECT * FROM y96)) AS n_intersect_all,
+        (SELECT count(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96))
+            AS n_except,
+        (SELECT count(*) FROM (SELECT * FROM y95 EXCEPT ALL
+                               SELECT * FROM y96)) AS n_except_all,
+        (SELECT count(*) FROM (SELECT * FROM y95 UNION SELECT * FROM y96))
+            AS n_union_distinct,
+        (SELECT count(*) FROM (SELECT * FROM y95 UNION ALL
+                               SELECT * FROM y96)) AS n_union_all
+    """,
+)
+def orders_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SQL set-operation surface over two year-sliced multisets
+    of buyer keys: INTERSECT [ALL], EXCEPT [ALL], UNION [ALL/DISTINCT]
+    — the ALL variants exercise multiset bag semantics (Spark
+    intersectAll/exceptAll compile to aggregate-count + generate
+    replication, not a naive distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    y95, y96 = year(1995), year(1996)
+    counts = {
+        "n_intersect": y95.intersect(y96),
+        "n_intersect_all": y95.intersectAll(y96),
+        "n_except": y95.subtract(y96),
+        "n_except_all": y95.exceptAll(y96),
+        "n_union_distinct": y95.union(y96).distinct(),
+        "n_union_all": y95.union(y96),
+    }
+    out = None
+    for name, df in counts.items():
+        one = df.agg(F.count("*").alias(name))
+        out = one if out is None else out.crossJoin(F.broadcast(one))
+    return out

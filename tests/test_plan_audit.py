@@ -40,6 +40,8 @@ _ALLOW_BNLJ = {
     "customer_forget_cascade",    # one-row audit-count broadcasts
     "docs_lang_temperature_mixture",  # one-row sqrt-total broadcast
     "docs_minhash_lsh_audit",     # three one-row count broadcasts
+    "orders_constraint_checks",   # per-check one-row count broadcasts
+    "orders_set_ops_battery",     # six one-row count broadcasts
     "events_hll_union_merge",     # one-row sketch-estimate broadcasts
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
