@@ -302,6 +302,63 @@ def main() -> None:
             F.sum("rank").alias("mass"), F.count("*").alias("n")
         ),
     )
+
+    # ---- round-5 operators at scale ----
+    # n-gram inverted index over the synthetic doc corpus (500k docs at
+    # default): one map-combinable shuffle on the gram hash, dup-hash
+    # set broadcast back — the Lee-et-al substring-dedup scale shape
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.split("text", " ")) - 5),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split("text", " "), i + 1, 5)
+                ),
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "doc_id", "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    dup_h = grams.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    timed(
+        f"ngram_dup_positions ({n_docs} docs, 5-gram inverted index)",
+        grams.join(dup_h, "h").groupBy("doc_id").count(),
+    )
+
+    # Bloom pre-join prune: 100k build keys -> 16-word bit_or sketch,
+    # N_ROWS probe keys checked map-side (4 hashes each, broadcast)
+    build = spark.range(100_000).select(
+        (F.xxhash64("id") % 1_000_000).alias("key")
+    )
+    jcol = F.explode(F.array(*[F.lit(j) for j in range(4)]))
+    def bloom_bits(df, keycol):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j").cast("string"),
+                                  F.col(keycol).cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        return df.select(F.col(keycol), jcol.alias("j")).select(
+            keycol, (h % 960).alias("bit")
+        )
+    words = bloom_bits(build, "key").groupBy(
+        (F.col("bit") / 60).cast("long").alias("word")
+    ).agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 60 AS INT))")).alias("mask"))
+    probe = spark.range(N_ROWS).select((F.xxhash64("id", F.lit(3)) % 2_000_000).alias("key"))
+    probe_bits = bloom_bits(probe, "key")
+    passed = (
+        probe_bits.join(F.broadcast(words),
+                        (F.col("bit") / 60).cast("long") == F.col("word"), "left")
+        .groupBy("key")
+        .agg(F.bool_and(
+            F.coalesce(F.expr("shiftright(mask, CAST(bit % 60 AS INT)) % 2"),
+                       F.lit(0).cast("long")) == 1).alias("ok"))
+        .filter(F.col("ok"))
+    )
+    timed(f"bloom_prejoin_prune ({N_ROWS} probe rows, 960-bit sketch)", passed)
+
     spark.stop()
 
 
