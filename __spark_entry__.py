@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     "orders_multiformat_roundtrip",
     "orders_constraint_checks",
     "orders_set_ops_battery",
+    "streaming_click_purchase_left_join",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

@@ -426,3 +426,116 @@ def streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("nation", "n_events", "sum_value")
+
+
+_LEFTJOIN_STAGE_CACHE: dict[str, str] = {}
+
+
+@query(
+    "streaming_click_purchase_left_join",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           count(*) AS n_rows,
+           CAST(count(p.event_id) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the half of the join surface
+    the inner-join query can't exercise: a click with no purchase in
+    its 30-minute window must STILL emit (with nulls), which only
+    happens once the watermark passes the click's join window. Outer
+    rows near stream end would therefore never emit on a drained
+    stream — the standard fix (used here) is a flush sentinel: a
+    final staged file carries two far-future events that advance
+    event time past every real window, and AvailableNow's no-data
+    batch then expires and emits all remaining unmatched state.
+    The sentinels must SURVIVE the event-type filters (one 'click',
+    one 'purchase', negative user_ids dropped after the join) —
+    Catalyst pushes the filters below the watermark operator into
+    the scan, so a row of any other type never touches the clock.
+
+    The drained result is exactly the batch LEFT JOIN, which is the
+    oracle. The sentinel file is written after the data files so the
+    file source (mtime order) replays it last — arrival order of the
+    data files themselves is free because the 40-day delay exceeds
+    the fixture's span (nothing is ever late-dropped)."""
+    import time as _time
+    import uuid
+
+    from dwh_spark.streaming.ingest import stream_events
+
+    events = load_table(spark, sf_dir, "events")
+    if sf_dir not in _LEFTJOIN_STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="dwh_stream_lj_") + "/input"
+        events.repartition(6).write.mode("overwrite").parquet(stage)
+        _time.sleep(0.05)  # strictly newer mtime => sentinel replays last
+        flush = spark.createDataFrame(
+            [
+                (10**9, "2024-12-31 00:00:00", -1, "click", 0.0, "{}"),
+                (10**9 + 1, "2024-12-30 00:00:00", -2, "purchase", 0.0, "{}"),
+            ],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.col("ts").cast("timestamp"), "user_id",
+            "event_type", "value", "props",
+        )
+        flush.coalesce(1).write.mode("append").parquet(stage)
+        _LEFTJOIN_STAGE_CACHE[sf_dir] = stage
+    root = tempfile.mkdtemp(prefix="dwh_stream_")
+    stream = stream_events(
+        spark, _LEFTJOIN_STAGE_CACHE[sf_dir], max_files_per_trigger=3
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    clicks = (
+        stream.withWatermark("ts", "40 days")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+    )
+    purchases = (
+        stream.withWatermark("ts", "40 days")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"))
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "leftOuter",
+    )
+    name = f"ssljoin_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = spark.table(name).filter(F.col("user_id") >= 0)  # drop sentinels
+    return rows.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count("purchase_id").alias("n_matched"),
+        F.sum(
+            F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
+        ).alias("n_unmatched"),
+    )
