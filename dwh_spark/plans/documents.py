@@ -1324,3 +1324,161 @@ def docs_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
         )
     )
+
+
+@query(
+    "docs_tfidf_knn_communities",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    nn AS (SELECT count(*) AS n FROM base),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM base)
+        GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT word, count(*) AS df FROM tf GROUP BY 1
+    ),
+    -- prune high-df terms (df > N/10): keeps the index join sparse,
+    -- exactly the stopword cut a scale deployment makes
+    w AS (
+        SELECT t.doc_id, t.word,
+               t.tf * ((nn.n * 1000) // d.df) AS wgt
+        FROM tf t JOIN dfreq d USING (word) CROSS JOIN nn
+        WHERE d.df * 10 <= nn.n
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(sum(wgt * wgt) AS DOUBLE)) AS nrm
+        FROM w GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               CAST(sum(a.wgt * b.wgt) AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT ida, idb, dot / (na.nrm * nb.nrm) AS cos
+        FROM dots JOIN norms na ON na.doc_id = ida
+                  JOIN norms nb ON nb.doc_id = idb
+    ),
+    directed AS (
+        SELECT ida AS src, idb AS dst, cos FROM sims
+        UNION ALL
+        SELECT idb AS src, ida AS dst, cos FROM sims
+    ),
+    topk AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos DESC, dst) AS rn
+            FROM directed
+        ) WHERE rn <= 3
+    ),
+    edges AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM topk
+    ),
+    sym AS (
+        SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM base
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (
+        SELECT node, min(lab) AS component FROM reach GROUP BY 1
+    )
+    SELECT component, count(*) AS n_members,
+           CAST(max(node) AS BIGINT) AS max_member
+    FROM comp GROUP BY 1
+    """,
+)
+def docs_tfidf_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic document clustering end-to-end: exact-integer TF-IDF
+    weights (idf = (N*1000) div df — integer arithmetic, because ln()
+    is not identically rounded across engines), high-df stopword
+    pruning (df > N/10) to keep the inverted-index pair join sparse,
+    exact cosine via BIGINT dot products + correctly-rounded sqrt
+    norms, 3-NN edge selection per document (deterministic tie-break
+    on neighbor id), and connected components over the kNN graph —
+    the oracle replays the whole pipeline including a recursive-CTE
+    transitive closure for the components.
+
+    100 TB design: the pair join is bounded by the pruned inverted
+    index (term df caps fan-out); the kNN selection is one window per
+    direction; components use the driver/star-contraction dual path
+    (operators/graph.py). A full-corpus run would LSH-prefilter pairs
+    first — this query IS the refinement stage of that pipeline.
+    Subset doc_id % 4 == 0 bounds the certifier cost at bench scale."""
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.graph import connected_components
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
+    nn = base.agg(F.count("*").alias("n"))
+    tf = (
+        base.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("df") * 10 <= F.col("n"))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.expr("(n * 1000) DIV df")).alias("wgt"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wgt") * F.col("wgt")).cast("double")).alias("nrm")
+    )
+    wa = w.select(F.col("doc_id").alias("ida"), "word", F.col("wgt").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("idb"), "word", F.col("wgt").alias("wb"))
+    dots = (
+        wa.join(wb, "word")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    sims = (
+        dots.join(norms.select(F.col("doc_id").alias("ida"), F.col("nrm").alias("na")), "ida")
+        .join(norms.select(F.col("doc_id").alias("idb"), F.col("nrm").alias("nb")), "idb")
+        .select("ida", "idb", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"))
+    )
+    directed = sims.select(
+        F.col("ida").alias("src"), F.col("idb").alias("dst"), "cos"
+    ).unionByName(
+        sims.select(F.col("idb").alias("src"), F.col("ida").alias("dst"), "cos")
+    )
+    wnd = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    topk = (
+        directed.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    edges = topk.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    comp = connected_components(edges, "a", "b")
+    # singleton docs (no surviving terms / no neighbors) are their own
+    # component — the closure base covers them, so mirror it here
+    all_docs = base.select(F.col("doc_id").alias("node"))
+    comp_full = all_docs.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+    return comp_full.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max("node").cast("long").alias("max_member"),
+    )

@@ -42,6 +42,7 @@ _ALLOW_BNLJ = {
     "docs_minhash_lsh_audit",     # three one-row count broadcasts
     "orders_constraint_checks",   # per-check one-row count broadcasts
     "orders_set_ops_battery",     # six one-row count broadcasts
+    "docs_tfidf_knn_communities", # one-row corpus-size broadcast (idf)
     "events_hll_union_merge",     # one-row sketch-estimate broadcasts
     "emb_ivf_cells",              # centroids broadcast to every vector
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
