@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     "orders_set_ops_battery",
     "streaming_click_purchase_left_join",
     "docs_tfidf_knn_communities",
+    "av_audio_flac_decode_stats",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

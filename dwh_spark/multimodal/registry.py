@@ -1,10 +1,10 @@
 """Pluggable codec registry — the injection seam for real decoders.
 
 The vendored pure-numpy codecs cover png/bmp/jpeg/gif/tiff and
-lossless-webp images, uncompressed + MJPEG AVI video, and PCM WAV
-audio. Real corpora also carry lossy webp (VP8), HEIC, H.264, MP3 —
-formats that genuinely need native libraries (PIL, PyAV/ffmpeg) this
-sandbox doesn't have. This module is
+lossless-webp images, uncompressed + MJPEG AVI video, and
+PCM/G.711/ADPCM WAV plus FLAC audio. Real corpora also carry lossy
+webp (VP8), HEIC, H.264, MP3 — formats that genuinely need native
+libraries (PIL, PyAV/ffmpeg) this sandbox doesn't have. This module is
 the documented seam where a deployment plugs those in WITHOUT touching
 plan or operator code (the reference's analogue: image.Decode's
 format registry that `x/imgresizer/resizer.go:244-255` dispatches

@@ -594,3 +594,93 @@ def av_audio_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, n_samples long, sum_val long, "
         "min_val long, max_val long",
     )
+
+
+@query(
+    "av_audio_flac_decode_stats",
+    oracle="""
+    WITH samples AS (
+        SELECT d.doc_id, i,
+               (d.doc_id * 7 + i * 13) % 2048 - 1024 AS s
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 1) d
+        CROSS JOIN (SELECT unnest(generate_series(0, 5999)) AS i) g
+        WHERE i < 3000 + (d.doc_id % 4) * 1000
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'fixed0'
+                           WHEN 1 THEN 'fixed1'
+                           ELSE 'fixed2' END AS predictor,
+           count(*) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_val,
+           min(s) AS min_val,
+           max(s) AS max_val
+    FROM samples GROUP BY doc_id
+    """,
+)
+def av_audio_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-codec decode — FLAC (RFC 9639, vendored
+    multimodal/flac.py): per doc a deterministic int16 signal is
+    FLAC-encoded with a pinned FIXED predictor order (doc_id % 3, so
+    the driver row exercises order-0/1/2 integrators and rice
+    residual decode across multi-frame streams), then decoded through
+    the full container path — metadata walk, frame sync, UTF-8 frame
+    numbers, CRC-8/CRC-16 verification. FLAC is lossless, so the
+    oracle pins exact per-doc aggregates from the generation
+    arithmetic alone; a single wrong residual, warmup sample, or
+    predictor coefficient breaks the sum."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 1)
+        .repartition(32)
+    )
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import flac as _flac
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 3000 + (d % 4) * 1000
+                i = _np.arange(n, dtype=_np.int64)
+                s = (d * 7 + i * 13) % 2048 - 1024
+                blob = _flac.flac_encode(
+                    s, rate=8000, block_size=2048, fixed_order=d % 3
+                )
+                rows.append((d, f"fixed{d % 3}", blob))
+            yield _pd.DataFrame(rows, columns=["doc_id", "predictor", "content"])
+
+    audio = docs.mapInPandas(gen, "doc_id long, predictor string, content binary")
+
+    def decode(batches):
+        import pandas as _pd
+
+        from dwh_spark.multimodal import flac as _flac
+
+        for pdf in batches:
+            rows = []
+            for d, pred, blob in zip(
+                pdf["doc_id"], pdf["predictor"], pdf["content"]
+            ):
+                samples, _rate = _flac.flac_decode(bytes(blob))
+                s = samples[:, 0].astype("int64")
+                rows.append(
+                    (int(d), pred, len(s), int(s.sum()), int(s.min()), int(s.max()))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "predictor", "n_samples",
+                    "sum_val", "min_val", "max_val",
+                ],
+            )
+
+    return audio.mapInPandas(
+        decode,
+        "doc_id long, predictor string, n_samples long, sum_val long, "
+        "min_val long, max_val long",
+    )

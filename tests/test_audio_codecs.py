@@ -135,3 +135,52 @@ def test_wav_rejects_garbage():
         A.wav_decode(b"RIFFxxxxAVI LIST")
     with pytest.raises(ValueError, match="fmt/data"):
         A.wav_decode(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+# ------------------------------------------------------------------- FLAC
+
+
+def test_flac_lossless_roundtrip_all_orders():
+    from dwh_spark.multimodal import flac
+
+    rng = np.random.default_rng(5)
+    s = np.cumsum(rng.integers(-300, 300, 9000)).clip(-32000, 32000).astype(np.int64)
+    data = flac.flac_encode(s, rate=8000, block_size=4096)
+    out, rate = flac.flac_decode(data)
+    assert rate == 8000 and np.array_equal(out[:, 0], s)
+    assert len(data) < 2 * len(s)  # rice coding actually compresses
+    for order in (0, 1, 2):  # multi-frame + UTF-8 frame numbers
+        d = flac.flac_encode(s[:1000], fixed_order=order, block_size=256)
+        assert np.array_equal(flac.flac_decode(d)[0][:, 0], s[:1000])
+
+
+def test_flac_stereo_decorrelation_modes():
+    from dwh_spark.multimodal import flac
+
+    rng = np.random.default_rng(7)
+    l = np.cumsum(rng.integers(-300, 300, 5000)).clip(-32000, 32000)
+    r = np.cumsum(rng.integers(-200, 200, 5000)).clip(-32000, 32000)
+    st = np.stack([l, r], 1).astype(np.int64)
+    for mode in (None, "ls", "rs", "ms"):
+        out, _ = flac.flac_decode(flac.flac_encode(st, stereo_mode=mode))
+        assert np.array_equal(out, st), mode
+
+
+def test_flac_crc_detects_corruption():
+    import pytest
+
+    from dwh_spark.multimodal import flac
+
+    s = np.arange(2000, dtype=np.int64) % 700 - 350
+    data = bytearray(flac.flac_encode(s))
+    data[len(data) // 2] ^= 0x40
+    # a flipped bit either fails a CRC outright or derails the rice
+    # stream into a detected truncation/sync error — always ValueError
+    with pytest.raises(ValueError, match="CRC|truncated|sync"):
+        flac.flac_decode(bytes(data))
+    data2 = bytearray(flac.flac_encode(s))
+    data2[-1] ^= 0x01  # flip inside the final CRC-16 itself
+    with pytest.raises(ValueError, match="CRC"):
+        flac.flac_decode(bytes(data2))
+    with pytest.raises(ValueError, match="magic"):
+        flac.flac_decode(b"not a flac stream")
