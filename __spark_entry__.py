@@ -49,7 +49,7 @@ _CHECK_FIRST = [
     "orders_bloom_prejoin_prune",
     "orders_window_function_battery",
     "events_gap_fill_locf",
-    "events_retention_cohorts",
+    "events_retention_rates",
     "docs_minhash_lsh_audit",
     "docs_lang_temperature_mixture",
     "orders_multiformat_roundtrip",

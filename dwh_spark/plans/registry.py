@@ -35,6 +35,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — a second @query "
+                "with an existing name would silently shadow the first"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

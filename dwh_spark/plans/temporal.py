@@ -374,7 +374,7 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_retention_cohorts",
+    "events_retention_rates",
     oracle="""
     WITH firsts AS (
         SELECT user_id,
@@ -398,7 +398,7 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
 )
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_retention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts — the product-analytics staple: users
     are assigned to the ISO week of their first event, each (cohort,
     week-offset) cell counts distinct users active that week, and the
