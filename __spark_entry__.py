@@ -58,6 +58,8 @@ _CHECK_FIRST = [
     "streaming_click_purchase_left_join",
     "docs_tfidf_knn_communities",
     "av_audio_flac_decode_stats",
+    "orders_schema_evolution_read",
+    "orders_incremental_join_view",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

@@ -1348,3 +1348,120 @@ def orders_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_df in per_fmt[1:]:
         out = out.unionByName(f_df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution read (round 5). Lake tables evolve: early files lack
+# columns later files carry. The reader must widen with nulls, not
+# fail or misalign — Spark's mergeSchema union. Staged once per
+# session like the other format fixtures.
+# ---------------------------------------------------------------------------
+_EVOLVE_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "orders_schema_evolution_read",
+    oracle="""
+    SELECT (CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END) AS batch,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_channel,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                         AND o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_web,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: batch v1 (even orderkeys) is written with
+    the original columns; batch v2 (odd) adds a `channel` column. A
+    mergeSchema read unions the files — v1 rows surface channel as
+    NULL, v2 rows keep their values — and the aggregate pins row
+    routing, null-widening, and value fidelity per batch. At 100 TB
+    this is the everyday lake migration path: no rewrite of old files,
+    the reader widens."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _EVOLVE_DIR_CACHE:
+        base = tempfile.mkdtemp(prefix="dwh_evolve_")
+        v1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+        v2 = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "channel",
+            F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("store"),
+        )
+        v1.write.mode("overwrite").parquet(f"{base}/data")
+        v2.write.mode("append").parquet(f"{base}/data")
+        _EVOLVE_DIR_CACHE[cache_key] = base
+    base = _EVOLVE_DIR_CACHE[cache_key]
+    merged = spark.read.option("mergeSchema", True).parquet(f"{base}/data")
+    return merged.groupBy(
+        F.when(F.col("channel").isNull(), "v1").otherwise("v2").alias("batch")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("channel").isNull(), 1).otherwise(0)).alias(
+            "n_null_channel"
+        ),
+        F.sum(F.when(F.col("channel") == "web", 1).otherwise(0)).alias("n_web"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance (round 5). The classic delta rule:
+# for a view J = A JOIN B, applying a batch of inserts dA, dB needs
+# only  dJ = dA⋈B_old ∪ A_old⋈dB ∪ dA⋈dB  — never a rescan of A⋈B.
+# The oracle recomputes the view from scratch on the full tables, so
+# a missing delta term (the classic dA⋈dB omission bug) or a double-
+# counted pair breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_incremental_join_view",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def orders_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the orders⋈customer view under a
+    simulated batch: 'old' = even orderkeys / low-key customers,
+    deltas = the rest. The maintained aggregate is old-view partials
+    PLUS the three delta-join terms (dA⋈B, A⋈dB, dA⋈dB), merged as
+    combinable partial sums — O(|delta|) join work per batch instead
+    of O(|A⋈B|). The full-recompute oracle certifies the delta
+    algebra exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a_old = orders.filter(F.col("o_orderkey") % 2 == 0)
+    d_a = orders.filter(F.col("o_orderkey") % 2 == 1)
+    b_old = customer.filter(F.col("c_custkey") % 4 != 0)
+    d_b = customer.filter(F.col("c_custkey") % 4 == 0)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+            F.count("*").alias("pn"),
+            F.sum(_dec("o_totalprice")).alias("psum"),
+        )
+
+    cols = ["c_custkey", "c_mktsegment"]
+    parts = [
+        agg(a_old.join(b_old.select(*cols), a_old.o_custkey == F.col("c_custkey"))),
+        agg(d_a.join(b_old.select(*cols), d_a.o_custkey == F.col("c_custkey"))),
+        agg(a_old.join(d_b.select(*cols), a_old.o_custkey == F.col("c_custkey"))),
+        agg(d_a.join(d_b.select(*cols), d_a.o_custkey == F.col("c_custkey"))),
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("mktsegment").agg(
+        F.sum("pn").alias("n_pairs"),
+        F.sum("psum").cast("double").alias("total_price"),
+    )
