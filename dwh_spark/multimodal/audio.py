@@ -278,7 +278,12 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
                 f"WAV format tag {tag:#06x} needs a native codec — register "
                 f"'wav_fmt_{tag:#06x}' via multimodal.registry"
             )
-        return plugged(payload), rate
+        # normalize plugin output to this function's contract:
+        # (n, channels) int16 — registry decoders return (n,) floats
+        out = np.asarray(plugged(payload))
+        if np.issubdtype(out.dtype, np.floating):
+            out = np.clip(np.rint(out * 32767.0), -32768, 32767)
+        flat = out.astype(np.int16).reshape(-1)
     if channels > 1:
         flat = flat[: len(flat) - len(flat) % channels]
         return flat.reshape(-1, channels), rate
@@ -331,7 +336,11 @@ def wav_encode(
         block_align = 4 + (block_samples - 1) // 2
     else:
         raise ValueError(f"unknown codec {codec!r}")
-    byte_rate = rate * block_align if codec == "ima_adpcm" else rate * block_align
+    if codec == "ima_adpcm":
+        # spec nAvgBytesPerSec = rate * block_bytes / samples_per_block
+        byte_rate = rate * block_align // block_samples
+    else:
+        byte_rate = rate * block_align
     hdr = (
         b"RIFF"
         + struct.pack("<I", 36 + len(payload))

@@ -488,8 +488,6 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarra
             raise ValueError("corrupt GIF LZW code")
         out[n_out : n_out + len(entry)] = np.frombuffer(entry, np.uint8)
         n_out += len(entry)
-        if prev is not None or True:
-            pass
         prev = entry
         if len(dict_) == (1 << code_size) and code_size < 12:
             code_size += 1

@@ -315,7 +315,9 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
 
     channels_out: list[np.ndarray] = [np.empty(0, np.int64) for _ in range(si_channels)]
     got = 0
-    while got < total and pos < len(data):
+    # total == 0 is the spec's "unknown length" (streamed encodes):
+    # decode frames until the bytes run out instead of stopping early
+    while (total == 0 or got < total) and pos + 2 < len(data):
         hdr_start = pos
         br = MSBReader(data, pos)
         sync = br.read(14)

@@ -128,6 +128,17 @@ class HuffDecoder:
             (ln, code): s for s, (code, ln) in canonical_codes(lengths).items()
         }
 
+    @classmethod
+    def from_simple(cls, symbols: list[int]) -> "HuffDecoder":
+        """Simple-code decoder with EXPLICIT codes in LISTED order:
+        per the spec/libwebp, the first listed symbol gets code 0 and
+        the second code 1 — NOT canonical-by-value assignment (a
+        stream may list the larger symbol first)."""
+        self = cls.__new__(cls)
+        self._single = symbols[0] if len(symbols) == 1 else None
+        self._map = {(1, code): s for code, s in enumerate(symbols)}
+        return self
+
     def decode(self, br: BitReader) -> int:
         if self._single is not None:
             return self._single
@@ -204,14 +215,13 @@ def build_code_lengths(hist: list[int], limit: int = MAX_CODE_LENGTH) -> list[in
 def read_code(br: BitReader, alphabet_size: int) -> HuffDecoder:
     """Read one prefix code header (RFC 9649 §4.2.1)."""
     lengths = [0] * alphabet_size
-    if br.read_bit():  # simple code
+    if br.read_bit():  # simple code: codes follow LISTED order
         num_symbols = br.read_bit() + 1
         first_8bit = br.read_bit()
-        sym0 = br.read(8 if first_8bit else 1)
-        lengths[sym0] = 1
+        symbols = [br.read(8 if first_8bit else 1)]
         if num_symbols == 2:
-            lengths[br.read(8)] = 1
-        return HuffDecoder(lengths)
+            symbols.append(br.read(8))
+        return HuffDecoder.from_simple(symbols)
     # normal code: code-length-code lengths in CL_ORDER
     num_cl = 4 + br.read(4)
     cl_lengths = [0] * 19

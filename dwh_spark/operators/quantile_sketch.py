@@ -10,10 +10,16 @@ compactor hierarchy in the Manku-Rajagopalan-Lindsay / KLL family
 Design choices, deliberately different from stock KLL:
 
 - **Deterministic compaction** (always keep odd merge positions)
-  instead of random coin flips: estimates are bit-reproducible across
-  runs and partition layouts, which the cross-engine correctness gate
-  requires. The price is that the bound is the deterministic
-  O(n·log(n/k)/k) MRL bound, not KLL's tighter randomized one.
+  instead of random coin flips: for a FIXED merge order the estimates
+  are bit-reproducible across runs, which the cross-engine
+  correctness gate requires — the operator pins that order by merging
+  per-partition sketches sorted by partition id. Compaction is eager,
+  so DIFFERENT merge orders may yield (boundedly) different
+  estimates; what is order-independent is the certified ±err_bound
+  rank guarantee, and the collapse pair selection is content-
+  canonical so a given buffer multiset always collapses the same way.
+  The price of determinism is the O(n·log(n/k)/k) MRL bound, not
+  KLL's tighter randomized one.
 - **Self-tracked error bound**: every collapse of two weight-``w``
   buffers adds exactly ``w`` to ``err_bound`` (the classical per-
   collapse worst case). The sketch therefore carries its own certified
@@ -71,10 +77,14 @@ class MRLSketch:
     def _collapse(self) -> None:
         """While two buffers share a weight, merge them: sort the 2k
         union, keep ODD positions (deterministic), weight doubles,
-        err_bound += w. Canonical processing order (weight ascending)
-        makes the result independent of insertion interleaving."""
+        err_bound += w. The processing order is CONTENT-canonical —
+        buffers sort by (weight, values lexicographically), not by
+        arrival — so the final state is a pure function of the
+        buffer multiset, independent of merge/insertion order (equal-
+        weight ties resolve by value, and identical-content ties merge
+        symmetrically)."""
         while True:
-            self.buffers.sort(key=lambda b: b[0])
+            self.buffers.sort(key=lambda b: (b[0], tuple(b[1])))
             pair = None
             for i in range(len(self.buffers) - 1):
                 if self.buffers[i][0] == self.buffers[i + 1][0]:
@@ -97,8 +107,10 @@ class MRLSketch:
         self.err_bound += other.err_bound
         self.buffers.extend(other.buffers)
         self._collapse()
-        # combine staging areas; overflow compacts through the normal path
-        fill = np.concatenate([self.fill, other.fill])
+        # combine staging areas; SORT before re-chunking so the merged
+        # fill (and any weight-1 buffers it spills into) depends only
+        # on the value multiset, never on which side was `self`
+        fill = np.sort(np.concatenate([self.fill, other.fill]))
         self.fill = np.empty(0, np.float64)
         self.n -= len(fill)  # insert_batch re-counts them
         self.insert_batch(fill)
@@ -126,9 +138,11 @@ class MRLSketch:
         return float(v[min(ix, len(v) - 1)])
 
     def rank(self, x: float) -> float:
-        """Estimated number of inserted values ≤ x."""
+        """Estimated number of inserted values ≤ x (0 below the min —
+        a bare [idx-1] would wrap to the TOTAL weight)."""
         v, w = self._weighted()
-        return float(np.cumsum(w)[np.searchsorted(v, x, side="right") - 1]) if len(v) else 0.0
+        idx = np.searchsorted(v, x, side="right") if len(v) else 0
+        return float(np.cumsum(w)[idx - 1]) if idx > 0 else 0.0
 
     # --------------------------------------------------------- transport
 

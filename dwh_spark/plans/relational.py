@@ -1028,35 +1028,56 @@ def orders_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key the fact is usually bucketed by)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    n_total = orders.agg(F.count("*").alias("n_checked"))
 
-    def row(name: str, violations: DataFrame) -> DataFrame:
-        return (
-            violations.agg(F.count("*").alias("n_violations"))
-            .select(F.lit(name).alias("check_name"), "n_violations")
-            .crossJoin(F.broadcast(n_total))
+    def cnt(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    # ONE scan computes the total and every predicate check as
+    # conditional aggregates; only PK-uniqueness (keyed aggregate) and
+    # the FK anti join need their own jobs
+    scalar = orders.agg(
+        F.count("*").alias("n_checked"),
+        cnt(F.col("o_custkey").isNull()).alias("v_null"),
+        cnt(F.col("o_totalprice") <= 0).alias("v_nonpos"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_domain"),
+    )
+    pk = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .agg(cnt(F.col("count") > 1).alias("v_pk"))
+    )
+    fk = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
         )
-
-    pk_dupes = (
-        orders.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+        .agg(F.count("*").alias("v_fk"))
     )
-    null_ck = orders.filter(F.col("o_custkey").isNull())
-    orphans = orders.join(
-        F.broadcast(customer.select("c_custkey")),
-        orders.o_custkey == F.col("c_custkey"),
-        "left_anti",
-    )
-    nonpos = orders.filter(F.col("o_totalprice") <= 0)
-    domain = orders.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
-    out = row("pk_unique_orderkey", pk_dupes)
-    for name, v in (
-        ("not_null_custkey", null_ck),
-        ("fk_custkey_exists", orphans),
-        ("positive_totalprice", nonpos),
-        ("status_domain", domain),
-    ):
-        out = out.unionByName(row(name, v))
-    return out
+    wide = scalar.crossJoin(F.broadcast(pk)).crossJoin(F.broadcast(fk))
+    rows = [
+        ("pk_unique_orderkey", "v_pk"),
+        ("not_null_custkey", "v_null"),
+        ("fk_custkey_exists", "v_fk"),
+        ("positive_totalprice", "v_nonpos"),
+        ("status_domain", "v_domain"),
+    ]
+    # explode one array of structs — a 5-way union would re-evaluate
+    # the aggregate subtree once per row
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col(col).cast("long").alias("n_violations"),
+                        F.col("n_checked"),
+                    )
+                    for name, col in rows
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 @query(

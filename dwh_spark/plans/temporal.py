@@ -392,8 +392,10 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.cohort_week,
            (a.active_week - a.cohort_week) // 7 AS week_offset,
            count(DISTINCT a.user_id) AS n_retained,
-           round(count(DISTINCT a.user_id)
-                 / CAST(min(c.cohort_size) AS DOUBLE), 4) AS retention
+           -- exact integer basis points: a rounded double ratio can
+           -- land on a half-way point and round differently per engine
+           count(DISTINCT a.user_id) * 10000 // min(c.cohort_size)
+               AS retention_bp
     FROM activity a JOIN cohort_sizes c USING (cohort_week)
     GROUP BY 1, 2
     """,
@@ -434,8 +436,8 @@ def events_retention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_week",
             "week_offset",
             "n_retained",
-            F.round(
-                F.col("n_retained") / F.col("cohort_size").cast("double"), 4
-            ).alias("retention"),
+            F.expr("CAST((n_retained * 10000) DIV cohort_size AS BIGINT)").alias(
+                "retention_bp"
+            ),
         )
     )
