@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "av_audio_flac_decode_stats",
     "orders_schema_evolution_read",
     "orders_incremental_join_view",
+    "orders_pivot_unpivot_roundtrip",
     "imgs_jpeg_pixel_stats",
     "imgs_gif_pixel_stats",
     "events_mrl_quantile_audit",

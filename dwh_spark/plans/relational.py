@@ -1132,3 +1132,36 @@ def orders_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         one = df.agg(F.count("*").alias(name))
         out = one if out is None else out.crossJoin(F.broadcast(one))
     return out
+
+
+@query(
+    "orders_pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           'n_' || lower(o_orderstatus) AS status_col,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def orders_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT roundtrip: statuses pivot to wide columns (one
+    Expand-free aggregate with an explicit value list, so Catalyst
+    skips the distinct-discovery job), then unpivot melts them back to
+    long form. The oracle is the plain long-form GROUP BY — wide↔long
+    must be lossless, including the zero-count cells the pivot
+    materializes and the unpivot filter drops."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .withColumnsRenamed({"O": "n_o", "F": "n_f", "P": "n_p"})
+    )
+    long = wide.unpivot(
+        ["o_orderpriority"],
+        ["n_o", "n_f", "n_p"],
+        "status_col",
+        "n_orders",
+    ).filter(F.col("n_orders").isNotNull())
+    return long.select("o_orderpriority", "status_col", "n_orders")

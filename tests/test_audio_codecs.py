@@ -184,3 +184,56 @@ def test_flac_crc_detects_corruption():
         flac.flac_decode(bytes(data2))
     with pytest.raises(ValueError, match="magic"):
         flac.flac_decode(b"not a flac stream")
+
+
+def test_flac_lpc_subframe_decodes():
+    """The LPC path has no encoder twin, so pin it with a hand-built
+    stream: order-1 LPC, coef c, shift s => x[i] = ((c*x[i-1])>>s)+r[i]."""
+    import struct
+
+    from dwh_spark.multimodal import flac
+
+    bs, bits = 8, 16
+    warm, coef, precision, shift = 100, 13, 5, 3
+    residuals = [3, -2, 0, 7, -5, 1, 4]
+
+    si = flac.MSBWriter()
+    si.write(bs, 16); si.write(bs, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(bits - 1, 5); si.write(bs, 36)
+    streaminfo = si.getvalue() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+
+    hdr = flac.MSBWriter()
+    hdr.write(0b11111111111110, 14); hdr.write(0, 1); hdr.write(0, 1)
+    hdr.write(7, 4)   # 16-bit blocksize at end
+    hdr.write(0, 4)   # rate from streaminfo
+    hdr.write(0, 4)   # mono
+    hdr.write(4, 3)   # 16-bit samples
+    hdr.write(0, 1)
+    hdr.align()
+    hb = hdr.getvalue() + b"\x00"  # frame number 0
+    bsw = flac.MSBWriter(); bsw.write(bs - 1, 16); bsw.align()
+    hb += bsw.getvalue()
+    hb += bytes([flac._crc8(hb)])
+
+    body = flac.MSBWriter()
+    body.write(0, 1)
+    body.write(32 + (1 - 1), 6)   # LPC, order 1 (type 32 + order-1)
+    body.write(0, 1)              # no wasted bits
+    body.write(warm & 0xFFFF, bits)
+    body.write(precision - 1, 4)
+    body.write(shift & 0x1F, 5)   # positive 5-bit signed
+    body.write(coef & ((1 << precision) - 1), precision)
+    flac._write_residuals(body, residuals, bs, 1)
+    body.align()
+    frame = hb + body.getvalue()
+    frame += struct.pack(">H", flac._crc16(frame))
+    out += frame
+
+    decoded, rate = flac.flac_decode(bytes(out))
+    expect = [warm]
+    for r in residuals:
+        expect.append(((coef * expect[-1]) >> shift) + r)
+    assert rate == 8000
+    assert decoded[:, 0].tolist() == expect
