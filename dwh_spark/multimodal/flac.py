@@ -265,6 +265,8 @@ def _read_subframe(br: MSBReader, block_size: int, bits: int) -> np.ndarray:
         if precision == 16:
             raise ValueError("FLAC: invalid LPC precision escape")
         shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
         coefs = [br.read_signed(precision) for _ in range(order)]
         res = _read_residuals(br, block_size, order)
         samples = list(warm)
@@ -335,8 +337,10 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
             block_size = br.read(8) + 1
         elif bs_code == 7:
             block_size = br.read(16) + 1
-        else:
+        elif bs_code in _BLOCKSIZE_FROM_CODE:
             block_size = _BLOCKSIZE_FROM_CODE[bs_code]
+        else:
+            raise ValueError("FLAC: reserved blocksize code")
         if sr_code == 0:
             rate = si_rate
         elif sr_code in _SAMPLE_RATE_FROM_CODE:
@@ -347,7 +351,12 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
             rate = br.read(16) * (1 if sr_code == 13 else 10)
         else:
             raise ValueError("FLAC: invalid sample-rate code")
-        bits = si_bits if bits_code == 0 else _SAMPLE_BITS_FROM_CODE[bits_code]
+        if bits_code == 0:
+            bits = si_bits
+        elif bits_code in _SAMPLE_BITS_FROM_CODE:
+            bits = _SAMPLE_BITS_FROM_CODE[bits_code]
+        else:
+            raise ValueError("FLAC: reserved sample-size code")
         crc8_stored = data[br.byte_pos]
         if _crc8(data[hdr_start : br.byte_pos]) != crc8_stored:
             raise ValueError("FLAC: frame header CRC-8 mismatch")

@@ -23,8 +23,9 @@ greedy LZ77, color cache, subtract-green, fixed-mode predictor,
 fixed-element cross-color, palette + bundling. Single code group
 (no meta-prefix image) — valid per spec, just not rate-optimal.
 
-Lossy VP8 and VP8X-extended containers genuinely need a native
-library and raise NotImplementedError; ``multimodal/registry.py`` is
+Lossy VP8 genuinely needs a native library and raises
+NotImplementedError (VP8X-wrapped VP8L decodes via the RIFF chunk
+scan); ``multimodal/registry.py`` is
 the documented injection seam for those.
 """
 
@@ -344,16 +345,23 @@ def prefix_encode(value: int) -> tuple[int, int, int]:
 
 def _build_distance_map() -> list[tuple[int, int]]:
     """The 120-entry 2D distance mapping (RFC 9649 §4.2.2): the close
-    (dx, dy) neighbors with dy in [0,7], dx in [-8,8] (dy>0, or dy==0
-    and dx>0), sorted by squared distance then |dx| then sign."""
+    (dx, dy) neighbors with dy in [0,7], dx in [-7,8] (dy>0, or dy==0
+    and dx>0), sorted by squared distance then |dx| then sign.
+
+    libwebp's kCodeToPlane packs each entry as (dy << 4) | (8 - dx),
+    so dx is bounded below by 8 - 15 = -7, NOT -8: dy in 0..7 with
+    dx in -7..8 yields exactly 8 + 7*16 = 120 candidates, no
+    truncation. (A -8 lower bound shifts codes 103-120 off the spec
+    table; see tests/test_multimodal_codecs.py pin test.)"""
     cands = []
     for dy in range(0, 8):
-        for dx in range(-8, 9):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
             cands.append((dx, dy))
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
-    return cands[:120]
+    assert len(cands) == 120
+    return cands
 
 
 DISTANCE_MAP = _build_distance_map()
@@ -791,11 +799,14 @@ def webp_decode(data: bytes) -> np.ndarray:
             if (rgba[:, :, 3] == 255).all():
                 return np.ascontiguousarray(rgba[:, :, :3])
             return rgba
-        if fourcc in (b"VP8 ", b"VP8X"):
+        if fourcc == b"VP8 ":
             raise NotImplementedError(
-                f"WebP {fourcc.decode().strip()} (lossy/extended) needs a "
-                "native codec — register one via multimodal.registry"
+                "WebP VP8 (lossy) needs a native codec — register one "
+                "via multimodal.registry"
             )
+        # VP8X is just the extended-features header (EXIF/ICC/alpha
+        # metadata): keep scanning — a VP8L chunk later in the RIFF is
+        # fully decodable; only an actual lossy VP8 chunk raises.
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no image chunk found")
 

@@ -237,3 +237,81 @@ def test_flac_lpc_subframe_decodes():
         expect.append(((coef * expect[-1]) >> shift) + r)
     assert rate == 8000
     assert decoded[:, 0].tolist() == expect
+
+
+def _minimal_flac_prefix(bs_code: int, bits_code: int) -> bytes:
+    """fLaC + STREAMINFO + the first bytes of a frame header carrying
+    the given blocksize / sample-size codes (enough to reach the code
+    validation, which precedes CRC checks)."""
+    import struct
+
+    from dwh_spark.multimodal import flac
+
+    si = flac.MSBWriter()
+    si.write(16, 16); si.write(16, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(16, 36)
+    streaminfo = si.getvalue() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+    hdr = flac.MSBWriter()
+    hdr.write(0b11111111111110, 14); hdr.write(0, 1); hdr.write(0, 1)
+    hdr.write(bs_code, 4); hdr.write(0, 4); hdr.write(0, 4)
+    hdr.write(bits_code, 3); hdr.write(0, 1)
+    hdr.align()
+    out += hdr.getvalue() + b"\x00" * 8
+    return bytes(out)
+
+
+def test_flac_reserved_codes_raise_domain_errors():
+    """Reserved blocksize code 0 and sample-size code 3 must raise the
+    codec's ValueError contract, not leak a bare KeyError."""
+    import pytest
+
+    from dwh_spark.multimodal import flac
+
+    with pytest.raises(ValueError, match="reserved blocksize"):
+        flac.flac_decode(_minimal_flac_prefix(bs_code=0, bits_code=4))
+    with pytest.raises(ValueError, match="reserved sample-size"):
+        flac.flac_decode(_minimal_flac_prefix(bs_code=7, bits_code=3))
+
+
+def test_flac_negative_lpc_shift_raises_domain_error():
+    """A malformed stream with a negative LPC shift must raise the
+    codec's ValueError, not numpy/python's negative-shift error."""
+    import struct
+
+    import pytest
+
+    from dwh_spark.multimodal import flac
+
+    bs, bits = 8, 16
+    si = flac.MSBWriter()
+    si.write(bs, 16); si.write(bs, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(bits - 1, 5); si.write(bs, 36)
+    streaminfo = si.getvalue() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+    hdr = flac.MSBWriter()
+    hdr.write(0b11111111111110, 14); hdr.write(0, 1); hdr.write(0, 1)
+    hdr.write(7, 4); hdr.write(0, 4); hdr.write(0, 4); hdr.write(4, 3)
+    hdr.write(0, 1)
+    hdr.align()
+    hb = hdr.getvalue() + b"\x00"
+    bsw = flac.MSBWriter(); bsw.write(bs - 1, 16); bsw.align()
+    hb += bsw.getvalue()
+    hb += bytes([flac._crc8(hb)])
+    body = flac.MSBWriter()
+    body.write(0, 1)
+    body.write(32 + (1 - 1), 6)
+    body.write(0, 1)
+    body.write(100, bits)
+    body.write(5 - 1, 4)
+    body.write((-1) & 0x1F, 5)   # negative shift
+    body.write(13, 5)
+    flac._write_residuals(body, [0] * (bs - 1), bs, 1)
+    body.align()
+    frame = hb + body.getvalue()
+    frame += struct.pack(">H", flac._crc16(frame))
+    out += frame
+    with pytest.raises(ValueError, match="negative LPC shift"):
+        flac.flac_decode(bytes(out))

@@ -600,6 +600,61 @@ def test_vp8l_distance_mapping_bijective():
             assert plane_to_dist(dist_to_plane(dist, width), width) == dist
 
 
+def test_vp8l_distance_map_pins_libwebp_table():
+    """Pin the generated 2D distance map against libwebp's kCodeToPlane
+    (packed (dy<<4)|(8-dx), so dx is in [-7, 8] — NOT [-8, 8]). A wrong
+    lower bound self-roundtrips but mis-decodes real libwebp files at
+    codes 103+."""
+    from dwh_spark.multimodal.vp8l import DISTANCE_MAP
+
+    assert len(DISTANCE_MAP) == 120
+    # codes 1..16
+    assert DISTANCE_MAP[:16] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    ]
+    # codes 35..40 (the squared-distance-25 group)
+    assert DISTANCE_MAP[34:40] == [
+        (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    ]
+    # codes 97..120 — the tail the -8 bound corrupted
+    assert DISTANCE_MAP[96:] == [
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+    ]
+    # every dx obeys the nibble packing bound
+    assert all(-7 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in DISTANCE_MAP)
+
+
+def test_webp_vp8x_wrapped_vp8l_decodes():
+    """VP8X is only the extended-features header: a VP8L chunk behind it
+    (libwebp output with EXIF/ICC metadata) must decode normally."""
+    import struct
+
+    import numpy as np
+
+    from dwh_spark.multimodal.vp8l import webp_decode, webp_encode
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    plain = webp_encode(arr)
+    assert plain[:4] == b"RIFF" and plain[8:12] == b"WEBP"
+    chunks = plain[12:]  # the VP8L chunk (fourcc+size+payload[+pad])
+    h, w = arr.shape[:2]
+    vp8x_payload = bytes(10)  # no feature flags; canvas size fields
+    vp8x_payload = (
+        b"\x00\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_payload)) + vp8x_payload
+    body = b"WEBP" + vp8x + chunks
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = webp_decode(wrapped)
+    assert np.array_equal(out, arr)
+
+
 def test_vp8l_prefix_code_value_roundtrip():
     from dwh_spark.multimodal.vp8l import (
         BitReader,
