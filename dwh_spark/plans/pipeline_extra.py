@@ -946,22 +946,69 @@ def events_mrl_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ests = {q: merged.quantile(q) for q in _MRL_QS}
     targets = {q: max(1, math.ceil(q * n)) for q in _MRL_QS}
 
-    # one distributed pass audits every estimate against exact ranks
-    # (rank interval [lo, hi] of the estimate vs target ± bound) and
-    # pulls the exact order statistics via a global row_number — the
-    # exact path is the audit, the sketch is the scale path
+    # the audit needs (a) the estimate's rank interval — plain lt/le
+    # aggregates — and (b) three exact order statistics. The exact
+    # ranks use a two-phase distributed form (no global single-task
+    # sort): range-bin the values (binning is weakly monotone in v, so
+    # bin-order concatenation IS the global order), collect per-bin
+    # counts (≤ nbins tiny rows) into cumulative offsets, then
+    # row_number only WITHIN the ≤3 bins that contain the target
+    # ranks — windows partitioned by bin, each touching ~1/nbins of
+    # the data, in parallel. Same shape as the sweep-line offset join
+    # in operators/temporal.py.
     vals = v.select("v")
-    w = Window.orderBy("v")
-    ranked = vals.withColumn("rn", F.row_number().over(w))
-    aggs = []
+    agg0 = [F.min("v").alias("vlo"), F.max("v").alias("vhi")]
     for i, q in enumerate(_MRL_QS):
         e = float(ests[q])
-        aggs += [
+        agg0 += [
             F.sum(F.when(F.col("v") < e, 1).otherwise(0)).alias(f"lt{i}"),
             F.sum(F.when(F.col("v") <= e, 1).otherwise(0)).alias(f"le{i}"),
-            F.min(F.when(F.col("rn") >= targets[q], F.col("v"))).alias(f"ex{i}"),
         ]
-    stats = ranked.agg(*aggs).collect()[0]
+    stats = vals.agg(*agg0).collect()[0]
+    vlo, vhi = float(stats["vlo"]), float(stats["vhi"])
+    if vhi > vlo:
+        nbins = 1024
+        bin_col = (
+            F.least(
+                F.lit(nbins - 1),
+                F.floor((F.col("v") - F.lit(vlo)) / F.lit(vhi - vlo) * nbins),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        binned = vals.select(F.col("v"), bin_col)
+        counts = {
+            r["bin"]: r["cnt"]
+            for r in binned.groupBy("bin").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for b in sorted(counts):
+            offsets[b] = acc
+            acc += counts[b]
+        need = {}  # q -> (bin holding rank target[q], local rank within it)
+        for q in _MRL_QS:
+            t = targets[q]
+            for b in sorted(counts):
+                if offsets[b] < t <= offsets[b] + counts[b]:
+                    need[q] = (b, t - offsets[b])
+                    break
+        wb = Window.partitionBy("bin").orderBy("v")
+        local = binned.filter(
+            F.col("bin").isin(sorted({b for b, _ in need.values()}))
+        ).withColumn("lrn", F.row_number().over(wb))
+        agg1 = [
+            F.min(
+                F.when(
+                    (F.col("bin") == need[q][0]) & (F.col("lrn") == need[q][1]),
+                    F.col("v"),
+                )
+            ).alias(f"ex{i}")
+            for i, q in enumerate(_MRL_QS)
+        ]
+        exact_row = local.agg(*agg1).collect()[0]
+        exacts = {q: float(exact_row[f"ex{i}"]) for i, q in enumerate(_MRL_QS)}
+    else:  # degenerate range: every value equals vlo
+        exacts = {q: vlo for q in _MRL_QS}
 
     out_schema = StructType([
         StructField("quantile", DoubleType()),
@@ -976,7 +1023,7 @@ def events_mrl_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = int(stats[f"le{i}"])      # highest rank (ties widen this)
         err = max(lo - targets[q], targets[q] - hi, 0)
         out.append((
-            float(q), n, float(stats[f"ex{i}"]),
+            float(q), n, exacts[q],
             # the certified bound must stay near 5% of n; the additive
             # k term is the buffer discretization floor that dominates
             # only when n is fixture-small (a k-sized sketch of n < k

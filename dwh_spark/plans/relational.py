@@ -284,9 +284,12 @@ def agg_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q6: order_by / limit / offset pagination. Offset is expressed with a
-# row_number window (the only scalable form — a bare OFFSET still scans
-# and sorts everything up to offset+limit on one node).
+# Q6: order_by / limit / offset pagination. The scale-safe form is a
+# top-(offset+limit) pre-cut: orderBy(...).limit(offset+limit) compiles
+# to TakeOrderedAndProject — per-partition bounded heaps merged on the
+# driver — so only offset+limit rows ever leave any task. The
+# row_number window then ranks just those survivors (trivially small),
+# never the full table through one unpartitioned window task.
 # ---------------------------------------------------------------------------
 @query(
     "pagination_page3",
@@ -302,11 +305,13 @@ def agg_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    offset, limit = 40, 20
     c = load_table(spark, sf_dir, "customer")
+    top = c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(offset + limit)
     w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
         .orderBy("rn")
         .select(
             F.col("c_custkey").alias("custkey"),
