@@ -33,7 +33,11 @@ import numpy as np
 # Baseline JPEG lives in its own module (multimodal/jpeg.py) and
 # WebP-lossless (VP8L) in multimodal/vp8l.py, but both are re-exported
 # here so callers have one codec namespace.
-from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode  # noqa: F401
+from dwh_spark.multimodal.jpeg import (  # noqa: F401
+    jpeg_decode,
+    jpeg_encode,
+    jpeg_encode_progressive,
+)
 from dwh_spark.multimodal.vp8l import webp_decode, webp_encode  # noqa: F401
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -254,15 +254,13 @@ class _Comp:
     tq: int  # quant table id
 
 
-def jpeg_encode(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
-) -> bytes:
-    """(H, W, 3) uint8 RGB or (H, W) uint8 gray → baseline JFIF bytes.
-
-    quality=100 gives all-ones quant tables: constant-gray input then
-    round-trips EXACTLY (DC is integral, AC zero, chroma 128) — the
-    property the oracle-pinned fixture query relies on.
-    """
+def _encode_prep(
+    arr: np.ndarray, quality: int, subsampling: str
+) -> tuple[int, int, list[_Comp], dict[int, np.ndarray], list[np.ndarray], int, int]:
+    """Shared encoder front half: color transform, subsample, pad,
+    batched DCT, quantize. Returns (h, w, comps, qtables, per-comp
+    quantized-zigzag block arrays shaped (mcu_rows*v, mcu_cols*h, 64),
+    mcu_rows, mcu_cols)."""
     arr = np.asarray(arr, np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -309,7 +307,48 @@ def jpeg_encode(
         q = np.rint(coefs / qtables[c.tq].reshape(8, 8)).astype(np.int64)
         zz = q.reshape(-1, 64)[:, ZIGZAG]
         comp_blocks.append(zz.reshape(mcu_rows * c.v, mcu_cols * c.h, 64))
+    return h, w, comps, qtables, comp_blocks, mcu_rows, mcu_cols
 
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _emit_headers(
+    h: int,
+    w: int,
+    comps: list[_Comp],
+    qtables: dict[int, np.ndarray],
+    sof_marker: int,
+    dht_specs: list[tuple[int, list[int], list[int]]],
+) -> bytearray:
+    """SOI + JFIF + DQT + SOFn + DHT segments (shared marker prologue)."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq in sorted({c.tq for c in comps}):
+        zz_q = qtables[tq][ZIGZAG].astype(np.uint8)  # DQT is zigzag order
+        out += _seg(0xFFDB, bytes([tq]) + zz_q.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c.cid, (c.h << 4) | c.v, c.tq])
+    out += _seg(sof_marker, sof)
+    for tc_th, bits, vals in dht_specs:
+        out += _seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    return out
+
+
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 gray → baseline JFIF bytes.
+
+    quality=100 gives all-ones quant tables: constant-gray input then
+    round-trips EXACTLY (DC is integral, AC zero, chroma 128) — the
+    property the oracle-pinned fixture query relies on.
+    """
+    h, w, comps, qtables, comp_blocks, mcu_rows, mcu_cols = _encode_prep(
+        arr, quality, subsampling
+    )
     dc_enc = _huff_encode_table(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_enc = _huff_encode_table(_ENC_AC_BITS, _ENC_AC_VALS)
     bw = _BitWriter()
@@ -347,41 +386,433 @@ def jpeg_encode(
                             bw.write(code, ln)
     bw.flush()
 
-    # ------- markers
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    used_q = sorted({c.tq for c in comps})
-    for tq in used_q:
-        zz_q = qtables[tq][ZIGZAG].astype(np.uint8)  # DQT is zigzag order
-        out += seg(0xFFDB, bytes([tq]) + zz_q.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for c in comps:
-        sof += bytes([c.cid, (c.h << 4) | c.v, c.tq])
-    out += seg(0xFFC0, sof)
-    for tc_th, bits, vals in (
-        (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
-        (0x10, _ENC_AC_BITS, _ENC_AC_VALS),
-    ):
-        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    out = _emit_headers(
+        h, w, comps, qtables, 0xFFC0,
+        [(0x00, _ENC_DC_BITS, _ENC_DC_VALS), (0x10, _ENC_AC_BITS, _ENC_AC_VALS)],
+    )
     sos = bytes([len(comps)])
     for c in comps:
         sos += bytes([c.cid, 0x00])  # DC table 0, AC table 0 for all comps
     sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
-    out += seg(0xFFDA, sos)
+    out += _seg(0xFFDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+# -------------------------------------------------- progressive encode
+#
+# Fixture generator for the progressive decode path. Uses the standard
+# spectral-selection + successive-approximation script (the shape
+# libjpeg's jpeg_simple_progression emits), so the decoder's four scan
+# kinds — DC first, DC refine, AC first (EOB-run coded), AC refine
+# (correction bits) — are all exercised, including EOB runs spanning
+# blocks with buffered correction bits.
+
+# Progressive AC table: the sequential flat table lacks the EOBn
+# symbols (r<<4)|0 for r in 1..14 that EOB-run coding emits. 176
+# symbols still fit 8-bit flat codes (176 <= 255, all-ones unused).
+_ENC_ACP_VALS = (
+    [r << 4 for r in range(15)]  # EOB0..EOB14 (0x00 is EOB0)
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_ENC_ACP_BITS = [0] * 7 + [len(_ENC_ACP_VALS)] + [0] * 8
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with
+    EOB-run accounting and (for refinement scans) the correction-bit
+    buffer that must flush right after the next emitted symbol."""
+
+    def __init__(self, dc_enc: dict, ac_enc: dict) -> None:
+        self.bw = _BitWriter()
+        self.dc_enc = dc_enc
+        self.ac_enc = ac_enc
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits owed to older blocks
+
+    def sym_ac(self, rs: int) -> None:
+        code, ln = self.ac_enc[rs]
+        self.bw.write(code, ln)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym_ac(r << 4)
+            self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.bw.write(bit, 1)
+        self.pending = []
+
+    def finish(self) -> bytes:
+        self.emit_eobrun()
+        self.bw.flush()
+        return bytes(self.bw.out)
+
+
+def _enc_dc_first(w: _ProgScanWriter, dc: int, pred: int, al: int) -> int:
+    v = dc >> al  # arithmetic shift (point transform, T.81 G.1.2.1)
+    size, bits = _magnitude(v - pred)
+    code, ln = w.dc_enc[size]
+    w.bw.write(code, ln)
+    w.bw.write(bits, size)
+    return v
+
+
+def _enc_dc_refine(w: _ProgScanWriter, dc: int, al: int) -> None:
+    w.bw.write((dc >> al) & 1, 1)
+
+
+def _enc_ac_first(w: _ProgScanWriter, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = v >> al if v >= 0 else -((-v) >> al)  # toward-zero point transform
+        if v == 0:
+            run += 1
+            continue
+        w.emit_eobrun()
+        while run > 15:
+            w.sym_ac(0xF0)
+            run -= 16
+        size, bits = _magnitude(v)
+        w.sym_ac((run << 4) | size)
+        w.bw.write(bits, size)
+        run = 0
+    if run > 0:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.emit_eobrun()
+
+
+def _enc_ac_refine(w: _ProgScanWriter, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    absv = {}
+    last_new = ss - 1  # position of last newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        a = abs(int(zz[k])) >> al
+        absv[k] = a
+        if a == 1:
+            last_new = k
+    run = 0
+    mine: list[int] = []  # correction bits accrued inside this block
+    for k in range(ss, se + 1):
+        a = absv[k]
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and k <= last_new:
+            w.emit_eobrun()
+            w.sym_ac(0xF0)
+            run -= 16
+            for bit in mine:
+                w.bw.write(bit, 1)
+            mine = []
+        if a > 1:  # previously nonzero: just owes its next magnitude bit
+            mine.append((abs(int(zz[k])) >> al) & 1)
+            continue
+        w.emit_eobrun()
+        w.sym_ac((run << 4) | 1)
+        w.bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for bit in mine:
+            w.bw.write(bit, 1)
+        mine = []
+        run = 0
+    if run > 0 or mine:
+        w.eobrun += 1
+        w.pending.extend(mine)
+        if w.eobrun == 0x7FFF or len(w.pending) > 937:  # libjpeg's MAX_CORR_BITS margin
+            w.emit_eobrun()
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) gray → progressive (SOF2) JFIF.
+
+    Coefficients are identical to jpeg_encode's at the same quality and
+    subsampling — only the entropy layer differs — so progressive decode
+    must equal baseline decode EXACTLY (the cross-check the tests pin).
+    """
+    h, w, comps, qtables, comp_blocks, mcu_rows, mcu_cols = _encode_prep(
+        arr, quality, subsampling
+    )
+    max_h = max(c.h for c in comps)
+    max_v = max(c.v for c in comps)
+    dc_enc = _huff_encode_table(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_enc = _huff_encode_table(_ENC_ACP_BITS, _ENC_ACP_VALS)
+
+    # (comp indices, Ss, Se, Ah, Al) — jpeg_simple_progression's shape
+    if len(comps) == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, ], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    out = _emit_headers(
+        h, w, comps, qtables, 0xFFC2,
+        [(0x00, _ENC_DC_BITS, _ENC_DC_VALS), (0x10, _ENC_ACP_BITS, _ENC_ACP_VALS)],
+    )
+    for comp_idx, ss, se, ah, al in script:
+        sw = _ProgScanWriter(dc_enc, ac_enc)
+        if ss == 0:  # DC scan — interleaved MCU order (or single-comp)
+            if len(comp_idx) > 1:
+                preds = {ci: 0 for ci in comp_idx}
+                for mr in range(mcu_rows):
+                    for mc in range(mcu_cols):
+                        for ci in comp_idx:
+                            c = comps[ci]
+                            for bv in range(c.v):
+                                for bh in range(c.h):
+                                    dc = int(comp_blocks[ci][mr * c.v + bv, mc * c.h + bh, 0])
+                                    if ah == 0:
+                                        preds[ci] = _enc_dc_first(sw, dc, preds[ci], al)
+                                    else:
+                                        _enc_dc_refine(sw, dc, al)
+            else:
+                ci = comp_idx[0]
+                c = comps[ci]
+                hb, wb = _comp_block_grid(h, w, c, max_h, max_v)
+                pred = 0
+                for by in range(hb):
+                    for bx in range(wb):
+                        dc = int(comp_blocks[ci][by, bx, 0])
+                        if ah == 0:
+                            pred = _enc_dc_first(sw, dc, pred, al)
+                        else:
+                            _enc_dc_refine(sw, dc, al)
+        else:  # AC scan — always single component, block raster order
+            ci = comp_idx[0]
+            c = comps[ci]
+            hb, wb = _comp_block_grid(h, w, c, max_h, max_v)
+            for by in range(hb):
+                for bx in range(wb):
+                    zz = comp_blocks[ci][by, bx]
+                    if ah == 0:
+                        _enc_ac_first(sw, zz, ss, se, al)
+                    else:
+                        _enc_ac_refine(sw, zz, ss, se, al)
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([comps[ci].cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        out += sw.finish()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _comp_block_grid(
+    fh: int, fw: int, c: _Comp, max_h: int, max_v: int
+) -> tuple[int, int]:
+    """Non-interleaved scans traverse ceil(comp_dim/8) blocks (T.81
+    A.2.2), NOT the MCU-padded grid."""
+    ch = -(-fh * c.v // max_v)
+    cw = -(-fw * c.h // max_h)
+    return -(-ch // 8), -(-cw // 8)
+
+
 # ------------------------------------------------------------------- decode
 
 
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    scan_comps: list[tuple[_Comp, int, int]],  # (comp, dc table id, ac table id)
+    dc_tables: dict[int, dict],
+    ac_tables: dict[int, dict],
+    coef: dict[int, np.ndarray],
+    geom: tuple[int, int, int, int, int, int],  # fh fw mcu_rows mcu_cols max_h max_v
+    restart_interval: int,
+    progressive: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one scan's entropy data; mutates coef; returns the byte
+    position where entropy data ended (next marker search starts there).
+
+    Sequential scans (baseline) decode DC+AC 0..63 per block; progressive
+    scans dispatch on (Ss==0, Ah==0) into the four T.81 G.2 cases —
+    DC first / DC refine / AC first (EOB-run coded) / AC refine
+    (correction bits) — mirroring the spec's figures G.2, G.7 and the
+    classic libjpeg control flow for the refinement passes.
+    """
+    fh, fw, mcu_rows, mcu_cols, max_h, max_v = geom
+    br = _BitReader(data, pos)
+    interleaved = len(scan_comps) > 1
+    dc_pred = {c.cid: 0 for c, _, _ in scan_comps}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def units():
+        if interleaved:
+            for mr in range(mcu_rows):
+                for mc in range(mcu_cols):
+                    mcu = []
+                    for c, td, ta in scan_comps:
+                        for bv in range(c.v):
+                            for bh in range(c.h):
+                                mcu.append((c, td, ta, mr * c.v + bv, mc * c.h + bh))
+                    yield mcu
+        else:
+            c, td, ta = scan_comps[0]
+            hb, wb = _comp_block_grid(fh, fw, c, max_h, max_v)
+            for by in range(hb):
+                for bx in range(wb):
+                    yield [(c, td, ta, by, bx)]
+
+    def refine_nonzero(zz, k: int) -> None:
+        # consume a correction bit for an already-nonzero coefficient
+        if br.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if int(zz[k]) >= 0 else m1
+
+    mcu_index = 0
+    for mcu in units():
+        if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+            br.sync_restart(mcu_index // restart_interval - 1)
+            dc_pred = {c.cid: 0 for c, _, _ in scan_comps}
+            eobrun = 0
+        for c, td, ta, by, bx in mcu:
+            zz = coef[c.cid][by, bx]
+            if not progressive:
+                tdc, tac = dc_tables[td], ac_tables[ta]
+                size = _read_symbol(br, tdc)
+                diff = _extend(br.read_bits(size), size)
+                dc_pred[c.cid] += diff
+                zz[0] = dc_pred[c.cid]
+                i = 1
+                while i < 64:
+                    rs = _read_symbol(br, tac)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += rs >> 4
+                    if i > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[i] = _extend(br.read_bits(rs & 0x0F), rs & 0x0F)
+                    i += 1
+            elif ss == 0 and ah == 0:  # DC first
+                size = _read_symbol(br, dc_tables[td])
+                dc_pred[c.cid] += _extend(br.read_bits(size), size)
+                zz[0] = dc_pred[c.cid] << al
+            elif ss == 0:  # DC refine: one appended bit per block
+                if br.read_bit():
+                    zz[0] = int(zz[0]) | p1
+            elif ah == 0:  # AC first, EOB-run coded
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, ac_tables[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    zz[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refine
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_symbol(br, ac_tables[ta])
+                        r, s = rs >> 4, rs & 0x0F
+                        sval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError("JPEG AC refine size != 1")
+                            sval = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if int(zz[k]) != 0:
+                                refine_nonzero(zz, k)
+                                k += 1
+                            elif r == 0:
+                                break
+                            else:
+                                r -= 1
+                                k += 1
+                        if sval and k <= se:
+                            zz[k] = sval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # correction bits through band end
+                        if int(zz[k]) != 0:
+                            refine_nonzero(zz, k)
+                        k += 1
+                    eobrun -= 1
+        mcu_index += 1
+    return br.pos
+
+
+def _next_marker(data: bytes, p: int) -> int:
+    """Skip past entropy padding / fill bytes / stray RSTs to the next
+    real marker's 0xFF."""
+    while p + 1 < len(data):
+        if data[p] != 0xFF:
+            p += 1
+        elif data[p + 1] == 0x00:  # stuffed byte
+            p += 2
+        elif data[p + 1] == 0xFF:  # fill byte
+            p += 1
+        elif 0xD0 <= data[p + 1] <= 0xD7:  # trailing RST
+            p += 2
+        else:
+            return p
+    return len(data)
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, 3) uint8 RGB (gray replicates to 3
-    channels so downstream resize/PNG-encode sees one shape)."""
+    """Baseline or progressive JPEG bytes → (H, W, 3) uint8 RGB (gray
+    replicates to 3 channels so downstream resize/PNG-encode sees one
+    shape). Arithmetic coding, hierarchical and 12-bit precision raise
+    NotImplementedError honestly."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -390,12 +821,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     ac_tables: dict[int, dict] = {}
     restart_interval = 0
     frame = None
-    scan = None
-    while pos + 4 <= len(data):
+    progressive = False
+    coef: dict[int, np.ndarray] | None = None
+    geom = None
+    nscans = 0
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RSTn/SOI: no payload
+            pos += 2
+            continue
+        if pos + 4 > len(data):
             break
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + ln]
@@ -420,7 +859,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 p += 17 + n
                 (dc_tables if tc == 0 else ac_tables)[th] = _huff_decode_table(bits, vals)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} (only 8)")
@@ -431,71 +870,47 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if any(c.h not in (1, 2) or c.v not in (1, 2) for c in comps):
                 raise NotImplementedError("JPEG sampling factors beyond 1-2")
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker {marker:#x}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, comps = frame
+            max_h = max(c.h for c in comps)
+            max_v = max(c.v for c in comps)
+            if coef is None:
+                mcu_cols = -(-fw // (8 * max_h))
+                mcu_rows = -(-fh // (8 * max_v))
+                geom = (fh, fw, mcu_rows, mcu_cols, max_h, max_v)
+                coef = {
+                    c.cid: np.zeros((mcu_rows * c.v, mcu_cols * c.h, 64), np.int64)
+                    for c in comps
+                }
             ns = payload[0]
-            scan = {payload[1 + 2 * i]: payload[2 + 2 * i] for i in range(ns)}
-            pos = pos + 2 + ln
-            break
+            by_cid = {c.cid: c for c in comps}
+            scan_comps = []
+            for i in range(ns):
+                cid, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_comps.append((by_cid[cid], tt >> 4, tt & 0x0F))
+            ss_, se_, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            end = _decode_scan(
+                data, pos + 2 + ln, scan_comps, dc_tables, ac_tables, coef,
+                geom, restart_interval, progressive,
+                ss_, se_, ahal >> 4, ahal & 0x0F,
+            )
+            nscans += 1
+            pos = _next_marker(data, end)
+            continue
         pos += 2 + ln
-    if frame is None or scan is None:
+    if frame is None or coef is None or nscans == 0:
         raise ValueError("truncated JPEG: missing SOF/SOS")
     fh, fw, comps = frame
     max_h = max(c.h for c in comps)
     max_v = max(c.v for c in comps)
-    mcu_cols = -(-fw // (8 * max_h))
-    mcu_rows = -(-fh // (8 * max_v))
-
-    coef = {
-        c.cid: np.zeros((mcu_rows * c.v, mcu_cols * c.h, 64), np.int64) for c in comps
-    }
-    br = _BitReader(data, pos)
-
-    def read_symbol(table: dict) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
-
-    dc_pred = {c.cid: 0 for c in comps}
-    mcu_index = 0
-    for mr in range(mcu_rows):
-        for mc in range(mcu_cols):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                br.sync_restart(mcu_index // restart_interval - 1)
-                dc_pred = {c.cid: 0 for c in comps}
-            for c in comps:
-                tdc = dc_tables[scan[c.cid] >> 4]
-                tac = ac_tables[scan[c.cid] & 0x0F]
-                for bv in range(c.v):
-                    for bh in range(c.h):
-                        zz = coef[c.cid][mr * c.v + bv, mc * c.h + bh]
-                        size = read_symbol(tdc)
-                        diff = _extend(br.read_bits(size), size)
-                        dc_pred[c.cid] += diff
-                        zz[0] = dc_pred[c.cid]
-                        i = 1
-                        while i < 64:
-                            rs = read_symbol(tac)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                i += 16
-                                continue
-                            i += rs >> 4
-                            if i > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[i] = _extend(br.read_bits(rs & 0x0F), rs & 0x0F)
-                            i += 1
-            mcu_index += 1
+    _, _, mcu_rows, mcu_cols, _, _ = geom
 
     # dequantize + de-zigzag + batched IDCT per component
     planes = {}

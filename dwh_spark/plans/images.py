@@ -328,6 +328,8 @@ def imgs_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            'jpeg' AS format,
            CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:4:4' END AS subsampling,
+           CASE WHEN doc_id % 10 = 7 THEN 'progressive' ELSE 'baseline' END
+             AS coding,
            r.target_w, r.target_h,
            r.target_w AS dec_w, r.target_h AS dec_h,
            (doc_id * 37) % 256 AS mean_r,
@@ -341,10 +343,13 @@ def imgs_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def imgs_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 for JPEG — the dominant real-corpus format
     (x/imgresizer/resizer.go:251): every selected doc becomes a genuine
-    baseline JFIF (vendored pure-numpy encoder, multimodal/jpeg.py) —
-    4:2:0 for even doc_ids, 4:4:4 for odd — then flows through the SAME
-    pipeline as imgs_real_pixel_stats: sniff → fan-out → jpeg-decode →
-    bicubic resize → PNG re-encode → decode again for stats.
+    JFIF (vendored pure-numpy codec, multimodal/jpeg.py) — 4:2:0 for
+    even doc_ids, 4:4:4 for odd; baseline SOF0 for doc_id%10==2 and
+    PROGRESSIVE SOF2 (spectral selection + successive approximation,
+    10-scan script with EOB runs and refinement bits) for doc_id%10==7
+    — then flows through the SAME pipeline as imgs_real_pixel_stats:
+    sniff → fan-out → jpeg-decode → bicubic resize → PNG re-encode →
+    decode again for stats.
 
     Oracle independence rests on a JPEG identity: a constant-GRAY
     image at quality=100 (all-ones quant tables) round-trips EXACTLY —
@@ -378,7 +383,12 @@ def imgs_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 arr = np.full((24, 32, 3), (d * 37) % 256, np.uint8)
                 sub = "4:2:0" if d % 2 == 0 else "4:4:4"
-                content = codecs.jpeg_encode(arr, quality=100, subsampling=sub)
+                enc = (
+                    codecs.jpeg_encode_progressive
+                    if d % 10 == 7
+                    else codecs.jpeg_encode
+                )
+                content = enc(arr, quality=100, subsampling=sub)
                 out.append((d, "owner", str(d), content))
             yield pd.DataFrame(out, columns=["doc_id", "owner", "token_id", "content"])
 
@@ -425,6 +435,9 @@ def imgs_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("token_id").cast("long") % 2 == 0, "4:2:0")
         .otherwise("4:4:4")
         .alias("subsampling"),
+        F.when(F.col("token_id").cast("long") % 10 == 7, "progressive")
+        .otherwise("baseline")
+        .alias("coding"),
         "target_w", "target_h", "dec_w", "dec_h",
         "mean_r", "mean_g", "mean_b",
     )

@@ -261,19 +261,69 @@ def test_jpeg_color_quality_loss_bounded():
         assert np.abs(dec.astype(int) - a.astype(int)).max() <= 12
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_arithmetic_and_garbage():
     import pytest
 
     from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
 
     with pytest.raises(ValueError):
         jpeg_decode(b"\x00\x01not a jpeg")
-    # flip SOF0 (0xC0) to SOF2 progressive (0xC2) in a real stream
+    # flip SOF0 (0xC0) to SOF9 (arithmetic sequential) in a real stream
     blob = bytearray(jpeg_encode(np.zeros((8, 8, 3), np.uint8)))
     ix = bytes(blob).find(b"\xff\xc0")
-    blob[ix + 1] = 0xC2
+    blob[ix + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         jpeg_decode(bytes(blob))
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The progressive encoder writes the SAME quantized coefficients as
+    the baseline encoder — only the entropy layer differs — so decoding
+    both must give bit-identical pixels. This cross-checks the four
+    progressive scan decoders (DC/AC x first/refine, EOB runs,
+    correction bits) against the independent sequential path."""
+    from dwh_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((16, 16, 3), "4:2:0", 75),
+        ((17, 23, 3), "4:2:0", 90),   # non-MCU-aligned: padding blocks
+        ((33, 41, 3), "4:4:4", 50),
+        ((8, 8, 3), "4:4:4", 100),
+    ]
+    for shape, sub, q in cases:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode(img, quality=q, subsampling=sub))
+        prog = jpeg_decode(jpeg_encode_progressive(img, quality=q, subsampling=sub))
+        assert np.array_equal(base, prog), (shape, sub, q)
+    # smooth gradient: long EOB runs spanning many blocks, with buffered
+    # correction bits in the refinement scans
+    g = np.tile(np.linspace(0, 255, 56, dtype=np.uint8), (24, 1))
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(g, quality=90)),
+        jpeg_decode(jpeg_encode_progressive(g, quality=90)),
+    )
+    # constant image: maximal EOB runs in every scan
+    c3 = np.full((40, 40, 3), 180, np.uint8)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(c3, 90)),
+        jpeg_decode(jpeg_encode_progressive(c3, 90)),
+    )
+
+
+def test_jpeg_progressive_marker_shape():
+    """SOF2 frame, multiple SOS scans, EOB-run-capable AC table."""
+    from dwh_spark.multimodal.jpeg import jpeg_encode_progressive
+
+    blob = jpeg_encode_progressive(
+        np.random.default_rng(3).integers(0, 256, (20, 20, 3), np.uint8)
+    )
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+    assert blob.count(b"\xff\xda") == 10  # the 10-scan 3-component script
 
 
 def test_jpeg_deterministic_bytes():
