@@ -782,6 +782,41 @@ def vp8l_decode(payload: bytes) -> np.ndarray:
     return out
 
 
+def vp8_frame_info(chunk: bytes) -> dict:
+    """Parse a lossy VP8 chunk's UNCOMPRESSED key-frame header
+    (RFC 6386 §9.1) — the part of the format that needs no entropy
+    tables: 3-byte frame tag (LSB-first: key_frame inverted bit,
+    3-bit version, show_frame, 19-bit first-partition size), the
+    0x9D 0x01 0x2A start code, then 16-bit (14+2) width|xscale and
+    height|yscale. Returns dims/metadata so lossy files still yield
+    real catalog information even though full entropy decode is a
+    documented won't-do (see SURVEY §2.5: the ~3k-entry default
+    probability tables cannot be verified in this sandbox, and
+    unverifiable tables would silently mis-decode real files)."""
+    if len(chunk) < 10:
+        raise ValueError("VP8 chunk too short for frame header")
+    tag = chunk[0] | (chunk[1] << 8) | (chunk[2] << 16)
+    key_frame = (tag & 1) == 0
+    version = (tag >> 1) & 7
+    show_frame = (tag >> 4) & 1
+    first_part_size = tag >> 5
+    if not key_frame:
+        raise ValueError("VP8: not a key frame (still WebP must be)")
+    if chunk[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("VP8: bad key-frame start code")
+    w_raw = chunk[6] | (chunk[7] << 8)
+    h_raw = chunk[8] | (chunk[9] << 8)
+    return {
+        "width": w_raw & 0x3FFF,
+        "height": h_raw & 0x3FFF,
+        "xscale": w_raw >> 14,
+        "yscale": h_raw >> 14,
+        "version": version,
+        "show_frame": bool(show_frame),
+        "first_part_size": first_part_size,
+    }
+
+
 def webp_decode(data: bytes) -> np.ndarray:
     """Decode a WebP container. Lossless (VP8L) decodes for real;
     lossy VP8 and VP8X-extended files need a native library and raise
@@ -800,9 +835,14 @@ def webp_decode(data: bytes) -> np.ndarray:
                 return np.ascontiguousarray(rgba[:, :, :3])
             return rgba
         if fourcc == b"VP8 ":
+            try:
+                info = vp8_frame_info(chunk)
+                dims = f"{info['width']}x{info['height']}"
+            except ValueError:
+                dims = "?"
             raise NotImplementedError(
-                "WebP VP8 (lossy) needs a native codec — register one "
-                "via multimodal.registry"
+                f"WebP VP8 (lossy, {dims}) needs a native codec — "
+                "register one via multimodal.registry"
             )
         # VP8X is just the extended-features header (EXIF/ICC/alpha
         # metadata): keep scanning — a VP8L chunk later in the RIFF is

@@ -720,13 +720,51 @@ def test_vp8l_prefix_code_value_roundtrip():
         assert prefix_decode(code, BitReader(bw.getvalue() or b"\x00")) == v
 
 
+def _vp8_keyframe_header(w: int, h: int, first_part: int = 77) -> bytes:
+    """Build the 10-byte uncompressed VP8 key-frame header (RFC 6386
+    §9.1): frame tag (key_frame bit 0 == 0, version 1, show 1,
+    19-bit partition size), start code, 14+2-bit dims."""
+    tag = (0) | (1 << 1) | (1 << 4) | (first_part << 5)
+    return (
+        bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        + b"\x9d\x01\x2a"
+        + bytes([w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F])
+    )
+
+
 def test_webp_rejects_lossy_and_garbage():
+    import struct
+
     import pytest
 
     from dwh_spark.multimodal.vp8l import webp_decode
 
     with pytest.raises(ValueError):
         webp_decode(b"not riff at all, definitely")
-    lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x08\x00\x00\x00" + b"\x00" * 8
-    with pytest.raises(NotImplementedError, match="VP8"):
+    payload = _vp8_keyframe_header(320, 240) + b"\x00" * 8
+    body = b"WEBPVP8 " + struct.pack("<I", len(payload)) + payload
+    lossy = b"RIFF" + struct.pack("<I", len(body)) + body
+    # the raise carries the REAL dims parsed from the key-frame header
+    with pytest.raises(NotImplementedError, match="320x240"):
         webp_decode(lossy)
+
+
+def test_vp8_frame_info_parses_keyframe_header():
+    import pytest
+
+    from dwh_spark.multimodal.vp8l import vp8_frame_info
+
+    info = vp8_frame_info(_vp8_keyframe_header(1023, 77, first_part=4242))
+    assert info["width"] == 1023 and info["height"] == 77
+    assert info["version"] == 1 and info["show_frame"] is True
+    assert info["first_part_size"] == 4242
+    assert info["xscale"] == 0 and info["yscale"] == 0
+    # interframe (key_frame bit set) and bad start code both reject
+    bad = bytearray(_vp8_keyframe_header(8, 8))
+    bad[0] |= 1
+    with pytest.raises(ValueError, match="key frame"):
+        vp8_frame_info(bytes(bad))
+    bad2 = bytearray(_vp8_keyframe_header(8, 8))
+    bad2[4] = 0x55
+    with pytest.raises(ValueError, match="start code"):
+        vp8_frame_info(bytes(bad2))
