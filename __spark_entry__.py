@@ -34,66 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST ~50 queries in dict
-# order, so ordering is evidence policy (r5 rotation, per VERDICT r4
-# item 5): (1) queries with no driver verdict yet lead, (2) queries
-# whose code changed this round re-verify next, (3) the ~50-query
-# window backfills with the LONGEST-UNCHECKED greens — every r1-last-
-# checked query cycles through this round, r2/r3 stale next rounds —
-# so every registry query gets a fresh driver verdict within ~3 rounds.
+# order, so ordering is evidence policy (rotation, VERDICT r5 item 1):
+# (1) queries whose code changed this round re-verify first, (2) the
+# window backfills with the LONGEST-UNCHECKED greens. Round 6 added no
+# new queries and touched only 3, so the window is almost all backlog:
+# the 17 r1-last-checked queries plus the oldest r2 block lead; the
+# remaining r2 tail and the r3 block queue for round 7.
 _CHECK_FIRST = [
-    # -- new in round 5: no driver verdict yet
-    "imgs_webp_pixel_stats",
-    "av_audio_g711_decode_stats",
-    "av_audio_adpcm_decode_stats",
-    "docs_duplicated_ngram_spans",
-    "orders_bloom_prejoin_prune",
-    "orders_window_function_battery",
-    "events_gap_fill_locf",
-    "events_retention_rates",
-    "docs_minhash_lsh_audit",
-    "docs_lang_temperature_mixture",
-    "orders_multiformat_roundtrip",
-    "orders_constraint_checks",
-    "orders_set_ops_battery",
-    "streaming_click_purchase_left_join",
-    "docs_tfidf_knn_communities",
-    "av_audio_flac_decode_stats",
-    "orders_schema_evolution_read",
-    "orders_incremental_join_view",
-    "orders_pivot_unpivot_roundtrip",
-    "imgs_jpeg_pixel_stats",
-    "imgs_gif_pixel_stats",
-    "events_mrl_quantile_audit",
-    "av_video_mjpeg_frame_stats",
-    "imgs_tiff_pixel_stats",
-    # -- code touched in round 5 (advisor fixes): re-verify
-    "docs_quality_composite_filter",
-    "events_value_histogram_quantiles",
-    "orders_jdbc_roundtrip",
-    "docs_dup_clusters_distributed",
-    "docs_dup_clusters",
-    "av_video_real_frame_stats",
-    "streaming_latest_state",
-    # -- stale: last driver check was round 1 (all 37 cycle now)
-    "av_wav_roundtrip_stats",
-    "av_video_frame_digests",
-    "docs_exact_dedup",
-    "docs_quality_scores",
-    "docs_langid_confusion",
-    "docs_fingerprint_clusters",
-    "docs_jaccard_pairs",
-    "docs_minhash_near_dups",
-    "docs_simhash_near_dups",
-    "docs_chunk_windows",
-    "docs_decontaminate",
-    "emb_cosine_topk",
-    "emb_lsh_topk",
-    "emb_ivf_cells",
-    "emb_label_stats",
-    "emb_cosine_near_dups",
-    "events_latest_state",
-    "events_stalest_topk",
-    "events_daily_rollup",
+    # -- code touched in round 6: re-verify
+    "imgs_jpeg_pixel_stats",         # progressive SOF2 fixtures + coding col
+    "imgs_webp_pixel_stats",         # VP8L distance-map fix, VP8X scan
+    "av_audio_flac_decode_stats",    # reserved-code/shift guards
+    "pagination_page3",              # TakeOrderedAndProject pre-cut rewrite
+    "events_mrl_quantile_audit",     # two-phase distributed exact ranks
+    # -- stale: last driver check was round 1 (all 17 cycle now)
     "events_kmv_distinct_users",
     "events_value_quantiles",
     "events_state_as_of",
@@ -111,8 +65,8 @@ _CHECK_FIRST = [
     "metadata_fetch_stage",
     "flagship_owned_orders",
     "q1_pricing_summary",
-    # -- stale: last checked round 2 (head of next rotation; the rest
-    #    of r2/r3 cycle in rounds 6-7)
+    # -- stale: last driver check was round 2 (oldest 28 cycle now;
+    #    the remaining 19 r2 + 25 r3 queue for round 7)
     "docs_jaccard_hashed_shingles",
     "docs_pack_sequences",
     "docs_train_test_split",
@@ -123,6 +77,24 @@ _CHECK_FIRST = [
     "docs_length_histogram",
     "docs_bigram_lm_scores",
     "docs_levenshtein_sample_pairs",
+    "docs_weighted_sample_stats",
+    "emb_ivf_probe_topk",
+    "emb_ivf_inertia",
+    "emb_dup_clusters",
+    "emb_pq_adc_topk",
+    "emb_int8_quantization",
+    "events_salted_rollup",
+    "events_zorder_keys",
+    "events_scd2_intervals",
+    "events_column_profile",
+    "events_retention_cohorts",
+    "events_salted_hot_join",
+    "events_rolling_7d_actives",
+    "events_partition_pruned_rollup",
+    "events_compaction_roundtrip",
+    "events_rank_battery",
+    "events_cms_user_counts",
+    "events_activity_bitmaps",
 ]
 
 
