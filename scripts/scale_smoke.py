@@ -359,6 +359,155 @@ def main() -> None:
     )
     timed(f"bloom_prejoin_prune ({N_ROWS} probe rows, 960-bit sketch)", passed)
 
+    # ---- round-5/6 analytics at scale ----
+    # TF-IDF 3-NN communities over the 500k-doc corpus: the
+    # docs_tfidf_knn_communities shape — stopword-pruned inverted-index
+    # pair join (term df caps fan-out), integer tf-idf weights, cosine
+    # via dot/norm aggregates, per-doc top-3 window, star-contraction
+    # components. No all-pairs stage anywhere.
+    # dedicated sparse-vocab term table (the 400-word dedup corpus would
+    # make any inverted index quadratic): 500k docs x 20 terms over a
+    # 2M-term vocab => df ~= 5, the regime the stopword prune keeps a
+    # real Zipf corpus in. Near-dup doc pairs share a seed so the 3-NN
+    # graph has actual communities to find.
+    n_docs_l = n_docs
+    vocab_tf = 2_000_000
+    tseed = F.when(
+        F.col("id") % 40 < 2, (F.col("id") / 10).cast("long") * 10
+    ).otherwise(F.col("id"))
+    terms = (
+        spark.range(n_docs_l)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(19)),
+                    lambda i: F.pmod(F.xxhash64(tseed, i + 1000), F.lit(vocab_tf)),
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    kept = df_counts.filter(F.col("df") <= n_docs_l / 10)  # stopword prune
+    weighted = terms.join(kept, "term").select(
+        "doc_id", "term",
+        (F.col("tf") * ((F.lit(n_docs_l) * 1000) / F.col("df")).cast("long")).alias("w"),
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    pairs = (
+        weighted.alias("x")
+        .join(weighted.alias("y"), "term")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.sum(F.col("x.w") * F.col("y.w")).alias("dot"))
+    )
+    from pyspark.sql.window import Window as W2
+
+    scored = (
+        pairs.join(norms.withColumnRenamed("doc_id", "a").withColumnRenamed("n2", "na"), "a")
+        .join(norms.withColumnRenamed("doc_id", "b").withColumnRenamed("n2", "nb"), "b")
+        .select(
+            "a", "b",
+            (
+                F.col("dot")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cos"),
+        )
+    )
+    sym_scored = scored.unionByName(
+        scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "cos")
+    )
+    knn = (
+        sym_scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W2.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    )
+    from dwh_spark.operators.graph import connected_components
+
+    # connected_components materializes eagerly (persist + count inside
+    # the call), so time the whole step explicitly — passing it to
+    # timed() would start the clock after the pair join already ran
+    t = time.perf_counter()
+    n_comp = connected_components(knn).groupBy("component").count().count()
+    print(
+        f"tfidf_knn_communities ({n_docs_l} docs, pruned index + 3-NN + CC): "
+        f"{time.perf_counter() - t:.1f}s ({n_comp} components)"
+    )
+
+    # Gap-fill LOCF over the 10M-row event table: per-user daily grid
+    # (sequence+explode — the only row amplification is the grid),
+    # last_value(ignoreNulls) carry-forward window per user.
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    wl = (
+        W2.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    )
+    filled = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day",
+        F.last("total", ignorenulls=True).over(wl).alias("locf_total"),
+    )
+    timed(
+        "gap_fill_locf (per-user daily grid + carry-forward window)",
+        filled.groupBy("user_id").agg(F.sum("locf_total")),
+    )
+
+    # MRL sketch build over all event values: per-partition sketches in
+    # one mapInPandas pass, tiny rows collected and merged driver-side —
+    # the events_mrl_quantile_audit scale path at 100x.
+    from dwh_spark.operators.quantile_sketch import MRLSketch
+
+    t = time.perf_counter()
+    sk_schema = "pid long, n long, err_bound long, weight long, vals array<double>"
+
+    def build_sketch(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        s = MRLSketch(512)
+        for pdf in batches:
+            s.insert_batch(pdf["value"].to_numpy())
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            [(pid, s.n, s.err_bound, w, vals) for w, vals in s.to_rows()]
+            or [(pid, 0, 0, 0, [])],
+            columns=["pid", "n", "err_bound", "weight", "vals"],
+        )
+
+    rows = ev.select("value").mapInPandas(build_sketch, sk_schema).collect()
+    parts: dict = {}
+    meta: dict = {}
+    for row in rows:
+        parts.setdefault(row["pid"], []).append((row["weight"], list(row["vals"])))
+        meta[row["pid"]] = (row["n"], row["err_bound"])
+    merged = MRLSketch(512)
+    for pid in sorted(parts):
+        n_p, err_p = meta[pid]
+        merged.merge(MRLSketch.from_rows(parts[pid], 512, n_p, err_p))
+    qs = {q: merged.quantile(q) for q in (0.5, 0.9, 0.99)}
+    print(
+        f"mrl_sketch_build ({N_ROWS} values, k=512): "
+        f"{time.perf_counter() - t:.1f}s (n={merged.n}, "
+        f"bound={merged.audit_bound()}, q50={qs[0.5]:.2f})"
+    )
+
     spark.stop()
 
 
