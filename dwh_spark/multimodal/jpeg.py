@@ -6,19 +6,25 @@ The reference decodes JPEG in its image-resize pipeline
 no PIL/libjpeg, so — like the PNG/BMP codecs in codecs.py — the format
 is vendored from the public spec:
 
-- **Decode** (the product path): baseline DCT, SOF0/SOF1, Huffman
-  tables and quant tables read from the file's own DHT/DQT segments
-  (so real-world JPEGs with Annex-K or optimized tables decode, not
-  just our own output), any sampling factors in {1,2}×{1,2} (covers
-  4:4:4, 4:2:0, 4:2:2, 4:4:0), 1- or 3-component scans, restart
-  markers (DRI/RSTn). Progressive (SOF2), arithmetic coding and
-  12-bit precision raise NotImplementedError honestly.
+- **Decode** (the product path): baseline DCT (SOF0/SOF1) AND
+  progressive (SOF2) — multi-scan spectral selection + successive
+  approximation per T.81 G.2 (DC/AC × first/refinement scans, EOB-run
+  coding, correction bits, non-interleaved component block grids).
+  Huffman and quant tables are read from the file's own DHT/DQT
+  segments (so real-world JPEGs with Annex-K or optimized tables
+  decode, not just our own output), any sampling factors in
+  {1,2}×{1,2} (covers 4:4:4, 4:2:0, 4:2:2, 4:4:0), 1- or 3-component
+  scans, restart markers (DRI/RSTn). Arithmetic coding, hierarchical
+  and 12-bit precision raise NotImplementedError honestly.
 - **Encode** (fixture generator): interchange-format JFIF writer with
   IJG-style quality scaling of the Annex-K-shaped quant tables
   (quality=100 → all-ones tables), flat canonical Huffman tables
   (4-bit DC / 8-bit AC codes — spec-valid, self-described in DHT,
   chosen over memorized Annex-K tables so a transcription slip can't
-  corrupt the bitstream), 4:2:0 or 4:4:4 subsampling.
+  corrupt the bitstream), 4:2:0 or 4:4:4 subsampling; plus a
+  progressive writer (jpeg_encode_progressive) emitting the standard
+  10-scan script, coefficient-identical to the baseline writer so
+  cross-decode equality is a meaningful test.
 
 Determinism: every rounding site uses np.rint (ties-to-even) and the
 bit-writer pads with 1-bits per spec, so encode bytes are reproducible

@@ -403,3 +403,27 @@ def test_winnowing_guarantee_on_random_docs(spark, words):
         .collect()
     }
     assert got == expected
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([50, 75, 90, 100]),
+    st.sampled_from(["4:2:0", "4:4:4"]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_baseline_decode_equality(h, w, quality, sub, seed):
+    """Property form of the cross-decode check: for ANY image/quality/
+    subsampling, progressive and baseline encodes carry identical
+    quantized coefficients, so decode must agree bit-for-bit."""
+    import numpy as np
+
+    from dwh_spark.multimodal.jpeg import (
+        jpeg_decode, jpeg_encode, jpeg_encode_progressive,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(img, quality=quality, subsampling=sub))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality=quality, subsampling=sub))
+    assert np.array_equal(base, prog)
