@@ -344,13 +344,20 @@ def _emit_headers(
 
 
 def jpeg_encode(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W, 3) uint8 RGB or (H, W) uint8 gray → baseline JFIF bytes.
 
     quality=100 gives all-ones quant tables: constant-gray input then
     round-trips EXACTLY (DC is integral, AC zero, chroma 128) — the
     property the oracle-pinned fixture query relies on.
+
+    restart_interval > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (camera output uses this pervasively) so the
+    decoder's resync path gets real coverage.
     """
     h, w, comps, qtables, comp_blocks, mcu_rows, mcu_cols = _encode_prep(
         arr, quality, subsampling
@@ -359,8 +366,16 @@ def jpeg_encode(
     ac_enc = _huff_encode_table(_ENC_AC_BITS, _ENC_AC_VALS)
     bw = _BitWriter()
     dc_pred = [0] * len(comps)
+    mcu_index = 0
     for mr in range(mcu_rows):
         for mc in range(mcu_cols):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8]
+                )
+                dc_pred = [0] * len(comps)
+            mcu_index += 1
             for ci, c in enumerate(comps):
                 for bv in range(c.v):
                     for bh in range(c.h):
@@ -396,6 +411,8 @@ def jpeg_encode(
         h, w, comps, qtables, 0xFFC0,
         [(0x00, _ENC_DC_BITS, _ENC_DC_VALS), (0x10, _ENC_AC_BITS, _ENC_AC_VALS)],
     )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
     for c in comps:
         sos += bytes([c.cid, 0x00])  # DC table 0, AC table 0 for all comps
@@ -451,6 +468,13 @@ class _ProgScanWriter:
         for bit in self.pending:
             self.bw.write(bit, 1)
         self.pending = []
+
+    def restart(self, idx: int) -> None:
+        """Byte-align and emit RSTn (raw, unstuffed) between restart
+        intervals; pending EOB runs must flush first per T.81."""
+        self.emit_eobrun()
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + idx % 8])
 
     def finish(self) -> bytes:
         self.emit_eobrun()
@@ -533,13 +557,18 @@ def _enc_ac_refine(w: _ProgScanWriter, zz: np.ndarray, ss: int, se: int, al: int
 
 
 def jpeg_encode_progressive(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W, 3) uint8 RGB or (H, W) gray → progressive (SOF2) JFIF.
 
     Coefficients are identical to jpeg_encode's at the same quality and
     subsampling — only the entropy layer differs — so progressive decode
     must equal baseline decode EXACTLY (the cross-check the tests pin).
+    restart_interval > 0 emits DRI + RSTn every that many MCUs/blocks
+    within EVERY scan (resetting DC prediction and EOB runs per T.81).
     """
     h, w, comps, qtables, comp_blocks, mcu_rows, mcu_cols = _encode_prep(
         arr, quality, subsampling
@@ -577,45 +606,49 @@ def jpeg_encode_progressive(
         h, w, comps, qtables, 0xFFC2,
         [(0x00, _ENC_DC_BITS, _ENC_DC_VALS), (0x10, _ENC_ACP_BITS, _ENC_ACP_VALS)],
     )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     for comp_idx, ss, se, ah, al in script:
         sw = _ProgScanWriter(dc_enc, ac_enc)
-        if ss == 0:  # DC scan — interleaved MCU order (or single-comp)
-            if len(comp_idx) > 1:
-                preds = {ci: 0 for ci in comp_idx}
+        preds = {ci: 0 for ci in comp_idx}
+
+        def scan_units(comp_idx=comp_idx, ss=ss):
+            # interleaved MCU order for multi-comp DC scans; component
+            # block-grid raster order otherwise (mirrors the decoder)
+            if ss == 0 and len(comp_idx) > 1:
                 for mr in range(mcu_rows):
                     for mc in range(mcu_cols):
+                        mcu = []
                         for ci in comp_idx:
                             c = comps[ci]
                             for bv in range(c.v):
                                 for bh in range(c.h):
-                                    dc = int(comp_blocks[ci][mr * c.v + bv, mc * c.h + bh, 0])
-                                    if ah == 0:
-                                        preds[ci] = _enc_dc_first(sw, dc, preds[ci], al)
-                                    else:
-                                        _enc_dc_refine(sw, dc, al)
+                                    mcu.append((ci, mr * c.v + bv, mc * c.h + bh))
+                        yield mcu
             else:
                 ci = comp_idx[0]
-                c = comps[ci]
-                hb, wb = _comp_block_grid(h, w, c, max_h, max_v)
-                pred = 0
+                hb, wb = _comp_block_grid(h, w, comps[ci], max_h, max_v)
                 for by in range(hb):
                     for bx in range(wb):
-                        dc = int(comp_blocks[ci][by, bx, 0])
-                        if ah == 0:
-                            pred = _enc_dc_first(sw, dc, pred, al)
-                        else:
-                            _enc_dc_refine(sw, dc, al)
-        else:  # AC scan — always single component, block raster order
-            ci = comp_idx[0]
-            c = comps[ci]
-            hb, wb = _comp_block_grid(h, w, c, max_h, max_v)
-            for by in range(hb):
-                for bx in range(wb):
-                    zz = comp_blocks[ci][by, bx]
+                        yield [(ci, by, bx)]
+
+        unit_index = 0
+        for unit in scan_units():
+            if restart_interval and unit_index and unit_index % restart_interval == 0:
+                sw.restart(unit_index // restart_interval - 1)
+                preds = {ci: 0 for ci in comp_idx}
+            unit_index += 1
+            for ci, by, bx in unit:
+                zz = comp_blocks[ci][by, bx]
+                if ss == 0:
                     if ah == 0:
-                        _enc_ac_first(sw, zz, ss, se, al)
+                        preds[ci] = _enc_dc_first(sw, int(zz[0]), preds[ci], al)
                     else:
-                        _enc_ac_refine(sw, zz, ss, se, al)
+                        _enc_dc_refine(sw, int(zz[0]), al)
+                elif ah == 0:
+                    _enc_ac_first(sw, zz, ss, se, al)
+                else:
+                    _enc_ac_refine(sw, zz, ss, se, al)
         sos = bytes([len(comp_idx)])
         for ci in comp_idx:
             sos += bytes([comps[ci].cid, 0x00])

@@ -315,6 +315,84 @@ def test_jpeg_progressive_equals_baseline_decode():
     )
 
 
+def test_jpeg_restart_markers_both_coders():
+    """DRI/RSTn resync (pervasive in camera output): baseline and
+    progressive encodes with restart intervals 1/2/5 must decode
+    identically to the unrestarted stream — covers byte-align, marker
+    consumption, DC-prediction and EOB-run resets in every scan kind."""
+    from dwh_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    for shape, sub in [((33, 41, 3), "4:2:0"), ((17, 23, 3), "4:4:4")]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        ref = jpeg_decode(jpeg_encode(img, quality=85, subsampling=sub))
+        for ri in (1, 2, 5):
+            b = jpeg_encode(img, quality=85, subsampling=sub, restart_interval=ri)
+            p = jpeg_encode_progressive(
+                img, quality=85, subsampling=sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in b and b"\xff\xd0" in b
+            assert np.array_equal(ref, jpeg_decode(b))
+            assert np.array_equal(ref, jpeg_decode(p))
+    g = rng.integers(0, 256, (40, 8), dtype=np.uint8)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(g, quality=85)),
+        jpeg_decode(jpeg_encode_progressive(g, quality=85, restart_interval=3)),
+    )
+
+
+def test_jpeg_progressive_nonzero_table_ids():
+    """Real encoders put chroma AC coefficients in table id 1. Our
+    fixture writer uses id 0 everywhere, so rewrite one by byte
+    surgery — duplicate the AC DHT as id 1 and point the chroma AC
+    scans at it — and require identical decode: proves the per-scan
+    table-id dispatch, not just the single-table happy path."""
+    import struct
+
+    from dwh_spark.multimodal import jpeg as J
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    blob = J.jpeg_encode_progressive(img, quality=80)
+    want = J.jpeg_decode(blob)
+
+    out = bytearray()
+    pos = 0
+    out += blob[:2]
+    pos = 2
+    while pos + 4 <= len(blob):
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            out += blob[pos:]
+            break
+        (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        seg = blob[pos : pos + 2 + ln]
+        if marker == 0xC4 and seg[4] == 0x10:  # the AC DHT: emit + a copy as id 1
+            out += seg
+            out += seg[:4] + bytes([0x11]) + seg[5:]
+        elif marker == 0xDA:
+            ns = seg[4]
+            scan_hdr = bytearray(seg)
+            ss = seg[5 + 2 * ns]
+            if ns == 1 and seg[5] != 1 and ss > 0:  # chroma AC scan
+                scan_hdr[6] = 0x01  # Td=0, Ta=1
+            out += bytes(scan_hdr)
+            # copy this scan's entropy bytes verbatim up to the next marker
+            end = J._next_marker(blob, pos + 2 + ln)
+            out += blob[pos + 2 + ln : end]
+            pos = end
+            continue
+        else:
+            out += seg
+        pos += 2 + ln
+    got = J.jpeg_decode(bytes(out))
+    assert np.array_equal(got, want)
+
+
 def test_jpeg_progressive_marker_shape():
     """SOF2 frame, multiple SOS scans, EOB-run-capable AC table."""
     from dwh_spark.multimodal.jpeg import jpeg_encode_progressive
