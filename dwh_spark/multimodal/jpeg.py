@@ -282,8 +282,14 @@ def _encode_prep(
             comps = [_Comp(1, 2, 2, 0), _Comp(2, 1, 1, 1), _Comp(3, 1, 1, 1)]
         elif subsampling == "4:4:4":
             comps = [_Comp(1, 1, 1, 0), _Comp(2, 1, 1, 1), _Comp(3, 1, 1, 1)]
+        elif subsampling == "4:2:2":  # chroma halved horizontally only
+            comps = [_Comp(1, 2, 1, 0), _Comp(2, 1, 1, 1), _Comp(3, 1, 1, 1)]
+        elif subsampling == "4:4:0":  # chroma halved vertically only
+            comps = [_Comp(1, 1, 2, 0), _Comp(2, 1, 1, 1), _Comp(3, 1, 1, 1)]
         else:
-            raise ValueError(f"subsampling {subsampling!r} (4:2:0 or 4:4:4)")
+            raise ValueError(
+                f"subsampling {subsampling!r} (4:2:0, 4:2:2, 4:4:0 or 4:4:4)"
+            )
         planes = []
         max_h = max(c.h for c in comps)
         max_v = max(c.v for c in comps)
@@ -935,11 +941,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, tt = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan_comps.append((by_cid[cid], tt >> 4, tt & 0x0F))
             ss_, se_, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
-            end = _decode_scan(
-                data, pos + 2 + ln, scan_comps, dc_tables, ac_tables, coef,
-                geom, restart_interval, progressive,
-                ss_, se_, ahal >> 4, ahal & 0x0F,
-            )
+            try:
+                end = _decode_scan(
+                    data, pos + 2 + ln, scan_comps, dc_tables, ac_tables, coef,
+                    geom, restart_interval, progressive,
+                    ss_, se_, ahal >> 4, ahal & 0x0F,
+                )
+            except (IndexError, _MarkerReached) as exc:
+                # entropy data ran out (truncated upload) or a marker
+                # appeared mid-block — surface the codec's error type
+                raise ValueError("truncated JPEG entropy data") from exc
             nscans += 1
             pos = _next_marker(data, end)
             continue

@@ -315,6 +315,44 @@ def test_jpeg_progressive_equals_baseline_decode():
     )
 
 
+def test_jpeg_all_four_subsamplings_cross_decode():
+    """4:2:2 and 4:4:0 (single-axis chroma halving — ubiquitous in real
+    camera files) must decode identically through the sequential and
+    progressive entropy paths."""
+    from dwh_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (21, 35, 3), dtype=np.uint8)
+    for sub in ("4:2:0", "4:2:2", "4:4:0", "4:4:4"):
+        base = jpeg_decode(jpeg_encode(img, quality=85, subsampling=sub))
+        prog = jpeg_decode(jpeg_encode_progressive(img, quality=85, subsampling=sub))
+        assert np.array_equal(base, prog), sub
+        assert base.shape == img.shape
+
+
+def test_jpeg_truncated_stream_raises_value_error():
+    """Truncated uploads are routine; the codec must raise its
+    ValueError contract, not leak IndexError from the bit reader."""
+    import pytest
+
+    from dwh_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    for blob in (jpeg_encode(img, 90), jpeg_encode_progressive(img, 90)):
+        cut = blob[: int(len(blob) * 0.7)]
+        with pytest.raises(ValueError):
+            jpeg_decode(cut)
+
+
 def test_jpeg_restart_markers_both_coders():
     """DRI/RSTn resync (pervasive in camera output): baseline and
     progressive encodes with restart intervals 1/2/5 must decode
