@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "av_audio_flac_decode_stats",    # reserved-code/shift guards
     "pagination_page3",              # TakeOrderedAndProject pre-cut rewrite
     "events_mrl_quantile_audit",     # two-phase distributed exact ranks
+    "events_stalest_topk",           # range-binned rank replaces 20%-of-table TopK
     # -- stale: last driver check was round 1 (all 17 cycle now)
     "events_kmv_distinct_users",
     "events_value_quantiles",

@@ -78,18 +78,24 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dwh_spark.operators.ranks import with_global_rank
+
     ev = load_table(spark, sf_dir, "events")
     last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
     # driver-side scalar: one tiny agg, not a collect over data rows
     n = last_seen.count()
     k = -(-n * 20 // 100)  # ceil(n * 0.20)
-    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
-    # top-k heaps + one k-row merge) — NOT a global sort. The row_number
-    # window then ranks only the k survivors, so the single-partition
-    # sort it implies is bounded by k, never by the table.
-    top = last_seen.orderBy(F.asc("last_ts"), F.asc("user_id")).limit(int(k))
-    w = Window.orderBy(F.asc("last_ts"), F.asc("user_id"))
-    return top.withColumn("rn", F.row_number().over(w))
+    # k is 20% OF THE TABLE, so a TakeOrderedAndProject pre-cut (the
+    # right shape for constant k, e.g. pagination) would merge 0.2·n
+    # rows on the driver at scale. The two-phase range-binned rank
+    # (operators/ranks.py) keeps the selection fully distributed: bin
+    # counts are the only driver traffic, windows run per-bin.
+    ranked = with_global_rank(
+        last_seen, "last_ts", [F.asc("last_ts"), F.asc("user_id")]
+    )
+    return ranked.filter(F.col("rn") <= int(k)).withColumn(
+        "rn", F.col("rn").cast("int")  # preserve the query's r1 schema
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -244,3 +244,55 @@ def test_mrl_serialization_roundtrip():
     s2 = MRLSketch.from_rows(s.to_rows(), s.k, s.n, s.err_bound)
     for q in (0.2, 0.5, 0.8):
         assert s.quantile(q) == s2.quantile(q)
+
+
+# ------------------------------------------------- distributed ranks
+
+
+def test_global_rank_matches_single_window(spark):
+    """Two-phase range-binned rank == unpartitioned row_number for
+    random data with heavy ties, negatives, and a tie-break column."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.ranks import with_global_rank
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([-5.0, -1.5, 0.0, 2.25, 7.5, 9.0, rng.uniform(-10, 10)]))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        (r["id"]): r["rn"]
+        for r in with_global_rank(
+            df, "v", [F.asc("v"), F.asc("id")], nbins=16
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_degenerate_and_timestamp(spark):
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.ranks import with_global_rank
+
+    # all-equal primary: pure tie-break ordering still exact
+    df = spark.createDataFrame([(i, 42.0) for i in range(50)], "id long, v double")
+    out = with_global_rank(df, "v", [F.asc("v"), F.desc("id")]).collect()
+    assert {r["id"]: r["rn"] for r in out} == {i: 50 - i for i in range(50)}
+    # timestamp primary (the stalest-selection shape)
+    ts = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id long, off int"
+    ).select("id", F.timestamp_seconds(1_700_000_000 + F.col("off") * 3600).alias("t"))
+    out2 = with_global_rank(ts, "t", [F.asc("t"), F.asc("id")], nbins=4).collect()
+    ranks = sorted((r["t"], r["id"], r["rn"]) for r in out2)
+    assert [x[2] for x in ranks] == list(range(1, 101))
+    # empty input keeps the schema
+    empty = with_global_rank(df.filter("id < 0"), "v")
+    assert empty.count() == 0 and "rn" in empty.columns
