@@ -469,6 +469,19 @@ def main() -> None:
         filled.groupBy("user_id").agg(F.sum("locf_total")),
     )
 
+    # Distributed exact global rank over all 10M event values — the
+    # operators/ranks.py two-phase shape (bin counts are the only
+    # driver traffic; per-bin windows run in parallel). The stalest-20%
+    # selection rides on this.
+    from dwh_spark.operators.ranks import with_global_rank
+
+    timed(
+        "with_global_rank (10M values, 1024 bins)",
+        with_global_rank(ev.select("event_id", "value"), "value",
+                         [F.asc("value"), F.asc("event_id")])
+        .filter(F.col("rn") <= N_ROWS // 5),
+    )
+
     # MRL sketch build over all event values: per-partition sketches in
     # one mapInPandas pass, tiny rows collected and merged driver-side —
     # the events_mrl_quantile_audit scale path at 100x.
