@@ -713,6 +713,13 @@ def _decode_scan(
     classic libjpeg control flow for the refinement passes.
     """
     fh, fw, mcu_rows, mcu_cols, max_h, max_v = geom
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"JPEG scan header: bad spectral band {ss}..{se}")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG progressive: DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) > 1:
+            raise ValueError("JPEG progressive: AC scans are single-component")
     br = _BitReader(data, pos)
     interleaved = len(scan_comps) > 1
     dc_pred = {c.cid: 0 for c, _, _ in scan_comps}

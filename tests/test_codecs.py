@@ -334,6 +334,45 @@ def test_jpeg_all_four_subsamplings_cross_decode():
         assert base.shape == img.shape
 
 
+def test_jpeg_malformed_scan_headers_raise():
+    """A progressive stream whose SOS claims an interleaved AC scan or
+    a DC band with Se>0 must raise, not silently mis-decode."""
+    import struct
+
+    import pytest
+
+    from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode_progressive
+
+    blob = jpeg_encode_progressive(np.zeros((16, 16, 3), np.uint8))
+
+    def patch_first_sos(mutate):
+        out = bytearray(blob)
+        pos = 2
+        while pos + 4 <= len(out):
+            marker = out[pos + 1]
+            (ln,) = struct.unpack(">H", bytes(out[pos + 2 : pos + 4]))
+            if marker == 0xDA:
+                mutate(out, pos)
+                return bytes(out)
+            pos += 2 + ln
+        raise AssertionError("no SOS found")
+
+    def make_dc_se_nonzero(buf, pos):
+        ns = buf[pos + 4]
+        buf[pos + 4 + 2 + 2 * ns] = 5  # Se on the (DC) first scan
+
+    with pytest.raises(ValueError, match="DC scan"):
+        jpeg_decode(patch_first_sos(make_dc_se_nonzero))
+
+    def make_interleaved_ac(buf, pos):
+        ns = buf[pos + 4]
+        buf[pos + 4 + 1 + 2 * ns] = 1   # Ss=1 on the interleaved DC scan
+        buf[pos + 4 + 2 + 2 * ns] = 63  # Se=63 (valid band, invalid ns)
+
+    with pytest.raises(ValueError, match="single-component"):
+        jpeg_decode(patch_first_sos(make_interleaved_ac))
+
+
 def test_jpeg_truncated_stream_raises_value_error():
     """Truncated uploads are routine; the codec must raise its
     ValueError contract, not leak IndexError from the bit reader."""
