@@ -79,6 +79,16 @@ def _recorded_floors() -> dict[str, float]:
                         take(m.group(1), float(cell))
     except OSError:
         pass
+    # BENCH_FLOORS.json REPLACES scraped floors: a query whose change
+    # legitimately added work (re-baselined in BASELINE.md) must not
+    # false-positive against its all-time minimum forever
+    try:
+        with open(os.path.join(here, "BENCH_FLOORS.json")) as fh:
+            for name, val in json.load(fh).items():
+                if isinstance(val, (int, float)):
+                    floors[name] = float(val)
+    except (OSError, json.JSONDecodeError):
+        pass
     return floors
 
 

@@ -173,11 +173,21 @@ def pixel_decoder(content: bytes, w: int, h: int, fmt: str) -> bytes:
             "tiff": codecs.tiff_decode,
             "webp": codecs.webp_decode,
         }
-        if fmt in _vendored:
-            arr = _vendored[fmt](content)
-        else:
-            from dwh_spark.multimodal import registry
+        from dwh_spark.multimodal import registry
 
+        if fmt in _vendored:
+            try:
+                arr = _vendored[fmt](content)
+            except NotImplementedError:
+                # a vendored codec covering SOME variants of the format
+                # (e.g. webp: VP8L yes, lossy VP8 no) still defers to a
+                # registered plugin for the rest — otherwise the seam
+                # the won't-do decisions point at would be unreachable
+                plugged = registry.get_image_decoder(fmt)
+                if plugged is None:
+                    raise
+                arr = plugged(content)
+        else:
             plugged = registry.get_image_decoder(fmt)
             if plugged is None:
                 raise NotImplementedError(

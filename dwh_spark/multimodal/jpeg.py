@@ -720,6 +720,15 @@ def _decode_scan(
             raise ValueError("JPEG progressive: DC scan must have Se=0")
         if ss > 0 and len(scan_comps) > 1:
             raise ValueError("JPEG progressive: AC scans are single-component")
+    # table ids must resolve BEFORE entropy decode so malformed files
+    # raise the codec's ValueError, not a bare KeyError mid-stream
+    need_dc = (not progressive) or (ss == 0 and ah == 0)
+    need_ac = (not progressive) or ss > 0
+    for _, td, ta in scan_comps:
+        if need_dc and td not in dc_tables:
+            raise ValueError(f"JPEG scan references undefined DC table {td}")
+        if need_ac and ta not in ac_tables:
+            raise ValueError(f"JPEG scan references undefined AC table {ta}")
     br = _BitReader(data, pos)
     interleaved = len(scan_comps) > 1
     dc_pred = {c.cid: 0 for c, _, _ in scan_comps}
@@ -946,6 +955,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             scan_comps = []
             for i in range(ns):
                 cid, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                if cid not in by_cid:
+                    raise ValueError(f"JPEG SOS references undefined component {cid}")
                 scan_comps.append((by_cid[cid], tt >> 4, tt & 0x0F))
             ss_, se_, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
             try:

@@ -818,13 +818,16 @@ def vp8_frame_info(chunk: bytes) -> dict:
 
 
 def webp_decode(data: bytes) -> np.ndarray:
-    """Decode a WebP container. Lossless (VP8L) decodes for real;
-    lossy VP8 and VP8X-extended files need a native library and raise
-    (register one via multimodal.registry). Returns (H, W, 3) when
-    alpha is fully opaque, else (H, W, 4)."""
+    """Decode a WebP container. Lossless (VP8L) decodes for real,
+    including VP8X-wrapped VP8L (metadata chunks are skipped by the
+    RIFF scan). Lossy VP8 and animated (ANIM/ANMF) files need a native
+    library and raise NotImplementedError (register one via
+    multimodal.registry); only malformed containers raise ValueError.
+    Returns (H, W, 3) when alpha is fully opaque, else (H, W, 4)."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     pos = 12
+    animated = False
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -844,10 +847,20 @@ def webp_decode(data: bytes) -> np.ndarray:
                 f"WebP VP8 (lossy, {dims}) needs a native codec — "
                 "register one via multimodal.registry"
             )
+        if fourcc in (b"ANIM", b"ANMF"):
+            # animation frames live INSIDE ANMF sub-chunks; a valid
+            # animated file has no top-level image chunk, so classify
+            # it as unsupported-format, not as corrupt
+            animated = True
         # VP8X is just the extended-features header (EXIF/ICC/alpha
         # metadata): keep scanning — a VP8L chunk later in the RIFF is
         # fully decodable; only an actual lossy VP8 chunk raises.
         pos += 8 + size + (size & 1)
+    if animated:
+        raise NotImplementedError(
+            "animated WebP (ANIM/ANMF) needs a native codec — register "
+            "one via multimodal.registry"
+        )
     raise ValueError("WebP: no image chunk found")
 
 

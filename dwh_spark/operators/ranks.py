@@ -6,19 +6,25 @@ reference gets global ordering from PostgreSQL (ORDER BY in its Hasura
 queries, e.g. the stalest-selection daemon `x/mongoDaemon/service.go:
 100-103`); Spark's scalable equivalent is a two-phase rank:
 
-1. range-bin rows on the leading (primary) order column — binning is
-   weakly monotone in the value, so bin-order concatenation IS the
-   global order, and ties always share a bin;
+1. bin rows on the leading (primary) order column at EQUI-DEPTH edges
+   (approxQuantile), so heavy value skew cannot collapse the data into
+   one bin the way equal-width slicing would — each bin holds ~n/nbins
+   rows (plus whatever ties on an edge value, which must share a bin
+   for correctness and are irreducible anyway: ordering among equal
+   primaries is pure tie-break). Binning is a monotone function of the
+   value, so bin-order concatenation IS the global order, and nulls
+   get their own leading bin (Spark ASC = NULLS FIRST);
 2. collect per-bin counts (<= nbins tiny rows) into cumulative
    offsets, mapped back as a literal expression;
 3. ``row_number`` WITHIN each bin (windows partitioned by bin run in
-   parallel, each touching ~1/nbins of the data) plus the bin offset.
+   parallel) plus the bin offset.
 
 The same shape as the sweep-line offset join in ``operators/
 temporal.py`` and the MRL audit's exact-order-statistics pass
-(``plans/pipeline_extra.py``). Degenerate input (every primary value
-equal) falls back to a single bin — callers ranking by a constant
-column get the global-window behavior they asked for, documented here.
+(``plans/pipeline_extra.py``). The irreducible caveat: if one VALUE
+repeats for ~the whole table, its bin is ~the whole table and that
+bin's window is one task — no order-preserving partitioning can split
+ties without binning on the tie-break columns too.
 """
 
 from __future__ import annotations
@@ -34,37 +40,51 @@ def with_global_rank(
     df: DataFrame,
     primary: str,
     order: list[Column] | None = None,
-    nbins: int = 1024,
+    nbins: int = 128,
     rank_col: str = "rn",
+    meta_out: dict | None = None,
 ) -> DataFrame:
     """Append ``rank_col`` = exact global ``row_number`` ordered by
-    ``order`` (default: ``primary`` ascending), distributed via range
-    binning on ``primary``.
+    ``order`` (default: ``primary`` ascending), distributed via
+    equi-depth binning on ``primary``.
 
-    ``primary`` must be the LEADING column of ``order`` and ascending,
-    castable to double (numeric or timestamp; cast dates to timestamp
-    first). Ties on ``primary`` are broken by the remaining ``order``
-    columns inside the shared bin, so the result is identical to the
+    ``primary`` must be the LEADING column of ``order``, ascending
+    (Spark ASC semantics: nulls first), and castable to double
+    (numeric or timestamp; cast dates to timestamp first). Ties on
+    ``primary`` always share a bin and are broken by the remaining
+    ``order`` columns inside it, so the result is identical to the
     single-window form for any total ``order``.
+
+    ``meta_out``, if given, receives ``{"n": total_row_count}`` — the
+    bin counts already sum to it, so callers needing n (top-p%
+    selections) can skip their own ``count()`` scan.
     """
     order = order if order is not None else [F.asc(primary)]
     p = F.col(primary).cast("double")
-    mm = df.agg(F.min(p).alias("lo"), F.max(p).alias("hi")).collect()[0]
-    lo, hi = mm["lo"], mm["hi"]
-    if lo is None:  # empty input: preserve schema, nothing to rank
-        return df.withColumn(rank_col, F.lit(None).cast("long"))
-    if hi > lo:
-        bin_col = (
-            F.least(F.lit(nbins - 1), F.floor((p - F.lit(lo)) / F.lit(hi - lo) * nbins))
-            .cast("long")
+    probs = [i / nbins for i in range(1, nbins)]
+    # one pass: equi-depth edges from the built-in GK quantile sketch
+    edges_df = df.select(p.alias("__p"))
+    edges = sorted(set(edges_df.approxQuantile("__p", probs, 1.0 / (4 * nbins))))
+    if edges:
+        # bin(v) = #edges <= v: monotone in v, ties share a bin, and
+        # the fold stays JVM-side (codegen over a literal array)
+        bin_expr = F.aggregate(
+            F.array(*[F.lit(float(e)) for e in edges]),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + F.when(p >= e, 1).otherwise(0),
         )
-    else:  # all primary values equal: ordering is all tie-break
-        bin_col = F.lit(0).cast("long")
-    binned = df.withColumn(_BIN, bin_col)
+    else:  # empty input or a single distinct value
+        bin_expr = F.lit(0).cast("long")
+    # nulls sort first under ASC: give them their own leading bin
+    binned = df.withColumn(_BIN, F.when(p.isNull(), F.lit(-1)).otherwise(bin_expr))
     counts = {
         r[_BIN]: r["cnt"]
         for r in binned.groupBy(_BIN).agg(F.count("*").alias("cnt")).collect()
     }
+    if meta_out is not None:
+        meta_out["n"] = sum(counts.values())
+    if not counts:  # empty input: preserve schema, nothing to rank
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
     offsets, acc = [], 0
     for b in sorted(counts):
         offsets += [F.lit(b), F.lit(acc)]

@@ -82,17 +82,18 @@ def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
-    # driver-side scalar: one tiny agg, not a collect over data rows
-    n = last_seen.count()
-    k = -(-n * 20 // 100)  # ceil(n * 0.20)
     # k is 20% OF THE TABLE, so a TakeOrderedAndProject pre-cut (the
     # right shape for constant k, e.g. pagination) would merge 0.2·n
-    # rows on the driver at scale. The two-phase range-binned rank
+    # rows on the driver at scale. The two-phase equi-depth-binned rank
     # (operators/ranks.py) keeps the selection fully distributed: bin
-    # counts are the only driver traffic, windows run per-bin.
+    # counts are the only driver traffic, windows run per-bin — and n
+    # comes free from those same bin counts (meta_out), so no separate
+    # count() scan.
+    meta: dict = {}
     ranked = with_global_rank(
-        last_seen, "last_ts", [F.asc("last_ts"), F.asc("user_id")]
+        last_seen, "last_ts", [F.asc("last_ts"), F.asc("user_id")], meta_out=meta
     )
+    k = -(-meta["n"] * 20 // 100)  # ceil(n * 0.20)
     return ranked.filter(F.col("rn") <= int(k)).withColumn(
         "rn", F.col("rn").cast("int")  # preserve the query's r1 schema
     )

@@ -570,6 +570,41 @@ def test_registry_image_decoder_seam():
         registry._reset_for_tests()
 
 
+def test_registry_seam_reached_for_lossy_webp():
+    """The lossy-VP8 won't-do rests on this: a registered 'webp'
+    decoder must take over when the VENDORED webp codec raises
+    NotImplementedError for a variant it can't decode — and the
+    vendored path must still win for variants it can (VP8L)."""
+    import struct
+
+    import pytest
+
+    from dwh_spark.multimodal import registry
+    from dwh_spark.multimodal.codecs import png_decode, webp_encode
+    from dwh_spark.multimodal.images import pixel_decoder
+    from tests.test_codecs import _vp8_keyframe_header
+
+    payload = _vp8_keyframe_header(16, 16) + b"\x00" * 8
+    body = b"WEBPVP8 " + struct.pack("<I", len(payload)) + payload
+    lossy = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    registry._reset_for_tests()
+    try:
+        with pytest.raises(NotImplementedError, match="VP8"):
+            pixel_decoder(lossy, 4, 4, "webp")  # no plugin: honest raise
+        registry.register_image_decoder(
+            "webp", lambda data: np.full((8, 8, 3), 77, np.uint8)
+        )
+        out = png_decode(pixel_decoder(lossy, 4, 4, "webp"))
+        assert out.shape == (4, 4, 3) and (out == 77).all()
+        # vendored VP8L still decodes without consulting the plugin
+        arr = np.full((6, 6, 3), 130, np.uint8)
+        real = png_decode(pixel_decoder(webp_encode(arr), 6, 6, "webp"))
+        assert (real == 130).all()
+    finally:
+        registry._reset_for_tests()
+
+
 def test_registry_video_decoder_seam():
     """A fake fourcc ('FAKE') in biCompression routes the frame bytes
     to the registered decoder instead of raising."""
@@ -902,6 +937,57 @@ def test_webp_rejects_lossy_and_garbage():
     # the raise carries the REAL dims parsed from the key-frame header
     with pytest.raises(NotImplementedError, match="320x240"):
         webp_decode(lossy)
+
+
+def test_webp_animated_classified_as_unsupported_not_corrupt():
+    """Animated WebP keeps its frames inside ANMF sub-chunks (no
+    top-level image chunk), so it must raise NotImplementedError (needs
+    a codec) rather than the corrupt-container ValueError."""
+    import struct
+
+    import pytest
+
+    from dwh_spark.multimodal.vp8l import webp_decode
+
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(10)
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    anmf = b"ANMF" + struct.pack("<I", 16) + bytes(16)
+    body = b"WEBP" + vp8x + anim + anmf
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="animated"):
+        webp_decode(blob)
+    # garbage container stays ValueError
+    with pytest.raises(ValueError):
+        webp_decode(b"RIFF\x04\x00\x00\x00WEBP")
+
+
+def test_jpeg_undefined_component_and_table_ids_raise_value_error():
+    """SOS naming a component absent from SOF, or a Huffman table never
+    defined, must raise ValueError — not leak KeyError."""
+    import struct
+
+    import pytest
+
+    from dwh_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    blob = jpeg_encode(np.zeros((8, 8, 3), np.uint8))
+
+    def patched(mutate):
+        out = bytearray(blob)
+        pos = 2
+        while pos + 4 <= len(out):
+            marker = out[pos + 1]
+            (ln,) = struct.unpack(">H", bytes(out[pos + 2 : pos + 4]))
+            if marker == 0xDA:
+                mutate(out, pos)
+                return bytes(out)
+            pos += 2 + ln
+        raise AssertionError("no SOS")
+
+    with pytest.raises(ValueError, match="undefined component"):
+        jpeg_decode(patched(lambda b, p: b.__setitem__(p + 5, 9)))  # comp id 9
+    with pytest.raises(ValueError, match="undefined DC table"):
+        jpeg_decode(patched(lambda b, p: b.__setitem__(p + 6, 0x30)))  # Td=3
 
 
 def test_vp8_frame_info_parses_keyframe_header():

@@ -250,8 +250,10 @@ def test_mrl_serialization_roundtrip():
 
 
 def test_global_rank_matches_single_window(spark):
-    """Two-phase range-binned rank == unpartitioned row_number for
-    random data with heavy ties, negatives, and a tie-break column."""
+    """Two-phase equi-depth-binned rank == unpartitioned row_number for
+    random data with heavy ties, negatives, NULLs (Spark ASC = nulls
+    first), and a tie-break column. meta_out n must equal the row
+    count."""
     import random
 
     from pyspark.sql import functions as F
@@ -260,14 +262,45 @@ def test_global_rank_matches_single_window(spark):
     from dwh_spark.operators.ranks import with_global_rank
 
     rng = random.Random(7)
-    rows = [(i, rng.choice([-5.0, -1.5, 0.0, 2.25, 7.5, 9.0, rng.uniform(-10, 10)]))
-            for i in range(2000)]
+    rows = [
+        (i, rng.choice([None, -5.0, -1.5, 0.0, 2.25, 7.5, 9.0, rng.uniform(-10, 10)]))
+        for i in range(2000)
+    ]
     df = spark.createDataFrame(rows, "id long, v double")
+    meta: dict = {}
     got = {
         (r["id"]): r["rn"]
         for r in with_global_rank(
-            df, "v", [F.asc("v"), F.asc("id")], nbins=16
+            df, "v", [F.asc("v"), F.asc("id")], nbins=16, meta_out=meta
         ).collect()
+    }
+    assert meta["n"] == 2000
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_skewed_distribution(spark):
+    """99% of values in a narrow band + outliers stretching the range:
+    equi-depth edges must keep per-bin loads near n/nbins (equal-width
+    slicing would put ~everything in one bin), and ranks stay exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.ranks import with_global_rank
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, F.col("id") * 1e6)
+        .otherwise(100.0 + F.pmod(F.xxhash64("id"), F.lit(1000)) / 1e6)
+        .alias("v"),
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in with_global_rank(df, "v", [F.asc("v"), F.asc("id")], nbins=16).collect()
     }
     w = Window.orderBy(F.asc("v"), F.asc("id"))
     want = {
@@ -286,6 +319,12 @@ def test_global_rank_degenerate_and_timestamp(spark):
     df = spark.createDataFrame([(i, 42.0) for i in range(50)], "id long, v double")
     out = with_global_rank(df, "v", [F.asc("v"), F.desc("id")]).collect()
     assert {r["id"]: r["rn"] for r in out} == {i: 50 - i for i in range(50)}
+    # all-NULL primary: ranks 1..n by tie-break, not null ranks
+    dfn = spark.createDataFrame(
+        [(i, None) for i in range(20)], "id long, v double"
+    )
+    outn = with_global_rank(dfn, "v", [F.asc("v"), F.asc("id")]).collect()
+    assert {r["id"]: r["rn"] for r in outn} == {i: i + 1 for i in range(20)}
     # timestamp primary (the stalest-selection shape)
     ts = spark.createDataFrame(
         [(i, i % 7) for i in range(100)], "id long, off int"
