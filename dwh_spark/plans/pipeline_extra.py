@@ -955,7 +955,10 @@ def events_mrl_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number only WITHIN the ≤3 bins that contain the target
     # ranks — windows partitioned by bin, each touching ~1/nbins of
     # the data, in parallel. Same shape as the sweep-line offset join
-    # in operators/temporal.py.
+    # in operators/temporal.py. Equal-WIDTH bins are fine for this
+    # audit (events.value is fixture-uniform; worst case under value
+    # skew is a slow-but-correct big-bin window); the operator-grade
+    # equi-depth version lives in operators/ranks.py.
     vals = v.select("v")
     agg0 = [F.min("v").alias("vlo"), F.max("v").alias("vhi")]
     for i, q in enumerate(_MRL_QS):
