@@ -87,8 +87,13 @@ def _recorded_floors() -> dict[str, float]:
             for name, val in json.load(fh).items():
                 if isinstance(val, (int, float)):
                     floors[name] = float(val)
-    except (OSError, json.JSONDecodeError):
-        pass
+    except OSError:
+        pass  # overrides file legitimately absent
+    except json.JSONDecodeError as exc:
+        # a present-but-broken overrides file must not silently revert
+        # re-baselined queries to stale floors
+        print(f"# WARNING: BENCH_FLOORS.json unparseable, overrides "
+              f"dropped: {exc}", file=sys.stderr)
     return floors
 
 

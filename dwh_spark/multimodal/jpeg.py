@@ -873,7 +873,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline or progressive JPEG bytes → (H, W, 3) uint8 RGB (gray
     replicates to 3 channels so downstream resize/PNG-encode sees one
     shape). Arithmetic coding, hierarchical and 12-bit precision raise
-    NotImplementedError honestly."""
+    NotImplementedError honestly; truncated/corrupt bytes raise
+    ValueError (never struct.error or IndexError)."""
+    try:
+        return _jpeg_decode_impl(data)
+    except (IndexError, struct.error) as exc:
+        # a cut inside ANY header segment (SOF/SOS/DHT/DQT) lands here;
+        # cuts inside entropy data are wrapped at the scan call below
+        raise ValueError("truncated or corrupt JPEG") from exc
+
+
+def _jpeg_decode_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2

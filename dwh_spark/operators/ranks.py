@@ -72,8 +72,12 @@ def with_global_rank(
     ).collect()[0]["qs"]
     edges = sorted({float(e) for e in row if e is not None}) if row else []
     # NOTE for callers: this function runs two eager jobs (edges, bin
-    # counts) before the lazy ranked frame; if df is expensive to
-    # recompute, persist it around the call.
+    # counts) before the lazy ranked frame, so df is materialized up
+    # to three times. If df is expensive to recompute, persist it for
+    # speed — and if df is NONDETERMINISTIC (sample(), rand(), a
+    # re-read of changing files), persisting is a CORRECTNESS
+    # requirement: offsets computed from one materialization against
+    # bins from another silently skip/duplicate ranks.
     if edges:
         # bin(v) = #edges <= v: monotone in v, ties share a bin, and
         # the fold stays JVM-side (codegen loop over a literal array).

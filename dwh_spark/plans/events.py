@@ -60,6 +60,9 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stalest top-k (D6, x/mongoDaemon/service.go:100-103): select the 20%
 # least-recently-active users, oldest first — the refresh scheduler.
 # ---------------------------------------------------------------------------
+_STALEST_CACHE: list = []  # at most one live persisted aggregate
+
+
 @query(
     "events_stalest_topk",
     oracle="""
@@ -91,8 +94,14 @@ def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count() scan.
     # persist the per-user aggregate (n_users rows — the COMPACTED
     # frame, tiny next to events) so the operator's two eager passes +
-    # the final job don't re-shuffle the fact table three times
+    # the final job don't re-shuffle the fact table three times. The
+    # lazy result still references it, so it can't unpersist before
+    # returning — instead each construction releases the PREVIOUS
+    # call's cache, bounding the session to one live entry.
     last_seen = last_seen.persist()
+    while _STALEST_CACHE:
+        _STALEST_CACHE.pop().unpersist()
+    _STALEST_CACHE.append(last_seen)
     meta: dict = {}
     ranked = with_global_rank(
         last_seen, "last_ts", [F.asc("last_ts"), F.asc("user_id")], meta_out=meta

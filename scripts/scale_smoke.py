@@ -475,11 +475,20 @@ def main() -> None:
     # selection rides on this.
     from dwh_spark.operators.ranks import with_global_rank
 
-    timed(
-        "with_global_rank (10M values, 1024 bins)",
+    # with_global_rank runs two eager jobs (edges, bin counts) before
+    # the lazy ranked frame, so time the whole step explicitly —
+    # passing it to timed() would start the clock after most of the
+    # work already ran (same trap as connected_components above)
+    t = time.perf_counter()
+    n_kept = (
         with_global_rank(ev.select("event_id", "value"), "value",
                          [F.asc("value"), F.asc("event_id")])
-        .filter(F.col("rn") <= N_ROWS // 5),
+        .filter(F.col("rn") <= N_ROWS // 5)
+        .count()
+    )
+    print(
+        f"with_global_rank (10M values, 128 equi-depth bins): "
+        f"{time.perf_counter() - t:.1f}s ({n_kept} rows kept)"
     )
 
     # MRL sketch build over all event values: per-partition sketches in
