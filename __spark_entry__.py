@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 17 r1-last-checked queries plus the oldest r2 block lead; the
 # remaining r2 tail and the r3 block queue for round 7.
 _CHECK_FIRST = [
+    # -- new in round 6: no driver verdict yet
+    "docs_heavy_hitters_mg",         # mergeable Misra-Gries top-k discovery
     # -- code touched in round 6: re-verify
     "imgs_jpeg_pixel_stats",         # progressive SOF2 fixtures + coding col
     "imgs_webp_pixel_stats",         # VP8L distance-map fix, VP8X scan

@@ -268,3 +268,100 @@ def hll_oracle_sql(table: str, group_cols: Sequence[str], value_col: str) -> str
            END AS n_hll
     FROM agg
     """
+
+
+# ------------------------------------------------ Misra-Gries heavy hitters
+#
+# The missing member of the sketch family next to KMV (distinct), CMS
+# (point frequency — needs candidate keys), and HLL: FINDING the heavy
+# keys without knowing them up front. Misra-Gries (1982) keeps k
+# counters; the mergeable-summaries form (Agarwal et al., PODS 2012)
+# is exactly Spark-shaped: one summary per partition, merged by
+# key-wise addition, with the deterministic guarantee
+#     est(key) <= true(key) <= est(key) + err_bound,
+#     err_bound * (k + 1) <= n
+# carried explicitly in the output, like the MRL quantile sketch's
+# self-tracked bound. Complements the skew machinery: this is how a
+# pipeline DISCOVERS its hot keys before salting them.
+
+
+def mg_partition_summaries(
+    df: DataFrame,
+    key_col: str,
+    part_col: str,
+    k: int = 64,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries over ``key_col``.
+
+    Determinism: rows hash-repartition on ``part_col`` (so partition
+    CONTENT is a pure function of the data), and within each partition
+    the algorithm processes (key, count) pairs in sorted-key order —
+    the result is bit-reproducible regardless of Arrow batch sizes or
+    input file order. Batched decrements are faithful to unit MG: each
+    decrement unit removes one copy from every live counter plus one
+    copy of the incoming key, so ``dtot * (k+1) <= n_p`` holds per
+    partition.
+
+    Returns rows ``(pid, key, cnt, dtot, n_p)``: one row per surviving
+    counter plus one ``key IS NULL`` row per partition carrying only
+    the error/total accounting (emitted even when counters survive, so
+    empty partitions still report).
+    """
+    schema = f"pid long, key string, cnt long, dtot long, n_p long"
+
+    def build(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        counts: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(c)
+        counters: dict = {}
+        dtot = 0
+        n_p = sum(counts.values())
+        for key in sorted(counts):
+            c = counts[key]
+            if key in counters:
+                counters[key] += c
+                continue
+            while c > 0:
+                if len(counters) < k:
+                    counters[key] = c
+                    break
+                m = min(counters.values())
+                dec = min(m, c)
+                for kk in list(counters):
+                    counters[kk] -= dec
+                    if counters[kk] == 0:
+                        del counters[kk]
+                dtot += dec
+                c -= dec
+        pid = TaskContext.get().partitionId()
+        rows = [(pid, kk, cc, dtot, n_p) for kk, cc in sorted(counters.items())]
+        rows.append((pid, None, 0, dtot, n_p))  # accounting row
+        yield pd.DataFrame(rows, columns=["pid", "key", "cnt", "dtot", "n_p"])
+
+    shaped = df.select(F.col(key_col).cast("string").alias(key_col), part_col)
+    return shaped.repartition(n_parts, part_col).mapInPandas(build, schema)
+
+
+def mg_merge(partials: DataFrame) -> tuple[DataFrame, int, int]:
+    """Merge per-partition MG summaries: key-wise count addition (the
+    union stays <= n_parts * k rows — no re-truncation needed, which
+    only tightens the bound). Returns (counters_df(key, est),
+    err_bound, n): for every key, est <= true <= est + err_bound, and
+    err_bound * (k+1) <= n by construction."""
+    acct = (
+        partials.groupBy("pid")
+        .agg(F.max("dtot").alias("d"), F.max("n_p").alias("m"))
+        .agg(F.sum("d").alias("err"), F.sum("m").alias("n"))
+        .collect()[0]
+    )
+    counters = (
+        partials.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("cnt").alias("est"))
+    )
+    return counters, int(acct["err"] or 0), int(acct["n"] or 0)

@@ -1482,3 +1482,76 @@ def docs_tfidf_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.max("node").cast("long").alias("max_member"),
     )
+
+
+@query(
+    "docs_heavy_hitters_mg",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY token)
+    SELECT token, exact_count,
+           TRUE AS tracked, TRUE AS within_bound, TRUE AS bound_certified
+    FROM cnt ORDER BY exact_count DESC, token LIMIT 10
+    """,
+)
+def docs_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter DISCOVERY via mergeable Misra-Gries summaries
+    (Agarwal et al., PODS 2012) — the sketch-family member CMS can't
+    provide (CMS answers point queries for KNOWN keys; MG finds the
+    heavy keys): per-partition k-counter summaries over the token
+    stream, merged by key-wise addition, with the deterministic
+    guarantee est <= true <= est + err_bound and
+    err_bound*(k+1) <= n carried explicitly.
+
+    Audit shape (like events_mrl_quantile_audit): the exact top-10
+    token counts are the SQL-matched audit columns; the sketch's
+    claims — every exact-top-10 token is tracked, its estimate
+    brackets the exact count within the self-tracked bound, and the
+    bound itself is certified against n — are booleans the oracle
+    pins TRUE, so any violation turns the row red. k=32 over an
+    ~400-term near-uniform vocabulary forces real evictions (every
+    partition sees ~all 400 terms > 32 counters) while keeping the
+    worst-case tracking guarantee: per-partition decrements are
+    bounded by n_p/(k+1) ~= 76, below the ~117 per-partition count of
+    each top-10 token — at k=16 that inequality flips and MG may
+    legitimately evict even the heaviest key (observed: it does).
+
+    100 TB design: the sketch path is ONE narrow shuffle (hash
+    repartition on doc_id) + a <= n_parts*k-row counter union; the
+    exact groupBy exists only as the audit, exactly as the quadratic
+    dedup baselines certify the banded LSH path. Discovered heavy
+    keys feed the salting machinery (events_salted_hot_join).
+    """
+    from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
+
+    K, PARTS = 32, 8
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    partials = mg_partition_summaries(toks, "token", "doc_id", k=K, n_parts=PARTS)
+    counters, err_bound, n = mg_merge(partials)
+
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(10)
+    )
+    return (
+        exact_top.join(F.broadcast(counters.withColumnRenamed("key", "token")),
+                       "token", "left")
+        .select(
+            "token",
+            "exact_count",
+            F.col("est").isNotNull().alias("tracked"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_count"))
+                & (F.col("exact_count") <= F.col("est") + F.lit(err_bound))
+            ).alias("within_bound"),
+            F.lit(err_bound * (K + 1) <= n).alias("bound_certified"),
+        )
+    )

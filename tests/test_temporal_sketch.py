@@ -335,3 +335,51 @@ def test_global_rank_degenerate_and_timestamp(spark):
     # empty input keeps the schema
     empty = with_global_rank(df.filter("id < 0"), "v")
     assert empty.count() == 0 and "rn" in empty.columns
+
+
+# -------------------------------------------- Misra-Gries heavy hitters
+
+
+def test_mg_bound_holds_on_adversarial_data(spark):
+    """est <= true <= est + err_bound for EVERY key, and
+    err_bound*(k+1) <= n — on a skewed corpus with enough distinct
+    keys to force evictions in every partition."""
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
+
+    # zipf-ish: key j appears ~N/(j+1) times; 200 distinct >> k=8
+    rows = []
+    rid = 0
+    for j in range(200):
+        for _ in range(max(1, 2000 // (j + 1))):
+            rows.append((rid, f"k{j:03d}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "row_id long, key string")
+    partials = mg_partition_summaries(df, "key", "row_id", k=8, n_parts=4)
+    counters, err, n = mg_merge(partials)
+    assert n == len(rows)
+    assert err * (8 + 1) <= n
+    exact = {r["key"]: r["cnt"] for r in
+             df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    ests = {r["key"]: r["est"] for r in counters.collect()}
+    assert len(ests) <= 4 * 8 + 4  # union of per-partition summaries
+    for key, est in ests.items():
+        assert est <= exact[key] <= est + err, key
+    # the heaviest key must survive (true count >> any partition's
+    # decrement budget)
+    assert "k000" in ests
+
+
+def test_mg_deterministic_across_input_order(spark):
+    """Same data in shuffled input order => bit-identical summaries
+    (content is hash-partitioned; processing order is sorted-key)."""
+    from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
+
+    rows = [(i, f"t{(i * 7919) % 60:02d}") for i in range(5000)]
+    a = spark.createDataFrame(rows, "row_id long, key string")
+    b = spark.createDataFrame(list(reversed(rows)), "row_id long, key string")
+    ca, ea, na = mg_merge(mg_partition_summaries(a, "key", "row_id", k=8, n_parts=4))
+    cb, eb, nb = mg_merge(mg_partition_summaries(b, "key", "row_id", k=8, n_parts=4))
+    assert (ea, na) == (eb, nb)
+    assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, cb.collect()))
