@@ -35,11 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples the FIRST ~50 queries in dict
 # order, so ordering is evidence policy (rotation, VERDICT r5 item 1):
-# (1) queries whose code changed this round re-verify first, (2) the
-# window backfills with the LONGEST-UNCHECKED greens. Round 6 added no
-# new queries and touched only 3, so the window is almost all backlog:
-# the 17 r1-last-checked queries plus the oldest r2 block lead; the
-# remaining r2 tail and the r3 block queue for round 7.
+# (1) never-checked queries lead, (2) queries whose code changed this
+# round re-verify next, (3) the window backfills with the
+# LONGEST-UNCHECKED greens. Round 6 added 1 query and touched 6, so
+# ~43 of the ~50 slots go to backlog: all 17 r1-last-checked queries
+# plus the oldest r2 block; the remaining r2 tail and the r3 block
+# queue for round 7.
 _CHECK_FIRST = [
     # -- new in round 6: no driver verdict yet
     "docs_heavy_hitters_mg",         # mergeable Misra-Gries top-k discovery
