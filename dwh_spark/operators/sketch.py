@@ -292,76 +292,108 @@ def mg_partition_summaries(
     k: int = 64,
     n_parts: int = 32,
 ) -> DataFrame:
-    """Per-partition Misra-Gries summaries over ``key_col``.
+    """Per-bucket Misra-Gries summaries over ``key_col``. NULL keys
+    are excluded from both the counters and the totals (the usual
+    sketch convention — filter or coalesce upstream to count them).
 
-    Determinism: rows hash-repartition on ``part_col`` (so partition
-    CONTENT is a pure function of the data), and within each partition
-    the algorithm processes (key, count) pairs in sorted-key order —
-    the result is bit-reproducible regardless of Arrow batch sizes or
-    input file order. Batched decrements are faithful to unit MG: each
-    decrement unit removes one copy from every live counter plus one
-    copy of the incoming key, so ``dtot * (k+1) <= n_p`` holds per
-    partition.
+    Memory discipline: the exact (bucket, key) pre-counts come from a
+    JVM groupBy — map-side combined and SPILLABLE, so worker memory
+    never holds a per-partition vocabulary dict (that's the scale
+    where a k-counter sketch must not OOM its own worker). The Python
+    side then streams the sorted pre-counts through MG with O(k)
+    state per bucket.
 
-    Returns rows ``(pid, key, cnt, dtot, n_p)``: one row per surviving
-    counter plus one ``key IS NULL`` row per partition carrying only
-    the error/total accounting (emitted even when counters survive, so
-    empty partitions still report).
+    Determinism: buckets are ``xxhash64(part_col) mod n_parts`` (a
+    pure function of the data, not a physical partition id), and MG
+    processes each bucket's (key, count) pairs in sorted-key order —
+    bit-reproducible regardless of Arrow batch sizes, shuffle fetch
+    order, or input file layout. Batched decrements are faithful to
+    unit MG: each decrement unit removes one copy from every live
+    counter plus one copy of the incoming key, so
+    ``dtot * (k+1) <= n_bucket`` holds per bucket.
+
+    Returns rows ``(pid, key, cnt, dtot, n_p)`` keyed by bucket id:
+    one row per surviving counter plus one ``key IS NULL`` accounting
+    row per bucket.
     """
-    schema = f"pid long, key string, cnt long, dtot long, n_p long"
+    schema = "pid long, key string, cnt long, dtot long, n_p long"
 
     def build(batches):
         import pandas as pd
-        from pyspark import TaskContext
 
-        counts: dict = {}
-        for pdf in batches:
-            for key, c in pdf[key_col].value_counts().items():
-                counts[key] = counts.get(key, 0) + int(c)
+        def finish(bucket, counters, dtot, n_b):
+            rows = [(bucket, kk, cc, dtot, n_b) for kk, cc in sorted(counters.items())]
+            rows.append((bucket, None, 0, dtot, n_b))  # accounting row
+            return pd.DataFrame(rows, columns=["pid", "key", "cnt", "dtot", "n_p"])
+
+        cur = None
         counters: dict = {}
         dtot = 0
-        n_p = sum(counts.values())
-        for key in sorted(counts):
-            c = counts[key]
-            if key in counters:
-                counters[key] += c
-                continue
-            while c > 0:
-                if len(counters) < k:
-                    counters[key] = c
-                    break
-                m = min(counters.values())
-                dec = min(m, c)
-                for kk in list(counters):
-                    counters[kk] -= dec
-                    if counters[kk] == 0:
-                        del counters[kk]
-                dtot += dec
-                c -= dec
-        pid = TaskContext.get().partitionId()
-        rows = [(pid, kk, cc, dtot, n_p) for kk, cc in sorted(counters.items())]
-        rows.append((pid, None, 0, dtot, n_p))  # accounting row
-        yield pd.DataFrame(rows, columns=["pid", "key", "cnt", "dtot", "n_p"])
+        n_b = 0
+        for pdf in batches:
+            for bucket, key, c in zip(pdf["__b"], pdf["__k"], pdf["__c"]):
+                bucket, c = int(bucket), int(c)
+                if bucket != cur:
+                    if cur is not None:
+                        yield finish(cur, counters, dtot, n_b)
+                    cur, counters, dtot, n_b = bucket, {}, 0, 0
+                n_b += c
+                # sorted-unique keys per bucket: no revisit branch needed
+                while c > 0:
+                    if len(counters) < k:
+                        counters[key] = c
+                        break
+                    m = min(counters.values())
+                    dec = min(m, c)
+                    for kk in list(counters):
+                        counters[kk] -= dec
+                        if counters[kk] == 0:
+                            del counters[kk]
+                    dtot += dec
+                    c -= dec
+        if cur is not None:
+            yield finish(cur, counters, dtot, n_b)
 
-    shaped = df.select(F.col(key_col).cast("string").alias(key_col), part_col)
-    return shaped.repartition(n_parts, part_col).mapInPandas(build, schema)
+    pre = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(
+            F.pmod(F.xxhash64(F.col(part_col)), F.lit(n_parts)).alias("__b"),
+            F.col(key_col).cast("string").alias("__k"),
+        )
+        .agg(F.count("*").alias("__c"))
+    )
+    shaped = pre.repartition(n_parts, "__b").sortWithinPartitions("__b", "__k")
+    return shaped.mapInPandas(build, schema)
 
 
 def mg_merge(partials: DataFrame) -> tuple[DataFrame, int, int]:
-    """Merge per-partition MG summaries: key-wise count addition (the
+    """Merge per-bucket MG summaries: key-wise count addition (the
     union stays <= n_parts * k rows — no re-truncation needed, which
     only tightens the bound). Returns (counters_df(key, est),
     err_bound, n): for every key, est <= true <= est + err_bound, and
-    err_bound * (k+1) <= n by construction."""
-    acct = (
-        partials.groupBy("pid")
-        .agg(F.max("dtot").alias("d"), F.max("n_p").alias("m"))
-        .agg(F.sum("d").alias("err"), F.sum("m").alias("n"))
-        .collect()[0]
-    )
-    counters = (
-        partials.filter(F.col("key").isNotNull())
-        .groupBy("key")
-        .agg(F.sum("cnt").alias("est"))
-    )
+    err_bound * (k+1) <= n by construction.
+
+    The partials are persisted for the two consuming jobs and
+    unpersisted before returning; the merged counters materialize
+    through the driver — <= n_parts * k rows, small BY CONSTRUCTION
+    (that is what a summary is), so the returned frame re-executes
+    nothing."""
+    spark = partials.sparkSession
+    partials = partials.persist()
+    try:
+        acct = (
+            partials.groupBy("pid")
+            .agg(F.max("dtot").alias("d"), F.max("n_p").alias("m"))
+            .agg(F.sum("d").alias("err"), F.sum("m").alias("n"))
+            .collect()[0]
+        )
+        counter_rows = (
+            partials.filter(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.sum("cnt").alias("est"))
+            .collect()
+        )
+    finally:
+        partials.unpersist()
+    counters = spark.createDataFrame(counter_rows, "key string, est long")
     return counters, int(acct["err"] or 0), int(acct["n"] or 0)
