@@ -491,6 +491,21 @@ def main() -> None:
         f"{time.perf_counter() - t:.1f}s ({n_kept} rows kept)"
     )
 
+    # Misra-Gries heavy-hitter discovery over all 10M event user_ids:
+    # spillable JVM pre-counts, O(k)-state Python summaries, tiny merge
+    from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
+
+    t = time.perf_counter()
+    mg_counters, mg_err, mg_n = mg_merge(
+        mg_partition_summaries(ev, "user_id", "event_id", k=64, n_parts=32)
+    )
+    n_tracked = mg_counters.count()
+    print(
+        f"mg_heavy_hitters ({N_ROWS} rows, k=64 x 32 buckets): "
+        f"{time.perf_counter() - t:.1f}s ({n_tracked} tracked, "
+        f"err_bound {mg_err} <= n/(k+1) {mg_n // 65})"
+    )
+
     # MRL sketch build over all event values: per-partition sketches in
     # one mapInPandas pass, tiny rows collected and merged driver-side —
     # the events_mrl_quantile_audit scale path at 100x.
