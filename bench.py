@@ -9,12 +9,14 @@ under a bare ``count()`` Catalyst prunes the final Project and skips
 computing unreferenced aggregate expressions entirely, silently
 under-measuring (e.g. q1's decimal sums would never run).
 
-With ``SPARK_GRAFT_BENCH_RECHECK=1`` every query whose in-run timing
-exceeds 2x its recorded floor (the per-query minimum across committed
-BENCH_r*.json files) is re-run once, isolated and warm, at the end;
-both numbers land in the JSON line under ``rechecked``. This separates
-real plan regressions from the documented session-level GC/background
-spikes (up to ~4.9x) on this host.
+By default (opt out with ``SPARK_GRAFT_BENCH_RECHECK=0``) every query
+whose in-run timing exceeds 2x its recorded floor (the per-query
+minimum across committed BENCH_r*.json files) is re-run once, isolated
+and warm, at the end; both numbers land in the JSON line under
+``rechecked``. This separates real plan regressions from the
+documented session-level GC/background spikes (up to ~4.9x) on this
+host. Default-on so the driver's committed BENCH_r{N}.json always
+carries adjudicated numbers (VERDICT r6 item 3).
 """
 
 from __future__ import annotations
@@ -39,6 +41,9 @@ def _recorded_floors() -> dict[str, float]:
     regex for '"name": seconds' pairs (our ascending-cost ordering
     deliberately keeps the expensive queries in the surviving tail).
     A raw bench JSON line with a "queries" map is also accepted.
+    Scraped names are restricted to registered query names so stray
+    numeric pairs (summary fields, doc tables) can never register as
+    floors (ADVICE r6).
     """
     import glob
     import re
@@ -47,9 +52,10 @@ def _recorded_floors() -> dict[str, float]:
     floors: dict[str, float] = {}
 
     def take(name: str, val: float) -> None:
-        floors[name] = min(floors.get(name, float("inf")), val)
+        if name in known:
+            floors[name] = min(floors.get(name, float("inf")), val)
 
-    _META = {"value", "sf", "n_ok", "n_err", "n", "rc", "cpus"}
+    known = set(QUERIES)
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         if path.endswith("BENCH_r01.json"):
             continue  # r1 used count(), which under-measures (see above)
@@ -64,8 +70,7 @@ def _recorded_floors() -> dict[str, float]:
         for name, num in re.findall(
             r'\\?"(\w+)\\?":\s*([0-9]+\.[0-9]+)', rec.get("tail") or ""
         ):
-            if name not in _META:
-                take(name, float(num))
+            take(name, float(num))
     # BASELINE.md's per-query table holds the cleanest recorded columns
     # (rows like `| name | 1.05 | 0.86 | 1.28 |`, `—` for absent)
     try:
@@ -137,7 +142,7 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     rechecked: dict[str, dict[str, float]] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_RECHECK") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_RECHECK", "1") != "0":
         floors = _recorded_floors()
         suspects = [
             n for n, t in timings.items()

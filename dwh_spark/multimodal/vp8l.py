@@ -352,7 +352,7 @@ def _build_distance_map() -> list[tuple[int, int]]:
     so dx is bounded below by 8 - 15 = -7, NOT -8: dy in 0..7 with
     dx in -7..8 yields exactly 8 + 7*16 = 120 candidates, no
     truncation. (A -8 lower bound shifts codes 103-120 off the spec
-    table; see tests/test_multimodal_codecs.py pin test.)"""
+    table; see test_vp8l_distance_map_pins_libwebp_table in tests/test_codecs.py.)"""
     cands = []
     for dy in range(0, 8):
         for dx in range(-7, 9):

@@ -97,7 +97,11 @@ def events_stalest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final job don't re-shuffle the fact table three times. The
     # lazy result still references it, so it can't unpersist before
     # returning — instead each construction releases the PREVIOUS
-    # call's cache, bounding the session to one live entry.
+    # call's cache, bounding the session to one live entry. SINGLE-LIVE
+    # -CACHE ASSUMPTION (fine for the one-query-at-a-time driver/bench
+    # loop, not thread-safe): a still-lazy frame kept from an EARLIER
+    # construction silently degrades to recompute-per-job once its
+    # cache is released here.
     last_seen = last_seen.persist()
     while _STALEST_CACHE:
         _STALEST_CACHE.pop().unpersist()

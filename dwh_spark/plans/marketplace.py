@@ -103,29 +103,37 @@ def _stream_state(spark: SparkSession):
         return _STREAM_STORES[key]
     import os
     import shutil
+    import sys
     import tempfile
+    import time
 
     from pyspark.sql.window import Window
 
     from dwh_spark.streaming.ingest import ParquetStateStore, stream_events
     from dwh_spark.streaming.marketplace import run_marketplace_stream
 
+    t0 = time.perf_counter()
     events = marketplace_events(spark)
     root = tempfile.mkdtemp(prefix="mkt_stream_")
     input_dir = os.path.join(root, "input")
     os.makedirs(input_dir)
     # stage 4 chain-ordered slices; mtimes make the file-source cursor
-    # deliver them in chain order (the reference's LevelDB cursor)
+    # deliver them in chain order (the reference's LevelDB cursor).
+    # ONE partitionBy write (not 4 filtered jobs): the fixture is tiny,
+    # so staging cost is pure per-job overhead — and each filtered job
+    # re-ran the ntile window from scratch.
     sliced = events.withColumn(
         "__slice", F.ntile(4).over(Window.orderBy("height", "tx_index", "msg_id"))
     )
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
     for i in range(1, 5):
-        tmp = os.path.join(root, f"tmp{i}")
-        sliced.filter(F.col("__slice") == i).drop("__slice").coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
         dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
+        shutil.move(os.path.join(sdir, part), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    t_stage = time.perf_counter()
     # 2 files per trigger → 2 micro-batches: still exercises the
     # cross-batch merge + carried makes state at half the per-batch
     # store-job overhead (same trade as streaming_daily_rollup; the
@@ -143,6 +151,16 @@ def _stream_state(spark: SparkSession):
         stream, stores["nft"], stores["makes"], os.path.join(root, "ckpt"),
         users_store=stores["users"], offers_store=stores["offers"],
         bids_store=stores["bids"], fts_store=stores["fts"],
+    )
+    t_drain = time.perf_counter()
+    # Stage attribution on stderr (VERDICT r6 item 2): the whole
+    # harness is session-fixed cost absorbed by the alphabetically
+    # first marketplace_stream_* consumer, so drift must be
+    # attributable without re-instrumenting.
+    print(
+        f"# _stream_state: staging {t_stage - t0:.2f}s, "
+        f"drain(2 micro-batches x 6 stores) {t_drain - t_stage:.2f}s",
+        file=sys.stderr,
     )
     _STREAM_STORES[key] = stores
     return _STREAM_STORES[key]

@@ -480,15 +480,41 @@ def main() -> None:
     # passing it to timed() would start the clock after most of the
     # work already ran (same trap as connected_components above)
     t = time.perf_counter()
-    n_kept = (
+    kept = (
         with_global_rank(ev.select("event_id", "value"), "value",
-                         [F.asc("value"), F.asc("event_id")])
+                         [F.asc("value"), F.asc("event_id")], nbins=128)
         .filter(F.col("rn") <= N_ROWS // 5)
-        .count()
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("chk"))
+        .collect()[0]
     )
     print(
         f"with_global_rank (10M values, 128 equi-depth bins): "
-        f"{time.perf_counter() - t:.1f}s ({n_kept} rows kept)"
+        f"{time.perf_counter() - t:.1f}s ({kept['n']} rows kept)"
+    )
+
+    # Adaptive-nbins path (nbins=None auto-scales from the edge pass's
+    # free row count): with rows_per_bin=50k the 10M input must pick
+    # 200 bins, and the top-20% cut must keep exactly the SAME ROWS as
+    # the pinned-128 run above (bin granularity never changes ranks) —
+    # checked by event_id checksum, not just row count.
+    t = time.perf_counter()
+    meta_ad: dict = {}
+    kept_ad = (
+        with_global_rank(ev.select("event_id", "value"), "value",
+                         [F.asc("value"), F.asc("event_id")],
+                         rows_per_bin=50_000, meta_out=meta_ad)
+        .filter(F.col("rn") <= N_ROWS // 5)
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("chk"))
+        .collect()[0]
+    )
+    assert meta_ad["nbins"] == min(4096, max(128, -(-N_ROWS // 50_000)))
+    assert (kept_ad["n"], kept_ad["chk"]) == (kept["n"], kept["chk"]), (
+        kept_ad, kept,
+    )
+    print(
+        f"with_global_rank adaptive (10M values, rows_per_bin=50k -> "
+        f"{meta_ad['nbins']} bins): {time.perf_counter() - t:.1f}s "
+        f"({kept_ad['n']} rows kept, checksum matches pinned-128 cut)"
     )
 
     # Misra-Gries heavy-hitter discovery over all 10M event user_ids:

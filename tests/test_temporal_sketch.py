@@ -337,6 +337,52 @@ def test_global_rank_degenerate_and_timestamp(spark):
     assert empty.count() == 0 and "rn" in empty.columns
 
 
+def test_global_rank_adaptive_nbins_and_nan(spark):
+    """nbins=None auto-scales: with rows_per_bin forced tiny the edge
+    pass must upgrade past the 128-bin floor, and the upgraded ranks
+    must equal the single-window form exactly — including NULL (sorts
+    first) and NaN (sorts greatest) primaries, which get dedicated
+    bins and never reach the percentile sketch."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.ranks import with_global_rank
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            rng.choice(
+                [None, float("nan"), -3.0, 0.0, 5.5, rng.uniform(-100, 100)]
+            ),
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    meta: dict = {}
+    got = {
+        r["id"]: r["rn"]
+        for r in with_global_rank(
+            df, "v", [F.asc("v"), F.asc("id")], rows_per_bin=4, meta_out=meta
+        ).collect()
+    }
+    assert meta["n"] == 2000
+    assert meta["nbins"] == math.ceil(2000 / 4)  # upgraded past the 128 floor
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # small input under the default target: floor stays at 128
+    meta2: dict = {}
+    with_global_rank(df, "v", [F.asc("v"), F.asc("id")], meta_out=meta2).collect()
+    assert meta2["nbins"] == 128
+
+
 # -------------------------------------------- Misra-Gries heavy hitters
 
 
