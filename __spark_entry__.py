@@ -37,68 +37,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # order, so ordering is evidence policy (rotation, VERDICT r5 item 1):
 # (1) never-checked queries lead, (2) queries whose code changed this
 # round re-verify next, (3) the window backfills with the
-# LONGEST-UNCHECKED greens. Round 6 added 1 query and touched 6, so
-# ~43 of the ~50 slots go to backlog: all 17 r1-last-checked queries
-# plus the oldest r2 block; the remaining r2 tail and the r3 block
-# queue for round 7.
+# LONGEST-UNCHECKED greens. Round 7 adds 2 queries and touches 2
+# non-stale code paths, so the remaining ~46 slots take the ENTIRE
+# stale backlog — the ledger-exact 21 r2-last-checked + 25 r3-last-
+# checked queries (union of CORRECTNESS_r1..r6 latest rounds). After
+# this window lands green, no query's driver verdict predates r4 and
+# the rotation has fully cycled once.
 _CHECK_FIRST = [
-    # -- new in round 6: no driver verdict yet
-    "docs_heavy_hitters_mg",         # mergeable Misra-Gries top-k discovery
-    # -- code touched in round 6: re-verify
-    "imgs_jpeg_pixel_stats",         # progressive SOF2 fixtures + coding col
-    "imgs_webp_pixel_stats",         # VP8L distance-map fix, VP8X scan
-    "av_audio_flac_decode_stats",    # reserved-code/shift guards
-    "pagination_page3",              # TakeOrderedAndProject pre-cut rewrite
-    "events_mrl_quantile_audit",     # two-phase distributed exact ranks
-    "events_stalest_topk",           # range-binned rank replaces 20%-of-table TopK
-    # -- stale: last driver check was round 1 (all 17 cycle now)
-    "events_kmv_distinct_users",
-    "events_value_quantiles",
-    "events_state_as_of",
-    "events_hourly_daily_rollup",
-    "imgs_format_bytes",
-    "imgs_resize_fanout_stats",
-    "imgs_decode_resize_bytes",
-    "imgs_dedup_new",
-    "imgs_keep_latest",
-    "imgs_point_read_fallback",
-    "metadata_validate",
-    "metadata_scd1_merge",
-    "metadata_refresh_schedule",
-    "metadata_task_priority_order",
-    "metadata_fetch_stage",
-    "flagship_owned_orders",
-    "q1_pricing_summary",
-    # -- stale: last driver check was round 2 (oldest 28 cycle now;
-    #    the remaining 19 r2 + 25 r3 queue for round 7)
-    "docs_jaccard_hashed_shingles",
-    "docs_pack_sequences",
-    "docs_train_test_split",
-    "docs_corpus_build",
-    "docs_repetition_scores",
-    "docs_pii_scrub_stats",
-    "docs_top_terms",
-    "docs_length_histogram",
-    "docs_bigram_lm_scores",
-    "docs_levenshtein_sample_pairs",
-    "docs_weighted_sample_stats",
-    "emb_ivf_probe_topk",
-    "emb_ivf_inertia",
-    "emb_dup_clusters",
-    "emb_pq_adc_topk",
-    "emb_int8_quantization",
-    "events_salted_rollup",
-    "events_zorder_keys",
-    "events_scd2_intervals",
-    "events_column_profile",
-    "events_retention_cohorts",
-    "events_salted_hot_join",
-    "events_rolling_7d_actives",
-    "events_partition_pruned_rollup",
-    "events_compaction_roundtrip",
-    "events_rank_battery",
-    "events_cms_user_counts",
+    # -- new in round 7: no driver verdict yet
+    "docs_semantic_dedup",           # SemDeDup-shape IVF-cell cosine prune
+    "events_mg_salted_hot_join",     # MG-discovered keys drive targeted salting
+    # -- code touched in round 7: re-verify
+    "events_stalest_topk",           # adaptive-nbins + NaN-bin rank rewrite
+    "marketplace_stream_nfts_state", # parallel store commits in the fold (also r2-stale)
+    # -- stale: last driver check was round 2 (all 21 cycle now)
+    "bucketed_cust_order_rollup",
+    "datetime_function_battery",
     "events_activity_bitmaps",
+    "events_cms_user_counts",
+    "events_session_concurrency",
+    "events_snapshot_diff",
+    "events_value_robust_stats",
+    "flagship_nft_offers_nested",
+    "marketplace_multicoin_totals",
+    "marketplace_stream_bids_surviving",
+    "marketplace_stream_ft_state",
+    "marketplace_stream_offers_surviving",
+    "marketplace_stream_users_state",
+    "nation_trade_pagerank",
+    "orders_unpivot_measures",
+    "q13_customer_distribution",
+    "reconcile_daily_counts",
+    "sql_correlated_outliers",
+    "streaming_daily_rollup_incremental",
+    "streaming_session_windows",
+    # -- stale: last driver check was round 3 (all 25 cycle now)
+    "agg_all_orders",
+    "cube_orders_status_priority",
+    "docs_collection_fn_battery",
+    "orders_daily_moving_stats",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_parts_suppliers_semi",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "rollup_region_nation",
+    "scalar_function_battery",
+    "setops_customer_segments",
+    "sql_big_spenders",
+    "streaming_user_accumulator",
+    "topk_orders_per_segment",
 ]
 
 

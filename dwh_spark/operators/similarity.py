@@ -208,6 +208,63 @@ def assign_cells(
     )
 
 
+def semantic_prune(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into cells, score cosine
+    only WITHIN each cell, prune every vector that has a
+    smaller-keyed cell-mate with cosine >= threshold.
+
+    The keep rule is the deterministic "exists smaller similar
+    neighbor" form: pruning decisions need no iteration and compile
+    to one within-cell self-equi-join + semi-join — SQL-expressible,
+    so the whole decision is oracle-checkable. (SemDeDup proper keeps
+    one representative per epsilon-ball via a greedy pass; the
+    exists-rule is its order-fixed variant — marginally more
+    aggressive on similarity chains a~b~c, identical on the tight
+    clusters the method targets.)
+
+    100 TB design: cell assignment is a broadcast cross-score (one
+    corpus scan), pairing is an equi-join ON CELL — quadratic only
+    within a cell (~(n/n_cells)^2 per cell), never all-pairs. Scale
+    n_cells with the corpus to hold cell population ~constant; skewed
+    cells are ordinary join skew (AQE splits them, or the MG sketch +
+    targeted salting in operators/skew.py if one cell dominates).
+
+    Returns the cell assignment plus a ``pruned`` flag:
+    (key, cell, pruned) — callers anti-join or filter.
+    """
+    cells = assign_cells(vectors, centroids, vec=vec, key=key)
+    a = cells.select(
+        F.col(key).alias("id_a"), F.col(vec).alias("ea"), F.col("norm2").alias("na"), "cell"
+    )
+    b = cells.select(
+        F.col(key).alias("id_b"), F.col(vec).alias("eb"), F.col("norm2").alias("nb"), "cell"
+    )
+    pruned_ids = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_dot_expr("ea", "eb")) / (F.sqrt("na") * F.sqrt("nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(key))
+        .distinct()
+    )
+    flagged = cells.join(
+        pruned_ids.withColumn("__pruned", F.lit(True)), key, "left"
+    )
+    return flagged.select(
+        key, "cell", F.coalesce("__pruned", F.lit(False)).alias("pruned")
+    )
+
+
 def ivf_probe_topk(
     vectors: DataFrame,
     centroids: DataFrame,

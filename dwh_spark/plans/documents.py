@@ -1522,7 +1522,10 @@ def docs_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition on doc_id) + a <= n_parts*k-row counter union; the
     exact groupBy exists only as the audit, exactly as the quadratic
     dedup baselines certify the banded LSH path. Discovered heavy
-    keys feed the salting machinery (events_salted_hot_join).
+    keys feed the salting machinery end-to-end in
+    events_mg_salted_hot_join (plans/events.py): the certified bound
+    selects a guaranteed superset of the true-hot keys, which drive a
+    targeted salted join.
     """
     from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
 

@@ -247,6 +247,87 @@ def emb_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_semantic_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, embedding AS c_emb, norm2 AS c_norm2
+          FROM base WHERE vec_id IN ({_CIDS})),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             round({_DOT.format(a='v.embedding', b='c.c_emb')}
+                   / (sqrt(v.norm2) * sqrt(c.c_norm2)), 6) AS cos_c
+      FROM base v CROSS JOIN c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, centroid_id) AS rn
+      FROM scored
+    ),
+    cells AS (
+      SELECT a.vec_id, a.cell, b.embedding, b.norm2
+      FROM assigned a JOIN base b USING (vec_id) WHERE rn = 1
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= 0.3
+    )
+    SELECT cl.cell,
+           count(*) AS n_vectors,
+           CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+           CAST(count(*) - count(p.vec_id) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN p.vec_id IS NULL THEN cl.vec_id END) AS BIGINT)
+             AS kept_id_sum,
+           CAST(sum(CASE WHEN p.vec_id IS NULL THEN d.n_chars END) AS BIGINT)
+             AS kept_chars
+    FROM cells cl
+    LEFT JOIN pruned p ON p.vec_id = cl.vec_id
+    JOIN documents d ON d.doc_id = cl.vec_id
+    GROUP BY 1
+    """,
+)
+def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) corpus dedup, SemDeDup-shape
+    (operators/similarity.py:semantic_prune): IVF cells bucket the
+    corpus, cosine is scored only within a cell, and a vector is
+    pruned when a smaller-keyed cell-mate scores >= 0.3 (the fixture's
+    near-orthogonal calibration). Completes the dedup family — exact
+    hash, MinHash/SimHash lexical, substring spans — with the one
+    layer none of them see: same-meaning/different-words duplicates.
+
+    Output is the per-cell prune accounting joined back to the
+    documents table (doc_id = vec_id in the fixture): kept/pruned
+    counts plus kept-id and kept-chars checksums, so the oracle hash
+    pins WHICH documents survived, not just how many. Plan: one
+    broadcast cell assignment, one within-cell equi-join (never
+    all-pairs), one broadcast-size doc join."""
+    from dwh_spark.operators.similarity import semantic_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+    flagged = semantic_prune(emb, centroids, threshold=0.3)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    kept = F.when(~F.col("pruned"), F.col("vec_id"))
+    return (
+        flagged.join(docs, "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count(F.when(F.col("pruned"), 1)).alias("n_pruned"),
+            F.count(F.when(~F.col("pruned"), 1)).alias("n_kept"),
+            F.sum(kept).alias("kept_id_sum"),
+            F.sum(F.when(~F.col("pruned"), F.col("n_chars"))).alias("kept_chars"),
+        )
+    )
+
+
+@query(
     "emb_ivf_inertia",
     oracle=f"""
     WITH base AS (

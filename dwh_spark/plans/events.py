@@ -656,6 +656,59 @@ def events_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_mg_salted_hot_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def events_mg_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery→mitigation composed end-to-end: the Misra-Gries
+    sketch DISCOVERS the hot join keys, and those discovered keys —
+    not an a-priori list — drive a targeted salted join
+    (operators/skew.py:targeted_salted_join) where only hot fact rows
+    fan out and only hot dimension keys replicate.
+
+    Selection is the sketch's certified bound used as designed: est <=
+    true <= est + err_bound, so ``est + err_bound >= threshold`` is a
+    guaranteed SUPERSET of every key with true count >= threshold
+    (here 1% of rows); the superset is capped to the top 64 estimates
+    to keep the literal IN list small (over-salting a cold key is
+    distribution-only — harmless). The rollup is salt-invariant, which
+    is exactly what the plain-join oracle checks: any discovery error
+    that affected RESULTS (not just distribution) would go red."""
+    from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
+    from dwh_spark.operators.skew import targeted_salted_join
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    counters, err, n = mg_merge(
+        mg_partition_summaries(ev_raw, "user_id", "event_id", k=64, n_parts=32)
+    )
+    thresh = max(1, n // 100)
+    hot = [
+        int(r["key"])
+        for r in counters.filter(F.col("est") + F.lit(err) >= thresh)
+        .orderBy(F.desc("est"), F.asc("key"))
+        .limit(64)
+        .collect()
+    ]
+    ev = ev_raw.select(
+        F.col("user_id").alias("k"), F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = targeted_salted_join(ev, cust, on=["k"], hot_keys=hot, n_salts=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "events_rolling_7d_actives",
     oracle="""
     WITH ud AS (

@@ -280,6 +280,36 @@ def main() -> None:
         "pq_adc_topk (encode 1M vectors + ADC scan, 8 queries)",
         pq_adc_topk(vecs, qset, codebook),
     )
+
+    # Semantic dedup (SemDeDup shape) at 100x the fixture: 50k vectors
+    # with 500 PLANTED exact clones (ids >= 49_500 repeat ids 0..499),
+    # 256 IVF cells (~195 vectors/cell keeps the within-cell join
+    # quadratic-in-cell only). Clones land in their twin's cell
+    # (identical embedding -> identical centroid scores, deterministic
+    # tie-break) and at threshold 0.999 ONLY clones prune: the count
+    # must be exactly 500.
+    from dwh_spark.operators.similarity import semantic_prune
+
+    t = time.perf_counter()
+    sem_src = spark.range(50_000).select(
+        F.col("id").alias("vec_id"), F.pmod(F.col("id"), F.lit(49_500)).alias("src")
+    )
+    sem_emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (F.pmod(F.xxhash64("src", i), F.lit(2000)) / 1000.0 - 1.0).cast("float"),
+    )
+    sem_vecs = sem_src.select("vec_id", sem_emb.alias("embedding"))
+    sem_cents = sem_vecs.filter(F.pmod(F.col("vec_id"), F.lit(195)) == 0).limit(256)
+    n_pruned = (
+        semantic_prune(sem_vecs, sem_cents, threshold=0.999)
+        .filter("pruned")
+        .count()
+    )
+    assert n_pruned == 500, n_pruned
+    print(
+        f"semantic_prune (50k vecs = 100x fixture, 256 cells, 500 planted "
+        f"clones): {time.perf_counter() - t:.1f}s ({n_pruned} pruned, exact)"
+    )
     # bigram LM over the synthetic doc corpus (500k docs at default)
     timed(
         "bigram_lm doc_predictability (train + score, one corpus)",

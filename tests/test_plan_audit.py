@@ -51,6 +51,7 @@ _ALLOW_BNLJ = {
     "emb_cosine_topk",            # brute-force baseline: query-point broadcast
     "emb_lsh_topk",
     "emb_cosine_near_dups",
+    "docs_semantic_dedup",        # same centroid broadcast (cell assignment)
 }
 
 

@@ -249,6 +249,68 @@ def test_ivf_multiprobe_recall_monotone(spark):
         assert f1[q] <= f2[q]
 
 
+def test_semantic_prune_matches_brute_force(spark):
+    """semantic_prune == the exists-smaller-similar-cell-mate rule
+    computed brute-force in Python on vectors with PLANTED near-dups
+    (clones + tiny noise): every clone group keeps exactly its
+    smallest id when co-celled, and near-orthogonal vectors survive."""
+    import math
+    import random
+
+    from dwh_spark.operators.similarity import semantic_prune
+
+    rng = random.Random(3)
+    dim = 16
+    bases = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(12)]
+    rows = []
+    for i in range(120):
+        base = bases[i % 12]
+        if i < 60:  # planted clones: same base + tiny noise -> cos ~1
+            v = [x + rng.gauss(0, 0.01) for x in base]
+        else:  # mixtures: far from any single base
+            other = bases[(i + 5) % 12]
+            v = [0.6 * x + 0.8 * y + rng.gauss(0, 0.3) for x, y in zip(base, other)]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent_ids = [0, 1, 2, 3, 4, 5]
+    centroids = df.filter(F.col("vec_id").isin(cent_ids))
+    got = {
+        r["vec_id"]: (r["cell"], r["pruned"])
+        for r in semantic_prune(df, centroids, threshold=0.9).collect()
+    }
+    # brute force with the same float32 storage the table round-trips
+    import numpy as np
+
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+
+    def cos(a, b):
+        return round(float(np.dot(a, b)) / (math.sqrt(float(np.dot(a, a))) * math.sqrt(float(np.dot(b, b)))), 6)
+
+    cell = {
+        i: min(cent_ids, key=lambda c: (-cos(vecs[i], vecs[c]), c)) for i in vecs
+    }
+    want = {
+        i: (
+            cell[i],
+            any(
+                j < i and cell[j] == cell[i] and cos(vecs[j], vecs[i]) >= 0.9
+                for j in vecs
+            ),
+        )
+        for i in vecs
+    }
+    assert got == want
+    # sanity on the planting: some prunes happened, and within every
+    # cell the smallest clone id survived
+    assert any(p for _, p in got.values())
+    for i, (c, p) in got.items():
+        if not p:
+            continue
+        assert any(
+            j < i and got[j][0] == c and cos(vecs[j], vecs[i]) >= 0.9 for j in vecs
+        )
+
+
 def test_pagerank_mass_conservation_and_convergence(spark):
     """On a graph with NO dangling nodes, total rank stays ~1.0 every
     round (teleport + damped redistribution conserves mass up to the
