@@ -82,6 +82,12 @@ HEADLINERS = {
     "user_id shuffle serves both fill windows",
     "orders_window_function_battery": "six analytic functions in one Window "
     "operator over a single (priority, price, key) sort",
+    "docs_semantic_dedup": "SemDeDup cells: centroid broadcast cross-score "
+    "for assignment, then a within-cell EQUI-join for pairs — the pair stage "
+    "is hash-partitioned on cell, never all-pairs",
+    "events_mg_salted_hot_join": "MG-discovered hot keys as a literal IN "
+    "list: only hot fact rows fan out, dimension explode is per-key "
+    "conditional — cold keys join once",
 }
 
 
