@@ -130,9 +130,12 @@ def with_global_rank(
         # ~2·nbins-node expression tree costs tens of seconds of
         # Catalyst analysis + codegen PER JOB, swamping fixture-scale
         # queries (34 s vs 1.4 s at sf0.1); the O(nbins) fold compiles
-        # to one tight loop and keeps nbins=128 rank of 10M rows at
-        # ~18 s. The auto-scale path raises nbins only with data volume
-        # (clamped at _MAX_BINS for exactly this per-row cost).
+        # to one tight loop and ranks 10M rows in ~18-34 s at
+        # nbins=128 (session-load dependent; the r7 smoke measured the
+        # adaptive 200-bin path slightly FASTER than 128 — smaller
+        # window sorts beat the extra fold work). The auto-scale path
+        # raises nbins only with data volume (clamped at _MAX_BINS for
+        # exactly this per-row cost).
         bin_expr = F.aggregate(
             F.array(*[F.lit(float(e)) for e in edges]),
             F.lit(0).cast("long"),
