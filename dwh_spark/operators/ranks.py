@@ -92,9 +92,15 @@ def with_global_rank(
         # (codegen SQL path — DataFrame.approxQuantile goes through the
         # legacy RDD StatFunctions and is several times slower per job).
         # Edge precision doesn't affect correctness, only bin balance.
-        probs = F.array(*[F.lit(i / k) for i in range(1, k)])
+        # k < 2 means one bin: no interior edges to compute.
         cols = [
-            F.percentile_approx(p_clean, probs, F.lit(max(1000, 2 * k))).alias("qs")
+            F.percentile_approx(
+                p_clean,
+                F.array(*[F.lit(i / k) for i in range(1, k)]),
+                F.lit(max(1000, 2 * k)),
+            ).alias("qs")
+            if k >= 2
+            else F.lit(None).cast("array<double>").alias("qs")
         ]
         if with_count:
             cols.append(F.count(F.lit(1)).alias("n"))

@@ -92,25 +92,29 @@ def targeted_salted_join(
     merge), so the membership test compiles to a literal IN list
     JVM-side. Single join key only — the discovery sketch keys on one
     column. Salt assignment is distribution-only: the joined row set
-    is salt-invariant for any ``hot_keys`` contents.
+    is salt-invariant for any ``hot_keys`` contents — for inner/left
+    shapes. Right/full outer are rejected: an UNMATCHED hot dimension
+    key would emit once per salt replica instead of once.
     """
     if len(list(on)) != 1:
         raise ValueError("targeted_salted_join salts a single join key")
+    if how.replace("_", "") not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"targeted_salted_join: {how!r} join would duplicate unmatched "
+            "replicated dimension rows; use inner/left/left_semi"
+        )
     key = list(on)[0]
     hot = list(hot_keys)
-    is_hot_fact = F.col(key).isin(hot) if hot else F.lit(False)
+    is_hot = F.col(key).isin(hot) if hot else F.lit(False)
     salted_fact = skewed.withColumn(
         "__salt",
-        F.when(is_hot_fact, (F.rand(seed=42) * n_salts).cast("int")).otherwise(
-            F.lit(0)
-        ),
+        F.when(is_hot, (F.rand(seed=42) * n_salts).cast("int")).otherwise(F.lit(0)),
     )
-    is_hot_dim = F.col(key).isin(hot) if hot else F.lit(False)
     replicated = small.withColumn(
         "__salt",
         F.explode(
             F.when(
-                is_hot_dim, F.sequence(F.lit(0), F.lit(n_salts - 1))
+                is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1))
             ).otherwise(F.array(F.lit(0)))
         ),
     )

@@ -37,3 +37,40 @@ def test_queries_and_oracles_align():
     ]
     assert set(osql) <= set(qs)
     assert set(qs) == set(QUERIES) and set(osql) == set(ORACLES)
+
+
+def test_rotation_covers_stalest_verdicts():
+    """The rotation policy as an invariant: any query whose LATEST
+    driver verdict (union of committed CORRECTNESS_r*.json) is >= 3
+    rounds behind the newest committed round must sit in _CHECK_FIRST,
+    or it can age out of the driver's ~50-slot window indefinitely."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    latest: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        for q in rec:
+            latest[q] = max(latest.get(q, 0), r)
+    if not rounds:
+        return  # fresh clone without driver artifacts
+    newest = max(rounds)
+    stale = {
+        q for q, r in latest.items() if r <= newest - 3 and q in QUERIES
+    }
+    mod = _entry()
+    missing = sorted(stale - set(mod._CHECK_FIRST))
+    assert not missing, (
+        f"queries with driver verdicts from round <= {newest - 3} missing "
+        f"from _CHECK_FIRST: {missing}"
+    )
