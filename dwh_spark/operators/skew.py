@@ -80,8 +80,10 @@ def targeted_salted_join(
     ``salted_join`` replicates the whole dimension side ``n_salts``
     times — the right trade when skew is broad or unknown. When the
     hot keys ARE known (e.g. discovered by the Misra-Gries sketch in
-    ``operators/sketch.py`` — est + err_bound >= threshold gives a
-    guaranteed superset of every key above threshold), the dimension
+    ``operators/sketch.py`` — for thresholds above the err bound,
+    est + err_bound >= threshold selects a guaranteed superset of
+    every key above threshold; below err no sketch can promise
+    discovery), the dimension
     blow-up can be confined to them: hot fact rows get a uniform salt
     in [0, n_salts), cold rows salt 0; hot dimension keys replicate
     ``n_salts`` times, cold keys once. Dimension amplification drops

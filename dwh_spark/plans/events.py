@@ -673,13 +673,17 @@ def events_mg_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan out and only hot dimension keys replicate.
 
     Selection is the sketch's certified bound used as designed: est <=
-    true <= est + err_bound, so ``est + err_bound >= threshold`` is a
-    guaranteed SUPERSET of every key with true count >= threshold
-    (here 1% of rows); the superset is capped to the top 64 estimates
-    to keep the literal IN list small (over-salting a cold key is
-    distribution-only — harmless). The rollup is salt-invariant, which
-    is exactly what the plain-join oracle checks: any discovery error
-    that affected RESULTS (not just distribution) would go red."""
+    true <= est + err_bound, and a key MG never tracked has true <=
+    err_bound — so for any threshold ABOVE err_bound, every truly-hot
+    key is tracked with ``est + err_bound >= threshold``: a guaranteed
+    SUPERSET (pinned by test_mg_threshold_selection_is_superset). The
+    threshold is therefore 1% of rows FLOORED AT err_bound+1 (err <=
+    n/(k+1), so below it no sketch can promise discovery); the
+    superset is capped to the top 64 estimates to keep the literal IN
+    list small (over-salting a cold key is distribution-only —
+    harmless). The rollup is salt-invariant, which is exactly what the
+    plain-join oracle checks: any discovery error that affected
+    RESULTS (not just distribution) would go red."""
     from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
     from dwh_spark.operators.skew import targeted_salted_join
 
@@ -687,7 +691,7 @@ def events_mg_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters, err, n = mg_merge(
         mg_partition_summaries(ev_raw, "user_id", "event_id", k=64, n_parts=32)
     )
-    thresh = max(1, n // 100)
+    thresh = max(1, n // 100, err + 1)
     hot = [
         int(r["key"])
         for r in counters.filter(F.col("est") + F.lit(err) >= thresh)

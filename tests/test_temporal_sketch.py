@@ -417,6 +417,53 @@ def test_mg_bound_holds_on_adversarial_data(spark):
     assert "k000" in ests
 
 
+def test_mg_threshold_selection_is_superset(spark):
+    """The discovery→salting contract (events_mg_salted_hot_join):
+    for any threshold T ABOVE the err bound, selecting tracked keys
+    with est + err_bound >= T must be a SUPERSET of every key with
+    TRUE count >= T — under heavy skew, near-uniform keys, and k small
+    enough to force evictions. (true >= T > err forces the key to be
+    tracked with est >= true - err, hence est + err >= T.) Below err
+    no sketch can promise discovery; the complement guarantee is that
+    every UNTRACKED key has true <= err."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
+
+    rng = random.Random(19)
+    rows = []
+    rid = 0
+    # two celebrity keys + zipf body + uniform tail
+    for j, reps in [("hotA", 4000), ("hotB", 2500)]:
+        for _ in range(reps):
+            rows.append((rid, j)); rid += 1
+    for j in range(300):
+        for _ in range(max(1, 800 // (j + 1))):
+            rows.append((rid, f"z{j:03d}")); rid += 1
+    for _ in range(3000):
+        rows.append((rid, f"u{rng.randrange(1500):04d}")); rid += 1
+    df = spark.createDataFrame(rows, "row_id long, key string")
+    exact = {r["key"]: r["cnt"] for r in
+             df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    counters, err, n = mg_merge(
+        mg_partition_summaries(df, "key", "row_id", k=16, n_parts=8)
+    )
+    ests = {r["key"]: r["est"] for r in counters.collect()}
+    assert n == len(rows)
+    for T in (err + 1, max(err + 1, n // 20), max(err + 1, n // 10), n // 4):
+        selected = {k for k, est in ests.items() if est + err >= T}
+        truly_hot = {k for k, c in exact.items() if c >= T}
+        assert truly_hot <= selected, (T, truly_hot - selected)
+    # the discovery floor: every key MG dropped is provably below err
+    for key, c in exact.items():
+        if key not in ests:
+            assert c <= err, (key, c, err)
+    # and the celebrities are always discovered
+    assert {"hotA", "hotB"} <= set(ests)
+
+
 def test_mg_deterministic_across_input_order(spark):
     """Same data in shuffled input order => bit-identical summaries
     (content is hash-partitioned; processing order is sorted-key)."""
