@@ -309,6 +309,16 @@ def test_semantic_prune_matches_brute_force(spark):
         assert any(
             j < i and got[j][0] == c and cos(vecs[j], vecs[i]) >= 0.9 for j in vecs
         )
+    # the BLAS path must agree exactly on data with clear margins
+    # (clones at cos~1, mixtures well below 0.9 — no pair sits at the
+    # float-association rounding boundary)
+    from dwh_spark.operators.similarity import semantic_prune_vectorized
+
+    got_vec = {
+        r["vec_id"]: (r["cell"], r["pruned"])
+        for r in semantic_prune_vectorized(df, centroids, threshold=0.9).collect()
+    }
+    assert got_vec == got
 
 
 def test_pagerank_mass_conservation_and_convergence(spark):
