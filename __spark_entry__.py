@@ -37,66 +37,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # order, so ordering is evidence policy (rotation, VERDICT r5 item 1):
 # (1) never-checked queries lead, (2) queries whose code changed this
 # round re-verify next, (3) the window backfills with the
-# LONGEST-UNCHECKED greens. Round 7 adds 2 queries and touches 2
-# non-stale code paths, so the remaining ~46 slots take the ENTIRE
-# stale backlog — the ledger-exact 21 r2-last-checked + 25 r3-last-
-# checked queries (union of CORRECTNESS_r1..r6 latest rounds). After
-# this window lands green, no query's driver verdict predates r4 and
-# the rotation has fully cycled once.
+# LONGEST-UNCHECKED greens, (4) queries touched this round but already
+# verified LAST round trail as overflow — if the ~50-slot window cuts
+# anything, it cuts re-verification of a round-7-fresh verdict, never
+# a stale one. Round 8's stale cohort is the ledger-exact 43 queries
+# whose latest verdict is round 4 (newest committed artifact is r7, so
+# r4 == newest-3; union of CORRECTNESS_r1..r7): 5 marketplace batch
+# states + audit, 16 events_* (hll/kmv/asof/sessionization/...),
+# 5 TPC-H (q11/q12/q16/q21/q22), 4 streaming, 5 docs_*, and the rest
+# per the list below.
 _CHECK_FIRST = [
-    # -- new in round 7: no driver verdict yet
-    "docs_semantic_dedup",           # SemDeDup-shape IVF-cell cosine prune
-    "events_mg_salted_hot_join",     # MG-discovered keys drive targeted salting
-    # -- code touched in round 7: re-verify
-    "events_stalest_topk",           # adaptive-nbins + NaN-bin rank rewrite
-    "marketplace_stream_nfts_state", # parallel store commits in the fold (also r2-stale)
-    # -- stale: last driver check was round 2 (all 21 cycle now)
-    "bucketed_cust_order_rollup",
-    "datetime_function_battery",
-    "events_activity_bitmaps",
-    "events_cms_user_counts",
-    "events_session_concurrency",
-    "events_snapshot_diff",
-    "events_value_robust_stats",
-    "flagship_nft_offers_nested",
-    "marketplace_multicoin_totals",
+    # -- new in round 8: no driver verdict yet (uncommented as each lands)
+    # -- code touched in round 8: re-verify (oracle or plan changed)
+    "docs_corpus_build",             # semantic stage wired between dedup and split
+    "streaming_click_purchase_left_join",  # harness staging/attribution rework
+    # -- stale: latest driver verdict is round 4 (all 43 cycle now)
+    "av_audio_chunk_energy",
+    "av_audio_chunking",
+    "customer_forget_cascade",
+    "docs_bm25_topk",
+    "docs_fingerprint_winnowing",
+    "docs_simhash_rotation_near_dups",
+    "docs_token_stats",
+    "emb_ivf_recall_audit",
+    "events_asof_last_click",
+    "events_daily_type_pivot",
+    "events_error_purchase_proximity",
+    "events_foreign_errors_in_sessions",
+    "events_funnel_signup_purchase",
+    "events_hll_distinct_users",
+    "events_hll_union_merge",
+    "events_interval_frame_sums",
+    "events_json_extract",
+    "events_kmv_set_algebra",
+    "events_range_hypertable_rollup",
+    "events_session_funnel_windows",
+    "events_sessionization",
+    "filters_combinators",
+    "imgs_real_pixel_stats",
+    "marketplace_audit_counts",
+    "marketplace_bids_surviving",
+    "marketplace_ft_state",
+    "marketplace_listed_value",
+    "marketplace_nfts_state",
+    "marketplace_offers_surviving",
+    "marketplace_users_state",
+    "nation_trade_triangles",
+    "orders_incremental_cdc_merge",
+    "point_lookup_composite",
+    "q11_important_stock",
+    "q12_shipmode_priority_counts",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "semi_anti_customers",
+    "streaming_click_purchase_join",
+    "streaming_daily_rollup",
+    "streaming_dedup_exactly_once",
+    "streaming_dim_enrichment",
+    # -- touched in round 8 but verified green in round 7: overflow
+    #    (fold-analysis reuse touched every marketplace_stream_* path;
+    #    semantic_prune internals touched docs_semantic_dedup)
+    "marketplace_stream_nfts_state",
+    "marketplace_stream_users_state",
+    "marketplace_stream_offers_surviving",
     "marketplace_stream_bids_surviving",
     "marketplace_stream_ft_state",
-    "marketplace_stream_offers_surviving",
-    "marketplace_stream_users_state",
-    "nation_trade_pagerank",
-    "orders_unpivot_measures",
-    "q13_customer_distribution",
-    "reconcile_daily_counts",
-    "sql_correlated_outliers",
-    "streaming_daily_rollup_incremental",
-    "streaming_session_windows",
-    # -- stale: last driver check was round 3 (all 25 cycle now)
-    "agg_all_orders",
-    "cube_orders_status_priority",
-    "docs_collection_fn_battery",
-    "orders_daily_moving_stats",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_parts_suppliers_semi",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "rollup_region_nation",
-    "scalar_function_battery",
-    "setops_customer_segments",
-    "sql_big_spenders",
-    "streaming_user_accumulator",
-    "topk_orders_per_segment",
+    "docs_semantic_dedup",
+    "events_mg_salted_hot_join",
 ]
 
 

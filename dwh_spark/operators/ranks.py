@@ -127,7 +127,12 @@ def with_global_rank(
     # persist it for speed — and if df is NONDETERMINISTIC (sample(),
     # rand(), a re-read of changing files), persisting is a CORRECTNESS
     # requirement: offsets computed from one materialization against
-    # bins from another silently skip/duplicate ranks.
+    # bins from another silently skip/duplicate ranks. The same caveat
+    # covers the METADATA: meta_out['n'], the n==0 early return, and
+    # the adaptive nbins choice are all taken from the EDGE-PASS job
+    # (a separate materialization from both the bin counts and the
+    # ranked output), so without persist they may describe a different
+    # sample of a nondeterministic input than the rows actually ranked.
     if edges:
         # bin(v) = #edges <= v: monotone in v, ties share a bin, and
         # the fold stays JVM-side (codegen loop over a literal array).

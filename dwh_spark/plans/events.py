@@ -679,11 +679,15 @@ def events_mg_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUPERSET (pinned by test_mg_threshold_selection_is_superset). The
     threshold is therefore 1% of rows FLOORED AT err_bound+1 (err <=
     n/(k+1), so below it no sketch can promise discovery); the
-    superset is capped to the top 64 estimates to keep the literal IN
-    list small (over-salting a cold key is distribution-only —
-    harmless). The rollup is salt-invariant, which is exactly what the
-    plain-join oracle checks: any discovery error that affected
-    RESULTS (not just distribution) would go red."""
+    superset is then capped to the top 64 estimates to keep the
+    literal IN list small. NOTE the cap's real trade: when MORE than
+    64 keys pass the filter, the truncation UNDER-salts the dropped
+    (possibly truly hot) keys — a skew-mitigation loss, never a
+    correctness loss (unsalted keys take the ordinary join path), and
+    we log to stderr when it fires so the loss is visible. The rollup
+    is salt-invariant, which is exactly what the plain-join oracle
+    checks: any discovery error that affected RESULTS (not just
+    distribution) would go red."""
     from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
     from dwh_spark.operators.skew import targeted_salted_join
 
@@ -692,13 +696,22 @@ def events_mg_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         mg_partition_summaries(ev_raw, "user_id", "event_id", k=64, n_parts=32)
     )
     thresh = max(1, n // 100, err + 1)
-    hot = [
-        int(r["key"])
-        for r in counters.filter(F.col("est") + F.lit(err) >= thresh)
+    passing = (
+        counters.filter(F.col("est") + F.lit(err) >= thresh)
         .orderBy(F.desc("est"), F.asc("key"))
-        .limit(64)
+        .limit(65)  # 64 + 1: enough to detect truncation without a count()
         .collect()
-    ]
+    )
+    if len(passing) > 64:
+        import sys
+
+        print(
+            "[events_mg_salted_hot_join] >64 keys passed the MG threshold; "
+            "truncating to top-64 estimates (dropped keys stay UNSALTED — "
+            "skew-mitigation loss only, results unaffected)",
+            file=sys.stderr,
+        )
+    hot = [int(r["key"]) for r in passing[:64]]
     ev = ev_raw.select(
         F.col("user_id").alias("k"), F.col("value").cast("decimal(18,2)").alias("v")
     )

@@ -299,7 +299,16 @@ def main() -> None:
         lambda i: (F.pmod(F.xxhash64("src", i), F.lit(2000)) / 1000.0 - 1.0).cast("float"),
     )
     sem_vecs = sem_src.select("vec_id", sem_emb.alias("embedding"))
-    sem_cents = sem_vecs.filter(F.pmod(F.col("vec_id"), F.lit(195)) == 0).limit(256)
+    # Deterministic 256-centroid pick: vec_id in {0, 195, ..., 195*255}.
+    # An unordered limit(256) is nondeterministic AND the centroid
+    # subplan appears in multiple subtrees of the semantic_prune DAG
+    # (both join sides + the flagged frame), so different evaluations
+    # could in principle pick DIFFERENT centroid sets within one query;
+    # the exact filter (plus persist) pins one set everywhere.
+    sem_cents = sem_vecs.filter(
+        (F.pmod(F.col("vec_id"), F.lit(195)) == 0) & (F.col("vec_id") < 195 * 256)
+    ).persist()
+    assert sem_cents.count() == 256
     n_pruned = (
         semantic_prune(sem_vecs, sem_cents, threshold=0.999)
         .filter("pruned")

@@ -53,6 +53,8 @@ def test_rotation_covers_stalest_verdicts():
     rounds = []
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:  # glob-matched but oddly named (CORRECTNESS_rX.json)
+            continue
         try:
             with open(path) as fh:
                 rec = json.load(fh)
