@@ -47,7 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # 5 TPC-H (q11/q12/q16/q21/q22), 4 streaming, 5 docs_*, and the rest
 # per the list below.
 _CHECK_FIRST = [
-    # -- new in round 8: no driver verdict yet (uncommented as each lands)
+    # -- new in round 8: no driver verdict yet
+    "emb_semantic_trained_prune",    # trained+auto-n_cells semantic prune, oracle-derived index
     # -- code touched in round 8: re-verify (oracle or plan changed)
     "docs_corpus_build",             # semantic stage wired between dedup and split
     "streaming_click_purchase_left_join",  # harness staging/attribution rework

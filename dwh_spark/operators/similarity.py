@@ -280,7 +280,7 @@ def assign_cells_vectorized(
     ~140 s of the 147 s total to ~11 s end-to-end)."""
     import numpy as np
     from pyspark.sql.types import (
-        ArrayType, BooleanType, DoubleType, FloatType, LongType,
+        ArrayType, DoubleType, FloatType, LongType,
         StructField as SF, StructType as ST,
     )
 
@@ -322,21 +322,31 @@ def semantic_prune_vectorized(
     threshold: float,
     vec: str = "embedding",
     key: str = "vec_id",
+    vectorized_assign: bool = True,
 ) -> DataFrame:
     """:func:`semantic_prune` on the FAST path: same cells, same
     exists-smaller-similar rule, but each cell's pairwise cosines come
     from one BLAS gram matrix (m×d @ d×m) inside ``applyInPandas``
     instead of per-pair fold expressions — the :func:`cosine_topk` /
-    :func:`cosine_topk_vectorized` split applied to dedup.
+    :func:`cosine_topk_vectorized` split applied to dedup. By default
+    the cell ASSIGNMENT is vectorized too
+    (:func:`assign_cells_vectorized` — one broadcast centroid matmul
+    per Arrow batch): the fold assignment is O(n·n_cells·d) Catalyst
+    expression evaluations and dominates end-to-end at real cell
+    counts (measured 200k×1024: ~140 s of a 147 s total; vectorized
+    ~11 s end-to-end). Pass ``vectorized_assign=False`` to keep the
+    fold assignment when exact cell parity with the SQL oracle
+    matters more than speed.
 
     The fold variant stays the oracle-exact reference (sequential
     summation DuckDB replicates bit-for-bit); this one is for corpus
     scale, where per-pair higher-order-function folds lose to BLAS by
     an order of magnitude at transformer dims. Parity caveat (same as
-    cosine_topk_vectorized): summation order differs, so a pair whose
-    unrounded cosine sits within float-association distance (~1e-12)
-    of the 6-decimal rounding boundary AT the threshold can flip —
-    tests pin agreement away from that measure-zero band.
+    cosine_topk_vectorized): summation order differs, so a pair — or,
+    with ``vectorized_assign``, a vector's nearest-centroid choice —
+    whose unrounded cosine sits within float-association distance
+    (~1e-12) of the 6-decimal rounding boundary can flip — tests pin
+    agreement away from that measure-zero band.
 
     Memory: one cell's gram needs m·B doubles per column block
     (B=1024 below) — size ``n_cells`` to keep cell populations in the
@@ -345,7 +355,8 @@ def semantic_prune_vectorized(
     """
     import numpy as np
 
-    cells = assign_cells(vectors, centroids, vec=vec, key=key)
+    assign = assign_cells_vectorized if vectorized_assign else assign_cells
+    cells = assign(vectors, centroids, vec=vec, key=key)
 
     def prune_cell(pdf):
         import pandas as pd
@@ -510,6 +521,7 @@ def kmeans_iterate(
     n_iter: int = 2,
     vec: str = "embedding",
     key: str = "vec_id",
+    exact_mean: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means refinement of IVF centroids, distributed: each
     iteration assigns vectors to their nearest centroid (broadcast
@@ -522,9 +534,26 @@ def kmeans_iterate(
     previous centroid (no NaN poisoning). This is the "train" step the
     IVF tier stubs with seed centroids — run it on a sample, not the
     full 100 TB corpus, exactly like production ANN index builds.
+
+    ``exact_mean=True`` computes each per-dim mean as an exact
+    DECIMAL(27,12) sum divided in double: decimal addition is
+    associative, so the mean is independent of partition order AND
+    reproducible bit-for-bit by a DuckDB oracle (``avg`` over doubles
+    is neither — cross-partition summation order drifts the last ulp).
+    The decimal cast truncates components below 1e-12, far under
+    float32 resolution; cost is one wider shuffle column.
     """
     current = centroids.select(
         F.col(key).alias("centroid_id"), F.col(vec).alias("c_emb")
+    )
+    mean_expr = (
+        (
+            F.sum(F.col("component").cast("double").cast("decimal(27,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        )
+        if exact_mean
+        else F.avg("component")
     )
     for _ in range(n_iter):
         assigned = assign_cells(
@@ -540,7 +569,7 @@ def kmeans_iterate(
         )
         means = (
             by_dim.groupBy("cell", "dim")
-            .agg(F.avg("component").alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select(
@@ -558,6 +587,84 @@ def kmeans_iterate(
         )
         current.count()
     return current.select("centroid_id", F.col("c_emb").alias("embedding"))
+
+
+# Auto-n_cells clamp (the adaptive pattern from operators/ranks.py):
+# floor keeps tiny corpora from degenerating to one cell; ceiling
+# bounds the broadcast centroid matrix (65536 × 64 dims × 4 B ≈ 16 MB;
+# at transformer dims pass a lower max_cells or raise rows_per_cell).
+_MIN_CELLS = 4
+_MAX_CELLS = 65536
+
+
+def train_semantic_cells(
+    vectors: DataFrame,
+    rows_per_cell: int = 4096,
+    n_iter: int = 1,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    min_cells: int = _MIN_CELLS,
+    max_cells: int = _MAX_CELLS,
+    train_fraction: float | None = None,
+) -> tuple[DataFrame, int]:
+    """Production front door for :func:`semantic_prune`'s index
+    inputs: derive ``n_cells`` from the corpus instead of pinning it,
+    and TRAIN the centroids instead of hand-picking ids.
+
+    - ``n_cells = clamp(ceil(n / rows_per_cell), min_cells,
+      max_cells)`` — the docstring rule "scale n_cells with the corpus
+      to hold cell population ~constant" as code, same clamp shape as
+      the adaptive nbins in ``operators/ranks.py``.
+    - Seeds are the ``n_cells`` vectors with the smallest
+      ``md5(cast(key as string))`` — deterministic, data-independent
+      of insertion order, and replicable in ANSI SQL, so an oracle can
+      re-derive the exact index. The sort is a TakeOrderedAndProject
+      (per-partition top-n_cells heap), never a full global sort.
+    - ``n_iter`` Lloyd steps via :func:`kmeans_iterate` with
+      ``exact_mean=True`` (order-independent decimal means), keeping
+      the TRAINED index oracle-reproducible end-to-end.
+    - ``train_fraction`` optionally trains on a deterministic
+      hash-sample of the corpus (``xxhash64(key) mod 1e6 <
+      frac*1e6``) — the 100 TB path, where Lloyd steps over the full
+      corpus are wasteful; seeds still come from the sample. Not
+      SQL-replicable (Spark's xxhash64), so oracle-gated callers leave
+      it None.
+
+    Returns ``(centroids, n_cells)`` with centroids shaped
+    ``(key, vec)`` — directly consumable by :func:`semantic_prune` /
+    :func:`semantic_prune_vectorized` / :func:`assign_cells`.
+
+    Cost: one count job + one seed top-k job + two shuffles per Lloyd
+    step (assignment window + per-dim mean), all on the training
+    frame. Run it once per corpus build and reuse the centroids.
+    """
+    # n_cells derives from the CORPUS row count — the contract is
+    # corpus cell population, so sampling must not shrink it. When
+    # sampling, clamp to the sample size too (can't seed more cells
+    # than training rows).
+    n = vectors.count()
+    n_cells = min(max_cells, max(min_cells, -(-n // rows_per_cell)))
+    train = vectors
+    if train_fraction is not None:
+        train = vectors.filter(
+            F.pmod(F.xxhash64(F.col(key)), F.lit(1_000_000))
+            < F.lit(int(train_fraction * 1_000_000))
+        )
+        n_cells = max(min_cells, min(n_cells, train.count()))
+    seeds = (
+        train.select(F.col(key), F.col(vec))
+        .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
+        .limit(n_cells)
+    )
+    trained = kmeans_iterate(
+        train, seeds, n_iter=n_iter, vec=vec, key=key, exact_mean=True
+    )
+    return (
+        trained.select(
+            F.col("centroid_id").alias(key), F.col("embedding").alias(vec)
+        ),
+        n_cells,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -319,6 +319,56 @@ def main() -> None:
         f"semantic_prune (50k vecs = 100x fixture, 256 cells, 500 planted "
         f"clones): {time.perf_counter() - t:.1f}s ({n_pruned} pruned, exact)"
     )
+
+    # TRAINED-index semantic prune at 400x the fixture: 200k vectors,
+    # 2000 planted exact clones (ids >= 198_000 repeat ids 0..1999).
+    # train_semantic_cells derives n_cells = ceil(200k/512) = 391 from
+    # the corpus (no pinned centroid list), trains one exact-mean
+    # Lloyd step on a 10% deterministic hash-sample, and the prune
+    # runs the BLAS path end-to-end (vectorized assignment + gram
+    # pruning). Checks: exact clone recall at threshold 0.999 AND the
+    # bounded-cell-population contract the docstring promises.
+    from dwh_spark.operators.similarity import (
+        assign_cells_vectorized,
+        semantic_prune_vectorized,
+        train_semantic_cells,
+    )
+
+    t = time.perf_counter()
+    tr_src = spark.range(200_000).select(
+        F.col("id").alias("vec_id"), F.pmod(F.col("id"), F.lit(198_000)).alias("src")
+    )
+    tr_vecs = tr_src.select("vec_id", sem_emb.alias("embedding")).persist()
+    tr_vecs.count()
+    tr_cents, tr_ncells = train_semantic_cells(
+        tr_vecs, rows_per_cell=512, n_iter=1, train_fraction=0.1
+    )
+    tr_cents = tr_cents.persist()
+    assert tr_cents.count() == tr_ncells == -(-200_000 // 512), tr_ncells
+    train_s = time.perf_counter() - t
+    t = time.perf_counter()
+    tr_flagged = semantic_prune_vectorized(tr_vecs, tr_cents, threshold=0.999).persist()
+    tr_pruned = tr_flagged.filter("pruned").count()
+    assert tr_pruned == 2000, tr_pruned
+    pops = (
+        tr_flagged.groupBy("cell").count().agg(
+            F.max("count").alias("mx"), F.avg("count").alias("av")
+        ).collect()[0]
+    )
+    print(
+        f"train_semantic_cells + semantic_prune_vectorized (200k vecs, "
+        f"auto n_cells={tr_ncells}, 10% train sample): train {train_s:.1f}s, "
+        f"prune {time.perf_counter() - t:.1f}s ({tr_pruned} pruned, exact; "
+        f"cell pop max {pops['mx']} avg {pops['av']:.0f})"
+    )
+    # the vectorized assignment alone (the ADVICE-flagged fast path —
+    # one broadcast matmul per Arrow batch, no O(n*n_cells) Catalyst folds)
+    timed(
+        f"assign_cells_vectorized (200k vecs x {tr_ncells} trained cells)",
+        assign_cells_vectorized(tr_vecs, tr_cents).select("vec_id", "cell"),
+    )
+    tr_flagged.unpersist()
+    tr_vecs.unpersist()
     # bigram LM over the synthetic doc corpus (500k docs at default)
     timed(
         "bigram_lm doc_predictability (train + score, one corpus)",

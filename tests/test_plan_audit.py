@@ -52,6 +52,7 @@ _ALLOW_BNLJ = {
     "emb_lsh_topk",
     "emb_cosine_near_dups",
     "docs_semantic_dedup",        # same centroid broadcast (cell assignment)
+    "emb_semantic_trained_prune", # same centroid broadcast (train + assignment)
 }
 
 

@@ -319,6 +319,59 @@ def test_semantic_prune_matches_brute_force(spark):
         for r in semantic_prune_vectorized(df, centroids, threshold=0.9).collect()
     }
     assert got_vec == got
+    # ... on BOTH assignment paths: default is the BLAS-matmul
+    # assignment (exercised above); the fold-assignment escape hatch
+    # must agree too
+    got_fold_assign = {
+        r["vec_id"]: (r["cell"], r["pruned"])
+        for r in semantic_prune_vectorized(
+            df, centroids, threshold=0.9, vectorized_assign=False
+        ).collect()
+    }
+    assert got_fold_assign == got
+
+
+def test_train_semantic_cells_auto_ncells_and_prune(spark):
+    """train_semantic_cells derives n_cells = clamp(ceil(n/rpc)),
+    returns prune-consumable centroids, and its trained index keeps
+    exactly one representative per planted clone family."""
+    import random
+
+    from dwh_spark.operators.similarity import (
+        semantic_prune,
+        train_semantic_cells,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    bases = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.005)) for x in bases[i % 6]])
+        for i in range(180)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents, n_cells = train_semantic_cells(df, rows_per_cell=30, n_iter=2)
+    assert n_cells == 6  # ceil(180/30)
+    assert cents.columns == ["vec_id", "embedding"]
+    assert cents.count() == 6
+    # clamp floor/ceiling
+    assert train_semantic_cells(df, rows_per_cell=10_000)[1] == 4
+    assert train_semantic_cells(df, rows_per_cell=1, max_cells=16)[1] == 16
+    # deterministic hash-sample: subset of the corpus, stable size
+    sampled, _ = train_semantic_cells(df, rows_per_cell=30, train_fraction=0.5)
+    assert sampled.count() >= 4
+    # the trained index collapses the clone families: every family is
+    # represented, and keeps are one-per-(family, cell) — k-means may
+    # legitimately straddle one family across a cell boundary (the
+    # deterministic outcome here is 7 keeps: family 1 lands in two
+    # cells), but never more keeps than occupied (family, cell) pairs
+    flagged = semantic_prune(df, cents, threshold=0.9)
+    rows_out = flagged.collect()
+    kept = [r["vec_id"] for r in rows_out if not r["pruned"]]
+    assert set(k % 6 for k in kept) == {0, 1, 2, 3, 4, 5}
+    fam_cells = {(r["vec_id"] % 6, r["cell"]) for r in rows_out}
+    assert 6 <= len(kept) == len(fam_cells) <= 12
 
 
 def test_pagerank_mass_conservation_and_convergence(spark):
