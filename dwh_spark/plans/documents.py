@@ -605,9 +605,13 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_corpus_build",
-    oracle=f"""
+def _corpus_build_oracle() -> str:
+    # built lazily in a function so the cross-module CTE helper import
+    # stays local (plans.embeddings also registers queries on import;
+    # both modules are loaded by plans.all either way)
+    from dwh_spark.plans.embeddings import _NORM2, trained_prune_ctes
+
+    return f"""
     WITH scored AS (
       SELECT doc_id, lang, text, {_QUALITY_SQL} AS q FROM documents
     ), kept AS (
@@ -616,14 +620,23 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
     ), survivors AS (
       SELECT k.doc_id, k.lang, k.text FROM kept k JOIN canon USING (doc_id)
+    ), sem_base AS (
+      SELECT e.vec_id, e.embedding, {_NORM2.format(v='e.embedding')} AS norm2
+      FROM embeddings e JOIN survivors s ON s.doc_id = e.vec_id
+    ),
+    {trained_prune_ctes('sem_base', rows_per_cell=64, threshold=0.3)},
+    survivors2 AS (
+      SELECT s.* FROM survivors s
+      LEFT JOIN sem_pruned p ON p.vec_id = s.doc_id
+      WHERE p.vec_id IS NULL
     ), split AS (
       SELECT doc_id, lang,
              CASE WHEN {hash_bucket_sql("doc_id")} < 10
                   THEN 'test' ELSE 'train' END AS split,
              len(string_split(text, ' ')) AS n_tok
-      FROM survivors
+      FROM survivors2
     ), packed AS (
-      SELECT split, lang, n_tok,
+      SELECT doc_id, split, lang, n_tok,
              CAST(floor((sum(n_tok) OVER (PARTITION BY split, lang
                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
                         / 2048.0) AS BIGINT) AS pack_id
@@ -632,24 +645,65 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split, lang,
            count(DISTINCT pack_id) AS n_packs,
            count(*) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
     FROM packed GROUP BY 1, 2
-    """,
-)
+    """
+
+
+# at most one live persisted survivors-embeddings frame (same
+# single-live-cache rotation as plans/events.py:_STALEST_CACHE): the
+# semantic stage reads sem_base from multiple eager jobs (count, seed
+# top-k, Lloyd assignment/means) plus several subtrees of the final
+# plan — persisting is both a speed and (for nondeterministic inputs)
+# a correctness requirement, per operators/ranks.py's NOTE.
+_CORPUS_SEM_CACHE: list = []
+
+
+@query("docs_corpus_build", oracle=_corpus_build_oracle())
 def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus build — quality filter → exact-dedup
-    survivors → reproducible split → sequence packing — composed from
-    the same operators each single-step query certifies. The quality
-    filter runs first (pure codegen, before any exchange) so every
-    shuffle — dedup groupBy + semi-join, split-shard window, final
-    rollup — moves only surviving rows."""
+    survivors → SEMANTIC dedup (round 8) → reproducible split →
+    sequence packing — composed from the same operators each
+    single-step query certifies. The quality filter runs first (pure
+    codegen, before any exchange) so every shuffle — dedup groupBy +
+    semi-join, semantic cell join, split-shard window, final rollup —
+    moves only surviving rows.
+
+    The semantic stage is the PRODUCTION path, not the fixture pin:
+    embeddings of surviving docs (semi-join on doc_id; docs WITHOUT an
+    embedding pass through unpruned — partial embedding coverage is
+    the realistic corpus shape, e.g. 2000 of 5000 docs at sf0.1),
+    trained cells via ``train_semantic_cells`` (auto n_cells, exact-
+    mean Lloyd step), prune via the oracle-exact exists-smaller-
+    similar rule. The output rollup carries ``doc_id_sum`` so the
+    oracle hash pins WHICH documents reached packing, not just how
+    many. At 100 TB: pass train_fraction to sample the Lloyd step; the
+    anti-join on the pruned set is broadcastable when prune rates are
+    low and an ordinary shuffle join otherwise (AQE decides)."""
     from dwh_spark.operators.packing import pack_by_budget as _pack
     from dwh_spark.operators.sampling import train_test_split as _split
+    from dwh_spark.operators.similarity import semantic_prune, train_semantic_cells
 
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(T.quality_score(F.col("text")) >= 0.5)
     survivors = D.keep_canonical(kept)
-    split = _split(survivors, "doc_id", test_pct=10).withColumn(
+    sem_base = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(survivors.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi")
+        .persist()
+    )
+    while _CORPUS_SEM_CACHE:
+        _CORPUS_SEM_CACHE.pop().unpersist()
+    _CORPUS_SEM_CACHE.append(sem_base)
+    centroids, _ = train_semantic_cells(sem_base, rows_per_cell=64, n_iter=1)
+    sem_pruned = (
+        semantic_prune(sem_base, centroids, threshold=0.3)
+        .filter("pruned")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    survivors2 = survivors.join(sem_pruned, "doc_id", "left_anti")
+    split = _split(survivors2, "doc_id", test_pct=10).withColumn(
         "shard", F.concat_ws("|", "split", "lang")
     )
     packed = _pack(
@@ -659,6 +713,7 @@ def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("pack_id").alias("n_packs"),
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
+        F.sum("doc_id").alias("doc_id_sum"),
     )
 
 

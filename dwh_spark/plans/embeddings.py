@@ -246,79 +246,93 @@ def emb_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_duplicates(emb, threshold=0.3)
 
 
+def trained_prune_ctes(base: str, rows_per_cell: int, threshold: float,
+                       dim: int = 64) -> str:
+    """DuckDB CTE chain re-deriving ``train_semantic_cells`` (md5-
+    smallest seeds, auto n_cells, ONE exact-mean Lloyd step) followed
+    by ``semantic_prune`` — appended after a CTE named ``base`` with
+    columns (vec_id, embedding, norm2). Emits ``sem_cells``
+    (vec_id, cell, embedding, norm2) and ``sem_pruned`` (vec_id).
+    Shared by every oracle that gates the trained semantic-dedup
+    pipeline (emb_semantic_trained_prune, docs_corpus_build)."""
+    return f"""
+    sem_seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb,
+             {_NORM2.format(v='embedding')} AS c_norm2
+      FROM {base}
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              <= GREATEST(4, LEAST(65536,
+                   CAST(ceil((SELECT count(*) FROM {base}) / {rows_per_cell}.0) AS BIGINT)))
+    ),
+    sem_a0 AS (
+      SELECT v.vec_id, s.centroid_id,
+             round({_DOT.format(a='v.embedding', b='s.c_emb')}
+                   / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) AS cos_c
+      FROM {base} v CROSS JOIN sem_seeds s
+    ),
+    sem_cell0 AS (
+      SELECT vec_id, centroid_id AS cell FROM sem_a0
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, centroid_id) = 1
+    ),
+    sem_comp AS (
+      SELECT c.cell, d.dim,
+             CAST(CAST(b.embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(27,12)) AS x
+      FROM sem_cell0 c JOIN {base} b USING (vec_id),
+           (SELECT unnest(range(0, {dim})) AS dim) d
+    ),
+    sem_means AS (
+      SELECT cell, dim,
+             CAST(sum(x) AS DOUBLE) / count(*) AS m
+      FROM sem_comp GROUP BY 1, 2
+    ),
+    sem_new_emb AS (
+      SELECT cell AS centroid_id, list(CAST(m AS REAL) ORDER BY dim) AS c_emb
+      FROM sem_means GROUP BY 1
+    ),
+    sem_trained AS (
+      SELECT s.centroid_id, coalesce(n.c_emb, s.c_emb) AS c_emb
+      FROM sem_seeds s LEFT JOIN sem_new_emb n USING (centroid_id)
+    ),
+    sem_t_norm AS (
+      SELECT centroid_id, c_emb, {_NORM2.format(v='c_emb')} AS c_norm2
+      FROM sem_trained
+    ),
+    sem_a1 AS (
+      SELECT v.vec_id, t.centroid_id,
+             round({_DOT.format(a='v.embedding', b='t.c_emb')}
+                   / (sqrt(v.norm2) * sqrt(t.c_norm2)), 6) AS cos_c
+      FROM {base} v CROSS JOIN sem_t_norm t
+    ),
+    sem_cells AS (
+      SELECT a.vec_id, a.centroid_id AS cell, b.embedding, b.norm2
+      FROM sem_a1 a JOIN {base} b USING (vec_id)
+      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY a.cos_c DESC, a.centroid_id) = 1
+    ),
+    sem_pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM sem_cells a JOIN sem_cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= {threshold}
+    )"""
+
+
 @query(
     "emb_semantic_trained_prune",
     oracle=f"""
     WITH base AS (
       SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
     ),
-    seeds AS (
-      SELECT vec_id AS centroid_id, embedding AS c_emb,
-             {_NORM2.format(v='embedding')} AS c_norm2
-      FROM base
-      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-              <= GREATEST(4, LEAST(65536,
-                   CAST(ceil((SELECT count(*) FROM base) / 64.0) AS BIGINT)))
-    ),
-    a0 AS (
-      SELECT v.vec_id, s.centroid_id,
-             round({_DOT.format(a='v.embedding', b='s.c_emb')}
-                   / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) AS cos_c
-      FROM base v CROSS JOIN seeds s
-    ),
-    cell0 AS (
-      SELECT vec_id, centroid_id AS cell FROM a0
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos_c DESC, centroid_id) = 1
-    ),
-    comp AS (
-      SELECT c.cell, d.dim,
-             CAST(CAST(b.embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(27,12)) AS x
-      FROM cell0 c JOIN base b USING (vec_id),
-           (SELECT unnest(range(0, 64)) AS dim) d
-    ),
-    means AS (
-      SELECT cell, dim,
-             CAST(sum(x) AS DOUBLE) / count(*) AS m
-      FROM comp GROUP BY 1, 2
-    ),
-    new_emb AS (
-      SELECT cell AS centroid_id, list(CAST(m AS REAL) ORDER BY dim) AS c_emb
-      FROM means GROUP BY 1
-    ),
-    trained AS (
-      SELECT s.centroid_id, coalesce(n.c_emb, s.c_emb) AS c_emb
-      FROM seeds s LEFT JOIN new_emb n USING (centroid_id)
-    ),
-    t_norm AS (
-      SELECT centroid_id, c_emb, {_NORM2.format(v='c_emb')} AS c_norm2 FROM trained
-    ),
-    a1 AS (
-      SELECT v.vec_id, t.centroid_id,
-             round({_DOT.format(a='v.embedding', b='t.c_emb')}
-                   / (sqrt(v.norm2) * sqrt(t.c_norm2)), 6) AS cos_c
-      FROM base v CROSS JOIN t_norm t
-    ),
-    cells AS (
-      SELECT a.vec_id, a.centroid_id AS cell, b.embedding, b.norm2
-      FROM a1 a JOIN base b USING (vec_id)
-      QUALIFY row_number() OVER (PARTITION BY a.vec_id
-                                 ORDER BY a.cos_c DESC, a.centroid_id) = 1
-    ),
-    pruned AS (
-      SELECT DISTINCT b.vec_id
-      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
-                  / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= 0.3
-    )
+    {trained_prune_ctes('base', rows_per_cell=64, threshold=0.3)}
     SELECT cl.cell,
            count(*) AS n_vectors,
            CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
            CAST(count(*) - count(p.vec_id) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN p.vec_id IS NULL THEN cl.vec_id END) AS BIGINT)
              AS kept_id_sum
-    FROM cells cl
-    LEFT JOIN pruned p ON p.vec_id = cl.vec_id
+    FROM sem_cells cl
+    LEFT JOIN sem_pruned p ON p.vec_id = cl.vec_id
     GROUP BY 1
     """,
 )
