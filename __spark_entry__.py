@@ -39,73 +39,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # round re-verify next, (3) the window backfills with the
 # LONGEST-UNCHECKED greens, (4) queries touched this round but already
 # verified LAST round trail as overflow — if the ~50-slot window cuts
-# anything, it cuts re-verification of a round-7-fresh verdict, never
-# a stale one. Round 8's stale cohort is the ledger-exact 43 queries
-# whose latest verdict is round 4 (newest committed artifact is r7, so
-# r4 == newest-3; union of CORRECTNESS_r1..r7): 5 marketplace batch
-# states + audit, 16 events_* (hll/kmv/asof/sessionization/...),
-# 5 TPC-H (q11/q12/q16/q21/q22), 4 streaming, 5 docs_*, and the rest
-# per the list below.
+# anything, it cuts re-verification of a round-8-fresh verdict, never
+# a stale one. Round 9's stale cohort is the ledger-exact 43 queries
+# whose latest verdict is round 5 (newest committed artifact is r8, so
+# r5 == newest-3; union of CORRECTNESS_r1..r8): the av_* decode
+# batteries, 15 docs_* dedup/quality queries, 6 emb_* ANN queries,
+# 5 events_* rollup/state queries, imgs gif/tiff, the 8 orders_*
+# r5 batteries, and streaming_latest_state — exact list below
+# (matches tests/test_entry_contract.py's recomputation).
 _CHECK_FIRST = [
-    # -- new in round 8: no driver verdict yet
-    "emb_semantic_trained_prune",    # trained+auto-n_cells semantic prune, oracle-derived index
-    # -- code touched in round 8: re-verify (oracle or plan changed)
-    "docs_corpus_build",             # semantic stage wired between dedup and split
-    "streaming_click_purchase_left_join",  # harness staging/attribution rework
-    # -- stale: latest driver verdict is round 4 (all 43 cycle now)
-    "av_audio_chunk_energy",
-    "av_audio_chunking",
-    "customer_forget_cascade",
-    "docs_bm25_topk",
-    "docs_fingerprint_winnowing",
-    "docs_simhash_rotation_near_dups",
-    "docs_token_stats",
-    "emb_ivf_recall_audit",
-    "events_asof_last_click",
-    "events_daily_type_pivot",
-    "events_error_purchase_proximity",
-    "events_foreign_errors_in_sessions",
-    "events_funnel_signup_purchase",
-    "events_hll_distinct_users",
-    "events_hll_union_merge",
-    "events_interval_frame_sums",
-    "events_json_extract",
-    "events_kmv_set_algebra",
-    "events_range_hypertable_rollup",
-    "events_session_funnel_windows",
-    "events_sessionization",
-    "filters_combinators",
-    "imgs_real_pixel_stats",
-    "marketplace_audit_counts",
-    "marketplace_bids_surviving",
-    "marketplace_ft_state",
-    "marketplace_listed_value",
-    "marketplace_nfts_state",
-    "marketplace_offers_surviving",
-    "marketplace_users_state",
-    "nation_trade_triangles",
-    "orders_incremental_cdc_merge",
-    "point_lookup_composite",
-    "q11_important_stock",
-    "q12_shipmode_priority_counts",
-    "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "semi_anti_customers",
-    "streaming_click_purchase_join",
-    "streaming_daily_rollup",
-    "streaming_dedup_exactly_once",
-    "streaming_dim_enrichment",
-    # -- touched in round 8 but verified green in round 7: overflow
-    #    (fold-analysis reuse touched every marketplace_stream_* path;
-    #    semantic_prune internals touched docs_semantic_dedup)
-    "marketplace_stream_nfts_state",
-    "marketplace_stream_users_state",
-    "marketplace_stream_offers_surviving",
-    "marketplace_stream_bids_surviving",
-    "marketplace_stream_ft_state",
-    "docs_semantic_dedup",
-    "events_mg_salted_hot_join",
+    # -- code touched in round 9: re-verify first (plan or oracle changed)
+    # (filled in as round-9 work lands)
+    # -- stale: latest driver verdict is round 5 (all 43 cycle now)
+    "av_audio_adpcm_decode_stats",
+    "av_audio_g711_decode_stats",
+    "av_video_frame_digests",
+    "av_video_mjpeg_frame_stats",
+    "av_video_real_frame_stats",
+    "docs_chunk_windows",
+    "docs_decontaminate",
+    "docs_dup_clusters",
+    "docs_dup_clusters_distributed",
+    "docs_duplicated_ngram_spans",
+    "docs_exact_dedup",
+    "docs_fingerprint_clusters",
+    "docs_jaccard_pairs",
+    "docs_lang_temperature_mixture",
+    "docs_langid_confusion",
+    "docs_minhash_lsh_audit",
+    "docs_minhash_near_dups",
+    "docs_quality_composite_filter",
+    "docs_quality_scores",
+    "docs_simhash_near_dups",
+    "docs_tfidf_knn_communities",
+    "emb_cosine_near_dups",
+    "emb_cosine_topk",
+    "emb_ivf_cells",
+    "emb_label_stats",
+    "emb_lsh_topk",
+    "events_daily_rollup",
+    "events_gap_fill_locf",
+    "events_latest_state",
+    "events_retention_rates",
+    "events_value_histogram_quantiles",
+    "imgs_gif_pixel_stats",
+    "imgs_tiff_pixel_stats",
+    "orders_bloom_prejoin_prune",
+    "orders_constraint_checks",
+    "orders_incremental_join_view",
+    "orders_jdbc_roundtrip",
+    "orders_multiformat_roundtrip",
+    "orders_pivot_unpivot_roundtrip",
+    "orders_schema_evolution_read",
+    "orders_set_ops_battery",
+    "orders_window_function_battery",
+    "streaming_latest_state",
+    # -- touched in round 8, verified green r8: overflow tail
+    "emb_semantic_trained_prune",
+    "docs_corpus_build",
+    "streaming_click_purchase_left_join",
 ]
 
 

@@ -52,7 +52,9 @@ HEADLINERS = {
     "docs_pack_sequences": "per-language window (sharded prefix sum), "
     "no global sort",
     "docs_corpus_build": "quality filter precedes every exchange; dedup "
-    "semi-join + shard window + rollup move only surviving rows",
+    "semi-join + semantic-cell prune (clamped centroid broadcast, "
+    "within-cell equi-join, anti-join on pruned ids) + shard window + "
+    "rollup move only surviving rows",
     "emb_ivf_probe_topk": "probe list broadcast; corpus scanned once for "
     "cell assignment, equi-joined on cell — no all-pairs stage",
     "events_salted_rollup": "two-phase salted aggregate: hot key spread "
@@ -88,6 +90,10 @@ HEADLINERS = {
     "events_mg_salted_hot_join": "MG-discovered hot keys as a literal IN "
     "list: only hot fact rows fan out, dimension explode is per-key "
     "conditional — cold keys join once",
+    "emb_semantic_trained_prune": "trained index: n_cells clamped to "
+    "<=65536 so the centroid broadcast is bounded (~16 MB); seeds + Lloyd "
+    "means + assignment all oracle-re-derivable; prune is a within-cell "
+    "equi-join, never all-pairs",
 }
 
 

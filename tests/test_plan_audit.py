@@ -53,6 +53,7 @@ _ALLOW_BNLJ = {
     "emb_cosine_near_dups",
     "docs_semantic_dedup",        # same centroid broadcast (cell assignment)
     "emb_semantic_trained_prune", # same centroid broadcast (train + assignment)
+    "docs_corpus_build",          # semantic stage: clamped <=65536-row centroid broadcast
 }
 
 
