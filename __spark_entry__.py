@@ -98,6 +98,19 @@ _CHECK_FIRST = [
     "emb_semantic_trained_prune",
     "docs_corpus_build",
     "streaming_click_purchase_left_join",
+    # -- touched in round 9 (transitions expression memo + overlapped
+    #    NFT snapshot write), verified green r8: overflow tail
+    "marketplace_stream_nfts_state",
+    "marketplace_stream_users_state",
+    "marketplace_stream_offers_surviving",
+    "marketplace_stream_bids_surviving",
+    "marketplace_stream_ft_state",
+    "marketplace_nfts_state",
+    "marketplace_users_state",
+    "marketplace_offers_surviving",
+    "marketplace_bids_surviving",
+    "marketplace_ft_state",
+    "marketplace_listed_value",
 ]
 
 

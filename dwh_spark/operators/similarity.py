@@ -577,6 +577,7 @@ def kmeans_iterate(
                 F.transform(F.col("dm"), lambda s: s["m"].cast("float")).alias("new_emb"),
             )
         )
+        prev = current
         current = (
             current.join(means, "centroid_id", "left")
             .select(
@@ -586,6 +587,11 @@ def kmeans_iterate(
             .persist()
         )
         current.count()
+        # the new frame is materialized, so the previous iteration's
+        # cache (if any — the seed frame isn't persisted) is dead:
+        # unpersist it instead of leaking one cached frame per step
+        if prev.is_cached:
+            prev.unpersist()
     return current.select("centroid_id", F.col("c_emb").alias("embedding"))
 
 
@@ -595,6 +601,10 @@ def kmeans_iterate(
 # at transformer dims pass a lower max_cells or raise rows_per_cell).
 _MIN_CELLS = 4
 _MAX_CELLS = 65536
+
+# at most one live persisted trained-centroid frame (same single-live
+# rotation as plans/documents.py:_CORPUS_SEM_CACHE)
+_TRAINED_CACHE: list = []
 
 
 def train_semantic_cells(
@@ -641,7 +651,11 @@ def train_semantic_cells(
     # n_cells derives from the CORPUS row count — the contract is
     # corpus cell population, so sampling must not shrink it. When
     # sampling, clamp to the sample size too (can't seed more cells
-    # than training rows).
+    # than training rows), and if the hash-sample comes back smaller
+    # than min_cells (tiny corpus × small fraction) fall back to
+    # training on the FULL corpus: seeding fewer than min_cells
+    # centroids — possibly zero — would make semantic_prune flag
+    # nothing and a keep-style consumer silently drop every row.
     n = vectors.count()
     n_cells = min(max_cells, max(min_cells, -(-n // rows_per_cell)))
     train = vectors
@@ -650,7 +664,14 @@ def train_semantic_cells(
             F.pmod(F.xxhash64(F.col(key)), F.lit(1_000_000))
             < F.lit(int(train_fraction * 1_000_000))
         )
-        n_cells = max(min_cells, min(n_cells, train.count()))
+        tn = train.count()
+        if tn < min_cells:
+            train, tn = vectors, n
+        n_cells = max(min_cells, min(n_cells, tn))
+    # the returned count is the number of centroids actually seeded
+    # (a corpus smaller than min_cells seeds every row), so callers
+    # can trust it matches the centroid frame's row count
+    n_cells = min(n_cells, n)
     seeds = (
         train.select(F.col(key), F.col(vec))
         .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
@@ -659,6 +680,12 @@ def train_semantic_cells(
     trained = kmeans_iterate(
         train, seeds, n_iter=n_iter, vec=vec, key=key, exact_mean=True
     )
+    # single-live rotation for the trained frame kmeans_iterate left
+    # persisted: repeated builds (bench loops) would otherwise leak
+    # one tiny cached frame per invocation
+    while _TRAINED_CACHE:
+        _TRAINED_CACHE.pop().unpersist()
+    _TRAINED_CACHE.append(trained)
     return (
         trained.select(
             F.col("centroid_id").alias(key), F.col("embedding").alias(vec)

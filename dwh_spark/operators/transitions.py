@@ -71,12 +71,43 @@ STATUS_DEFAULT, STATUS_ON_MARKET, STATUS_ON_AUCTION = 0, 1, 2
 EMPTY_COINS = ""  # sdk.Coins{}.String()
 
 
+# ---------------------------------------------------------------------------
+# Expression memo. The transition column trees are large (the NFT agg
+# list alone is hundreds of py4j gateway round-trips) and identical on
+# every call — and the streaming fold re-enters these builders once
+# per micro-batch, so rebuilding them dominated fold time (~1.2 s/fold
+# measured r9: build 1.2 s vs analysis 0.02 s across the six trees).
+# Columns are UNRESOLVED expression trees, valid against any DataFrame
+# carrying the referenced column names, so one build serves every
+# batch, stream fold, and test. Keyed on the py4j gateway identity: a
+# fresh JVM invalidates old JVM object handles, so the cache resets.
+# Concurrent builds (the fold's thread pool) are benign — last write
+# wins on identical values.
+# ---------------------------------------------------------------------------
+_EXPR_CACHE: dict[str, object] = {}
+
+
+def _memo(name: str, build):
+    from pyspark import SparkContext
+
+    gw = id(SparkContext._gateway) if SparkContext._gateway is not None else None
+    if _EXPR_CACHE.get("__gw__") != gw:
+        _EXPR_CACHE.clear()
+        _EXPR_CACHE["__gw__"] = gw
+    if name not in _EXPR_CACHE:
+        _EXPR_CACHE[name] = build()
+    return _EXPR_CACHE[name]
+
+
 def _seq() -> Column:
     """Orderable replay position — the reference's LevelDB cursor."""
-    return F.struct(
-        F.col("height").alias("h"),
-        F.col("tx_index").alias("t"),
-        F.col("msg_id").alias("m"),
+    return _memo(
+        "seq",
+        lambda: F.struct(
+            F.col("height").alias("h"),
+            F.col("tx_index").alias("t"),
+            F.col("msg_id").alias("m"),
+        ),
     )
 
 
@@ -92,7 +123,12 @@ def _last(cond: Column, value: Column) -> Column:
 
 def successful(events: DataFrame) -> DataFrame:
     """M21 failed-tx filter + M23 route dispatch."""
-    return events.filter((F.col("code") == 0) & F.col("route").isin(*KNOWN_ROUTES))
+    return events.filter(
+        _memo(
+            "successful",
+            lambda: (F.col("code") == 0) & F.col("route").isin(*KNOWN_ROUTES),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -110,18 +146,21 @@ def latest_makes(events: DataFrame) -> DataFrame:
     AcceptOffer resolution needs (marketplace.go:342-346). Kept as a
     mergeable max-struct per key."""
     ev = successful(events).withColumn("seq", _seq())
-    return (
-        ev.filter(F.col("msg_type") == MSG_MAKE_OFFER)
-        .groupBy(
-            F.col("token_id").alias("mo_token_id"),
-            F.col("event_attrs")["offer_id"].alias("mo_offer_id"),
-        )
-        .agg(
+
+    def _build() -> tuple:
+        return (
+            F.col("msg_type") == MSG_MAKE_OFFER,
+            [
+                F.col("token_id").alias("mo_token_id"),
+                F.col("event_attrs")["offer_id"].alias("mo_offer_id"),
+            ],
             F.max(
                 F.struct(F.col("seq").alias("s"), F.col("buyer").alias("v"))
-            ).alias("mk")
+            ).alias("mk"),
         )
-    )
+
+    keep, keys, agg = _memo("makes_exprs", _build)
+    return ev.filter(keep).groupBy(*keys).agg(agg)
 
 
 def merge_latest_makes(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -137,13 +176,31 @@ def _resolve_accepts(ev: DataFrame, makes_state: DataFrame | None) -> DataFrame:
     latest prior MakeOffer with the same (token_id, offer_id), looking
     through both this event set and (for streaming) the carried
     ``makes_state`` from earlier batches."""
-    t = F.col("msg_type")
-    makes = ev.filter(t == MSG_MAKE_OFFER).select(
-        F.col("token_id").alias("mo_token_id"),
-        F.col("event_attrs")["offer_id"].alias("mo_offer_id"),
-        F.col("buyer").alias("mo_buyer"),
-        F.col("seq").alias("mo_seq"),
+    def _build() -> tuple:
+        t = F.col("msg_type")
+        return (
+            t == MSG_MAKE_OFFER,
+            [
+                F.col("token_id").alias("mo_token_id"),
+                F.col("event_attrs")["offer_id"].alias("mo_offer_id"),
+                F.col("buyer").alias("mo_buyer"),
+                F.col("seq").alias("mo_seq"),
+            ],
+            t == MSG_ACCEPT_OFFER,
+            [F.col("token_id"), F.col("event_attrs")["offer_id"].alias("offer_id"), F.col("seq")],
+            # the two sides' column names are disjoint, so the join
+            # condition resolves unqualified — which is what lets the
+            # whole tree be memoized across folds
+            (F.col("token_id") == F.col("mo_token_id"))
+            & (F.col("offer_id") == F.col("mo_offer_id"))
+            & (F.col("mo_seq") < F.col("seq")),
+            F.max_by("mo_buyer", "mo_seq").alias("resolved_buyer"),
+        )
+
+    is_make, make_cols, is_accept, accept_cols, join_cond, agg = _memo(
+        "resolve_accept_exprs", _build
     )
+    makes = ev.filter(is_make).select(*make_cols)
     if makes_state is not None:
         makes = makes.unionByName(
             makes_state.select(
@@ -153,18 +210,11 @@ def _resolve_accepts(ev: DataFrame, makes_state: DataFrame | None) -> DataFrame:
                 F.col("mk")["s"].alias("mo_seq"),
             )
         )
-    accepts = ev.filter(t == MSG_ACCEPT_OFFER).select(
-        "token_id", F.col("event_attrs")["offer_id"].alias("offer_id"), "seq"
-    )
+    accepts = ev.filter(is_accept).select(*accept_cols)
     accept_owner = (
-        accepts.join(
-            makes,
-            (accepts.token_id == makes.mo_token_id)
-            & (accepts.offer_id == makes.mo_offer_id)
-            & (makes.mo_seq < accepts.seq),
-        )
+        accepts.join(makes, join_cond)
         .groupBy("token_id", "seq")
-        .agg(F.max_by("mo_buyer", "mo_seq").alias("resolved_buyer"))
+        .agg(agg)
     )
     return ev.join(accept_owner, ["token_id", "seq"], "left")
 
@@ -173,11 +223,7 @@ def materialize_nfts(events: DataFrame) -> DataFrame:
     return finalize_nfts(nft_partial_state(events))
 
 
-def nft_partial_state(
-    events: DataFrame, makes_state: DataFrame | None = None
-) -> DataFrame:
-    ev = successful(events).withColumn("seq", _seq())
-    ev = _resolve_accepts(ev, makes_state)
+def _build_nft_aggs() -> list[Column]:
     t = F.col("msg_type")
 
     is_buyout_bid = (t == MSG_MAKE_BID) & F.col("event_attrs")["is_buyout"].isNotNull()
@@ -241,27 +287,35 @@ def nft_partial_state(
         # partial states stay mergeable by per-column max
         return F.max(F.when(cond, F.struct(F.col("seq").alias("s"), value.alias("v"))))
 
+    return [
+        _last_s(is_mint, F.col("denom")).alias("denom_s"),
+        _last_s(sets_owner, owner_val).alias("owner_s"),
+        _last_s(sets_uri, F.col("token_uri")).alias("uri_s"),
+        _last_s(sets_status, status_val).alias("status_s"),
+        _last_s(sets_price, price_val).alias("price_s"),
+        _last_s(sets_seller_beneficiary, seller_beneficiary_val).alias("sben_s"),
+        _last_s(sets_auction_cols, buyout_val).alias("buyout_s"),
+        _last_s(sets_auction_cols, opening_val).alias("opening_s"),
+        _last_s(sets_auction_cols, tts_val).alias("tts_s"),
+        _last_s(lifecycle, F.when(t == MSG_BURN, F.col("ts"))).alias("deleted_s"),
+        _last_s(is_mint, F.col("ts")).alias("created_s"),
+        F.max(F.when(writes_any, F.col("ts"))).alias("updated_at"),
+        F.max(
+            F.when(lifecycle, F.struct("seq", (t == MSG_MINT).alias("alive")))
+        ).alias("alive_s"),
+        F.min(F.when(is_mint, F.col("seq"))).alias("first_mint_seq"),
+    ]
+
+
+def nft_partial_state(
+    events: DataFrame, makes_state: DataFrame | None = None
+) -> DataFrame:
+    ev = successful(events).withColumn("seq", _seq())
+    ev = _resolve_accepts(ev, makes_state)
     return (
         ev.filter(F.col("token_id").isNotNull())
         .groupBy("token_id")
-        .agg(
-            _last_s(is_mint, F.col("denom")).alias("denom_s"),
-            _last_s(sets_owner, owner_val).alias("owner_s"),
-            _last_s(sets_uri, F.col("token_uri")).alias("uri_s"),
-            _last_s(sets_status, status_val).alias("status_s"),
-            _last_s(sets_price, price_val).alias("price_s"),
-            _last_s(sets_seller_beneficiary, seller_beneficiary_val).alias("sben_s"),
-            _last_s(sets_auction_cols, buyout_val).alias("buyout_s"),
-            _last_s(sets_auction_cols, opening_val).alias("opening_s"),
-            _last_s(sets_auction_cols, tts_val).alias("tts_s"),
-            _last_s(lifecycle, F.when(t == MSG_BURN, F.col("ts"))).alias("deleted_s"),
-            _last_s(is_mint, F.col("ts")).alias("created_s"),
-            F.max(F.when(writes_any, F.col("ts"))).alias("updated_at"),
-            F.max(
-                F.when(lifecycle, F.struct("seq", (t == MSG_MINT).alias("alive")))
-            ).alias("alive_s"),
-            F.min(F.when(is_mint, F.col("seq"))).alias("first_mint_seq"),
-        )
+        .agg(*_memo("nft_aggs", _build_nft_aggs))
     )
 
 
@@ -393,8 +447,7 @@ def materialize_auction_bids(events: DataFrame) -> DataFrame:
 # by that key's own make/bid count — the same rows the reference's
 # table holds.
 # ---------------------------------------------------------------------------
-def offer_partial_state(events: DataFrame) -> DataFrame:
-    ev = successful(events).withColumn("seq", _seq())
+def _build_offer_exprs() -> tuple:
     t = F.col("msg_type")
     is_make = t == MSG_MAKE_OFFER
     is_remove = t.isin(MSG_ACCEPT_OFFER, MSG_REMOVE_OFFER)
@@ -407,13 +460,22 @@ def offer_partial_state(events: DataFrame) -> DataFrame:
         F.col("ts").alias("created_at"),
     )
     return (
-        ev.filter(is_make | is_remove)
-        .select(
+        is_make | is_remove,
+        [
             "token_id",
             F.col("event_attrs")["offer_id"].alias("offer_id"),
             F.when(is_make, payload).alias("mk"),
             F.when(is_remove, F.col("seq")).alias("rm"),
-        )
+        ],
+    )
+
+
+def offer_partial_state(events: DataFrame) -> DataFrame:
+    ev = successful(events).withColumn("seq", _seq())
+    keep, cols = _memo("offer_exprs", _build_offer_exprs)
+    return (
+        ev.filter(keep)
+        .select(*cols)
         .groupBy("token_id", "offer_id")
         .agg(
             F.collect_set("mk").alias("makes"),
@@ -454,8 +516,7 @@ def finalize_offers(partial: DataFrame) -> DataFrame:
     return _assign_ids(survivors, order_by=["created_at", "token_id", "offer_id"])
 
 
-def bid_partial_state(events: DataFrame) -> DataFrame:
-    ev = successful(events).withColumn("seq", _seq())
+def _build_bid_exprs() -> tuple:
     t = F.col("msg_type")
     is_buyout_bid = (t == MSG_MAKE_BID) & F.col("event_attrs")["is_buyout"].isNotNull()
     is_bid = (t == MSG_MAKE_BID) & ~is_buyout_bid.eqNullSafe(True)
@@ -469,12 +530,21 @@ def bid_partial_state(events: DataFrame) -> DataFrame:
         F.col("ts").alias("created_at"),
     )
     return (
-        ev.filter(is_bid | is_clear)
-        .select(
+        is_bid | is_clear,
+        [
             "token_id",
             F.when(is_bid, payload).alias("bd"),
             F.when(is_clear, F.col("seq")).alias("cl"),
-        )
+        ],
+    )
+
+
+def bid_partial_state(events: DataFrame) -> DataFrame:
+    ev = successful(events).withColumn("seq", _seq())
+    keep, cols = _memo("bid_exprs", _build_bid_exprs)
+    return (
+        ev.filter(keep)
+        .select(*cols)
         .groupBy("token_id")
         .agg(F.collect_set("bd").alias("bids"), F.max("cl").alias("last_clear"))
     )
@@ -517,22 +587,30 @@ def ft_partial_state(events: DataFrame) -> DataFrame:
     the transfer count as a sum (non-idempotent — needs the high-water
     replay guard, like the users sums)."""
     ev = successful(events).withColumn("seq", _seq())
-    t = F.col("msg_type")
-    return (
-        ev.filter(t.isin(MSG_CREATE_FT, MSG_TRANSFER_FT))
-        .select(
-            "denom",
-            F.when(
-                t == MSG_CREATE_FT,
-                F.struct(
-                    F.col("seq").alias("s"),
-                    F.col("sender").alias("owner_address"),
-                    F.col("amount").alias("emission_amount"),
-                    F.col("ts").alias("created_at"),
-                ),
-            ).alias("created"),
-            F.when(t == MSG_TRANSFER_FT, F.lit(1)).otherwise(F.lit(0)).alias("n_transfers"),
+
+    def _build() -> tuple:
+        t = F.col("msg_type")
+        return (
+            t.isin(MSG_CREATE_FT, MSG_TRANSFER_FT),
+            [
+                "denom",
+                F.when(
+                    t == MSG_CREATE_FT,
+                    F.struct(
+                        F.col("seq").alias("s"),
+                        F.col("sender").alias("owner_address"),
+                        F.col("amount").alias("emission_amount"),
+                        F.col("ts").alias("created_at"),
+                    ),
+                ).alias("created"),
+                F.when(t == MSG_TRANSFER_FT, F.lit(1)).otherwise(F.lit(0)).alias("n_transfers"),
+            ],
         )
+
+    keep, cols = _memo("ft_exprs", _build)
+    return (
+        ev.filter(keep)
+        .select(*cols)
         .groupBy("denom")
         .agg(F.max("created").alias("created"), F.sum("n_transfers").alias("n_transfers"))
     )
@@ -612,24 +690,38 @@ def user_partial_state(events: DataFrame) -> DataFrame:
     double-applying a replayed batch (streaming/marketplace.py does,
     via the store's CURRENT pointer)."""
     ev = successful(events).withColumn("seq", _seq())
-    addr_array = F.array_union(
-        F.split(F.coalesce(F.col("signers"), F.lit("")), ","),
-        F.array(*(F.coalesce(F.col(c), F.lit("")) for c in ADDRESS_COLUMNS)),
-    )
-    exploded = (
-        ev.select(F.explode(addr_array).alias("address"), "seq", "ts", "signers")
+
+    def _build() -> tuple:
+        addr_array = F.array_union(
+            F.split(F.coalesce(F.col("signers"), F.lit("")), ","),
+            F.array(*(F.coalesce(F.col(c), F.lit("")) for c in ADDRESS_COLUMNS)),
+        )
+        return (
+            [F.explode(addr_array).alias("address"), F.col("seq"), F.col("ts"), F.col("signers")],
+            [
+                F.min("ts").alias("created_at"),
+                F.max("ts").alias("updated_at"),
+                F.min("seq").alias("first_seq"),
+                # sequence_number parity: the reference bumps it per
+                # signed msg (marketplace.go:78-86); = msgs signed
+                F.sum(
+                    F.when(
+                        F.array_contains(
+                            F.split(F.coalesce(F.col("signers"), F.lit("")), ","),
+                            F.col("address"),
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("sequence_number"),
+            ],
+        )
+
+    sel, aggs = _memo("user_exprs", _build)
+    return (
+        ev.select(*sel)
         .filter(F.col("address") != "")
-    )
-    return exploded.groupBy("address").agg(
-        F.min("ts").alias("created_at"),
-        F.max("ts").alias("updated_at"),
-        F.min("seq").alias("first_seq"),
-        # sequence_number parity: the reference bumps it per signed msg
-        # (marketplace.go:78-86); here = count of msgs signed
-        F.sum(
-            F.when(F.array_contains(F.split(F.coalesce(F.col("signers"), F.lit("")), ","), F.col("address")), 1)
-            .otherwise(0)
-        ).alias("sequence_number"),
+        .groupBy("address")
+        .agg(*aggs)
     )
 
 

@@ -606,9 +606,12 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_build_oracle() -> str:
-    # built lazily in a function so the cross-module CTE helper import
-    # stays local (plans.embeddings also registers queries on import;
-    # both modules are loaded by plans.all either way)
+    # NOTE: the decorator argument `oracle=_corpus_build_oracle()`
+    # runs at module import time, so this import of plans.embeddings
+    # is EAGER, not deferred — safe only while plans.embeddings never
+    # imports plans.documents back (it doesn't; both are loaded by
+    # plans.all anyway). If a reverse import is ever needed, make the
+    # registry accept a callable oracle instead.
     from dwh_spark.plans.embeddings import _NORM2, trained_prune_ctes
 
     return f"""

@@ -150,7 +150,14 @@ class ParquetStateStore:
             version_dir = fh.read().strip()
         return spark.read.parquet(version_dir)
 
-    def commit(self, df: DataFrame, batch_id: int) -> None:
+    def write_snapshot(self, df: DataFrame, batch_id: int) -> str:
+        """Write the snapshot dir (+ manifest) WITHOUT flipping the
+        pointer. Split out from :meth:`commit` so a fold can overlap
+        this (the expensive Spark job) with other stores' commits and
+        still flip its completion-marker pointer strictly last. Safe
+        to run even if the fold later fails: the dir is keyed by
+        batch_id and a replay rewrites it idempotently; an unflipped
+        pointer keeps the previous version current."""
         version_dir = self.version_dir(batch_id)
         if self.range_key is not None:
             df = df.repartitionByRange(self.n_files, F.col(self.range_key))
@@ -159,10 +166,20 @@ class ParquetStateStore:
         df.write.mode("overwrite").parquet(version_dir)
         if self.range_key is not None:
             self._write_manifest(df.sparkSession, version_dir, batch_id)
+        return version_dir
+
+    def flip(self, batch_id: int) -> None:
+        """Atomically point CURRENT at ``batch_id``'s snapshot — the
+        transaction-commit step; the snapshot must already be fully
+        written (``write_snapshot``)."""
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(version_dir)
+            fh.write(self.version_dir(batch_id))
         os.replace(tmp, self._pointer)  # atomic on POSIX
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        self.write_snapshot(df, batch_id)
+        self.flip(batch_id)
 
     # ------------------------------------------------------ manifest
 

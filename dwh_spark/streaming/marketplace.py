@@ -118,18 +118,23 @@ def run_marketplace_stream(
             store.commit(bp if cur_t is None else merge_fn(cur_t, bp), batch_id)
 
         # The makes + four side-table commits touch disjoint stores and
-        # the NFT commit still lands LAST (the whole-fold completion
-        # marker), so they can run concurrently: each is a tiny
-        # snapshot job dominated by Catalyst analysis of its transition
-        # expressions, and Spark's scheduler takes concurrent
-        # submissions from driver threads. Measured on the fixture
-        # drain: ~4.5 s/fold serial → ~2 s/fold with the pool. Any
+        # the NFT POINTER FLIP still lands LAST (the whole-fold
+        # completion marker), so everything else runs concurrently —
+        # including the NFT snapshot WRITE, the single most expensive
+        # job of the fold (~1.1 s, vs ~0.8 s for the whole side pool):
+        # write_snapshot/flip split the transaction so the write
+        # overlaps the pool while the commit point stays strictly
+        # last. Expression construction itself is memoized across
+        # folds (operators/transitions.py:_memo — r9; it was ~1.2
+        # s/fold of py4j round-trips before). Measured on the fixture
+        # drain at sf0.1: ~4.5 s/fold serial → ~2 s/fold pooled (r7)
+        # → ~1.3 s/fold with memo + overlapped NFT write (r9). Any
         # worker exception propagates (futures re-raise on result()),
-        # failing the batch before the NFT commit — same crash
-        # semantics as the serial form.
+        # failing the batch before the NFT flip — same crash semantics
+        # as the serial form.
         from concurrent.futures import ThreadPoolExecutor
 
-        jobs = [commit_makes] + [
+        jobs = [commit_makes, lambda: nft_store.write_snapshot(merged, batch_id)] + [
             (lambda n=name, s=store: commit_side(n, s))
             for name, store in side.items()
             if store is not None
@@ -137,7 +142,7 @@ def run_marketplace_stream(
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             for fut in [pool.submit(j) for j in jobs]:
                 fut.result()
-        nft_store.commit(merged, batch_id)
+        nft_store.flip(batch_id)
         # per-batch attribution for the session-fixed harness cost
         # (VERDICT r6 item 2) — each fold is ~6 tiny snapshot write
         # jobs plus Catalyst analysis of the transition expressions

@@ -374,6 +374,34 @@ def test_train_semantic_cells_auto_ncells_and_prune(spark):
     assert 6 <= len(kept) == len(fam_cells) <= 12
 
 
+def test_train_semantic_cells_small_sample_fallback(spark):
+    """ADVICE r8: a train_fraction hash-sample smaller than min_cells
+    must fall back to full-corpus training (never seed < min_cells
+    centroids — semantic_prune over an empty centroid frame flags
+    nothing and keep-style consumers drop every row), and the returned
+    n_cells must equal the ACTUAL centroid count, including for
+    corpora smaller than min_cells."""
+    from dwh_spark.operators.similarity import train_semantic_cells
+
+    rows = [(i, [float(i), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # fraction so small the sample is almost surely < 4 rows of 12:
+    # must fall back to the full corpus, still seed >= min_cells
+    cents, n_cells = train_semantic_cells(
+        df, rows_per_cell=3, train_fraction=0.0001
+    )
+    assert n_cells >= 4
+    assert cents.count() == n_cells
+
+    # corpus smaller than min_cells: returned count is the real seeded
+    # count (2), not the clamped theoretical floor (4)
+    tiny = spark.createDataFrame(rows[:2], "vec_id long, embedding array<float>")
+    cents2, n2 = train_semantic_cells(tiny, rows_per_cell=3)
+    assert n2 == 2
+    assert cents2.count() == 2
+
+
 def test_pagerank_mass_conservation_and_convergence(spark):
     """On a graph with NO dangling nodes, total rank stays ~1.0 every
     round (teleport + damped redistribution conserves mass up to the
