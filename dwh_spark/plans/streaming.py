@@ -339,9 +339,11 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # A stream-stream join runs FOUR state stores per shuffle partition
     # (keyToNumValues + keyWithIndexToValue on each side); 32 partitions
     # × 4 stores × n batches of commit overhead dwarfs the data at test
-    # scale. Same single-node pin (and restore) as the accumulator.
+    # scale. Same single-node pin (and restore) as the accumulator;
+    # 4 (was 8, r9) per the left-join drain sweep — identical output,
+    # half the store commits.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select("user_id", F.col("ts").alias("click_ts"),
@@ -469,35 +471,57 @@ def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> Data
     file source (mtime order) replays it last — arrival order of the
     data files themselves is free because the 40-day delay exceeds
     the fixture's span (nothing is ever late-dropped)."""
+    import sys
     import time as _time
     import uuid
 
     from dwh_spark.streaming.ingest import stream_events
 
+    t_start = _time.perf_counter()
     events = load_table(spark, sf_dir, "events")
     if sf_dir not in _LEFTJOIN_STAGE_CACHE:
         stage = tempfile.mkdtemp(prefix="dwh_stream_lj_") + "/input"
-        events.repartition(6).write.mode("overwrite").parquet(stage)
+        # stage only the 4 columns the join reads — the staged dir is
+        # harness scaffolding for an ordered file log, and dropping
+        # value/props halves the write and every micro-batch scan
+        events.select("event_id", "ts", "user_id", "event_type").repartition(
+            6
+        ).write.mode("overwrite").parquet(stage)
         _time.sleep(0.05)  # strictly newer mtime => sentinel replays last
-        flush = spark.createDataFrame(
-            [
-                (10**9, "2024-12-31 00:00:00", -1, "click", 0.0, "{}"),
-                (10**9 + 1, "2024-12-30 00:00:00", -2, "purchase", 0.0, "{}"),
-            ],
-            "event_id long, ts string, user_id long, event_type string, "
-            "value double, props string",
-        ).select(
-            "event_id", F.col("ts").cast("timestamp"), "user_id",
-            "event_type", "value", "props",
+        # SQL VALUES, not createDataFrame: a python-list local relation
+        # parallelizes into defaultParallelism python-RDD partitions,
+        # and writing it costs ~6 s of serial python-worker round
+        # trips under coalesce(1); the VALUES relation is a pure JVM
+        # LocalTableScan (~0.3 s write)
+        flush = spark.sql(
+            """SELECT CAST(event_id AS BIGINT) AS event_id,
+                      CAST(ts AS TIMESTAMP) AS ts,
+                      CAST(user_id AS BIGINT) AS user_id, event_type
+               FROM VALUES (1000000000, '2024-12-31 00:00:00', -1, 'click'),
+                           (1000000001, '2024-12-30 00:00:00', -2, 'purchase')
+                 AS t(event_id, ts, user_id, event_type)"""
         )
         flush.coalesce(1).write.mode("append").parquet(stage)
         _LEFTJOIN_STAGE_CACHE[sf_dir] = stage
+        print(
+            f"# click/purchase lj staging: {_time.perf_counter() - t_start:.2f}s",
+            file=sys.stderr,
+        )
     root = tempfile.mkdtemp(prefix="dwh_stream_")
+    t_drain = _time.perf_counter()
+    # trigger=4 over the 7 staged files → two DATA micro-batches (4
+    # files, then 2 + the sentinel) + the no-data flush batch — still
+    # a genuinely batched replay, at half the per-batch incremental-
+    # planning/state-commit overhead of the old (3,3,1) split.
     stream = stream_events(
-        spark, _LEFTJOIN_STAGE_CACHE[sf_dir], max_files_per_trigger=3
+        spark, _LEFTJOIN_STAGE_CACHE[sf_dir], max_files_per_trigger=4
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4 partitions × 4 state stores per batch: measured drain at sf0.1
+    # 4.4 s (8 parts, 3 triggers) → 3.0 s (4 parts, 2 triggers),
+    # identical output. Production note: a real cluster sizes this to
+    # the state volume, not the commit overhead.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     clicks = (
         stream.withWatermark("ts", "40 days")
         .filter(F.col("event_type") == "click")
@@ -531,6 +555,13 @@ def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> Data
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # per-stage attribution (VERDICT r7 ask #4, same discipline as the
+    # marketplace fold prints): drain = micro-batched stream-stream
+    # join + state-store commits + the no-data watermark-flush batch
+    print(
+        f"# click/purchase lj drain: {_time.perf_counter() - t_drain:.2f}s",
+        file=sys.stderr,
+    )
     rows = spark.table(name).filter(F.col("user_id") >= 0)  # drop sentinels
     return rows.groupBy("user_id").agg(
         F.count("*").alias("n_rows"),
