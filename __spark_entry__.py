@@ -48,8 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # r5 batteries, and streaming_latest_state — exact list below
 # (matches tests/test_entry_contract.py's recomputation).
 _CHECK_FIRST = [
-    # -- code touched in round 9: re-verify first (plan or oracle changed)
-    # (filled in as round-9 work lands)
+    # -- new in round 9: no driver verdict yet
+    "docs_semantic_dedup_skew_split",  # MG hot-cell discovery + block-split prune
     # -- stale: latest driver verdict is round 5 (all 43 cycle now)
     "av_audio_adpcm_decode_stats",
     "av_audio_g711_decode_stats",
@@ -99,7 +99,15 @@ _CHECK_FIRST = [
     "docs_corpus_build",
     "streaming_click_purchase_left_join",
     # -- touched in round 9 (transitions expression memo + overlapped
-    #    NFT snapshot write), verified green r8: overflow tail
+    #    NFT snapshot write; arrow-LocalRelation createDataFrame in
+    #    mg_merge/union-find/MRL; click/purchase harness cuts;
+    #    shared semantic-dedup oracle refactor), verified green r7/r8:
+    #    overflow tail
+    "streaming_click_purchase_join",
+    "docs_heavy_hitters_mg",
+    "events_mg_salted_hot_join",
+    "events_mrl_quantile_audit",
+    "docs_semantic_dedup",
     "marketplace_stream_nfts_state",
     "marketplace_stream_users_state",
     "marketplace_stream_offers_surviving",

@@ -56,7 +56,14 @@ def _driver_union_find(sym: DataFrame, node_field) -> DataFrame:
         StructField("node", node_field.dataType),
         StructField("component", node_field.dataType),
     ])
-    return sym.sparkSession.createDataFrame(out, schema)
+    # pandas input → Arrow → JVM LocalRelation; a python-list input
+    # would re-run defaultParallelism python-RDD partitions on every
+    # downstream action (see operators/sketch.py:mg_merge)
+    import pandas as pd
+
+    return sym.sparkSession.createDataFrame(
+        pd.DataFrame(out, columns=["node", "component"]), schema
+    )
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:

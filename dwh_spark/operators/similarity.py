@@ -388,6 +388,113 @@ def semantic_prune_vectorized(
     )
 
 
+def discover_hot_cells(
+    cells: DataFrame,
+    hot_fraction: float = 0.05,
+    key: str = "vec_id",
+    k: int = 64,
+    n_parts: int = 32,
+) -> list[int]:
+    """Misra-Gries discovery over the ``cell`` column of an
+    :func:`assign_cells` output: returns a GUARANTEED SUPERSET of
+    every cell holding >= ``hot_fraction`` of all rows (``est +
+    err_bound >= hot_fraction * n`` selects it — the same certified
+    bound as the events hot-key path, ``operators/sketch.py:mg_merge``).
+    One pass, O(k) sketch state, no exact per-cell count job."""
+    from dwh_spark.operators.sketch import mg_merge, mg_partition_summaries
+
+    partials = mg_partition_summaries(
+        cells, "cell", part_col=key, k=k, n_parts=n_parts
+    )
+    counters, err, n = mg_merge(partials)
+    rows = counters.filter(
+        F.col("est") + F.lit(err) >= F.lit(float(hot_fraction) * n)
+    ).collect()
+    return sorted(int(r["key"]) for r in rows)
+
+
+# at most one live persisted cell-assignment frame for the skew-split
+# prune (single-live rotation, as _TRAINED_CACHE)
+_SKEW_CELLS_CACHE: list = []
+
+
+def semantic_prune_skew_split(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    hot_fraction: float = 0.2,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """:func:`semantic_prune` with the mega-cell answer COMPOSED IN
+    (VERDICT r7 ask #6): MG-discovered hot cells get their within-cell
+    self-join block-decomposed so one skewed cell cannot straggle the
+    prune.
+
+    The plain prune hash-partitions pairs by ``cell`` — a cell with m
+    rows puts all m² candidate pairs in one task. Here cells holding
+    >= ``hot_fraction`` of the corpus (a certified superset, via
+    :func:`discover_hot_cells`) are split by a deterministic row block
+    id ``pmod(xxhash64(key), n_blocks)``: side A replicates each row
+    across every b-block, side B across every a-block, and the join
+    key becomes ``(cell, block_a, block_b)`` — each (x, y) pair lands
+    in exactly one of n_blocks² evenly-sized buckets of ~(m/n_blocks)²
+    pairs. Cold cells join exactly as in :func:`semantic_prune`;
+    replication cost is confined to hot rows (2·n_blocks× on those
+    rows only), the targeted trade of
+    ``operators/skew.py:targeted_salted_join`` applied to a self-join.
+
+    Output is IDENTICAL to :func:`semantic_prune` — same cells, same
+    fold arithmetic, same exists-smaller-similar rule; block routing
+    only changes WHERE a pair is evaluated. The planted-skew test pins
+    multiset equality.
+    """
+    cells = assign_cells(vectors, centroids, vec=vec, key=key).persist()
+    while _SKEW_CELLS_CACHE:
+        _SKEW_CELLS_CACHE.pop().unpersist()
+    _SKEW_CELLS_CACHE.append(cells)
+    hot = discover_hot_cells(cells, hot_fraction=hot_fraction, key=key)
+    is_hot = F.col("cell").isin(hot) if hot else F.lit(False)
+    a = cells.select(
+        F.col(key).alias("id_a"), F.col(vec).alias("ea"), F.col("norm2").alias("na"), "cell"
+    )
+    b = cells.select(
+        F.col(key).alias("id_b"), F.col(vec).alias("eb"), F.col("norm2").alias("nb"), "cell"
+    )
+    cold_pairs = a.filter(~is_hot).join(b.filter(~is_hot), "cell")
+    blk = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_blocks))  # noqa: E731
+    every = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    a_hot = (
+        a.filter(is_hot)
+        .withColumn("__ba", blk("id_a").cast("int"))
+        .withColumn("__bb", every)
+    )
+    b_hot = (
+        b.filter(is_hot)
+        .withColumn("__bb", blk("id_b").cast("int"))
+        .withColumn("__ba", every)
+    )
+    hot_pairs = a_hot.join(b_hot, ["cell", "__ba", "__bb"]).drop("__ba", "__bb")
+    pruned_ids = (
+        cold_pairs.unionByName(hot_pairs)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_dot_expr("ea", "eb")) / (F.sqrt("na") * F.sqrt("nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(key))
+        .distinct()
+    )
+    flagged = cells.join(
+        pruned_ids.withColumn("__pruned", F.lit(True)), key, "left"
+    )
+    return flagged.select(
+        key, "cell", F.coalesce("__pruned", F.lit(False)).alias("pruned")
+    )
+
+
 def ivf_probe_topk(
     vectors: DataFrame,
     centroids: DataFrame,

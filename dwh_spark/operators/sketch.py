@@ -395,5 +395,17 @@ def mg_merge(partials: DataFrame) -> tuple[DataFrame, int, int]:
         )
     finally:
         partials.unpersist()
-    counters = spark.createDataFrame(counter_rows, "key string, est long")
+    # pandas input, not a python list: list-based createDataFrame
+    # parallelizes into defaultParallelism python-RDD partitions and
+    # every downstream action pays serial python-worker round trips;
+    # the Arrow path materializes a JVM LocalRelation instead
+    import pandas as pd
+
+    counters = spark.createDataFrame(
+        pd.DataFrame(
+            [(r["key"], int(r["est"])) for r in counter_rows],
+            columns=["key", "est"],
+        ),
+        schema="key string, est long",
+    )
     return counters, int(acct["err"] or 0), int(acct["n"] or 0)

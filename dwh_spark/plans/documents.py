@@ -681,9 +681,19 @@ def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean Lloyd step), prune via the oracle-exact exists-smaller-
     similar rule. The output rollup carries ``doc_id_sum`` so the
     oracle hash pins WHICH documents reached packing, not just how
-    many. At 100 TB: pass train_fraction to sample the Lloyd step; the
-    anti-join on the pruned set is broadcastable when prune rates are
-    low and an ordinary shuffle join otherwise (AQE decides)."""
+    many. At 100 TB: (1) pass train_fraction to sample the Lloyd
+    step; (2) SWAP THE PRUNE — replace ``semantic_prune`` below with
+    ``semantic_prune_vectorized`` (same cells, same rule, BLAS gram
+    matrices instead of per-pair fold expressions; measured 147 s →
+    11 s at 200k×1024 cells). The fold path is kept here because it
+    is the arithmetic the DuckDB oracle replicates bit-for-bit; the
+    swap's safety is pinned by
+    tests/test_properties.py::test_corpus_build_semantic_stage_fold_blas_parity
+    (kept-set equality at these exact parameters), and for skewed
+    cells ``semantic_prune_skew_split`` composes MG discovery with a
+    block-decomposed hot-cell join; (3) the anti-join on the pruned
+    set is broadcastable when prune rates are low and an ordinary
+    shuffle join otherwise (AQE decides)."""
     from dwh_spark.operators.packing import pack_by_budget as _pack
     from dwh_spark.operators.sampling import train_test_split as _split
     from dwh_spark.operators.similarity import semantic_prune, train_semantic_cells

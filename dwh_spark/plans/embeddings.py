@@ -366,9 +366,11 @@ def emb_semantic_trained_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_semantic_dedup",
-    oracle=f"""
+# shared by docs_semantic_dedup and its skew-split twin — the two
+# queries' outputs are defined to be identical (block routing only
+# changes WHERE a candidate pair is evaluated), so they share one
+# oracle verbatim
+_SEMANTIC_DEDUP_ORACLE = f"""
     WITH base AS (
       SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
     ),
@@ -408,8 +410,10 @@ def emb_semantic_trained_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN pruned p ON p.vec_id = cl.vec_id
     JOIN documents d ON d.doc_id = cl.vec_id
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("docs_semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE)
 def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) corpus dedup, SemDeDup-shape
     (operators/similarity.py:semantic_prune): IVF cells bucket the
@@ -430,6 +434,45 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
     flagged = semantic_prune(emb, centroids, threshold=0.3)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    kept = F.when(~F.col("pruned"), F.col("vec_id"))
+    return (
+        flagged.join(docs, "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count(F.when(F.col("pruned"), 1)).alias("n_pruned"),
+            F.count(F.when(~F.col("pruned"), 1)).alias("n_kept"),
+            F.sum(kept).alias("kept_id_sum"),
+            F.sum(F.when(~F.col("pruned"), F.col("n_chars"))).alias("kept_chars"),
+        )
+    )
+
+
+@query("docs_semantic_dedup_skew_split", oracle=_SEMANTIC_DEDUP_ORACLE)
+def docs_semantic_dedup_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_semantic_dedup`` through the MEGA-CELL-PROOF prune
+    (operators/similarity.py:semantic_prune_skew_split, VERDICT r7 ask
+    #6 composed): cells holding >= hot_fraction of the corpus are
+    discovered by the Misra-Gries sketch over cell ids (certified
+    superset — est + err >= frac·n) and their within-cell self-join is
+    block-decomposed onto (cell, block_a, block_b) so a skewed cell's
+    m² candidate pairs spread over n_blocks² even buckets instead of
+    one straggler task. Cold cells take the plain equi-join. The
+    oracle is ``docs_semantic_dedup``'s VERBATIM — block routing must
+    not change a single flag, which is exactly the claim this query
+    certifies (plus the planted-10×-skew test in tests/test_skew.py).
+    hot_fraction=0.1 engages the hot path on the fixture's largest
+    cells; at 100 TB the threshold is the straggler budget."""
+    from dwh_spark.operators.similarity import semantic_prune_skew_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+    flagged = semantic_prune_skew_split(
+        emb, centroids, threshold=0.3, hot_fraction=0.1, n_blocks=4
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "n_chars"
     )

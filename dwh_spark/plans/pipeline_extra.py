@@ -1033,7 +1033,21 @@ def events_mrl_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # values is exact but its worst-case CLAIM is still ±k)
             bool(err <= bound), bool(bound <= 0.05 * n + _MRL_K),
         ))
-    return spark.createDataFrame(out, out_schema)
+    # pandas input → Arrow → JVM LocalRelation (a python-list input
+    # costs serial python-RDD partition evaluation per action; see
+    # operators/sketch.py:mg_merge)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            out,
+            columns=[
+                "quantile", "n_rows", "exact_q",
+                "within_bound", "bound_le_5pct_plus_k",
+            ],
+        ),
+        out_schema,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,7 @@ _ALLOW_BNLJ = {
     "emb_lsh_topk",
     "emb_cosine_near_dups",
     "docs_semantic_dedup",        # same centroid broadcast (cell assignment)
+    "docs_semantic_dedup_skew_split",  # same centroid broadcast + MG hot-cell IN list
     "emb_semantic_trained_prune", # same centroid broadcast (train + assignment)
     "docs_corpus_build",          # semantic stage: clamped <=65536-row centroid broadcast
 }

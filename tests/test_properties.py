@@ -580,3 +580,33 @@ def test_jpeg_progressive_baseline_decode_equality(h, w, quality, sub, seed):
     base = jpeg_decode(jpeg_encode(img, quality=quality, subsampling=sub))
     prog = jpeg_decode(jpeg_encode_progressive(img, quality=quality, subsampling=sub))
     assert np.array_equal(base, prog)
+
+
+def test_corpus_build_semantic_stage_fold_blas_parity(spark):
+    """VERDICT r8 ask #7: the docs_corpus_build docstring names
+    semantic_prune_vectorized as the 100 TB swap-in for the composed
+    pipeline's fold-path prune. This pins the swap's safety at fixture
+    scale WITH THE COMPOSED PIPELINE'S OWN PARAMETERS (trained cells
+    at rows_per_cell=64, threshold=0.3): fold and BLAS kept-sets must
+    be identical — the fixture's cosines sit away from the ~1e-12
+    float-association band around the 6-decimal rounding boundary."""
+    from tests.conftest import SF_SMALL
+
+    from dwh_spark.operators.similarity import (
+        semantic_prune,
+        semantic_prune_vectorized,
+        train_semantic_cells,
+    )
+
+    emb = spark.read.parquet(SF_SMALL + "/embeddings.parquet")
+    centroids, _ = train_semantic_cells(emb, rows_per_cell=64, n_iter=1)
+    fold = {
+        r["vec_id"]: (r["cell"], r["pruned"])
+        for r in semantic_prune(emb, centroids, threshold=0.3).collect()
+    }
+    blas = {
+        r["vec_id"]: (r["cell"], r["pruned"])
+        for r in semantic_prune_vectorized(emb, centroids, threshold=0.3).collect()
+    }
+    assert blas == fold
+    assert any(p for _, p in fold.values())  # the stage actually prunes
