@@ -700,7 +700,12 @@ def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(T.quality_score(F.col("text")) >= 0.5)
-    survivors = D.keep_canonical(kept)
+    # survivors persists too (r9): the quality regex scan + md5 dedup
+    # otherwise re-execute in BOTH the sem_base semi-join branch and
+    # the final anti-join branch (~1.5-2 s/run at sf0.1); at 100 TB
+    # the materialized survivor set feeding multiple downstream stages
+    # is the production shape anyway
+    survivors = D.keep_canonical(kept).persist()
     sem_base = (
         load_table(spark, sf_dir, "embeddings")
         .join(survivors.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi")
@@ -708,7 +713,7 @@ def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     while _CORPUS_SEM_CACHE:
         _CORPUS_SEM_CACHE.pop().unpersist()
-    _CORPUS_SEM_CACHE.append(sem_base)
+    _CORPUS_SEM_CACHE.extend([survivors, sem_base])
     centroids, _ = train_semantic_cells(sem_base, rows_per_cell=64, n_iter=1)
     sem_pruned = (
         semantic_prune(sem_base, centroids, threshold=0.3)
