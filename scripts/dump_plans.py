@@ -94,6 +94,9 @@ HEADLINERS = {
     "<=65536 so the centroid broadcast is bounded (~16 MB); seeds + Lloyd "
     "means + assignment all oracle-re-derivable; prune is a within-cell "
     "equi-join, never all-pairs",
+    "docs_semantic_dedup_skew_split": "MG-discovered hot cells join on "
+    "(cell, block_a, block_b) — a mega-cell's pairs spread over "
+    "n_blocks^2 even buckets; cold cells keep the plain cell equi-join",
 }
 
 
