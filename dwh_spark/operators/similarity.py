@@ -388,6 +388,118 @@ def semantic_prune_vectorized(
     )
 
 
+def semantic_prune_vectorized_skew_split(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    hot_fraction: float = 0.2,
+    n_blocks: int = 8,
+    vectorized_assign: bool = True,
+) -> DataFrame:
+    """The full 100 TB semantic-dedup path: BLAS pair scoring
+    (:func:`semantic_prune_vectorized`) COMPOSED WITH the mega-cell
+    block split (:func:`semantic_prune_skew_split`).
+
+    The plain vectorized prune has the same straggler the fold prune
+    has — ``applyInPandas`` hands each cell to ONE worker — plus a
+    memory wall: a cell of m rows needs an m×block gram, so a 500k-row
+    mega-cell both straggles and OOMs its worker. Here MG-discovered
+    hot cells (certified superset) are routed through per-BUCKET gram
+    matrices instead: rows are tagged with a deterministic block id,
+    side A replicates across b-blocks, side B across a-blocks, and
+    each (cell, block_a, block_b) bucket computes one
+    (m/n_blocks)×(m/n_blocks) cross-gram — bounded task time AND
+    bounded worker memory, n_blocks² even buckets in parallel. Cold
+    cells take the plain per-cell gram.
+
+    Same arithmetic as the BLAS path (np.round 6), so results match
+    :func:`semantic_prune_vectorized` exactly, and match the fold
+    variants away from the ~1e-12 rounding band (tests pin both).
+    Size ``n_blocks`` so (hot_m/n_blocks)·d and the bucket gram fit
+    worker memory — at 500k rows and 8 blocks each bucket holds two
+    62.5k-row slabs.
+    """
+    import numpy as np
+
+    assign = assign_cells_vectorized if vectorized_assign else assign_cells
+    cells = assign(vectors, centroids, vec=vec, key=key).persist()
+    while _SKEW_CELLS_CACHE:
+        _SKEW_CELLS_CACHE.pop().unpersist()
+    _SKEW_CELLS_CACHE.append(cells)
+    hot = discover_hot_cells(cells, hot_fraction=hot_fraction, key=key)
+    is_hot = F.col("cell").isin(hot) if hot else F.lit(False)
+
+    def prune_cell(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(key).reset_index(drop=True)
+        m = len(pdf)
+        mat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        pruned = np.zeros(m, dtype=bool)
+        block = 1024
+        for c0 in range(0, m, block):
+            c1 = min(c0 + block, m)
+            cos = np.round(
+                (mat @ mat[c0:c1].T) / (norms[:, None] * norms[None, c0:c1]), 6
+            )
+            sim = cos >= threshold
+            rows = np.arange(m)[:, None]
+            cols = np.arange(c0, c1)[None, :]
+            pruned[c0:c1] |= (sim & (rows < cols)).any(axis=0)
+        return pd.DataFrame(
+            {key: pdf[key].values, "cell": pdf["cell"].values, "pruned": pruned}
+        )
+
+    cold_flagged = (
+        cells.filter(~is_hot)
+        .select(key, vec, "cell")
+        .groupBy("cell")
+        .applyInPandas(prune_cell, f"{key} long, cell long, pruned boolean")
+    )
+
+    hot_rows = cells.filter(is_hot).select(key, vec, "cell")
+    blk = F.pmod(F.xxhash64(F.col(key)), F.lit(n_blocks)).cast("int")
+    every = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    side_a = hot_rows.select(
+        key, vec, "cell", F.lit(0).alias("__side"), blk.alias("__ba"), every.alias("__bb")
+    )
+    side_b = hot_rows.select(
+        key, vec, "cell", F.lit(1).alias("__side"), every.alias("__ba"), blk.alias("__bb")
+    )
+
+    def prune_bucket(pdf):
+        import pandas as pd
+
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({key: np.array([], dtype=np.int64)})
+        mat_a = np.vstack(a[vec].to_numpy()).astype(np.float64)
+        mat_b = np.vstack(b[vec].to_numpy()).astype(np.float64)
+        na = np.sqrt((mat_a * mat_a).sum(axis=1))
+        nb = np.sqrt((mat_b * mat_b).sum(axis=1))
+        cos = np.round((mat_a @ mat_b.T) / (na[:, None] * nb[None, :]), 6)
+        ids_a = a[key].to_numpy()[:, None]
+        ids_b = b[key].to_numpy()[None, :]
+        hit = ((cos >= threshold) & (ids_a < ids_b)).any(axis=0)
+        return pd.DataFrame({key: b[key].to_numpy()[hit]})
+
+    hot_pruned = (
+        side_a.unionByName(side_b)
+        .groupBy("cell", "__ba", "__bb")
+        .applyInPandas(prune_bucket, f"{key} long")
+        .distinct()
+    )
+    hot_flagged = (
+        hot_rows.join(hot_pruned.withColumn("__pruned", F.lit(True)), key, "left")
+        .select(key, "cell", F.coalesce("__pruned", F.lit(False)).alias("pruned"))
+    )
+    return cold_flagged.unionByName(hot_flagged)
+
+
 def discover_hot_cells(
     cells: DataFrame,
     hot_fraction: float = 0.05,

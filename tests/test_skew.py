@@ -113,3 +113,46 @@ def test_semantic_prune_skew_split_planted_mega_cell(spark):
     # the executed plan joins hot pairs on the block columns
     plan = split_df._jdf.queryExecution().executedPlan().toString()
     assert "__ba" in plan and "__bb" in plan
+
+
+def test_semantic_prune_vectorized_skew_split_matches_fold(spark):
+    """The BLAS+block-split composition must agree with the plain fold
+    prune on planted data with clear cosine margins (same cells, same
+    exists-rule; per-bucket cross-grams only change WHERE a pair is
+    scored) — and with the plain vectorized prune."""
+    import random
+
+    from dwh_spark.operators.similarity import (
+        semantic_prune,
+        semantic_prune_vectorized,
+        semantic_prune_vectorized_skew_split,
+    )
+
+    rng = random.Random(23)
+    dim = 8
+    base_hot = [1.0] + [0.0] * (dim - 1)
+    base_cold = [0.0] * (dim - 1) + [1.0]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.01)) for x in base_hot]) for i in range(110)
+    ] + [
+        (200 + i, [float(x + rng.gauss(0, 0.01)) for x in base_cold])
+        for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = df.filter(F.col("vec_id").isin(0, 200))
+
+    fold = sorted(
+        (r["vec_id"], r["cell"], r["pruned"])
+        for r in semantic_prune(df, centroids, threshold=0.9).collect()
+    )
+    blas = sorted(
+        (r["vec_id"], r["cell"], r["pruned"])
+        for r in semantic_prune_vectorized(df, centroids, threshold=0.9).collect()
+    )
+    split = sorted(
+        (r["vec_id"], r["cell"], r["pruned"])
+        for r in semantic_prune_vectorized_skew_split(
+            df, centroids, threshold=0.9, hot_fraction=0.5, n_blocks=4
+        ).collect()
+    )
+    assert split == blas == fold
