@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # -- new in round 9: no driver verdict yet
     "docs_semantic_dedup_skew_split",  # MG hot-cell discovery + block-split prune
+    "emb_trained_recall_audit",        # recall@5 certificate for the TRAINED index
     # -- stale: latest driver verdict is round 5 (all 43 cycle now)
     "av_audio_adpcm_decode_stats",
     "av_audio_g711_decode_stats",

@@ -800,12 +800,108 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     or nprobe that silently tanks recall shows up as a number, not a
     hunch. Both sides reuse the registry's existing plans (broadcast
     query/centroid sides; the only wide scan is the corpus pass each
-    ranking already needs)."""
+    ranking already needs). See ``emb_trained_recall_audit`` for the
+    same audit over the TRAINED (production) index."""
     from dwh_spark.operators.similarity import cosine_topk as _ct
     from dwh_spark.operators.similarity import ivf_probe_topk as _ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    exact = _ct(emb, queries, k=5).select("query_id", "vec_id")
+    probe = _ivf(emb, centroids, queries, k=5, nprobe=2).select("query_id", "vec_id")
+    overlap = (
+        exact.join(probe, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+@query(
+    "emb_trained_recall_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    {trained_prune_ctes('base', rows_per_cell=64, threshold=0.3)},
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+          FROM base WHERE vec_id IN ({_IDS})),
+    exact_scored AS (
+      SELECT q.query_id, v.vec_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round({_DOT.format(a='v.embedding', b='q.q_emb')}
+                     / (sqrt(v.norm2) * sqrt(q.q_norm2)), 6) DESC, v.vec_id) AS rnk
+      FROM base v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    ),
+    exact AS (SELECT query_id, vec_id FROM exact_scored WHERE rnk <= 5),
+    qcell_scored AS (
+      SELECT q.query_id, q.q_emb, q.q_norm2, t.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round({_DOT.format(a='q.q_emb', b='t.c_emb')}
+                     / (sqrt(q.q_norm2) * sqrt(t.c_norm2)), 6) DESC,
+               t.centroid_id) AS rn
+      FROM q CROSS JOIN sem_t_norm t
+    ),
+    qcell AS (SELECT query_id, q_emb, q_norm2, centroid_id AS cell
+              FROM qcell_scored WHERE rn <= 2),
+    probe_scored AS (
+      SELECT qc.query_id, vc.vec_id,
+             row_number() OVER (PARTITION BY qc.query_id ORDER BY
+               round({_DOT.format(a='vc.embedding', b='qc.q_emb')}
+                     / (sqrt(vc.norm2) * sqrt(qc.q_norm2)), 6) DESC, vc.vec_id) AS rnk
+      FROM qcell qc
+      JOIN sem_cells vc ON vc.cell = qc.cell AND vc.vec_id <> qc.query_id
+    ),
+    probe AS (SELECT query_id, vec_id FROM probe_scored WHERE rnk <= 5),
+    overlap AS (
+      SELECT e.query_id, count(*) AS n_overlap
+      FROM exact e JOIN probe p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(coalesce(max(o.n_overlap), 0) AS BIGINT) AS n_overlap,
+           round(CAST(coalesce(max(o.n_overlap), 0) AS DOUBLE) / count(*), 6)
+             AS recall_at_5
+    FROM exact e LEFT JOIN overlap o ON o.query_id = e.query_id
+    GROUP BY 1
+    """,
+)
+def emb_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``emb_ivf_recall_audit`` over the TRAINED index — the recall
+    certificate for the PRODUCTION entry path: the same
+    ``train_semantic_cells`` centroids that drive the trained semantic
+    prune (auto n_cells, md5-smallest seeds, one exact-mean Lloyd
+    step) back the multi-probe search, and the audit reports
+    recall@5(nprobe=2) against the exact brute force. The oracle
+    re-derives the ENTIRE trained index (the shared
+    ``trained_prune_ctes`` chain, same as ``emb_semantic_trained_
+    prune``) plus both rankings in SQL — a silent training drift
+    (seed choice, mean arithmetic, assignment tie-break) breaks the
+    hash, not just a recall eyeball. Plan: the trained-centroid frame
+    broadcasts to both assignment and probe ranking; corpus scanned
+    once per ranking; no all-pairs stage."""
+    from dwh_spark.operators.similarity import cosine_topk as _ct
+    from dwh_spark.operators.similarity import ivf_probe_topk as _ivf
+    from dwh_spark.operators.similarity import train_semantic_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = train_semantic_cells(emb, rows_per_cell=64, n_iter=1)
     queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
     exact = _ct(emb, queries, k=5).select("query_id", "vec_id")
     probe = _ivf(emb, centroids, queries, k=5, nprobe=2).select("query_id", "vec_id")

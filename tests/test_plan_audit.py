@@ -48,6 +48,7 @@ _ALLOW_BNLJ = {
     "emb_ivf_probe_topk",         # same centroid broadcast (assignment + probe ranking)
     "emb_ivf_inertia",            # same centroid broadcast, score kept for the metric
     "emb_ivf_recall_audit",       # reuses the brute-force + IVF broadcast plans
+    "emb_trained_recall_audit",   # same, with the trained centroid broadcast
     "emb_cosine_topk",            # brute-force baseline: query-point broadcast
     "emb_lsh_topk",
     "emb_cosine_near_dups",
