@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     # -- new in round 9: no driver verdict yet
     "docs_semantic_dedup_skew_split",  # MG hot-cell discovery + block-split prune
     "emb_trained_recall_audit",        # recall@5 certificate for the TRAINED index
+    "docs_minhash_incremental_ingest", # new-batch-vs-corpus LSH probe, no self-join
     # -- stale: latest driver verdict is round 5 (all 43 cycle now)
     "av_audio_adpcm_decode_stats",
     "av_audio_g711_decode_stats",

@@ -286,6 +286,71 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_incremental_near_dups(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Ingest-time near-dup screen: which NEW docs are near-duplicates
+    of the EXISTING corpus. The daily-batch shape of
+    :func:`minhash_near_duplicates` — a production pipeline does not
+    re-self-join the whole corpus per ingest.
+
+    The corpus band index is the stored artifact of the initial dedup
+    run (recomputed here from the corpus frame; in production it is a
+    table keyed ``(band, band_key)`` that each ingest appends to). The
+    new batch bands itself and equi-joins that index, so candidates
+    are new-vs-corpus ONLY: no corpus self-join, no new-batch
+    self-join — incremental cost is O(batch × collisions) regardless
+    of corpus size. (Run the plain near-dup over the batch itself for
+    within-batch dups.) Verification is the same exact-Jaccard pass,
+    with the NEW side broadcast (a daily batch is small by
+    construction) and the corpus arrays attached by ordinary equi-join
+    on the few surviving candidate ids — never a corpus-wide
+    broadcast.
+
+    Returns (new_id, corpus_id, jaccard) for verified pairs >=
+    ``threshold``.
+    """
+    banded_corpus = _banded(corpus, text, key, k, n_hashes, bands)
+    banded_new = _banded(new_docs, text, key, k, n_hashes, bands)
+    pairs = (
+        banded_new.alias("n")
+        .join(
+            banded_corpus.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"n.{key}").alias("new_id"), F.col(f"c.{key}").alias("corpus_id")
+        )
+        .distinct()
+    )
+    arrays_new = new_docs.select(
+        F.col(key).alias("new_id"), shingles(F.col(text), k).alias("sh_n")
+    )
+    arrays_corpus = corpus.select(
+        F.col(key).alias("corpus_id"), shingles(F.col(text), k).alias("sh_c")
+    )
+    cands = pairs.join(F.broadcast(arrays_new), "new_id").join(
+        arrays_corpus, "corpus_id"
+    )
+    n_common = F.size(F.array_intersect("sh_n", "sh_c"))
+    union_n = F.size("sh_n") + F.size("sh_c") - n_common
+    return (
+        cands.withColumn(
+            "jaccard", F.round(n_common.cast("double") / union_n.cast("double"), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct words (md5-derived bit weights)."""
     toks = df.select(key, F.explode(F.array_distinct(words(F.col(text)))).alias("word"))

@@ -261,6 +261,66 @@ def docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_minhash_incremental_ingest",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seeds.seed,
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM banded n JOIN banded c
+        ON n.band = c.band AND n.band_key = c.band_key
+       AND n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.new_id, c.corpus_id, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = new_id
+    JOIN sizes sb ON sb.doc_id = corpus_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+    """,
+)
+def docs_minhash_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest half of near-dup dedup
+    (operators/dedup.py:minhash_incremental_near_dups): docs with
+    ``doc_id % 10 == 7`` play the incoming batch, the rest the
+    standing corpus; the batch bands itself and probes the corpus's
+    band index — candidates are new-vs-corpus only, never a corpus
+    self-join, so ingest cost is O(batch × collisions) at any corpus
+    size. Exact-Jaccard verification with the BATCH side broadcast
+    and corpus shingle arrays equi-joined to the surviving candidate
+    ids. The oracle replays banding + the asymmetric probe + the
+    verification in SQL."""
+    docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return D.minhash_incremental_near_dups(corpus, new_docs, threshold=0.7)
+
+
+@query(
     "docs_simhash_near_dups",
     oracle="""
     WITH toks AS (
