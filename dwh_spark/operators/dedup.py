@@ -286,6 +286,22 @@ def minhash_near_duplicates(
     )
 
 
+def band_index(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Public band-index builder — the STORED artifact of LSH dedup:
+    (key, band, band_key) rows a production pipeline appends to per
+    ingest batch and probes with :func:`minhash_incremental_near_dups`
+    / the streaming ingest fold. Same banding as
+    :func:`lsh_candidate_pairs` (it and this share ``_banded``)."""
+    return _banded(df, text, key, k, n_hashes, bands)
+
+
 def minhash_incremental_near_dups(
     corpus: DataFrame,
     new_docs: DataFrame,

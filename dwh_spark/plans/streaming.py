@@ -570,3 +570,194 @@ def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> Data
             F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
         ).alias("n_unmatched"),
     )
+
+
+# the _SHINGLES_CTE/banding chain lives in plans/documents.py; the
+# streaming ingest shares its oracle arithmetic verbatim
+_MINHASH_INGEST_ORACLE = """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                   for i in range(1, len(s) - 1)])) AS shingle
+      FROM docs WHERE len(s) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seeds.seed,
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      GROUP BY c.id_a, c.id_b, sa.n_sh, sb.n_sh
+      HAVING CAST(count(*) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - count(*)) >= 0.7
+    )
+    SELECT id_b AS doc_id, count(*) AS n_earlier_dups
+    FROM verified GROUP BY 1
+    """
+
+
+@query("streaming_minhash_ingest", oracle=_MINHASH_INGEST_ORACLE)
+def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest — the LSH band index as accumulating
+    stream state: documents arrive in doc_id order across 3
+    micro-batches; each batch (a) flags its docs that near-dup the
+    STORED corpus by probing the band-index state (candidates =
+    batch-bands ⋈ stored-bands, verification = exact Jaccard against
+    the stored doc texts — never a corpus self-join), (b) flags
+    within-batch dups with the ordinary banded self-join over the
+    batch only, then (c) appends its bands and texts to the two state
+    stores under the same high-water replay guard as the marketplace
+    fold. Because batches are id-ordered, 'stored corpus ∪
+    smaller-id batch mates' is EXACTLY 'all earlier docs', so the
+    drained output equals the batch oracle: for every flagged doc,
+    the count of earlier near-dup partners (band collision AND
+    jaccard >= 0.7). At 100 TB the band store is a table keyed
+    (band, band_key) — each ingest appends O(batch) rows and probes
+    by equi-join; the doc store lookups touch only candidate ids."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.dedup import band_index, shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dwh_mh_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    # 3 id-ordered slices, mtime-sequenced (the marketplace staging
+    # pattern) so the file-source cursor delivers ascending doc_ids
+    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    bands_store = ParquetStateStore(os.path.join(root, "bands"), write_partitions=1)
+    docs_store = ParquetStateStore(os.path.join(root, "docs"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # high-water replay guard (docs store commits LAST = marker)
+        lc = docs_store.last_committed()
+        if lc is not None and batch_id <= lc:
+            return
+        batch_df = batch_df.persist()
+        # the band frame feeds three consumers (within-batch self-join
+        # both sides + the corpus probe + the store append): persist so
+        # the signature pipeline runs once per batch
+        batch_bands = band_index(batch_df).persist()
+        prior_bands = bands_store.current(spark)
+        prior_docs = docs_store.current(spark)
+        sh_new = batch_df.select(
+            F.col("doc_id").alias("new_id"), shingles(F.col("text"), 3).alias("sh_n")
+        )
+        n_common = F.size(F.array_intersect("sh_n", "sh_c"))
+        union_n = F.size("sh_n") + F.size("sh_c") - n_common
+
+        def verify(cands: DataFrame, sh_old: DataFrame) -> DataFrame:
+            return (
+                cands.join(F.broadcast(sh_new), "new_id")
+                .join(sh_old, "corpus_id")
+                .filter(
+                    F.round(n_common.cast("double") / union_n.cast("double"), 6) >= 0.7
+                )
+                .select(
+                    F.col("new_id").alias("doc_id"), F.col("corpus_id").alias("partner")
+                )
+            )
+
+        wb_cands = (
+            batch_bands.alias("n")
+            .join(
+                batch_bands.alias("c"),
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.band_key") == F.col("c.band_key"))
+                & (F.col("c.doc_id") < F.col("n.doc_id")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id")
+            )
+            .distinct()
+        )
+        flagged = verify(
+            wb_cands,
+            sh_new.select(
+                F.col("new_id").alias("corpus_id"), F.col("sh_n").alias("sh_c")
+            ),
+        )
+        if prior_bands is not None:
+            cands = (
+                batch_bands.alias("n")
+                .join(
+                    prior_bands.alias("c"),
+                    (F.col("n.band") == F.col("c.band"))
+                    & (F.col("n.band_key") == F.col("c.band_key")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_id"),
+                    F.col("c.doc_id").alias("corpus_id"),
+                )
+                .distinct()
+            )
+            sh_old = prior_docs.select(
+                F.col("doc_id").alias("corpus_id"), shingles(F.col("text"), 3).alias("sh_c")
+            )
+            flagged = flagged.unionByName(verify(cands, sh_old))
+        flagged.groupBy("doc_id").agg(
+            F.count("*").alias("n_earlier_dups")
+        ).coalesce(1).write.mode("append").parquet(out_dir)
+        new_bands = (
+            batch_bands if prior_bands is None else prior_bands.unionByName(batch_bands)
+        )
+        bands_store.commit(new_bands, batch_id)
+        new_docs = (
+            batch_df if prior_docs is None else prior_docs.unionByName(batch_df)
+        )
+        docs_store.commit(new_docs, batch_id)
+        batch_bands.unpersist()
+        batch_df.unpersist()
+
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

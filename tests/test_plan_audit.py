@@ -21,6 +21,7 @@ _STREAMING = {
     "streaming_daily_rollup",
     "streaming_user_accumulator",
     "streaming_dim_enrichment",
+    "streaming_minhash_ingest",  # plan of the returned DF = drained out-dir read
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where one side is a
