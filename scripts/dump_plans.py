@@ -97,6 +97,12 @@ HEADLINERS = {
     "docs_semantic_dedup_skew_split": "MG-discovered hot cells join on "
     "(cell, block_a, block_b) — a mega-cell's pairs spread over "
     "n_blocks^2 even buckets; cold cells keep the plain cell equi-join",
+    "docs_minhash_incremental_ingest": "asymmetric band probe: the new "
+    "batch's bands equi-join the corpus band index — no corpus "
+    "self-join; batch side broadcast into the Jaccard verification",
+    "emb_trained_recall_audit": "trained centroid frame broadcast to "
+    "both the assignment and the probe ranking; corpus scanned once "
+    "per ranking, no all-pairs stage",
 }
 
 
