@@ -644,7 +644,7 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    from dwh_spark.operators.dedup import band_index, shingles
+    from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="dwh_mh_ingest_")
@@ -665,99 +665,12 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_store = ParquetStateStore(os.path.join(root, "bands"), write_partitions=1)
     docs_store = ParquetStateStore(os.path.join(root, "docs"), write_partitions=1)
     out_dir = os.path.join(root, "out")
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        # high-water replay guard (docs store commits LAST = marker)
-        lc = docs_store.last_committed()
-        if lc is not None and batch_id <= lc:
-            return
-        batch_df = batch_df.persist()
-        # the band frame feeds three consumers (within-batch self-join
-        # both sides + the corpus probe + the store append): persist so
-        # the signature pipeline runs once per batch
-        batch_bands = band_index(batch_df).persist()
-        prior_bands = bands_store.current(spark)
-        prior_docs = docs_store.current(spark)
-        sh_new = batch_df.select(
-            F.col("doc_id").alias("new_id"), shingles(F.col("text"), 3).alias("sh_n")
-        )
-        n_common = F.size(F.array_intersect("sh_n", "sh_c"))
-        union_n = F.size("sh_n") + F.size("sh_c") - n_common
-
-        def verify(cands: DataFrame, sh_old: DataFrame) -> DataFrame:
-            return (
-                cands.join(F.broadcast(sh_new), "new_id")
-                .join(sh_old, "corpus_id")
-                .filter(
-                    F.round(n_common.cast("double") / union_n.cast("double"), 6) >= 0.7
-                )
-                .select(
-                    F.col("new_id").alias("doc_id"), F.col("corpus_id").alias("partner")
-                )
-            )
-
-        wb_cands = (
-            batch_bands.alias("n")
-            .join(
-                batch_bands.alias("c"),
-                (F.col("n.band") == F.col("c.band"))
-                & (F.col("n.band_key") == F.col("c.band_key"))
-                & (F.col("c.doc_id") < F.col("n.doc_id")),
-            )
-            .select(
-                F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id")
-            )
-            .distinct()
-        )
-        flagged = verify(
-            wb_cands,
-            sh_new.select(
-                F.col("new_id").alias("corpus_id"), F.col("sh_n").alias("sh_c")
-            ),
-        )
-        if prior_bands is not None:
-            cands = (
-                batch_bands.alias("n")
-                .join(
-                    prior_bands.alias("c"),
-                    (F.col("n.band") == F.col("c.band"))
-                    & (F.col("n.band_key") == F.col("c.band_key")),
-                )
-                .select(
-                    F.col("n.doc_id").alias("new_id"),
-                    F.col("c.doc_id").alias("corpus_id"),
-                )
-                .distinct()
-            )
-            sh_old = prior_docs.select(
-                F.col("doc_id").alias("corpus_id"), shingles(F.col("text"), 3).alias("sh_c")
-            )
-            flagged = flagged.unionByName(verify(cands, sh_old))
-        flagged.groupBy("doc_id").agg(
-            F.count("*").alias("n_earlier_dups")
-        ).coalesce(1).write.mode("append").parquet(out_dir)
-        new_bands = (
-            batch_bands if prior_bands is None else prior_bands.unionByName(batch_bands)
-        )
-        bands_store.commit(new_bands, batch_id)
-        new_docs = (
-            batch_df if prior_docs is None else prior_docs.unionByName(batch_df)
-        )
-        docs_store.commit(new_docs, batch_id)
-        batch_bands.unpersist()
-        batch_df.unpersist()
-
-    schema = docs.schema
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(input_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    run_minhash_ingest(
+        stream, bands_store, docs_store, out_dir, os.path.join(root, "ckpt")
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return read_ingest_results(spark, out_dir)

@@ -435,3 +435,76 @@ def test_partitioned_store_lookup_prunes_files(spark, tmp_path):
         assert n_covering < len(man["files"])
     # a key outside every range returns empty, not an error
     assert store.lookup(spark, max(state) + 10**9).count() == 0
+
+
+def test_minhash_ingest_exactly_once_under_lost_checkpoint(spark, tmp_path):
+    """M22 for the streaming LSH ingest: a full re-drive with a lost
+    checkpoint re-delivers every batch id from 0 — the high-water
+    guard must skip them all, so the band/doc stores don't double-
+    append and the versioned per-batch output dirs are not rewritten
+    with duplicated flags. Result must equal the batch earlier-
+    partners computation."""
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.dedup import lsh_candidate_pairs, shingles
+    from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
+    from dwh_spark.streaming.ingest import ParquetStateStore
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    input_dir = str(tmp_path / "input")
+    # 2 id-ordered files
+    import os
+
+    from pyspark.sql.window import Window
+
+    sliced = docs.withColumn("__slice", F.ntile(2).over(Window.orderBy("doc_id")))
+    staged = str(tmp_path / "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(staged)
+    os.makedirs(input_dir)
+    import shutil
+
+    for i in range(1, 3):
+        sdir = os.path.join(staged, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    bands_store = ParquetStateStore(str(tmp_path / "bands"), write_partitions=1)
+    docs_store = ParquetStateStore(str(tmp_path / "docs"), write_partitions=1)
+    out_dir = str(tmp_path / "out")
+
+    def drive(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        run_minhash_ingest(stream, bands_store, docs_store, out_dir, str(tmp_path / ckpt))
+
+    drive("ckpt1")
+    drive("ckpt2")  # lost checkpoint: batch ids restart at 0
+
+    got = {
+        (r["doc_id"], r["n_earlier_dups"])
+        for r in read_ingest_results(spark, out_dir).collect()
+    }
+    # batch reference: candidate pairs a<b, verified at jaccard>=0.7
+    pairs = lsh_candidate_pairs(docs)
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.size("sh_a") + F.size("sh_b") - n_common
+    verified = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(F.round(n_common.cast("double") / union_n.cast("double"), 6) >= 0.7)
+        .groupBy("id_b")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r["id_b"], r["n"]) for r in verified.collect()}
+    assert got == want
+    # stores accumulated each doc exactly once
+    assert docs_store.current(spark).count() == docs.count()
