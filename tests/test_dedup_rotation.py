@@ -72,3 +72,37 @@ def test_rotated_matches_brute_force(spark):
         for r in simhash_near_duplicates_rotated(docs).collect()
     }
     assert got == want and (1, 5) in got  # the exact-dup pair at hd 0
+
+
+def test_minhash_incremental_matches_cross_split_pairs(spark):
+    """The asymmetric batch-vs-corpus probe must find EXACTLY the full
+    near-dup pairs that cross the split — in both id directions (the
+    full pipeline orders pairs id_a<id_b; the incremental probe must
+    not silently assume batch ids are larger)."""
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.dedup import (
+        minhash_incremental_near_dups,
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+
+    inc = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash_incremental_near_dups(corpus, new_docs, threshold=0.7).collect()
+    }
+    full = minhash_near_duplicates(docs, threshold=0.7).collect()
+    want = set()
+    for r in full:
+        a, b, j = r["id_a"], r["id_b"], r["jaccard"]
+        if a % 10 == 7 and b % 10 != 7:
+            want.add((a, b, j))
+        elif b % 10 == 7 and a % 10 != 7:
+            want.add((b, a, j))
+    assert inc == want
+    assert inc  # the fixture split actually crosses some dup families
