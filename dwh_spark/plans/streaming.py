@@ -662,8 +662,10 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(os.path.join(sdir, part), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    bands_store = ParquetStateStore(os.path.join(root, "bands"), write_partitions=1)
-    docs_store = ParquetStateStore(os.path.join(root, "docs"), write_partitions=1)
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
+    docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
     out_dir = os.path.join(root, "out")
     stream = (
         spark.readStream.schema(docs.schema)

@@ -28,13 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dwh_spark.operators.dedup import band_index, shingles
-from dwh_spark.streaming.ingest import ParquetStateStore
+from dwh_spark.streaming.ingest import ParquetAppendLog
 
 
 def run_minhash_ingest(
     stream: DataFrame,
-    bands_store: ParquetStateStore,
-    docs_store: ParquetStateStore,
+    bands_store: ParquetAppendLog,
+    docs_store: ParquetAppendLog,
     out_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.7,
@@ -119,12 +119,11 @@ def run_minhash_ingest(
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
         )
-        new_bands = (
-            batch_bands if prior_bands is None else prior_bands.unionByName(batch_bands)
-        )
-        bands_store.commit(new_bands, batch_id)
-        new_docs = batch_df if prior_docs is None else prior_docs.unionByName(batch_df)
-        docs_store.commit(new_docs, batch_id)
+        # append-only: each batch persists O(batch) rows — history
+        # is never rewritten (the snapshot store would rewrite the
+        # whole union per batch, quadratic in corpus size)
+        bands_store.append(batch_bands, batch_id)
+        docs_store.append(batch_df, batch_id)
         batch_bands.unpersist()
         batch_df.unpersist()
 

@@ -268,6 +268,66 @@ class ParquetStateStore:
         return spark.read.parquet(*paths).filter(F.col(man["range_key"]) == value)
 
 
+class ParquetAppendLog:
+    """Append-only log of per-batch parquet segments — the
+    scale-correct store for monotonically GROWING state (a band
+    index, a document archive): each batch writes O(batch) rows into
+    its own segment dir and NOTHING rewrites history, unlike
+    :class:`ParquetStateStore`, whose snapshot commit rewrites the
+    whole merged state per batch (right for compacting MERGE state,
+    quadratic-in-corpus for append-only state).
+
+    Crash semantics mirror the snapshot store: the segment dir is
+    keyed by batch_id, so a crash-window replay rewrites the SAME dir
+    idempotently; the ``_COMMITTED`` marker file lands only after the
+    segment write completes, and readers union only marked segments —
+    a half-written segment is invisible. ``last_committed`` is the max
+    marked batch id (batch ids are strictly monotonic within one
+    checkpoint), serving the same high-water replay guard.
+
+    At 100 TB this is a partitioned table (one partition per ingest
+    batch) under any table format; segment compaction is an offline
+    OPTIMIZE, orthogonal to ingest correctness.
+    """
+
+    MARKER = "_COMMITTED"
+
+    def __init__(self, root: str, write_partitions: int | None = None) -> None:
+        self.root = root
+        self.write_partitions = write_partitions
+        os.makedirs(root, exist_ok=True)
+
+    def segment_dir(self, batch_id: int) -> str:
+        return os.path.join(self.root, f"seg{batch_id:010d}")
+
+    def _committed_ids(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("seg") and os.path.exists(
+                os.path.join(self.root, name, self.MARKER)
+            ):
+                out.append(int(name[3:]))
+        return sorted(out)
+
+    def last_committed(self) -> int | None:
+        ids = self._committed_ids()
+        return ids[-1] if ids else None
+
+    def append(self, df: DataFrame, batch_id: int) -> None:
+        seg = self.segment_dir(batch_id)
+        if self.write_partitions is not None:
+            df = df.coalesce(self.write_partitions)
+        df.write.mode("overwrite").parquet(seg)
+        with open(os.path.join(seg, self.MARKER), "w") as fh:
+            fh.write(str(batch_id))
+
+    def current(self, spark: SparkSession) -> DataFrame | None:
+        ids = self._committed_ids()
+        if not ids:
+            return None
+        return spark.read.parquet(*(self.segment_dir(i) for i in ids))
+
+
 def run_incremental_compaction(
     events: DataFrame,
     store: ParquetStateStore,

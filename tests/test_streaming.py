@@ -448,7 +448,7 @@ def test_minhash_ingest_exactly_once_under_lost_checkpoint(spark, tmp_path):
 
     from dwh_spark.operators.dedup import lsh_candidate_pairs, shingles
     from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
-    from dwh_spark.streaming.ingest import ParquetStateStore
+    from dwh_spark.streaming.ingest import ParquetAppendLog
 
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -473,8 +473,8 @@ def test_minhash_ingest_exactly_once_under_lost_checkpoint(spark, tmp_path):
         shutil.move(os.path.join(sdir, part), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    bands_store = ParquetStateStore(str(tmp_path / "bands"), write_partitions=1)
-    docs_store = ParquetStateStore(str(tmp_path / "docs"), write_partitions=1)
+    bands_store = ParquetAppendLog(str(tmp_path / "bands"), write_partitions=1)
+    docs_store = ParquetAppendLog(str(tmp_path / "docs"), write_partitions=1)
     out_dir = str(tmp_path / "out")
 
     def drive(ckpt):
