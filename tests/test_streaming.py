@@ -508,3 +508,22 @@ def test_minhash_ingest_exactly_once_under_lost_checkpoint(spark, tmp_path):
     assert got == want
     # stores accumulated each doc exactly once
     assert docs_store.current(spark).count() == docs.count()
+
+
+def test_append_log_half_written_segment_invisible(spark, tmp_path):
+    """ParquetAppendLog crash window: a segment dir written WITHOUT
+    its _COMMITTED marker (crash mid-append) must be invisible to
+    readers and to last_committed; the replayed append rewrites the
+    same dir idempotently and only then commits it."""
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    log = ParquetAppendLog(str(tmp_path / "log"))
+    df = spark.range(5).withColumnRenamed("id", "x")
+    log.append(df, 0)
+    # simulate the crash: segment 1's parquet lands, marker does not
+    df.write.mode("overwrite").parquet(log.segment_dir(1))
+    assert log.last_committed() == 0
+    assert log.current(spark).count() == 5
+    log.append(df, 1)  # replay completes the segment
+    assert log.last_committed() == 1
+    assert log.current(spark).count() == 10
