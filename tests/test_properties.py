@@ -610,3 +610,39 @@ def test_corpus_build_semantic_stage_fold_blas_parity(spark):
     }
     assert blas == fold
     assert any(p for _, p in fold.values())  # the stage actually prunes
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+        min_size=8,
+        max_size=30,
+    ),
+    st.sampled_from([0.5, 0.8, 0.95]),
+    st.sampled_from([2, 3, 4]),
+)
+def test_skew_split_equals_plain_on_random_frames(spark, vecs, threshold, n_blocks):
+    """semantic_prune_skew_split must equal semantic_prune for ANY
+    vector set / threshold / block count — block routing is pure
+    distribution. Random integer-component vectors keep every cosine
+    exactly representable, so no rounding-band flukes."""
+    from dwh_spark.operators.similarity import semantic_prune, semantic_prune_skew_split
+
+    rows = [
+        (i, [float(x) for x in v] if any(v) else [1.0, 0.0, 0.0, 0.0])
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = df.filter(F.col("vec_id") < 2)
+    plain = sorted(
+        (r["vec_id"], r["cell"], r["pruned"])
+        for r in semantic_prune(df, centroids, threshold=threshold).collect()
+    )
+    split = sorted(
+        (r["vec_id"], r["cell"], r["pruned"])
+        for r in semantic_prune_skew_split(
+            df, centroids, threshold=threshold, hot_fraction=0.3, n_blocks=n_blocks
+        ).collect()
+    )
+    assert split == plain
