@@ -353,10 +353,22 @@ def semantic_prune_vectorized(
     low thousands, the same guidance as the fold variant, which is
     quadratic in m per cell regardless of path.
     """
-    import numpy as np
-
     assign = assign_cells_vectorized if vectorized_assign else assign_cells
     cells = assign(vectors, centroids, vec=vec, key=key)
+    return cells.select(key, vec, "cell").groupBy("cell").applyInPandas(
+        _cell_gram_pruner(vec, key, threshold),
+        f"{key} long, cell long, pruned boolean",
+    )
+
+
+def _cell_gram_pruner(vec: str, key: str, threshold: float):
+    """Per-cell BLAS exists-rule pruner shared by
+    :func:`semantic_prune_vectorized` and the hot/cold split variant:
+    one applyInPandas group = one cell; m×B gram blocks; column i is
+    pruned iff ANY strictly smaller row scores >= threshold (pruned
+    rows still count — the exists-rule, identical to the fold variant
+    and the SQL oracle)."""
+    import numpy as np
 
     def prune_cell(pdf):
         import pandas as pd
@@ -372,9 +384,6 @@ def semantic_prune_vectorized(
             cos = np.round(
                 (mat @ mat[c0:c1].T) / (norms[:, None] * norms[None, c0:c1]), 6
             )
-            # column i (global c0+ci) is pruned iff ANY strictly
-            # smaller row j scores >= threshold — pruned j still count
-            # (exists-rule, identical to the fold variant / oracle)
             sim = cos >= threshold
             rows = np.arange(m)[:, None]
             cols = np.arange(c0, c1)[None, :]
@@ -383,9 +392,7 @@ def semantic_prune_vectorized(
             {key: pdf[key].values, "cell": pdf["cell"].values, "pruned": pruned}
         )
 
-    return cells.select(key, vec, "cell").groupBy("cell").applyInPandas(
-        prune_cell, f"{key} long, cell long, pruned boolean"
-    )
+    return prune_cell
 
 
 def semantic_prune_vectorized_skew_split(
@@ -431,33 +438,14 @@ def semantic_prune_vectorized_skew_split(
     hot = discover_hot_cells(cells, hot_fraction=hot_fraction, key=key)
     is_hot = F.col("cell").isin(hot) if hot else F.lit(False)
 
-    def prune_cell(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values(key).reset_index(drop=True)
-        m = len(pdf)
-        mat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        pruned = np.zeros(m, dtype=bool)
-        block = 1024
-        for c0 in range(0, m, block):
-            c1 = min(c0 + block, m)
-            cos = np.round(
-                (mat @ mat[c0:c1].T) / (norms[:, None] * norms[None, c0:c1]), 6
-            )
-            sim = cos >= threshold
-            rows = np.arange(m)[:, None]
-            cols = np.arange(c0, c1)[None, :]
-            pruned[c0:c1] |= (sim & (rows < cols)).any(axis=0)
-        return pd.DataFrame(
-            {key: pdf[key].values, "cell": pdf["cell"].values, "pruned": pruned}
-        )
-
     cold_flagged = (
         cells.filter(~is_hot)
         .select(key, vec, "cell")
         .groupBy("cell")
-        .applyInPandas(prune_cell, f"{key} long, cell long, pruned boolean")
+        .applyInPandas(
+            _cell_gram_pruner(vec, key, threshold),
+            f"{key} long, cell long, pruned boolean",
+        )
     )
 
     hot_rows = cells.filter(is_hot).select(key, vec, "cell")
