@@ -514,7 +514,11 @@ def discover_hot_cells(
 
 
 # at most one live persisted cell-assignment frame for the skew-split
-# prune (single-live rotation, as _TRAINED_CACHE)
+# prunes (single-live rotation, as _TRAINED_CACHE). Shared by the fold
+# and BLAS variants deliberately: invoking one while a PREVIOUS call's
+# lazy result is still unconsumed unpersists that result's cells —
+# safe (assign_cells is deterministic, Spark recomputes) but slower;
+# consume one skew-split result before starting the next.
 _SKEW_CELLS_CACHE: list = []
 
 
