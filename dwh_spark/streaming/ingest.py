@@ -269,63 +269,120 @@ class ParquetStateStore:
 
 
 class ParquetAppendLog:
-    """Append-only log of per-batch parquet segments — the
-    scale-correct store for monotonically GROWING state (a band
-    index, a document archive): each batch writes O(batch) rows into
-    its own segment dir and NOTHING rewrites history, unlike
+    """Append-only log of per-batch parquet segments behind an atomic
+    MANIFEST — the scale-correct store for monotonically GROWING state
+    (a band index, a document archive): each batch writes O(batch)
+    rows into its own segment dir and NOTHING rewrites history, unlike
     :class:`ParquetStateStore`, whose snapshot commit rewrites the
     whole merged state per batch (right for compacting MERGE state,
     quadratic-in-corpus for append-only state).
 
-    Crash semantics mirror the snapshot store: the segment dir is
-    keyed by batch_id, so a crash-window replay rewrites the SAME dir
-    idempotently; the ``_COMMITTED`` marker file lands only after the
-    segment write completes, and readers union only marked segments —
-    a half-written segment is invisible. ``last_committed`` is the max
-    marked batch id (batch ids are strictly monotonic within one
-    checkpoint), serving the same high-water replay guard.
+    The transaction log is a ``_MANIFEST.json`` listing the active
+    segment dirs plus the high-water batch id, rewritten atomically
+    (tmp + os.replace) AFTER each segment write — exactly Delta's
+    design, one level deep, matching the snapshot store's pointer
+    file. Crash semantics: a segment written without its manifest
+    update is invisible (replay rewrites the same dir idempotently);
+    ``last_committed`` serves the same high-water replay guard as the
+    snapshot store.
 
-    At 100 TB this is a partitioned table (one partition per ingest
-    batch) under any table format; segment compaction is an offline
-    OPTIMIZE, orthogonal to ingest correctness.
+    ``compact()`` is the offline OPTIMIZE: merge all active segments
+    into one, swap the manifest atomically, then garbage-collect the
+    unreferenced dirs — readers see either the old segment set or the
+    merged one, never duplicates, never a partial state. At 100 TB
+    this is a partitioned table under any table format; here it is the
+    same mechanism one file deep.
     """
 
-    MARKER = "_COMMITTED"
+    MANIFEST = "_MANIFEST.json"
 
     def __init__(self, root: str, write_partitions: int | None = None) -> None:
         self.root = root
         self.write_partitions = write_partitions
         os.makedirs(root, exist_ok=True)
 
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, self.MANIFEST)
+
+    def _read_manifest(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except OSError:
+            return None
+
+    def _write_manifest(self, manifest: dict) -> None:
+        import json
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
     def segment_dir(self, batch_id: int) -> str:
         return os.path.join(self.root, f"seg{batch_id:010d}")
 
-    def _committed_ids(self) -> list[int]:
-        out = []
-        for name in os.listdir(self.root):
-            if name.startswith("seg") and os.path.exists(
-                os.path.join(self.root, name, self.MARKER)
-            ):
-                out.append(int(name[3:]))
-        return sorted(out)
-
     def last_committed(self) -> int | None:
-        ids = self._committed_ids()
-        return ids[-1] if ids else None
+        man = self._read_manifest()
+        return man["last_committed"] if man else None
 
-    def append(self, df: DataFrame, batch_id: int) -> None:
-        seg = self.segment_dir(batch_id)
+    def _write_segment(self, df: DataFrame, dirname: str) -> None:
         if self.write_partitions is not None:
             df = df.coalesce(self.write_partitions)
-        df.write.mode("overwrite").parquet(seg)
-        with open(os.path.join(seg, self.MARKER), "w") as fh:
-            fh.write(str(batch_id))
+        df.write.mode("overwrite").parquet(os.path.join(self.root, dirname))
+
+    def append(self, df: DataFrame, batch_id: int) -> None:
+        name = f"seg{batch_id:010d}"
+        self._write_segment(df, name)
+        man = self._read_manifest() or {"segments": [], "last_committed": None}
+        if name not in man["segments"]:
+            man["segments"].append(name)
+        prev = man["last_committed"]
+        man["last_committed"] = batch_id if prev is None else max(prev, batch_id)
+        self._write_manifest(man)
 
     def current(self, spark: SparkSession) -> DataFrame | None:
-        ids = self._committed_ids()
-        if not ids:
+        man = self._read_manifest()
+        if not man or not man["segments"]:
             return None
-        return spark.read.parquet(*(self.segment_dir(i) for i in ids))
+        return spark.read.parquet(
+            *(os.path.join(self.root, s) for s in man["segments"])
+        )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Offline OPTIMIZE: merge all active segments into one.
+        Readers are correct at every instant — the merged segment
+        becomes visible only via the atomic manifest swap, and the
+        merged-away dirs are GC'd afterwards (a crash between swap and
+        GC leaves harmless unreferenced dirs, removed on the next
+        compact)."""
+        import shutil
+
+        man = self._read_manifest()
+        if not man or len(man["segments"]) < 2:
+            self._gc()
+            return
+        merged = f"cmp{man['last_committed']:010d}n{len(man['segments'])}"
+        self._write_segment(self.current(spark), merged)
+        self._write_manifest(
+            {"segments": [merged], "last_committed": man["last_committed"]}
+        )
+        self._gc()
+
+    def _gc(self) -> None:
+        """Remove dirs no manifest references: merged-away segments and
+        half-appended segments whose manifest update never landed (a
+        replay rewrites those from scratch anyway)."""
+        import shutil
+
+        man = self._read_manifest()
+        active = set(man["segments"]) if man else set()
+        for name in os.listdir(self.root):
+            path = os.path.join(self.root, name)
+            if os.path.isdir(path) and name not in active:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 def run_incremental_compaction(

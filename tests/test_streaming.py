@@ -512,18 +512,42 @@ def test_minhash_ingest_exactly_once_under_lost_checkpoint(spark, tmp_path):
 
 def test_append_log_half_written_segment_invisible(spark, tmp_path):
     """ParquetAppendLog crash window: a segment dir written WITHOUT
-    its _COMMITTED marker (crash mid-append) must be invisible to
+    its manifest update (crash mid-append) must be invisible to
     readers and to last_committed; the replayed append rewrites the
-    same dir idempotently and only then commits it."""
+    same dir idempotently and only then becomes visible."""
     from dwh_spark.streaming.ingest import ParquetAppendLog
 
     log = ParquetAppendLog(str(tmp_path / "log"))
     df = spark.range(5).withColumnRenamed("id", "x")
     log.append(df, 0)
-    # simulate the crash: segment 1's parquet lands, marker does not
+    # simulate the crash: segment 1's parquet lands, manifest does not
     df.write.mode("overwrite").parquet(log.segment_dir(1))
     assert log.last_committed() == 0
     assert log.current(spark).count() == 5
     log.append(df, 1)  # replay completes the segment
     assert log.last_committed() == 1
     assert log.current(spark).count() == 10
+
+
+def test_append_log_compact_preserves_state(spark, tmp_path):
+    """compact() (offline OPTIMIZE) merges every active segment into
+    one via the atomic manifest swap: same rows, same last_committed,
+    merged-away dirs GC'd, and appends keep working afterwards."""
+    import os
+
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    log = ParquetAppendLog(str(tmp_path / "log"), write_partitions=1)
+    for b in range(3):
+        log.append(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x"), b)
+    before = sorted(r["x"] for r in log.current(spark).collect())
+    log.compact(spark)
+    assert sorted(r["x"] for r in log.current(spark).collect()) == before
+    assert log.last_committed() == 2
+    # one active dir remains on disk (plus the manifest)
+    dirs = [n for n in os.listdir(log.root) if os.path.isdir(os.path.join(log.root, n))]
+    assert len(dirs) == 1
+    # appends continue against the compacted log
+    log.append(spark.range(100, 105).withColumnRenamed("id", "x"), 3)
+    assert log.current(spark).count() == 35
+    assert log.last_committed() == 3
