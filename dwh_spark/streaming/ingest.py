@@ -371,6 +371,26 @@ class ParquetAppendLog:
         )
         self._gc()
 
+    def expire(self, keep_from: int) -> None:
+        """Retention: atomically drop per-batch segments with batch id
+        < ``keep_from`` — the sliding-horizon bound for grow-forever
+        state (e.g. "near-dup only against the last N ingest days").
+        ``last_committed`` is NOT lowered: the replay guard must keep
+        rejecting already-folded batches even after their data ages
+        out. Only applies to per-batch ``seg*`` dirs — a compacted
+        (``cmp*``) segment folds history into one unit, so expire
+        BEFORE compacting if per-batch retention matters."""
+        man = self._read_manifest()
+        if not man:
+            return
+        man["segments"] = [
+            s
+            for s in man["segments"]
+            if not s.startswith("seg") or int(s[3:]) >= keep_from
+        ]
+        self._write_manifest(man)
+        self._gc()
+
     def _gc(self) -> None:
         """Remove dirs no manifest references: merged-away segments and
         half-appended segments whose manifest update never landed (a

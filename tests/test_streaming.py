@@ -624,3 +624,89 @@ def test_minhash_ingest_resumes_over_compacted_log(spark, tmp_path):
     )
     want = {(r["id_b"], r["n"]) for r in verified.collect()}
     assert got == want
+
+
+def test_minhash_ingest_sliding_horizon_via_expire(spark, tmp_path):
+    """Retention composes with the ingest: expiring the oldest batch's
+    band/doc segments between drains bounds the probe horizon — a
+    later batch's flags count only partners still in the stores (plus
+    its own within-batch mates), and current() never resurrects the
+    aged-out corpus. The replay guard survives expiry
+    (last_committed unchanged)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.dedup import lsh_candidate_pairs, shingles
+    from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id"))).persist()
+    staged = str(tmp_path / "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(staged)
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+
+    def stage(i):
+        sdir = os.path.join(staged, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    bands_store = ParquetAppendLog(str(tmp_path / "bands"), write_partitions=1)
+    docs_store = ParquetAppendLog(str(tmp_path / "docs"), write_partitions=1)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drive():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        run_minhash_ingest(stream, bands_store, docs_store, out_dir, ckpt)
+
+    stage(1)
+    stage(2)
+    drive()  # batches 0 and 1
+    # age out batch 0 (the oldest third of doc ids)
+    bands_store.expire(keep_from=1)
+    docs_store.expire(keep_from=1)
+    assert docs_store.last_committed() == 1  # replay guard intact
+    stage(3)
+    drive()  # batch 2 probes only batch 1's corpus
+
+    got = {
+        (r["doc_id"], r["n_earlier_dups"])
+        for r in read_ingest_results(spark, out_dir).collect()
+    }
+    # reference: batches 0/1 flagged against the FULL earlier corpus
+    # (emitted before expiry); batch-2 docs only against slices 2..3
+    slice_of = {r["doc_id"]: r["__slice"] for r in sliced.collect()}
+    pairs = lsh_candidate_pairs(docs)
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.size("sh_a") + F.size("sh_b") - n_common
+    verified = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(F.round(n_common.cast("double") / union_n.cast("double"), 6) >= 0.7)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    from collections import Counter
+
+    want = Counter()
+    for r in verified:
+        a, b = r["id_a"], r["id_b"]
+        if slice_of[b] <= 2 or slice_of[a] >= 2:  # horizon for the flagged doc
+            want[b] += 1
+    assert got == {(k, v) for k, v in want.items()}
+    sliced.unpersist()
