@@ -643,6 +643,86 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_pack_training_order",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), packed AS (
+      SELECT lang, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0) AS BIGINT)
+               AS pack_id
+      FROM toks
+    ), packs AS (
+      SELECT lang, pack_id, count(*) AS n_docs
+      FROM packed GROUP BY 1, 2
+    ), keyed AS (
+      SELECT lang, pack_id, n_docs,
+             ('0x' || substr(md5(lang || '|' || CAST(pack_id AS VARCHAR)
+                             || '|' || 'seed42'), 1, 13))::BIGINT AS h
+      FROM packs
+    ), ordered AS (
+      SELECT lang, pack_id, n_docs,
+             row_number() OVER (ORDER BY h, lang, pack_id) AS pos
+      FROM keyed
+    )
+    SELECT lang, count(*) AS n_packs,
+           min(pos) AS first_pos, max(pos) AS last_pos,
+           CAST(sum(pos * (pack_id + 1)) AS BIGINT) AS order_checksum
+    FROM ordered GROUP BY 1
+    """,
+)
+def docs_pack_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle of the packed
+    corpus — the step after packing in a real pretraining pipeline:
+    pack order must be pseudo-random (adjacent same-language packs
+    hurt training) yet reproducible run-to-run. Each pack's sort key
+    is ``md5(lang|pack_id|seed)``; the global position comes from the
+    distributed exact rank (operators/ranks.py:with_global_rank —
+    equi-depth bins + per-bin windows, NO global sort), so the shuffle
+    scales to billions of packs. The 13-hex key (52 bits) stays exact
+    through the rank's double-cast bin edges; ties (~2^-52) break on
+    (lang, pack_id). The per-language rollup carries a positional
+    checksum (sum(pos · (pack_id+1))) so the oracle pins the ENTIRE
+    permutation, not just its extent."""
+    from dwh_spark.operators.ranks import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_by_budget(
+        docs, T.n_tokens(F.col("text")), budget=2048, shard="lang", order="doc_id"
+    )
+    packs = packed.groupBy("lang", "pack_id").agg(F.count("*").alias("n_docs"))
+    keyed = packs.withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("lang"), F.col("pack_id").cast("string"), F.lit("seed42")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    ranked = with_global_rank(
+        keyed,
+        "h",
+        order=[F.asc("h"), F.asc("lang"), F.asc("pack_id")],
+        rank_col="pos",
+    )
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_packs"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+        F.sum(F.col("pos") * (F.col("pack_id") + 1)).alias("order_checksum"),
+    )
+
+
+@query(
     "docs_train_test_split",
     oracle=f"""
     SELECT lang,
