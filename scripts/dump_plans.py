@@ -103,6 +103,9 @@ HEADLINERS = {
     "emb_trained_recall_audit": "trained centroid frame broadcast to "
     "both the assignment and the probe ranking; corpus scanned once "
     "per ranking, no all-pairs stage",
+    "docs_pack_training_order": "seeded global shuffle without a global "
+    "sort: md5 keys ranked by equi-depth bins + per-bin windows "
+    "(operators/ranks.py) over the pack table",
 }
 
 
