@@ -156,3 +156,29 @@ def test_semantic_prune_vectorized_skew_split_matches_fold(spark):
         ).collect()
     )
     assert split == blas == fold
+
+
+def test_discover_hot_cells_certified_superset(spark):
+    """MG discovery contract: EVERY cell holding >= hot_fraction of
+    rows must be returned (est + err >= frac*n selects a guaranteed
+    superset), across skew shapes — one mega-cell, two hot cells, and
+    near-uniform. False positives are allowed; misses are not."""
+    from dwh_spark.operators.similarity import discover_hot_cells
+
+    shapes = [
+        {0: 500, 1: 30, 2: 30, 3: 40},          # one mega-cell
+        {0: 200, 1: 200, 2: 50, 3: 50, 4: 20},  # two hot cells
+        {i: 40 for i in range(10)},             # near-uniform
+    ]
+    for counts in shapes:
+        rows, vid = [], 0
+        for cell, n in counts.items():
+            for _ in range(n):
+                rows.append((vid, cell))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, cell long")
+        n_total = sum(counts.values())
+        for frac in (0.1, 0.25):
+            hot = set(discover_hot_cells(df, hot_fraction=frac))
+            must = {c for c, n in counts.items() if n >= frac * n_total}
+            assert must <= hot, (counts, frac, must, hot)
