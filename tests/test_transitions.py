@@ -126,3 +126,21 @@ def test_audit_tables(state):
 def test_failed_tx_causes_no_transition(state):
     # the code=5 put_on_market for TOKEN_1 must not have set a price
     assert nft(state, "TOKEN_1").price == ""
+
+
+def test_transition_expression_memo_reuses_trees(spark):
+    """The r9 fold optimization: _memo must return the SAME Column
+    objects across calls (py4j tree construction was ~1.2 s/fold), and
+    the memoized builders must keep producing correct frames when
+    invoked repeatedly within one session."""
+    from dwh_spark.operators import transitions as TR
+    from dwh_spark.sources.marketplace_fixture import marketplace_events
+
+    token = object()
+    assert TR._memo("__test_key__", lambda: token) is token
+    assert TR._memo("__test_key__", lambda: object()) is token  # cached
+
+    ev = marketplace_events(spark)
+    a = sorted(map(repr, TR.nft_partial_state(ev).collect()))
+    b = sorted(map(repr, TR.nft_partial_state(ev).collect()))
+    assert a == b and a  # identical frames from memoized trees
