@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "docs_minhash_incremental_ingest", # new-batch-vs-corpus LSH probe, no self-join
     "streaming_minhash_ingest",        # band index as stream state, id-ordered batches
     "docs_pack_training_order",        # seeded global shuffle via distributed rank
+    "imgs_jpeg_reencode_stats",        # JPEG thumbnail re-encode, oracle-exact identity
     # -- stale: latest driver verdict is round 5 (all 43 cycle now)
     "av_audio_adpcm_decode_stats",
     "av_audio_g711_decode_stats",

@@ -787,3 +787,103 @@ def imgs_point_read_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_w").alias("served_w"),
         F.col("target_h").alias("served_h"),
     )
+
+
+@query(
+    "imgs_jpeg_reencode_stats",
+    oracle="""
+    SELECT doc_id,
+           'jpeg' AS thumb_format,
+           CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:4:4' END AS subsampling,
+           r.target_w, r.target_h,
+           r.target_w AS dec_w, r.target_h AS dec_h,
+           (doc_id * 41) % 256 AS mean_r,
+           (doc_id * 41) % 256 AS mean_g,
+           (doc_id * 41) % 256 AS mean_b
+    FROM documents
+    CROSS JOIN (VALUES (40, 30), (16, 12)) AS r(target_w, target_h)
+    WHERE doc_id % 10 = 4
+    """,
+)
+def imgs_jpeg_reencode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 with the reference's OUTPUT format: the resizer re-encodes
+    thumbnails as JPEG (x/imgresizer/resizer.go:251), not PNG — this
+    pins the full decode → bicubic resize → JPEG ENCODE → decode loop
+    with the vendored encoder (multimodal/jpeg.py:jpeg_encode), under
+    both chroma subsamplings (4:2:0 even doc_ids, 4:4:4 odd).
+
+    Oracle independence uses the same JPEG identity the generation
+    query relies on, now on the ENCODE side of the product path:
+    constant-GRAY pixels at quality=100 (all-ones quant tables)
+    round-trip exactly — integral DC, zero AC, flat chroma under
+    either subsampling — and bicubic resampling of a constant image
+    is that constant. So decoded dims must equal the resize targets
+    and every channel mean must equal the construction arithmetic
+    ((doc_id*41) % 256), with zero codec terms in the SQL."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 4)
+        .repartition(32)  # single-row-group fixture would pin one core
+    )
+
+    gen_schema = "doc_id long, owner string, token_id string, content binary"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = (d * 41) % 256
+                arr = np.full((24, 32, 3), g, np.uint8)
+                out.append((d, "owner", str(d), codecs.png_encode(arr)))
+            yield pd.DataFrame(out, columns=["doc_id", "owner", "token_id", "content"])
+
+    images = docs.mapInPandas(gen, gen_schema)
+    fanned = resize_fanout(images, resolutions=((40, 30), (16, 12)))
+
+    stats_schema = (
+        "doc_id long, thumb_format string, subsampling string, "
+        "target_w int, target_h int, dec_w int, dec_h int, "
+        "mean_r long, mean_g long, mean_b long"
+    )
+
+    def reencode_verify(batches):
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for tok, tw, th, blob in zip(
+                pdf["token_id"], pdf["target_w"], pdf["target_h"], pdf["content"]
+            ):
+                d = int(tok)
+                sub = "4:2:0" if d % 2 == 0 else "4:4:4"
+                resized = codecs.resize_bicubic(
+                    codecs.png_decode(bytes(blob)), int(tw), int(th)
+                )
+                thumb = codecs.jpeg_encode(resized, quality=100, subsampling=sub)
+                arr = codecs.jpeg_decode(thumb)
+                rows.append((
+                    d, "jpeg", sub, int(tw), int(th),
+                    int(arr.shape[1]), int(arr.shape[0]),
+                    int(round(arr[:, :, 0].mean())),
+                    int(round(arr[:, :, 1].mean())),
+                    int(round(arr[:, :, 2].mean())),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "thumb_format", "subsampling",
+                    "target_w", "target_h", "dec_w", "dec_h",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return fanned.mapInPandas(reencode_verify, stats_schema)
