@@ -39,91 +39,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # round re-verify next, (3) the window backfills with the
 # LONGEST-UNCHECKED greens, (4) queries touched this round but already
 # verified LAST round trail as overflow — if the ~50-slot window cuts
-# anything, it cuts re-verification of a round-8-fresh verdict, never
-# a stale one. Round 9's stale cohort is the ledger-exact 43 queries
-# whose latest verdict is round 5 (newest committed artifact is r8, so
-# r5 == newest-3; union of CORRECTNESS_r1..r8): the av_* decode
-# batteries, 15 docs_* dedup/quality queries, 6 emb_* ANN queries,
-# 5 events_* rollup/state queries, imgs gif/tiff, the 8 orders_*
-# r5 batteries, and streaming_latest_state — exact list below
-# (matches tests/test_entry_contract.py's recomputation).
+# anything, it cuts re-verification of a recent-fresh verdict, never
+# a stale one. Round 10's stale cohort is the ledger-exact 48 queries
+# whose latest verdict is round 6 (newest committed artifact is r9, so
+# r6 == newest-3; union of CORRECTNESS_r1..r9): flac audio, 11 docs_*
+# text-analysis/pack/sample queries, 5 emb_* quantization/IVF queries,
+# 15 events_* profile/sketch/salt/rollup queries, the flagship, 8
+# imgs_* queries, 5 metadata_* queries, pagination, and TPC-H q1 —
+# exact list below (matches tests/test_entry_contract.py's
+# recomputation; regenerate with scripts/rotate_check_first.py).
 _CHECK_FIRST = [
-    # -- new in round 9: no driver verdict yet
-    "docs_semantic_dedup_skew_split",  # MG hot-cell discovery + block-split prune
-    "emb_trained_recall_audit",        # recall@5 certificate for the TRAINED index
-    "docs_minhash_incremental_ingest", # new-batch-vs-corpus LSH probe, no self-join
-    "streaming_minhash_ingest",        # band index as stream state, id-ordered batches
-    "docs_pack_training_order",        # seeded global shuffle via distributed rank
-    "imgs_jpeg_reencode_stats",        # JPEG thumbnail re-encode, oracle-exact identity
-    # -- stale: latest driver verdict is round 5 (all 43 cycle now)
-    "av_audio_adpcm_decode_stats",
-    "av_audio_g711_decode_stats",
-    "av_video_frame_digests",
-    "av_video_mjpeg_frame_stats",
-    "av_video_real_frame_stats",
-    "docs_chunk_windows",
-    "docs_decontaminate",
-    "docs_dup_clusters",
-    "docs_dup_clusters_distributed",
-    "docs_duplicated_ngram_spans",
-    "docs_exact_dedup",
-    "docs_fingerprint_clusters",
-    "docs_jaccard_pairs",
-    "docs_lang_temperature_mixture",
-    "docs_langid_confusion",
-    "docs_minhash_lsh_audit",
-    "docs_minhash_near_dups",
-    "docs_quality_composite_filter",
-    "docs_quality_scores",
-    "docs_simhash_near_dups",
-    "docs_tfidf_knn_communities",
-    "emb_cosine_near_dups",
-    "emb_cosine_topk",
-    "emb_ivf_cells",
-    "emb_label_stats",
-    "emb_lsh_topk",
-    "events_daily_rollup",
-    "events_gap_fill_locf",
-    "events_latest_state",
-    "events_retention_rates",
-    "events_value_histogram_quantiles",
-    "imgs_gif_pixel_stats",
-    "imgs_tiff_pixel_stats",
-    "orders_bloom_prejoin_prune",
-    "orders_constraint_checks",
-    "orders_incremental_join_view",
-    "orders_jdbc_roundtrip",
-    "orders_multiformat_roundtrip",
-    "orders_pivot_unpivot_roundtrip",
-    "orders_schema_evolution_read",
-    "orders_set_ops_battery",
-    "orders_window_function_battery",
-    "streaming_latest_state",
-    # -- touched in round 8, verified green r8: overflow tail
-    "emb_semantic_trained_prune",
-    "docs_corpus_build",
-    "streaming_click_purchase_left_join",
-    # -- touched in round 9 (transitions expression memo + overlapped
-    #    NFT snapshot write; arrow-LocalRelation createDataFrame in
-    #    mg_merge/union-find/MRL; click/purchase harness cuts;
-    #    shared semantic-dedup oracle refactor), verified green r7/r8:
-    #    overflow tail
-    "streaming_click_purchase_join",
+    # -- stale: latest driver verdict is round 6 (all 48 cycle now)
+    "av_audio_flac_decode_stats",
+    "docs_bigram_lm_scores",
     "docs_heavy_hitters_mg",
-    "events_mg_salted_hot_join",
+    "docs_jaccard_hashed_shingles",
+    "docs_length_histogram",
+    "docs_levenshtein_sample_pairs",
+    "docs_pack_sequences",
+    "docs_pii_scrub_stats",
+    "docs_repetition_scores",
+    "docs_top_terms",
+    "docs_train_test_split",
+    "docs_weighted_sample_stats",
+    "emb_dup_clusters",
+    "emb_int8_quantization",
+    "emb_ivf_inertia",
+    "emb_ivf_probe_topk",
+    "emb_pq_adc_topk",
+    "events_column_profile",
+    "events_compaction_roundtrip",
+    "events_hourly_daily_rollup",
+    "events_kmv_distinct_users",
     "events_mrl_quantile_audit",
-    "docs_semantic_dedup",
-    "marketplace_stream_nfts_state",
-    "marketplace_stream_users_state",
-    "marketplace_stream_offers_surviving",
-    "marketplace_stream_bids_surviving",
-    "marketplace_stream_ft_state",
-    "marketplace_nfts_state",
-    "marketplace_users_state",
-    "marketplace_offers_surviving",
-    "marketplace_bids_surviving",
-    "marketplace_ft_state",
-    "marketplace_listed_value",
+    "events_partition_pruned_rollup",
+    "events_rank_battery",
+    "events_retention_cohorts",
+    "events_rolling_7d_actives",
+    "events_salted_hot_join",
+    "events_salted_rollup",
+    "events_scd2_intervals",
+    "events_state_as_of",
+    "events_value_quantiles",
+    "events_zorder_keys",
+    "flagship_owned_orders",
+    "imgs_decode_resize_bytes",
+    "imgs_dedup_new",
+    "imgs_format_bytes",
+    "imgs_jpeg_pixel_stats",
+    "imgs_keep_latest",
+    "imgs_point_read_fallback",
+    "imgs_resize_fanout_stats",
+    "imgs_webp_pixel_stats",
+    "metadata_fetch_stage",
+    "metadata_refresh_schedule",
+    "metadata_scd1_merge",
+    "metadata_task_priority_order",
+    "metadata_validate",
+    "pagination_page3",
+    "q1_pricing_summary",
+    # -- touched in round 10 (candidate-id pushdown in the ingest
+    #    verify stages), verified green r9: overflow tail
+    "docs_minhash_incremental_ingest",
+    "streaming_minhash_ingest",
 ]
 
 
