@@ -302,6 +302,40 @@ def band_index(
     return _banded(df, text, key, k, n_hashes, bands)
 
 
+def candidate_corpus_shingles(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Candidate-id pushdown for the ingest verify stage: attach
+    corpus-side shingle arrays to the LSH candidate pairs WITHOUT
+    shingling the whole corpus.
+
+    ``pairs`` (small — O(batch × collisions) by construction) is
+    BROADCAST against the corpus, so the corpus frame is scanned once
+    projecting only (key, text) and never shuffled, and the shingle
+    expression sits in the Project ABOVE the broadcast join — it is
+    evaluated on the few matched candidate rows only. Before this
+    helper, both ingest variants projected ``shingles(text)`` over the
+    ENTIRE corpus per batch: an O(corpus) CPU cost per daily ingest at
+    100 TB. Now the per-batch verify cost is O(candidates).
+    ``tests/test_dedup_rotation.py`` pins the plan shape (no
+    ``regexp_extract_all`` below the corpus-side join).
+
+    Returns ``pairs``' columns plus ``sh_c``.
+    """
+    corpus_text = corpus.select(
+        F.col(key).alias("corpus_id"), F.col(text).alias("_corpus_text")
+    )
+    return (
+        corpus_text.join(F.broadcast(pairs), "corpus_id")
+        .withColumn("sh_c", shingles(F.col("_corpus_text"), k))
+        .drop("_corpus_text")
+    )
+
+
 def minhash_incremental_near_dups(
     corpus: DataFrame,
     new_docs: DataFrame,
@@ -326,9 +360,9 @@ def minhash_incremental_near_dups(
     of corpus size. (Run the plain near-dup over the batch itself for
     within-batch dups.) Verification is the same exact-Jaccard pass,
     with the NEW side broadcast (a daily batch is small by
-    construction) and the corpus arrays attached by ordinary equi-join
-    on the few surviving candidate ids — never a corpus-wide
-    broadcast.
+    construction) and the corpus shingles computed ONLY for candidate
+    rows via :func:`candidate_corpus_shingles` — the corpus is neither
+    broadcast, nor shuffled, nor corpus-wide shingled.
 
     Returns (new_id, corpus_id, jaccard) for verified pairs >=
     ``threshold``.
@@ -350,11 +384,8 @@ def minhash_incremental_near_dups(
     arrays_new = new_docs.select(
         F.col(key).alias("new_id"), shingles(F.col(text), k).alias("sh_n")
     )
-    arrays_corpus = corpus.select(
-        F.col(key).alias("corpus_id"), shingles(F.col(text), k).alias("sh_c")
-    )
-    cands = pairs.join(F.broadcast(arrays_new), "new_id").join(
-        arrays_corpus, "corpus_id"
+    cands = candidate_corpus_shingles(
+        pairs.join(F.broadcast(arrays_new), "new_id"), corpus, text, key, k
     )
     n_common = F.size(F.array_intersect("sh_n", "sh_c"))
     union_n = F.size("sh_n") + F.size("sh_c") - n_common

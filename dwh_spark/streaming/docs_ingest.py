@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dwh_spark.operators.dedup import band_index, shingles
+from dwh_spark.operators.dedup import band_index, candidate_corpus_shingles, shingles
 from dwh_spark.streaming.ingest import ParquetAppendLog
 
 
@@ -61,11 +61,16 @@ def run_minhash_ingest(
         n_common = F.size(F.array_intersect("sh_n", "sh_c"))
         union_n = F.size("sh_n") + F.size("sh_c") - n_common
 
-        def verify(cands: DataFrame, sh_old: DataFrame) -> DataFrame:
+        def verify(cands: DataFrame, old_docs: DataFrame) -> DataFrame:
+            # candidate-id pushdown: the (small) candidate set is
+            # broadcast against the stored docs, so shingles are
+            # computed on the matched candidate rows only — never a
+            # full-corpus shingle projection per batch
+            withc = candidate_corpus_shingles(
+                cands.join(F.broadcast(sh_new), "new_id"), old_docs
+            )
             return (
-                cands.join(F.broadcast(sh_new), "new_id")
-                .join(sh_old, "corpus_id")
-                .filter(
+                withc.filter(
                     F.round(n_common.cast("double") / union_n.cast("double"), 6)
                     >= threshold
                 )
@@ -87,12 +92,7 @@ def run_minhash_ingest(
             )
             .distinct()
         )
-        flagged = verify(
-            wb_cands,
-            sh_new.select(
-                F.col("new_id").alias("corpus_id"), F.col("sh_n").alias("sh_c")
-            ),
-        )
+        flagged = verify(wb_cands, batch_df)
         if prior_bands is not None:
             cands = (
                 batch_bands.alias("n")
@@ -107,11 +107,7 @@ def run_minhash_ingest(
                 )
                 .distinct()
             )
-            sh_old = prior_docs.select(
-                F.col("doc_id").alias("corpus_id"),
-                shingles(F.col("text"), 3).alias("sh_c"),
-            )
-            flagged = flagged.unionByName(verify(cands, sh_old))
+            flagged = flagged.unionByName(verify(cands, prior_docs))
         # versioned per-batch result dir: overwrite => crash-window
         # replay rewrites the same dir instead of double-appending
         flagged.groupBy("doc_id").agg(
