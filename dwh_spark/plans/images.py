@@ -806,11 +806,15 @@ def imgs_point_read_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def imgs_jpeg_reencode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4 with the reference's OUTPUT format: the resizer re-encodes
-    thumbnails as JPEG (x/imgresizer/resizer.go:251), not PNG — this
-    pins the full decode → bicubic resize → JPEG ENCODE → decode loop
-    with the vendored encoder (multimodal/jpeg.py:jpeg_encode), under
-    both chroma subsamplings (4:2:0 even doc_ids, 4:4:4 odd).
+    """B4 beyond the reference: the reference's only thumbnail
+    encoder is PNG (x/imgresizer/resizer.go:33,49,184,
+    png.BestCompression — covered by imgs_decode_resize_bytes); JPEG
+    appears in the reference only on the DECODE side
+    (resizer.go:251 is the jpeg.Decode switch arm). This query
+    exercises the beyond-reference JPEG ENCODE path: the full decode
+    → bicubic resize → JPEG ENCODE → decode loop with the vendored
+    encoder (multimodal/jpeg.py:jpeg_encode), under both chroma
+    subsamplings (4:2:0 even doc_ids, 4:4:4 odd).
 
     Oracle independence uses the same JPEG identity the generation
     query relies on, now on the ENCODE side of the product path:

@@ -106,6 +106,10 @@ HEADLINERS = {
     "docs_pack_training_order": "seeded global shuffle without a global "
     "sort: md5 keys ranked by equi-depth bins + per-bin windows "
     "(operators/ranks.py) over the pack table",
+    "streaming_minhash_ingest": "drained read-back of the versioned "
+    "batch=* result dirs (the per-batch fold itself runs inside "
+    "foreachBatch: O(batch) band-index appends, broadcast candidate "
+    "probe, candidate-only shingle verify — see streaming/docs_ingest.py)",
 }
 
 
