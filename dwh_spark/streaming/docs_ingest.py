@@ -38,9 +38,19 @@ def run_minhash_ingest(
     out_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.7,
+    maintenance=None,
 ) -> None:
     """Drain the id-ordered document stream, flagging each doc's
-    earlier near-dup partners. ``stream`` needs (doc_id, text)."""
+    earlier near-dup partners. ``stream`` needs (doc_id, text).
+
+    ``maintenance``: optional ``(batch_id) -> None`` callback invoked
+    AFTER each batch's state commit — the scheduling seam for
+    housekeeping on the two append logs (periodic ``compact()``
+    OPTIMIZE, retention ``expire()``). It runs outside the replay
+    guard: a crash during maintenance replays nothing (the batch is
+    committed) and both operations are idempotent, so skipping one
+    invocation is harmless. ``scripts/scale_smoke.py append_log``
+    soaks 50 batches with compaction-under-ingest through this seam."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -122,6 +132,8 @@ def run_minhash_ingest(
         docs_store.append(batch_df, batch_id)
         batch_bands.unpersist()
         batch_df.unpersist()
+        if maintenance is not None:
+            maintenance(batch_id)
 
     q = (
         stream.writeStream.foreachBatch(fold)

@@ -5,6 +5,7 @@ Generates a deterministic 10M-row events table (100x sf0.1) under
 latest-state compaction, rollups, as-of join, sketches. Run:
 
     python scripts/scale_smoke.py [n_rows]
+    python scripts/scale_smoke.py append_log   # 50-batch ingest soak
 
 Prints one timing line per operator; results are recorded in
 README.md ("Scale design"). The table is generated, not copied, so
@@ -25,6 +26,9 @@ from dwh_spark.operators.sketch import kmv_distinct
 from dwh_spark.operators.temporal import asof_join
 from dwh_spark.session import get_spark
 
+CASE = None
+if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    CASE = sys.argv.pop(1)
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 N_USERS = N_ROWS // 66  # same user:event ratio as the fixtures
 PATH = f"/tmp/dwh_scale_smoke_{N_ROWS}"
@@ -786,5 +790,158 @@ def main() -> None:
     spark.stop()
 
 
+def append_log_soak(
+    n_batches: int = 50, docs_per_batch: int = 400, compact_every: int = 10
+) -> None:
+    """Compaction-under-ingest soak for ParquetAppendLog (VERDICT r9
+    #6): drain a 50-micro-batch near-dup ingest stream with periodic
+    ``compact()`` scheduled THROUGH the fold's maintenance seam, then
+    a second pass with per-batch ``expire()`` retention. Asserts (a)
+    the active segment count stays bounded (compaction keeps up with
+    ingest), (b) the drained output equals the batch earlier-partners
+    oracle, (c) under retention, stored state is bounded by the
+    horizon and the output equals the horizon-limited oracle."""
+    import shutil
+
+    import pandas as pd
+
+    from dwh_spark.operators.dedup import minhash_near_duplicates
+    from dwh_spark.streaming.docs_ingest import (
+        read_ingest_results,
+        run_minhash_ingest,
+    )
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    spark = get_spark("append-log-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "/tmp/dwh_append_log_soak"
+    shutil.rmtree(base, ignore_errors=True)
+
+    # synthetic id-ordered corpus with near-dup families that span
+    # batches at two distances: 2 batches back (inside any sane
+    # retention horizon) and 7.5 batches back (outside the phase-B
+    # horizon, so retention visibly changes the answer). A near-copy
+    # shares its origin's first 19 words and changes the last one:
+    # 17/19 common 3-shingles = Jaccard 0.895 >= 0.7.
+    n_docs = n_batches * docs_per_batch
+    far, near = docs_per_batch * 15 // 2, docs_per_batch * 2
+
+    def words(d: int) -> list[str]:
+        if d >= far and d % 17 == 0:
+            return words(d - far)[:19] + [f"v{d}"]
+        if d >= near and d % 23 == 5:
+            return words(d - near)[:19] + [f"v{d}"]
+        return [f"w{d}_{j}" for j in range(20)]
+
+    t0 = time.perf_counter()
+    input_dir = os.path.join(base, "input")
+    os.makedirs(input_dir)
+    for b in range(n_batches):
+        ids = range(b * docs_per_batch, (b + 1) * docs_per_batch)
+        pdf = pd.DataFrame(
+            {"doc_id": list(ids), "text": [" ".join(words(d)) for d in ids]}
+        )
+        path = os.path.join(input_dir, f"batch{b:03d}.parquet")
+        pdf.to_parquet(path)
+        os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
+    print(f"generate {n_docs} docs / {n_batches} batch files: "
+          f"{time.perf_counter() - t0:.1f}s")
+    docs = spark.read.parquet(input_dir).select("doc_id", "text")
+
+    # batch oracle: earlier near-dup partners per doc (same banding)
+    pairs = minhash_near_duplicates(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    ).toPandas()
+    bdiff = pairs.id_b // docs_per_batch - pairs.id_a // docs_per_batch
+
+    def oracle(horizon: int | None) -> set[tuple[int, int]]:
+        p = pairs if horizon is None else pairs[bdiff <= horizon]
+        return set(p.groupby("id_b").size().items())
+
+    def drive(tag: str, maintenance, horizon: int | None) -> dict:
+        stores = {
+            k: ParquetAppendLog(os.path.join(base, f"{tag}_{k}"), write_partitions=1)
+            for k in ("bands", "docs")
+        }
+        out_dir = os.path.join(base, f"{tag}_out")
+        seg_counts: list[int] = []
+
+        def maint(batch_id: int) -> None:
+            maintenance(batch_id, stores)
+            seg_counts.append(
+                max(len(s._read_manifest()["segments"]) for s in stores.values())
+            )
+
+        t = time.perf_counter()
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        run_minhash_ingest(
+            stream,
+            stores["bands"],
+            stores["docs"],
+            out_dir,
+            os.path.join(base, f"{tag}_ckpt"),
+            maintenance=maint,
+        )
+        dt = time.perf_counter() - t
+        got = {
+            (r["doc_id"], r["n_earlier_dups"])
+            for r in read_ingest_results(spark, out_dir).collect()
+        }
+        want = oracle(horizon)
+        assert got == want, (
+            f"{tag}: drained output != batch oracle "
+            f"({len(got ^ want)} differing rows)"
+        )
+        return {
+            "sec": dt,
+            "max_segments": max(seg_counts),
+            "flagged": len(got),
+            "state_rows": stores["docs"].current(spark).count(),
+        }
+
+    def compacting(batch_id: int, stores: dict) -> None:
+        if batch_id % compact_every == compact_every - 1:
+            for s in stores.values():
+                s.compact(spark)
+
+    r = drive("cmp", compacting, horizon=None)
+    assert r["max_segments"] <= compact_every + 1, r
+    assert r["state_rows"] == n_docs
+    print(
+        f"append_log soak A — compact every {compact_every} of {n_batches} "
+        f"batches: {r['sec']:.1f}s, max active segments {r['max_segments']} "
+        f"(bound {compact_every + 1}), {r['flagged']} docs flagged == batch "
+        f"oracle, state {r['state_rows']} rows"
+    )
+
+    horizon = 5  # batches kept; the far (7.5-batch) families age out
+
+    def expiring(batch_id: int, stores: dict) -> None:
+        for s in stores.values():
+            s.expire(batch_id - horizon + 1)
+
+    r = drive("exp", expiring, horizon=horizon)
+    assert r["max_segments"] <= horizon + 1, r
+    assert r["state_rows"] == horizon * docs_per_batch
+    assert r["flagged"] < len(oracle(None)), "horizon did not change the answer"
+    print(
+        f"append_log soak B — expire to a {horizon}-batch horizon: "
+        f"{r['sec']:.1f}s, max active segments {r['max_segments']} "
+        f"(bound {horizon + 1}), {r['flagged']} docs flagged == horizon "
+        f"oracle (full oracle {len(oracle(None))}), "
+        f"state bounded at {r['state_rows']} rows"
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if CASE == "append_log":
+        append_log_soak()
+    elif CASE is not None:
+        raise SystemExit(f"unknown case {CASE!r} (expected: append_log)")
+    else:
+        main()
