@@ -445,25 +445,26 @@ def main() -> None:
     sk_vecs.unpersist()
     sk_cents.unpersist()
 
-    # The BLAS composition at a 3x bigger mega-cell (100k vectors, 30%
-    # in one cell = 900M candidate pairs): the plain vectorized prune
-    # hands the whole cell to ONE pandas worker (straggler + an m×1024
-    # gram slab per block); the skew-split variant scores per-BUCKET
-    # cross-grams — bounded memory, 64 parallel tasks. Measured
-    # local[32]: 38.0s -> 19.1s, byte-identical flags. This is the
+    # The BLAS composition at a 10x bigger mega-cell (200k vectors —
+    # the trained-prune smoke's scale — with 30% in one cell = 3.6B
+    # candidate pair scores): the plain vectorized prune hands the
+    # whole cell to ONE pandas worker (straggler + serial per-block
+    # gram slabs); the skew-split variant scores per-BUCKET
+    # cross-grams — bounded memory, n_blocks² parallel tasks. Measured
+    # local[32]: 155.4s -> 17.7s, byte-identical flags. This is the
     # full 100 TB path: MG discovery + block split + BLAS scoring.
     from dwh_spark.operators.similarity import semantic_prune_vectorized_skew_split
 
-    vk_src = spark.range(100_000).select(
+    vk_src = spark.range(200_000).select(
         F.col("id").alias("vec_id"),
-        F.when(F.col("id") >= 70_000, F.lit(9999))
+        F.when(F.col("id") >= 140_000, F.lit(9999))
         .otherwise(F.pmod(F.col("id"), F.lit(63)))
         .alias("fam"),
     )
     vk_vecs = vk_src.select("vec_id", sk_emb.alias("embedding")).persist()
     vk_vecs.count()
     vk_cents = vk_vecs.filter(
-        (F.col("vec_id") < 63) | (F.col("vec_id") == 70_000)
+        (F.col("vec_id") < 63) | (F.col("vec_id") == 140_000)
     ).persist()
     assert vk_cents.count() == 64
     t = time.perf_counter()
@@ -479,7 +480,7 @@ def main() -> None:
     t = time.perf_counter()
     vk_split = (
         semantic_prune_vectorized_skew_split(
-            vk_vecs, vk_cents, threshold=0.98, hot_fraction=0.1, n_blocks=8
+            vk_vecs, vk_cents, threshold=0.98, hot_fraction=0.1, n_blocks=16
         )
         .agg(
             F.count(F.when(F.col("pruned"), 1)).alias("n"),
@@ -490,8 +491,8 @@ def main() -> None:
     vs_s = time.perf_counter() - t
     assert (vk_plain["n"], vk_plain["s"]) == (vk_split["n"], vk_split["s"])
     print(
-        f"mega-cell BLAS skew split (100k vecs, 30k-row hot cell = 900M "
-        f"pairs): vec-plain {vp_s:.1f}s -> vec-split {vs_s:.1f}s "
+        f"mega-cell BLAS skew split (200k vecs, 60k-row hot cell = 3.6B "
+        f"pair scores): vec-plain {vp_s:.1f}s -> vec-split {vs_s:.1f}s "
         f"({vk_split['n']} pruned, id-sum equal)"
     )
     vk_vecs.unpersist()
