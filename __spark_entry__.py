@@ -49,6 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact list below (matches tests/test_entry_contract.py's
 # recomputation; regenerate with scripts/rotate_check_first.py).
 _CHECK_FIRST = [
+    # -- new in round 10: no driver verdict yet
+    "emb_semantic_incremental_ingest",  # batch-vs-corpus IVF cell probe, no re-assign
     # -- stale: latest driver verdict is round 6 (all 48 cycle now)
     "av_audio_flac_decode_stats",
     "docs_bigram_lm_scores",

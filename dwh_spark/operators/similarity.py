@@ -806,6 +806,61 @@ def kmeans_iterate(
     return current.select("centroid_id", F.col("c_emb").alias("embedding"))
 
 
+def semantic_incremental_near_dups(
+    corpus_cells: DataFrame,
+    new_vecs: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Ingest-time SEMANTIC near-dup screen — the embedding-space
+    sibling of ``operators/dedup.py:minhash_incremental_near_dups``:
+    which NEW vectors have an existing-corpus neighbor at cosine >=
+    ``threshold``.
+
+    ``corpus_cells`` is the STORED IVF index — the
+    (key, vec, norm2, cell) frame :func:`assign_cells` produced when
+    the corpus was built (at 100 TB: a table PARTITIONED BY cell that
+    each ingest appends to, exactly like the band index in the
+    MinHash variant). The new batch assigns itself against the same
+    broadcast centroids — O(batch × n_cells), corpus-independent —
+    and is then BROADCAST into a within-cell equi-join against the
+    index, so per-ingest cost is O(batch + rows in probed cells):
+    the corpus is never re-assigned, never self-joined, never
+    shuffled, and with cell-partitioned storage the probe join reads
+    only the probed cells' partitions. Recall profile is plain IVF
+    nprobe=1 (a neighbor straddling a cell boundary is missed), the
+    same trade :func:`semantic_prune` documents.
+
+    Returns (new_id, corpus_id, cosine) for pairs >= ``threshold``.
+    """
+    new_cells = assign_cells(new_vecs, centroids, vec=vec, key=key)
+    n = new_cells.select(
+        F.col(key).alias("new_id"),
+        F.col(vec).alias("e_n"),
+        F.col("norm2").alias("n_n"),
+        "cell",
+    )
+    c = corpus_cells.select(
+        F.col(key).alias("corpus_id"),
+        F.col(vec).alias("e_c"),
+        F.col("norm2").alias("n_c"),
+        "cell",
+    )
+    return (
+        c.join(F.broadcast(n), "cell")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_dot_expr("e_n", "e_c")) / (F.sqrt("n_n") * F.sqrt("n_c")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", "corpus_id", "cosine")
+    )
+
+
 # Auto-n_cells clamp (the adaptive pattern from operators/ranks.py):
 # floor keeps tiny corpora from degenerating to one cell; ceiling
 # bounds the broadcast centroid matrix (65536 × 64 dims × 4 B ≈ 16 MB;

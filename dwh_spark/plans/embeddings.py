@@ -19,6 +19,7 @@ from dwh_spark.operators.similarity import (
     hyperplane_signs,
     ivf_probe_topk,
     lsh_topk,
+    semantic_incremental_near_dups,
     with_norm,
 )
 from dwh_spark.plans.registry import query
@@ -243,6 +244,73 @@ def emb_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely duplicate-level cosines don't occur."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_duplicates(emb, threshold=0.3)
+
+
+@query(
+    "emb_semantic_incremental_ingest",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings WHERE vec_id % 10 <> 3
+    ),
+    newb AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings WHERE vec_id % 10 = 3
+    ),
+    seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb,
+             {_NORM2.format(v='embedding')} AS c_norm2
+      FROM corpus
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+    ),
+    ccell AS (
+      SELECT v.vec_id, v.embedding, v.norm2, s.centroid_id AS cell
+      FROM corpus v CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({_DOT.format(a='v.embedding', b='s.c_emb')}
+                         / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) DESC,
+                   s.centroid_id) = 1
+    ),
+    ncell AS (
+      SELECT v.vec_id, v.embedding, v.norm2, s.centroid_id AS cell
+      FROM newb v CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({_DOT.format(a='v.embedding', b='s.c_emb')}
+                         / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) DESC,
+                   s.centroid_id) = 1
+    )
+    SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+           round({_DOT.format(a='n.embedding', b='c.embedding')}
+                 / (sqrt(n.norm2) * sqrt(c.norm2)), 6) AS cosine
+    FROM ncell n JOIN ccell c USING (cell)
+    WHERE round({_DOT.format(a='n.embedding', b='c.embedding')}
+                / (sqrt(n.norm2) * sqrt(c.norm2)), 6) >= 0.1
+    """,
+)
+def emb_semantic_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest half of SEMANTIC dedup (operators/similarity
+    .py:semantic_incremental_near_dups) — the embedding-space sibling
+    of docs_minhash_incremental_ingest: vectors with ``vec_id % 10 ==
+    3`` play the incoming batch, the rest the standing corpus whose
+    IVF cell assignment (md5-smallest-8 seed centroids, the
+    train_semantic_cells seed rule without the Lloyd step) is the
+    stored index. The batch assigns itself against the broadcast
+    centroids and probes the index with a within-cell equi-join —
+    the corpus is never re-assigned or self-joined, so ingest cost is
+    O(batch + probed-cell rows) at any corpus size. Threshold 0.1 is
+    fixture-calibrated (the synthetic vectors are near-orthogonal).
+    The oracle replays seed choice, both assignments, and the
+    within-cell verification in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    new_vecs = emb.filter(F.col("vec_id") % 10 == 3)
+    seeds = (
+        corpus.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+    )
+    corpus_cells = assign_cells(corpus, seeds)
+    return semantic_incremental_near_dups(corpus_cells, new_vecs, seeds, threshold=0.1)
 
 
 def trained_prune_ctes(base: str, rows_per_cell: int, threshold: float,

@@ -56,6 +56,7 @@ _ALLOW_BNLJ = {
     "docs_semantic_dedup",        # same centroid broadcast (cell assignment)
     "docs_semantic_dedup_skew_split",  # same centroid broadcast + MG hot-cell IN list
     "emb_semantic_trained_prune", # same centroid broadcast (train + assignment)
+    "emb_semantic_incremental_ingest",  # same centroid broadcast (both assignments)
     "docs_corpus_build",          # semantic stage: clamped <=65536-row centroid broadcast
 }
 

@@ -646,3 +646,39 @@ def test_skew_split_equals_plain_on_random_frames(spark, vecs, threshold, n_bloc
         ).collect()
     )
     assert split == plain
+
+
+def test_semantic_incremental_cross_split_only(spark):
+    """semantic_incremental_near_dups flags exactly the new-vs-corpus
+    within-cell pairs at cosine >= threshold: a planted cross-split
+    near-copy is found (both its cell-mates), an orthogonal new vector
+    yields nothing, and no corpus-corpus or new-new pair leaks out."""
+    from dwh_spark.operators.similarity import (
+        assign_cells,
+        semantic_incremental_near_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+            (12, [0.9, 0.1, 0.0, 0.0]),  # cell-mate of 10
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    new_vecs = spark.createDataFrame(
+        [
+            (100, [0.95, 0.05, 0.0, 0.0]),  # near-copy of the 10/12 cell
+            (101, [0.0, 0.0, 1.0, 0.0]),    # orthogonal to everything
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = corpus.filter(F.col("vec_id") < 12)
+    got = {
+        (r["new_id"], r["corpus_id"]): r["cosine"]
+        for r in semantic_incremental_near_dups(
+            assign_cells(corpus, seeds), new_vecs, seeds, threshold=0.8
+        ).collect()
+    }
+    assert set(got) == {(100, 10), (100, 12)}
+    assert all(c >= 0.99 for c in got.values())
