@@ -806,6 +806,52 @@ def kmeans_iterate(
     return current.select("centroid_id", F.col("c_emb").alias("embedding"))
 
 
+def cell_probe(
+    index_cells: DataFrame,
+    probe_cells: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Within-cell cosine probe of a stored IVF index: every
+    (probe, index) pair sharing a cell with cosine >= ``threshold``.
+    Both inputs are :func:`assign_cells` frames; the probe side (a
+    batch — small by construction) is broadcast, so the index is
+    scanned once, never shuffled, and with cell-partitioned storage
+    only the probed cells' partitions are read. Shared by
+    :func:`semantic_incremental_near_dups` and the streaming ingest
+    fold (``streaming/emb_ingest.py``).
+
+    Returns (new_id, corpus_id, cosine) — self-pairs are NOT removed
+    (a probe frame probing itself yields both directions and the
+    diagonal; callers filter, e.g. ``corpus_id < new_id`` for
+    earlier-mates semantics).
+    """
+    n = probe_cells.select(
+        F.col(key).alias("new_id"),
+        F.col(vec).alias("e_n"),
+        F.col("norm2").alias("n_n"),
+        "cell",
+    )
+    c = index_cells.select(
+        F.col(key).alias("corpus_id"),
+        F.col(vec).alias("e_c"),
+        F.col("norm2").alias("n_c"),
+        "cell",
+    )
+    return (
+        c.join(F.broadcast(n), "cell")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_dot_expr("e_n", "e_c")) / (F.sqrt("n_n") * F.sqrt("n_c")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", "corpus_id", "cosine")
+    )
+
+
 def semantic_incremental_near_dups(
     corpus_cells: DataFrame,
     new_vecs: DataFrame,
@@ -836,29 +882,7 @@ def semantic_incremental_near_dups(
     Returns (new_id, corpus_id, cosine) for pairs >= ``threshold``.
     """
     new_cells = assign_cells(new_vecs, centroids, vec=vec, key=key)
-    n = new_cells.select(
-        F.col(key).alias("new_id"),
-        F.col(vec).alias("e_n"),
-        F.col("norm2").alias("n_n"),
-        "cell",
-    )
-    c = corpus_cells.select(
-        F.col(key).alias("corpus_id"),
-        F.col(vec).alias("e_c"),
-        F.col("norm2").alias("n_c"),
-        "cell",
-    )
-    return (
-        c.join(F.broadcast(n), "cell")
-        .withColumn(
-            "cosine",
-            F.round(
-                F.expr(_dot_expr("e_n", "e_c")) / (F.sqrt("n_n") * F.sqrt("n_c")), 6
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("new_id", "corpus_id", "cosine")
-    )
+    return cell_probe(corpus_cells, new_cells, threshold, vec=vec, key=key)
 
 
 # Auto-n_cells clamp (the adaptive pattern from operators/ranks.py):

@@ -676,3 +676,100 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, bands_store, docs_store, out_dir, os.path.join(root, "ckpt")
     )
     return read_ingest_results(spark, out_dir)
+
+
+def _semantic_ingest_oracle() -> str:
+    from dwh_spark.plans.embeddings import _DOT, _NORM2
+
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    sdot = _DOT.format(a="v.embedding", b="s.c_emb")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    b1 AS (
+      SELECT vec_id, embedding, norm2 FROM base
+      QUALIFY ntile(3) OVER (ORDER BY vec_id) = 1
+    ),
+    seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb, norm2 AS c_norm2
+      FROM b1
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+    ),
+    cells AS (
+      SELECT v.vec_id, v.embedding, v.norm2, s.centroid_id AS cell
+      FROM base v CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({sdot} / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) DESC,
+                   s.centroid_id) = 1
+    )
+    SELECT b.vec_id, count(*) AS n_earlier_sem_dups
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round({dot} / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= 0.1
+    GROUP BY 1
+    """
+
+
+@query("streaming_semantic_ingest", oracle=_semantic_ingest_oracle())
+def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING semantic near-dup ingest — the IVF cell index as
+    accumulating stream state (streaming/emb_ingest.py), closing the
+    semantic family's batch → incremental → streaming ladder the way
+    streaming_minhash_ingest closes MinHash's: vectors arrive in
+    vec_id order across 3 micro-batches; centroids are trained ONCE
+    from the first slice (md5-smallest-8 seed rule — day-0 training,
+    the fold never retrains); each batch assigns itself against the
+    broadcast centroids, probes the stored index with a within-cell
+    equi-join (batch side broadcast — never an index self-join),
+    flags within-batch earlier mates, then appends its O(batch)
+    assignment rows to the index store under the high-water replay
+    guard. Id-ordered batches make 'stored index ∪ smaller-id batch
+    mates' exactly 'all earlier vectors', so the drained output
+    equals the batch within-cell earlier-partners oracle. At 100 TB
+    the index store is a table PARTITIONED BY cell: appends are
+    O(batch), probes read only the probed cells' partitions."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.emb_ingest import (
+        read_semantic_ingest_results,
+        run_semantic_ingest,
+    )
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="dwh_sem_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = emb.withColumn("__slice", F.ntile(3).over(Window.orderBy("vec_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # day-0 centroids: md5-smallest-8 of the FIRST slice (the only
+    # data that exists when the stream starts)
+    seeds = (
+        spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
+        .select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+    )
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_semantic_ingest(
+        stream, seeds, index_store, out_dir, os.path.join(root, "ckpt")
+    )
+    return read_semantic_ingest_results(spark, out_dir)

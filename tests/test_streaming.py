@@ -710,3 +710,76 @@ def test_minhash_ingest_sliding_horizon_via_expire(spark, tmp_path):
             want[b] += 1
     assert got == {(k, v) for k, v in want.items()}
     sliced.unpersist()
+
+
+def test_semantic_ingest_exactly_once_under_lost_checkpoint(spark, tmp_path):
+    """M22 for the streaming SEMANTIC ingest: a full re-drive with a
+    lost checkpoint re-delivers every batch id from 0 — the
+    high-water guard must skip them all, so the cell-index store
+    doesn't double-append and the versioned per-batch output dirs
+    keep their original flags. Result must equal the batch
+    within-cell earlier-partners computation."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.similarity import assign_cells, cell_probe
+    from dwh_spark.streaming.emb_ingest import (
+        read_semantic_ingest_results,
+        run_semantic_ingest,
+    )
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    input_dir = str(tmp_path / "input")
+    sliced = emb.withColumn("__slice", F.ntile(2).over(Window.orderBy("vec_id")))
+    staged = str(tmp_path / "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(staged)
+    os.makedirs(input_dir)
+    for i in range(1, 3):
+        sdir = os.path.join(staged, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    seeds = (
+        spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+    )
+    index_store = ParquetAppendLog(str(tmp_path / "index"), write_partitions=1)
+    out_dir = str(tmp_path / "out")
+
+    def drive(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        run_semantic_ingest(
+            stream, seeds, index_store, out_dir, str(tmp_path / ckpt)
+        )
+
+    drive("ckpt1")
+    drive("ckpt2")  # lost checkpoint: batch ids restart at 0
+
+    got = {
+        (r["vec_id"], r["n_earlier_sem_dups"])
+        for r in read_semantic_ingest_results(spark, out_dir).collect()
+    }
+    cells = assign_cells(emb, seeds)
+    ref = (
+        cell_probe(cells, cells, 0.1)
+        .filter(F.col("corpus_id") < F.col("new_id"))
+        .groupBy("new_id")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r["new_id"], r["n"]) for r in ref.collect()}
+    assert got == want and got
+    # index accumulated each vector exactly once
+    assert index_store.current(spark).count() == emb.count()
