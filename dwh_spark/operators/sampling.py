@@ -61,3 +61,33 @@ def stratified_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
     filter/groupBy key you stratify on, since membership is per-row
     and independent of the stratum."""
     return df.filter(hash_bucket(F.col(key)) < pct)
+
+
+def per_group_cap(
+    df: DataFrame, group: str, key: str, cap: int
+) -> DataFrame:
+    """Deterministic per-group quota cap — the domain-balancing pass
+    of a web-scale corpus (RefinedWeb/Gopher-style per-domain caps):
+    keep at most ``cap`` rows per ``group``, chosen as the rows with
+    the smallest ``md5(key)`` (reproducible on any engine / any
+    partitioning, same discipline as the split above — NOT "first N
+    seen", which depends on scan order).
+
+    Scale: one hash-shuffle on ``group`` + a per-group window. Group
+    cardinality is domain-count (millions), per-group rows are
+    bounded by the crawl — no global sort, and a skewed mega-domain
+    is a window over one partition's rows, the ordinary AQE-skew
+    shape. Appends ``__rank`` (1-based within group); callers filter
+    ``__rank <= cap`` — returned pre-filtered here for the common
+    case.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= cap)
+        .drop("__rank")
+    )

@@ -605,7 +605,11 @@ def docs_dup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
 # Training-data layout: sequence packing + reproducible splits.
 # ---------------------------------------------------------------------------
 from dwh_spark.operators.packing import pack_by_budget  # noqa: E402
-from dwh_spark.operators.sampling import hash_bucket_sql, train_test_split  # noqa: E402
+from dwh_spark.operators.sampling import (  # noqa: E402
+    hash_bucket_sql,
+    per_group_cap,
+    train_test_split,
+)
 
 
 @query(
@@ -742,6 +746,57 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_test_split(docs, "doc_id", test_pct=10)
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "docs_source_quota_cap",
+    oracle="""
+    WITH capped AS (
+      SELECT source, doc_id, n_chars
+      FROM documents
+      QUALIFY row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(c.doc_id) AS n_kept,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN d.doc_id END) AS BIGINT)
+             AS kept_id_sum,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN d.n_chars END) AS BIGINT)
+             AS kept_chars
+    FROM documents d
+    LEFT JOIN capped c ON c.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def docs_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (operators/sampling.py:per_group_cap) —
+    the domain-balancing pass of a web-scale corpus (RefinedWeb /
+    Gopher cap each domain so no crawl bucket dominates the mixture):
+    keep at most 10 docs per ``source``, membership = md5-smallest
+    doc_ids, reproducible on any engine and any partitioning. Output
+    audits the cap per source: total docs, kept count, and kept
+    id/char checksums (pins WHICH docs were kept, not just how
+    many). One hash-shuffle on source + a per-group window — no
+    global sort; a mega-domain is ordinary window skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = per_group_cap(docs, "source", "doc_id", cap=10).select(
+        F.col("doc_id").alias("kept_id")
+    )
+    return (
+        docs.join(kept, docs.doc_id == kept.kept_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("kept_id").alias("n_kept"),
+            F.sum(F.when(F.col("kept_id").isNotNull(), F.col("doc_id"))).alias(
+                "kept_id_sum"
+            ),
+            F.sum(F.when(F.col("kept_id").isNotNull(), F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+        )
     )
 
 
