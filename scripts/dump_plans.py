@@ -110,6 +110,12 @@ HEADLINERS = {
     "batch=* result dirs (the per-batch fold itself runs inside "
     "foreachBatch: O(batch) band-index appends, broadcast candidate "
     "probe, candidate-only shingle verify — see streaming/docs_ingest.py)",
+    "emb_semantic_incremental_ingest": "ingest-time semantic screen: the "
+    "batch assigns itself against the broadcast centroids and is broadcast "
+    "into the within-cell index probe — the corpus is scanned once, never "
+    "re-assigned, never shuffled",
+    "docs_source_quota_cap": "per-domain cap: one hash shuffle on source "
+    "feeds the md5-order window; kept set joined back for the audit rollup",
 }
 
 
