@@ -682,3 +682,32 @@ def test_semantic_incremental_cross_split_only(spark):
     }
     assert set(got) == {(100, 10), (100, 12)}
     assert all(c >= 0.99 for c in got.values())
+
+
+def test_per_group_cap_deterministic_and_bounded(spark):
+    """per_group_cap keeps at most `cap` rows per group, and the KEPT
+    SET is a pure function of the key values — identical under any
+    repartitioning (the property 'first N seen' would violate)."""
+    from dwh_spark.operators.sampling import per_group_cap
+
+    df = spark.range(200).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("k")
+    )
+
+    def kept(frame):
+        return sorted(
+            (r["g"], r["k"]) for r in per_group_cap(frame, "g", "k", cap=5).collect()
+        )
+
+    base = kept(df)
+    from collections import Counter
+
+    per_g = Counter(g for g, _ in base)
+    assert max(per_g.values()) == 5 and len(per_g) == 7
+    # groups smaller than the cap keep everything: 200/7 ≈ 28 per
+    # group, all capped; now a frame where one group is tiny
+    tiny = df.filter((F.col("g") != 0) | (F.col("k") < 15))  # g=0 has 3 rows
+    per_tiny = Counter(g for g, _ in kept(tiny))
+    assert per_tiny[0] == 3 and max(per_tiny.values()) == 5
+    assert kept(df.repartition(13, "k")) == base
+    assert kept(df.orderBy(F.desc("k"))) == base
