@@ -939,10 +939,83 @@ def append_log_soak(
     spark.stop()
 
 
+def semantic_ingest_smoke(n_corpus: int = 200_000, n_batch: int = 1_000) -> None:
+    """Ingest-cost asymmetry for the incremental semantic path: with
+    the corpus cell index STORED (built once), screening a daily
+    batch costs O(batch + probed cells) — assign the batch against
+    the broadcast centroids, probe the index within-cell — while the
+    naive alternative (re-running the full semantic prune over
+    corpus ∪ batch) pays the whole corpus again per ingest. Measures
+    both at a 200k corpus / 1k batch."""
+    from dwh_spark.operators.similarity import (
+        assign_cells,
+        semantic_incremental_near_dups,
+        semantic_prune,
+    )
+
+    spark = get_spark("semantic-ingest-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    total = n_corpus + n_batch
+    src = spark.range(total).select(
+        F.col("id").alias("vec_id"), F.pmod(F.col("id"), F.lit(997)).alias("fam")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            (F.pmod(F.xxhash64("fam", i), F.lit(2000)) / 1000.0 - 1.0)
+            + (F.pmod(F.xxhash64("vec_id", i, F.lit(5)), F.lit(100)) / 50000.0)
+        ).cast("float"),
+    )
+    vecs = src.select("vec_id", emb.alias("embedding")).persist()
+    corpus = vecs.filter(F.col("vec_id") < n_corpus)
+    batch = vecs.filter(F.col("vec_id") >= n_corpus)
+    centroids = (
+        corpus.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(256)
+        .persist()
+    )
+    centroids.count()
+
+    t = time.perf_counter()
+    index = assign_cells(corpus, centroids).persist()
+    index.count()
+    build_s = time.perf_counter() - t
+
+    t = time.perf_counter()
+    n_flagged = (
+        semantic_incremental_near_dups(index, batch, centroids, threshold=0.98)
+        .select("new_id")
+        .distinct()
+        .count()
+    )
+    probe_s = time.perf_counter() - t
+
+    t = time.perf_counter()
+    naive = (
+        semantic_prune(vecs, centroids, threshold=0.98)
+        .filter(F.col("pruned") & (F.col("vec_id") >= n_corpus))
+        .count()
+    )
+    naive_s = time.perf_counter() - t
+    print(
+        f"semantic ingest smoke ({n_corpus} corpus / {n_batch} batch, 256 "
+        f"cells): index build ONCE {build_s:.1f}s; per-ingest screen "
+        f"{probe_s:.1f}s ({n_flagged} batch vectors flagged) vs naive "
+        f"full re-prune {naive_s:.1f}s ({naive} flagged) — the stored-"
+        f"index probe is the only per-ingest cost"
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if CASE == "append_log":
         append_log_soak()
+    elif CASE == "semantic_ingest":
+        semantic_ingest_smoke()
     elif CASE is not None:
-        raise SystemExit(f"unknown case {CASE!r} (expected: append_log)")
+        raise SystemExit(
+            f"unknown case {CASE!r} (expected: append_log, semantic_ingest)"
+        )
     else:
         main()
