@@ -104,6 +104,65 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    min_common: int = 3,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dups (Broder 1997, "On the resemblance
+    and containment of documents"): c(A⊆B) = |S(A) ∩ S(B)| / |S(A)| —
+    the ASYMMETRIC companion to Jaccard that catches a short document
+    embedded in a long one, where the union-normalized Jaccard stays
+    low and MinHash-LSH (which estimates Jaccard) misses the pair
+    entirely. Pairs need ``min_common`` shared shingles (noise floor)
+    and max(c_ab, c_ba) >= ``threshold``.
+
+    Returns (id_a, id_b, cont_a_in_b, cont_b_in_a) with id_a < id_b.
+
+    Scale: same inverted-index self-join as :func:`jaccard_pairs`
+    (both sides the identical subplan — ReuseExchange computes the
+    index once) with the same frequency-quadratic caveat; containment
+    has no LSH shortcut precisely BECAUSE minhash estimates the
+    union-normalized measure, so the exact join on a pre-filtered
+    candidate universe (same-source pairs, the hashed-key variant's
+    8-byte shuffle) is the documented 100 TB form.
+    """
+    idx = df.select(F.col(key), shingles(F.col(text), k).alias("sh")).select(
+        F.explode("sh").alias("shingle"),
+        F.struct(F.col(key).alias("id"), F.size("sh").alias("n")).alias("node"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.node.id") < F.col("b.node.id")),
+        )
+        .groupBy(
+            F.col("a.node.id").alias("id_a"), F.col("b.node.id").alias("id_b")
+        )
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("a.node.n")).alias("n_a"),
+            F.first(F.col("b.node.n")).alias("n_b"),
+        )
+        .filter(F.col("n_common") >= min_common)
+        .withColumn(
+            "cont_a_in_b",
+            F.round(F.col("n_common").cast("double") / F.col("n_a").cast("double"), 6),
+        )
+        .withColumn(
+            "cont_b_in_a",
+            F.round(F.col("n_common").cast("double") / F.col("n_b").cast("double"), 6),
+        )
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
 def jaccard_pairs_hashed(
     df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 3, threshold: float = 0.7
 ) -> DataFrame:

@@ -210,6 +210,41 @@ def docs_jaccard_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_containment_near_dups",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS cont_a_in_b,
+           round(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS cont_b_in_a
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.n_sh, 6),
+                   round(CAST(n_common AS DOUBLE) / sb.n_sh, 6)) >= 0.9
+    """,
+)
+def docs_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT near-dups (operators/dedup.py:
+    containment_pairs): the asymmetric |A∩B|/|A| measure that catches
+    a short document embedded in a long one — where union-normalized
+    Jaccard stays low and MinHash-LSH (a Jaccard estimator) misses
+    the pair by construction. Exact inverted-index join, >=3 shared
+    shingles, max-direction containment >= 0.9; both directions
+    reported so a consumer can keep the superset doc."""
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        threshold=0.9,
+    )
+
+
+@query(
     "docs_minhash_near_dups",
     oracle=f"""
     WITH {_SHINGLES_CTE},

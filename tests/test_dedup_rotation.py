@@ -151,3 +151,27 @@ def test_candidate_pushdown_shingles_above_join(spark):
     }
     for r in rows:
         assert r["sh_c"] == want[r["corpus_id"]]
+
+
+def test_containment_catches_jaccard_miss(spark):
+    """Broder containment vs Jaccard: a 10-shingle doc fully embedded
+    in a 100-shingle doc has containment 1.0 but Jaccard ~0.1 — the
+    minhash/jaccard detectors (threshold 0.7) must miss it, the
+    containment detector must flag it with the right direction."""
+    from dwh_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    short = " ".join(f"w{i}" for i in range(12))          # 10 shingles
+    long = " ".join(f"w{i}" for i in range(102))          # 100 shingles
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id long, text string"
+    )
+    jac = jaccard_pairs(docs, threshold=0.7).collect()
+    assert jac == []
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0 and cb == 0.1
