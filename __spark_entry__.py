@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "streaming_semantic_ingest",        # cell index as accumulating stream state
     "docs_source_quota_cap",            # per-domain quota cap, md5-deterministic
     "docs_containment_near_dups",       # Broder asymmetric containment dedup
+    "docs_leakage_safe_split",          # cluster-rep split, no straddling dups
     # -- stale: latest driver verdict is round 6 (all 48 cycle now)
     "av_audio_flac_decode_stats",
     "docs_bigram_lm_scores",

@@ -835,6 +835,65 @@ def docs_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS label FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1),
+    rep AS (
+      SELECT d.doc_id, d.lang, coalesce(c.component, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT lang,
+           CASE WHEN {hash_bucket_sql("rep")} < 10 THEN 'test' ELSE 'train' END
+             AS split,
+           count(*) AS n_docs
+    FROM rep GROUP BY 1, 2
+    """,
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: membership hashes the near-dup
+    CLUSTER representative (min member id via connected components
+    over the exact-Jaccard pair graph), not the doc id — so a dup
+    family can never straddle the split and leak test content into
+    training, the standard eval-contamination failure of naive
+    per-doc splits. Singleton docs are their own representative,
+    reducing to the plain md5 split. By construction zero near-dup
+    pairs straddle (same rep ⇒ same side — pinned by a unit test);
+    the oracle re-derives components recursively and replays the
+    bucket rule. Scale: the pair graph is the already-bucketed LSH
+    output; components via the distributed star-contraction sibling
+    when the pair set is large (operators/graph.py)."""
+    from dwh_spark.operators.graph import connected_components
+    from dwh_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    rep = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "lang", F.coalesce("component", "doc_id").alias("rep")
+    )
+    return (
+        rep.withColumn(
+            "split",
+            F.when(hash_bucket(F.col("rep")) < 10, F.lit("test")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _corpus_build_oracle() -> str:
     # NOTE: the decorator argument `oracle=_corpus_build_oracle()`
     # runs at module import time, so this import of plans.embeddings

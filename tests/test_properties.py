@@ -711,3 +711,41 @@ def test_per_group_cap_deterministic_and_bounded(spark):
     assert per_tiny[0] == 3 and max(per_tiny.values()) == 5
     assert kept(df.repartition(13, "k")) == base
     assert kept(df.orderBy(F.desc("k"))) == base
+
+
+def test_leakage_safe_split_no_straddling_pairs(spark):
+    """The leakage-safe split's construction guarantee: zero near-dup
+    pairs straddle train/test (same cluster rep => same side), where
+    the naive per-doc split DOES straddle on the fixture."""
+    from dwh_spark.operators.dedup import jaccard_pairs
+    from dwh_spark.operators.graph import connected_components
+    from dwh_spark.operators.sampling import hash_bucket
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pairs = jaccard_pairs(docs.repartition(32, "doc_id"), threshold=0.7).persist()
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    rep = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("rep")
+    )
+    bucket = {
+        r["doc_id"]: r["b"]
+        for r in rep.select(
+            "doc_id", hash_bucket(F.col("rep")).alias("b")
+        ).collect()
+    }
+    naive = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    p = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    pairs.unpersist()
+    assert p, "fixture has near-dup pairs"
+    side = lambda b: "test" if b < 10 else "train"
+    straddle_safe = [(a, b) for a, b in p if side(bucket[a]) != side(bucket[b])]
+    straddle_naive = [(a, b) for a, b in p if side(naive[a]) != side(naive[b])]
+    assert straddle_safe == []
+    assert straddle_naive, "naive split straddles on this fixture (the bug)"
