@@ -124,22 +124,24 @@ def containment_pairs(
 
     Scale: same inverted-index self-join as :func:`jaccard_pairs`
     (both sides the identical subplan — ReuseExchange computes the
-    index once) with the same frequency-quadratic caveat; containment
+    index once), keyed on ``xxhash64(shingle)`` 8-byte longs like
+    :func:`jaccard_pairs_hashed` (same fixed-width-shuffle argument;
+    distinct-set semantics preserved barring an in-corpus 64-bit
+    collision), with the same frequency-quadratic caveat; containment
     has no LSH shortcut precisely BECAUSE minhash estimates the
     union-normalized measure, so the exact join on a pre-filtered
-    candidate universe (same-source pairs, the hashed-key variant's
-    8-byte shuffle) is the documented 100 TB form.
+    candidate universe (e.g. same-source pairs) is the documented
+    100 TB form.
     """
     idx = df.select(F.col(key), shingles(F.col(text), k).alias("sh")).select(
         F.explode("sh").alias("shingle"),
         F.struct(F.col(key).alias("id"), F.size("sh").alias("n")).alias("node"),
-    )
+    ).select(F.xxhash64("shingle").alias("h"), "node")
     a, b = idx.alias("a"), idx.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.node.id") < F.col("b.node.id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.node.id") < F.col("b.node.id")),
         )
         .groupBy(
             F.col("a.node.id").alias("id_a"), F.col("b.node.id").alias("id_b")
