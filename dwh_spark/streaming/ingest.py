@@ -29,6 +29,7 @@ processes strictly in chain order with no lateness concept
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -339,9 +340,24 @@ class ParquetAppendLog:
         man = self._read_manifest() or {"segments": [], "last_committed": None}
         if name not in man["segments"]:
             man["segments"].append(name)
+        man.setdefault("ranges", {})[name] = [batch_id, batch_id]
         prev = man["last_committed"]
         man["last_committed"] = batch_id if prev is None else max(prev, batch_id)
         self._write_manifest(man)
+
+    def _range(self, man: dict, name: str) -> tuple[int, int]:
+        """[min_batch, max_batch] a segment covers. Manifests written
+        before ranges existed fall back to the parseable ``seg<id>``
+        name; a range-less ``cmp*`` conservatively covers everything
+        (never expired) — exactly the old behavior."""
+        r = man.get("ranges", {}).get(name)
+        if r is not None:
+            return (r[0], r[1])
+        if name.startswith("seg"):
+            i = int(name[3:])
+            return (i, i)
+        # legacy range-less cmp: never expires (the old behavior)
+        return (0, sys.maxsize)
 
     def current(self, spark: SparkSession) -> DataFrame | None:
         man = self._read_manifest()
@@ -364,30 +380,46 @@ class ParquetAppendLog:
         if not man or len(man["segments"]) < 2:
             self._gc()
             return
-        merged = f"cmp{man['last_committed']:010d}n{len(man['segments'])}"
+        ranges = [self._range(man, s) for s in man["segments"]]
+        lo = min(r[0] for r in ranges)
+        hi = max(r[1] for r in ranges)
+        merged = f"cmp{lo:010d}_{hi:010d}n{len(man['segments'])}"
         self._write_segment(self.current(spark), merged)
         self._write_manifest(
-            {"segments": [merged], "last_committed": man["last_committed"]}
+            {
+                "segments": [merged],
+                "ranges": {merged: [lo, hi]},
+                "last_committed": man["last_committed"],
+            }
         )
         self._gc()
 
     def expire(self, keep_from: int) -> None:
-        """Retention: atomically drop per-batch segments with batch id
-        < ``keep_from`` — the sliding-horizon bound for grow-forever
-        state (e.g. "near-dup only against the last N ingest days").
-        ``last_committed`` is NOT lowered: the replay guard must keep
-        rejecting already-folded batches even after their data ages
-        out. Only applies to per-batch ``seg*`` dirs — a compacted
-        (``cmp*``) segment folds history into one unit, so expire
-        BEFORE compacting if per-batch retention matters."""
+        """Retention: atomically drop every segment whose covered
+        batch range ends before ``keep_from`` — the sliding-horizon
+        bound for grow-forever state (e.g. "near-dup only against the
+        last N ingest days"). ``last_committed`` is NOT lowered: the
+        replay guard must keep rejecting already-folded batches even
+        after their data ages out.
+
+        Composes with ``compact()``: the manifest records each
+        segment's [min,max] batch range, so a compacted segment ages
+        out once its WHOLE range falls below the horizon. A compacted
+        segment straddling the horizon is kept whole (retention is
+        then a bounded over-approximation until it ages out) — under
+        "expire every batch, compact every K" steady state each
+        compacted range spans ≤ K+horizon batches, so state stays
+        bounded at horizon + K batches of rows, never grow-forever."""
         man = self._read_manifest()
         if not man:
             return
         man["segments"] = [
-            s
-            for s in man["segments"]
-            if not s.startswith("seg") or int(s[3:]) >= keep_from
+            s for s in man["segments"] if self._range(man, s)[1] >= keep_from
         ]
+        if "ranges" in man:
+            man["ranges"] = {
+                k: v for k, v in man["ranges"].items() if k in set(man["segments"])
+            }
         self._write_manifest(man)
         self._gc()
 

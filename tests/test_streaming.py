@@ -783,3 +783,46 @@ def test_semantic_ingest_exactly_once_under_lost_checkpoint(spark, tmp_path):
     assert got == want and got
     # index accumulated each vector exactly once
     assert index_store.current(spark).count() == emb.count()
+
+
+def test_append_log_compacted_segment_ages_out(spark, tmp_path):
+    """compact() + expire() compose: the manifest records each
+    segment's [min,max] batch range, so a compacted segment is
+    dropped once its WHOLE range falls below the horizon, kept whole
+    while it straddles it — bounded over-approximation, never
+    grow-forever state."""
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    log = ParquetAppendLog(str(tmp_path / "log"), write_partitions=1)
+    for b in range(4):
+        log.append(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x"), b)
+    log.compact(spark)  # cmp covering [0,3]
+    man = log._read_manifest()
+    assert man["segments"] == ["cmp0000000000_0000000003n4"]
+    assert man["ranges"][man["segments"][0]] == [0, 3]
+    for b in range(4, 6):
+        log.append(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x"), b)
+
+    # horizon inside the cmp range: kept whole (over-approximation)
+    log.expire(keep_from=2)
+    names = log._read_manifest()["segments"]
+    assert any(n.startswith("cmp") for n in names)
+    assert log.current(spark).count() == 60  # nothing dropped yet
+    # horizon past the cmp range: the compacted history ages out
+    log.expire(keep_from=4)
+    man = log._read_manifest()
+    assert man["segments"] == ["seg0000000004", "seg0000000005"]
+    assert log.current(spark).count() == 20
+    assert log.last_committed() == 5  # replay guard never lowered
+
+    # legacy manifest without ranges: cmp conservatively never expires
+    import json as _json
+
+    man.setdefault("ranges", None)
+    del man["ranges"]
+    man["segments"] = ["cmp0000000003n4", "seg0000000005"]
+    with open(log._manifest_path(), "w") as fh:
+        _json.dump(man, fh)
+    (tmp_path / "log" / "cmp0000000003n4").mkdir()
+    log.expire(keep_from=100)
+    assert log._read_manifest()["segments"] == ["cmp0000000003n4"]
