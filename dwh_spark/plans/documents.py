@@ -836,6 +836,159 @@ def docs_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_dedup_detector_agreement",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
+    mhsig AS (
+      SELECT doc_id, seeds.seed,
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM mhsig GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    mh_common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    mh AS (
+      SELECT id_a, id_b FROM mh_common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    whashed AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM toks
+    ),
+    weighted AS (
+      SELECT doc_id, bits.j,
+             sum(CASE WHEN (h >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS wsum
+      FROM whashed, (SELECT unnest(range(0, 60)) AS j) bits
+      GROUP BY 1, 2
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             sum(CASE WHEN wsum > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM weighted GROUP BY 1
+    ),
+    blk AS (
+      SELECT doc_id, simhash, blocks.i,
+             (simhash >> (15 * blocks.i)) & 32767 AS val
+      FROM sh2, (SELECT unnest(range(0, 4)) AS i) blocks
+    ),
+    shc AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM blk a JOIN blk b
+        ON a.i = b.i AND a.val = b.val AND a.doc_id < b.doc_id
+    ),
+    sim AS (
+      SELECT id_a, id_b FROM shc WHERE bit_count(xor(sa, sb)) <= 3
+    ),
+    ct_common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ),
+    ct AS (
+      SELECT id_a, id_b FROM ct_common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.n_sh, 6),
+                     round(CAST(n_common AS DOUBLE) / sb.n_sh, 6)) >= 0.9
+    ),
+    tagged AS (
+      SELECT 'minhash' AS detector, id_a, id_b FROM mh
+      UNION ALL SELECT 'simhash', id_a, id_b FROM sim
+      UNION ALL SELECT 'containment', id_a, id_b FROM ct
+    ),
+    per_pair AS (
+      SELECT id_a, id_b,
+             max(CASE WHEN detector = 'minhash' THEN 1 ELSE 0 END) AS in_mh,
+             max(CASE WHEN detector = 'simhash' THEN 1 ELSE 0 END) AS in_sh,
+             max(CASE WHEN detector = 'containment' THEN 1 ELSE 0 END) AS in_ct
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT t.detector,
+           count(*) AS n_pairs,
+           CAST(sum(p.in_mh) AS BIGINT) AS n_also_minhash,
+           CAST(sum(p.in_sh) AS BIGINT) AS n_also_simhash,
+           CAST(sum(p.in_ct) AS BIGINT) AS n_also_containment,
+           CAST(sum(p.id_a * 100003 + p.id_b) AS BIGINT) AS pair_checksum
+    FROM (SELECT DISTINCT detector, id_a, id_b FROM tagged) t
+    JOIN per_pair p USING (id_a, id_b)
+    GROUP BY 1
+    """,
+)
+def docs_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement audit across the three text near-dup
+    families at their production thresholds — MinHash-LSH verified
+    Jaccard >= 0.7, rotation-complete SimHash hamming <= 3,
+    Broder containment >= 0.9: per detector, its pair count, how many
+    of its pairs each other detector also finds, and a pair-set
+    checksum (pins WHICH pairs, not just counts). This is the
+    threshold-tuning tool a pipeline owner uses to decide which
+    detector(s) to run at 100 TB: each set is produced by the same
+    bucket-bounded operators the single-detector queries certify
+    (LSH bands / pigeonhole blocks / inverted index), unioned and
+    compared with ONE extra pair-keyed aggregate — agreement costs
+    nothing beyond the detectors themselves."""
+    docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    mh = D.minhash_near_duplicates(docs, threshold=0.7).select("id_a", "id_b")
+    sim = D.simhash_near_duplicates_rotated(
+        docs, max_hamming=3, n_blocks=4
+    ).select("id_a", "id_b")
+    ct = D.containment_pairs(docs, threshold=0.9).select("id_a", "id_b")
+    tagged = (
+        mh.withColumn("detector", F.lit("minhash"))
+        .unionByName(sim.withColumn("detector", F.lit("simhash")))
+        .unionByName(ct.withColumn("detector", F.lit("containment")))
+        .distinct()
+    )
+    per_pair = tagged.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("detector") == "minhash", 1).otherwise(0)).alias("in_mh"),
+        F.max(F.when(F.col("detector") == "simhash", 1).otherwise(0)).alias("in_sh"),
+        F.max(F.when(F.col("detector") == "containment", 1).otherwise(0)).alias(
+            "in_ct"
+        ),
+    )
+    return (
+        tagged.join(per_pair, ["id_a", "id_b"])
+        .groupBy("detector")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("in_mh").alias("n_also_minhash"),
+            F.sum("in_sh").alias("n_also_simhash"),
+            F.sum("in_ct").alias("n_also_containment"),
+            F.sum(F.col("id_a") * 100003 + F.col("id_b")).alias("pair_checksum"),
+        )
+    )
+
+
+@query(
     "docs_leakage_safe_split",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
