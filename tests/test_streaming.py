@@ -826,3 +826,66 @@ def test_append_log_compacted_segment_ages_out(spark, tmp_path):
     (tmp_path / "log" / "cmp0000000003n4").mkdir()
     log.expire(keep_from=100)
     assert log._read_manifest()["segments"] == ["cmp0000000003n4"]
+
+
+def test_semantic_ingest_maintenance_compaction_invariant(spark, tmp_path):
+    """Compaction scheduled through the maintenance seam after every
+    batch must not change the drained output — the index store ends
+    as ONE compacted segment covering the whole range."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.emb_ingest import (
+        read_semantic_ingest_results,
+        run_semantic_ingest,
+    )
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    input_dir = str(tmp_path / "input")
+    sliced = emb.withColumn("__slice", F.ntile(3).over(Window.orderBy("vec_id")))
+    staged = str(tmp_path / "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(staged)
+    os.makedirs(input_dir)
+    for i in range(1, 4):
+        sdir = os.path.join(staged, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    seeds = (
+        spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+    )
+
+    def drive(tag, compact_each_batch):
+        store = ParquetAppendLog(str(tmp_path / f"{tag}_index"), write_partitions=1)
+        out = str(tmp_path / f"{tag}_out")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        maintenance = (lambda b: store.compact(spark)) if compact_each_batch else None
+        run_semantic_ingest(
+            stream, seeds, store, out, str(tmp_path / f"{tag}_ckpt"),
+            maintenance=maintenance,
+        )
+        rows = {
+            (r["vec_id"], r["n_earlier_sem_dups"])
+            for r in read_semantic_ingest_results(spark, out).collect()
+        }
+        return rows, store
+
+    plain, _ = drive("plain", False)
+    compacted, store = drive("cmp", True)
+    assert compacted == plain and plain
+    man = store._read_manifest()
+    assert len(man["segments"]) == 1 and man["segments"][0].startswith("cmp")
+    assert man["ranges"][man["segments"][0]] == [0, 2]
