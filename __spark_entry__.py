@@ -56,6 +56,7 @@ _CHECK_FIRST = [
     "docs_containment_near_dups",       # Broder asymmetric containment dedup
     "docs_leakage_safe_split",          # cluster-rep split, no straddling dups
     "docs_dedup_detector_agreement",    # minhash/simhash/containment pair-set audit
+    "docs_corpus_ingest_delta",         # daily-delta triage vs stored corpus indexes
     # -- stale: latest driver verdict is round 6 (all 48 cycle now)
     "av_audio_flac_decode_stats",
     "docs_bigram_lm_scores",

@@ -459,6 +459,54 @@ def minhash_incremental_near_dups(
     )
 
 
+def corpus_ingest_triage(
+    corpus_kept: DataFrame,
+    new_docs: DataFrame,
+    quality,
+    text: str = "text",
+    key: str = "doc_id",
+    quality_threshold: float = 0.5,
+    near_threshold: float = 0.7,
+) -> DataFrame:
+    """Daily-delta triage against a standing corpus: route each new
+    doc to the FIRST matching decision — 'low_quality' (score below
+    threshold; pure codegen, cheapest test first), 'exact_dup'
+    (md5(text) already in the corpus hash index), 'near_dup' (the
+    incremental MinHash band probe, :func:`minhash_incremental_near_
+    dups`), else 'kept'. ``corpus_kept`` is the quality-filtered
+    standing corpus; its exact-canon survivors feed the near-dup
+    probe. ``quality`` is a Column-builder (text column -> score).
+
+    Returns ``new_docs``' rows plus a ``decision`` column. At 100 TB
+    the corpus contributes only its STORED indexes (hash set, band
+    index) — per-batch cost is O(batch + collisions), never a corpus
+    rescan.
+    """
+    canon = keep_canonical(corpus_kept, text=text, key=key)
+    hashes = corpus_kept.select(F.md5(text).alias("__h")).distinct()
+    near = (
+        minhash_incremental_near_dups(
+            canon, new_docs, text=text, key=key, threshold=near_threshold
+        )
+        .select(F.col("new_id").alias(key))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        new_docs.withColumn("__q", quality(F.col(text)))
+        .join(hashes, F.md5(F.col(text)) == F.col("__h"), "left")
+        .join(near, key, "left")
+        .withColumn(
+            "decision",
+            F.when(F.col("__q") < quality_threshold, F.lit("low_quality"))
+            .when(F.col("__h").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept")),
+        )
+        .drop("__q", "__h", "__near")
+    )
+
+
 def simhash(df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct words (md5-derived bit weights)."""
     toks = df.select(key, F.explode(F.array_distinct(words(F.col(text)))).alias("word"))

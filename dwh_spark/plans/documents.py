@@ -836,6 +836,104 @@ def docs_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_corpus_ingest_delta",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    corpus_kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 <> 7 AND {_QUALITY_SQL} >= 0.5
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM corpus_kept GROUP BY md5(text)
+    ),
+    canon_docs AS (
+      SELECT k.doc_id, k.text FROM corpus_kept k JOIN canon USING (doc_id)
+    ),
+    newdocs AS (
+      SELECT doc_id, text, {_QUALITY_SQL} AS q
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
+    mhsig AS (
+      SELECT doc_id, seeds.seed,
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM mhsig GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM banded n JOIN banded c
+        ON n.band = c.band AND n.band_key = c.band_key
+      WHERE n.doc_id IN (SELECT doc_id FROM newdocs)
+        AND c.doc_id IN (SELECT doc_id FROM canon_docs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.new_id, count(*) AS n_common, max(sb.n_sh) AS nb, c.corpus_id
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+      JOIN sizes sb ON sb.doc_id = c.corpus_id
+      GROUP BY c.new_id, c.corpus_id
+    ),
+    near_ids AS (
+      SELECT DISTINCT new_id AS doc_id
+      FROM common JOIN sizes sa ON sa.doc_id = new_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + nb - n_common) >= 0.7
+    ),
+    triaged AS (
+      SELECT n.doc_id,
+             CASE
+               WHEN n.q < 0.5 THEN 'low_quality'
+               WHEN md5(n.text) IN (SELECT DISTINCT md5(text) FROM corpus_kept)
+                 THEN 'exact_dup'
+               WHEN n.doc_id IN (SELECT doc_id FROM near_ids) THEN 'near_dup'
+               ELSE 'kept'
+             END AS decision
+      FROM newdocs n
+    )
+    SELECT decision, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM triaged GROUP BY 1
+    """,
+)
+def docs_corpus_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-DELTA triage of the corpus build — what actually runs
+    per ingest once the standing corpus exists, composing the
+    round-9/10 incremental machinery end-to-end: each new doc
+    (doc_id % 10 == 7 plays the delta) is routed to the FIRST
+    matching decision: 'low_quality' (quality score < 0.5, pure
+    codegen — cheapest test first so rejected docs never reach a
+    shuffle), 'exact_dup' (md5(text) already in the standing corpus's
+    hash index — an equi-join against a stored corpus-sized index,
+    O(batch) probe rows), 'near_dup' (the incremental MinHash band
+    probe against the corpus survivors' band index, candidate-only
+    shingle verify — never a corpus self-join), else 'kept'. The
+    standing corpus is the quality-filtered exact-canon survivor set,
+    exactly what docs_corpus_build materializes. Output pins each
+    decision class's membership via id_sum. At 100 TB every per-batch
+    cost is O(batch + collisions): the corpus contributes only its
+    STORED indexes (hash set, band index), never a rescan."""
+    docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    corpus_kept = corpus.filter(T.quality_score(F.col("text")) >= 0.5)
+    triaged = D.corpus_ingest_triage(corpus_kept, new_docs, T.quality_score)
+    return triaged.groupBy("decision").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+@query(
     "docs_dedup_detector_agreement",
     oracle=f"""
     WITH {_SHINGLES_CTE},

@@ -175,3 +175,45 @@ def test_containment_catches_jaccard_miss(spark):
     assert set(got) == {(1, 2)}
     ca, cb = got[(1, 2)]
     assert ca == 1.0 and cb == 0.1
+
+
+def test_corpus_ingest_triage_all_decisions(spark):
+    """Planted delta hits every triage arm, in priority order: a
+    low-quality doc that is ALSO an exact dup routes 'low_quality';
+    a byte-identical copy of a corpus doc routes 'exact_dup'; a
+    one-word edit routes 'near_dup'; fresh text routes 'kept'."""
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.dedup import corpus_ingest_triage
+
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"x{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    edited = " ".join((f"w{i}" if i != 29 else "EDIT") for i in range(30))
+    new_docs = spark.createDataFrame(
+        [
+            (10, base),                                     # exact dup of 1
+            (11, edited),                                   # near dup of 1
+            (12, " ".join(f"y{i}" for i in range(30))),     # fresh
+            (13, "tiny"),                                   # low quality
+        ],
+        "doc_id long, text string",
+    )
+    # quality: length-based stub — 'tiny' fails, everything else passes
+    quality = lambda c: F.when(F.length(c) > 20, F.lit(1.0)).otherwise(F.lit(0.0))
+    got = {
+        r["doc_id"]: r["decision"]
+        for r in corpus_ingest_triage(corpus, new_docs, quality).collect()
+    }
+    assert got == {10: "exact_dup", 11: "near_dup", 12: "kept", 13: "low_quality"}
+
+    # priority: an exact dup that is also low quality -> low_quality
+    corpus2 = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    new2 = spark.createDataFrame([(20, "tiny")], "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: r["decision"]
+        for r in corpus_ingest_triage(corpus2, new2, quality).collect()
+    }
+    assert got2 == {20: "low_quality"}
