@@ -116,6 +116,12 @@ HEADLINERS = {
     "re-assigned, never shuffled",
     "docs_source_quota_cap": "per-domain cap: one hash shuffle on source "
     "feeds the md5-order window; kept set joined back for the audit rollup",
+    "docs_containment_near_dups": "asymmetric containment pairs: inverted "
+    "index keyed on xxhash64 longs, both sides the identical subplan "
+    "(ReuseExchange computes the index once)",
+    "docs_corpus_ingest_delta": "delta triage: codegen quality gate, hash-"
+    "index equi-join, incremental band probe with candidate-only shingle "
+    "verify — the corpus side contributes only its stored indexes",
 }
 
 
