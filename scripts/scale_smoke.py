@@ -939,6 +939,87 @@ def append_log_soak(
     spark.stop()
 
 
+def triage_smoke(n_corpus: int = 500_000, n_batch: int = 5_000) -> None:
+    """Per-ingest cost of the daily-delta triage at 100x bench scale:
+    500k-doc standing corpus, 5k-doc delta. The corpus-sized work
+    (quality filter + canon + band index) is the INDEX BUILD, paid
+    once; the triage itself touches the batch plus index collisions.
+    Measures both so the asymmetry is on record."""
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.dedup import band_index, corpus_ingest_triage
+
+    spark = get_spark("triage-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    total = n_corpus + n_batch
+
+    # same doc generator as the dedup smoke: ~60-word docs, 10% near-
+    # copies (shared prefix, one divergent tail word), 5% exact copies
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("base"), i), F.lit(50_000)).cast("string"),
+        ),
+    )
+    # offsets chosen so a copy's base is always a PLAIN doc (no copy
+    # chains): base % 20 != 3 and base % 10 != 4 for both masks
+    src = spark.range(total).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            (F.col("id") % 20 == 3) & (F.col("id") >= 40_001),
+            F.col("id") - 40_001,  # exact copy of a plain doc
+        )
+        .when(
+            (F.col("id") % 10 == 4) & (F.col("id") >= 20_002),
+            F.col("id") - 20_002,  # near-copy base (plain doc)
+        )
+        .otherwise(F.col("id"))
+        .alias("base"),
+        ((F.col("id") % 10 == 4) & (F.col("id") >= 20_002)).alias("variant"),
+        (F.col("id") % 50 == 9).alias("junk"),
+    )
+    docs = src.select(
+        "doc_id",
+        F.when(F.col("junk"), F.lit("tiny doc"))
+        .when(
+            F.col("variant"),
+            F.concat_ws(" ", F.concat(F.slice(words, 1, 59), F.array(F.concat(F.lit("v"), F.col("doc_id").cast("string"))))),
+        )
+        .otherwise(F.concat_ws(" ", words))
+        .alias("text"),
+    ).persist()
+    docs.count()
+    corpus = docs.filter(F.col("doc_id") < n_corpus)
+    batch = docs.filter(F.col("doc_id") >= n_corpus)
+    quality = lambda c: F.when(F.length(c) > 50, F.lit(1.0)).otherwise(F.lit(0.0))
+
+    t = time.perf_counter()
+    corpus_kept = corpus.filter(quality(F.col("text")) >= 0.5).persist()
+    n_idx = band_index(corpus_kept).count()  # the stored-index build cost
+    build_s = time.perf_counter() - t
+
+    t = time.perf_counter()
+    counts = {
+        r["decision"]: r["n"]
+        for r in corpus_ingest_triage(corpus_kept, batch, quality)
+        .groupBy("decision")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    triage_s = time.perf_counter() - t
+    print(
+        f"triage smoke ({n_corpus} corpus / {n_batch} batch): corpus index "
+        f"build ONCE {build_s:.1f}s ({n_idx} band rows); per-ingest triage "
+        f"{triage_s:.1f}s -> {counts} (note: this in-process run re-derives "
+        f"the canon + band index inside the triage plan — with the indexes "
+        f"STORED, the per-ingest cost is the probe side alone)"
+    )
+    docs.unpersist()
+    corpus_kept.unpersist()
+    spark.stop()
+
+
 def semantic_ingest_smoke(n_corpus: int = 200_000, n_batch: int = 1_000) -> None:
     """Ingest-cost asymmetry for the incremental semantic path: with
     the corpus cell index STORED (built once), screening a daily
@@ -1013,9 +1094,11 @@ if __name__ == "__main__":
         append_log_soak()
     elif CASE == "semantic_ingest":
         semantic_ingest_smoke()
+    elif CASE == "triage":
+        triage_smoke()
     elif CASE is not None:
         raise SystemExit(
-            f"unknown case {CASE!r} (expected: append_log, semantic_ingest)"
+            f"unknown case {CASE!r} (expected: append_log, semantic_ingest, triage)"
         )
     else:
         main()
