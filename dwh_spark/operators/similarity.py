@@ -859,6 +859,7 @@ def semantic_incremental_near_dups(
     threshold: float,
     vec: str = "embedding",
     key: str = "vec_id",
+    prune_cells: bool = False,
 ) -> DataFrame:
     """Ingest-time SEMANTIC near-dup screen — the embedding-space
     sibling of ``operators/dedup.py:minhash_incremental_near_dups``:
@@ -880,8 +881,21 @@ def semantic_incremental_near_dups(
     same trade :func:`semantic_prune` documents.
 
     Returns (new_id, corpus_id, cosine) for pairs >= ``threshold``.
+
+    ``prune_cells=True`` collects the batch's distinct cell ids (≤
+    min(batch, n_cells) values — bounded, the MG-hot-key IN-list
+    pattern) and filters the index frame on ``cell IN (...)`` BEFORE
+    the join: when the stored index is a parquet table partitioned or
+    sorted by cell, the literal predicate reaches the scan
+    (PushedFilters/partition pruning), so a daily ingest READS only
+    the probed cells' data instead of the whole index. Costs one
+    small eager job on the batch side; the result is identical.
     """
     new_cells = assign_cells(new_vecs, centroids, vec=vec, key=key)
+    if prune_cells:
+        new_cells = new_cells.persist()
+        probed = [r["cell"] for r in new_cells.select("cell").distinct().collect()]
+        corpus_cells = corpus_cells.filter(F.col("cell").isin(probed))
     return cell_probe(corpus_cells, new_cells, threshold, vec=vec, key=key)
 
 

@@ -68,7 +68,15 @@ def run_semantic_ingest(
             F.col("corpus_id") < F.col("new_id")
         )
         if prior is not None:
-            flagged = flagged.unionByName(cell_probe(prior, batch_cells, threshold))
+            # cell-pruned probe: the batch's distinct cell ids (a
+            # bounded literal IN list) filter the stored-index SCAN —
+            # with a cell-partitioned/sorted index table this is
+            # partition pruning, so the fold reads only probed cells
+            probed = [
+                r["cell"] for r in batch_cells.select("cell").distinct().collect()
+            ]
+            pruned = prior.filter(F.col("cell").isin(probed))
+            flagged = flagged.unionByName(cell_probe(pruned, batch_cells, threshold))
         flagged.groupBy(F.col("new_id").alias("vec_id")).agg(
             F.count("*").alias("n_earlier_sem_dups")
         ).coalesce(1).write.mode("overwrite").parquet(

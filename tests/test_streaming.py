@@ -889,3 +889,38 @@ def test_semantic_ingest_maintenance_compaction_invariant(spark, tmp_path):
     man = store._read_manifest()
     assert len(man["segments"]) == 1 and man["segments"][0].startswith("cmp")
     assert man["ranges"][man["segments"][0]] == [0, 2]
+
+
+def test_semantic_index_cell_prune_reaches_scan(spark, tmp_path):
+    """The streaming fold's cell-pruned probe must push the literal
+    IN(cell, ...) predicate into the stored-index parquet scan
+    (PushedFilters), and the pruned incremental probe must equal the
+    unpruned one."""
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.similarity import (
+        assign_cells,
+        semantic_incremental_near_dups,
+    )
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    seeds = (
+        corpus.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(8)
+    )
+    store = ParquetAppendLog(str(tmp_path / "idx"), write_partitions=1)
+    store.append(assign_cells(corpus, seeds), 0)
+    prior = store.current(spark)
+
+    pruned = semantic_incremental_near_dups(
+        prior, batch, seeds, threshold=0.1, prune_cells=True
+    )
+    plain = semantic_incremental_near_dups(prior, batch, seeds, threshold=0.1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(cell" in plan, plan
+    got = sorted(map(tuple, pruned.collect()))
+    assert got == sorted(map(tuple, plain.collect())) and got
