@@ -111,6 +111,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.9,
     min_common: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Broder CONTAINMENT near-dups (Broder 1997, "On the resemblance
     and containment of documents"): c(A⊆B) = |S(A) ∩ S(B)| / |S(A)| —
@@ -132,11 +133,29 @@ def containment_pairs(
     union-normalized measure, so the exact join on a pre-filtered
     candidate universe (e.g. same-source pairs) is the documented
     100 TB form.
+
+    ``max_doc_freq`` is the stop-gram cap (prefix-filtering's
+    standard boundedness trade): shingles appearing in more than
+    ``max_doc_freq`` docs — boilerplate — are dropped from the JOIN,
+    bounding the per-shingle pair blowup at max_doc_freq² instead of
+    corpus². Pair sizes ``n_a``/``n_b`` still count ALL shingles, so
+    a capped run UNDER-estimates containment for pairs whose overlap
+    is mostly boilerplate — exactly the pairs a dedup pass should not
+    fire on anyway. None (default) disables the cap; the oracle-gated
+    query runs uncapped.
     """
     idx = df.select(F.col(key), shingles(F.col(text), k).alias("sh")).select(
         F.explode("sh").alias("shingle"),
         F.struct(F.col(key).alias("id"), F.size("sh").alias("n")).alias("node"),
     ).select(F.xxhash64("shingle").alias("h"), "node")
+    if max_doc_freq is not None:
+        rare = (
+            idx.groupBy("h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("h")
+        )
+        idx = idx.join(rare, "h")
     a, b = idx.alias("a"), idx.alias("b")
     return (
         a.join(

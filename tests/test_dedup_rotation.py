@@ -217,3 +217,45 @@ def test_corpus_ingest_triage_all_decisions(spark):
         for r in corpus_ingest_triage(corpus2, new2, quality).collect()
     }
     assert got2 == {20: "low_quality"}
+
+
+def test_containment_stop_gram_cap(spark):
+    """max_doc_freq drops boilerplate shingles from the join: with a
+    generous cap the pair set is unchanged; with a cap that excludes
+    a shared boilerplate prefix, the boilerplate-only pair's
+    containment falls below threshold (the documented under-estimate)
+    while a genuine short-in-long pair survives."""
+    from dwh_spark.operators.dedup import containment_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # shared by 4 docs
+    docs = spark.createDataFrame(
+        [
+            (1, boiler),                                             # boilerplate only
+            (2, boiler + " " + " ".join(f"p{i}" for i in range(40))),
+            (3, boiler + " " + " ".join(f"q{i}" for i in range(40))),
+            (4, boiler + " " + " ".join(f"r{i}" for i in range(40))),
+            (5, " ".join(f"s{i}" for i in range(12))),               # short
+            (6, " ".join(f"s{i}" for i in range(12))
+                + " " + " ".join(f"t{i}" for i in range(60))),       # contains 5
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    # doc1 ⊆ docs 2/3/4 via boilerplate; doc5 ⊆ doc6 genuinely
+    assert {(1, 2), (1, 3), (1, 4), (5, 6)} <= plain
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(docs, threshold=0.9, max_doc_freq=10).collect()
+    }
+    assert wide == plain
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(docs, threshold=0.9, max_doc_freq=3).collect()
+    }
+    # boilerplate shingles (doc-freq 4) dropped: doc1's pairs vanish,
+    # the genuine containment (unique shingles, doc-freq 2) survives
+    assert (5, 6) in capped
+    assert not any(p[0] == 1 for p in capped)
