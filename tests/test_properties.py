@@ -749,3 +749,41 @@ def test_leakage_safe_split_no_straddling_pairs(spark):
     straddle_naive = [(a, b) for a, b in p if side(naive[a]) != side(naive[b])]
     assert straddle_safe == []
     assert straddle_naive, "naive split straddles on this fixture (the bug)"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.5, 0.8, 1.0]),
+)
+def test_containment_matches_bruteforce(spark, docs_words, threshold):
+    """containment_pairs == the set-algebra definition for ANY doc
+    set/threshold: c(A⊆B) = |S(A)∩S(B)|/|S(A)| over distinct word
+    3-shingles, pairs kept when max direction >= threshold with >= 3
+    common shingles."""
+    from dwh_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (i, " ".join(f"t{w}" for w in ws)) for i, ws in enumerate(docs_words)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(ws):
+        return {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = set()
+    for i, wa in enumerate(docs_words):
+        for j in range(i + 1, len(docs_words)):
+            sa, sb = sh(wa), sh(docs_words[j])
+            common = len(sa & sb)
+            if common >= 3 and max(common / len(sa), common / len(sb)) >= threshold:
+                want.add((i, j))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold=threshold).collect()
+    }
+    assert got == want
