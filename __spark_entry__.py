@@ -40,76 +40,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # LONGEST-UNCHECKED greens, (4) queries touched this round but already
 # verified LAST round trail as overflow — if the ~50-slot window cuts
 # anything, it cuts re-verification of a recent-fresh verdict, never
-# a stale one. Round 10's stale cohort is the ledger-exact 48 queries
-# whose latest verdict is round 6 (newest committed artifact is r9, so
-# r6 == newest-3; union of CORRECTNESS_r1..r9): flac audio, 11 docs_*
-# text-analysis/pack/sample queries, 5 emb_* quantization/IVF queries,
-# 15 events_* profile/sketch/salt/rollup queries, the flagship, 8
-# imgs_* queries, 5 metadata_* queries, pagination, and TPC-H q1 —
-# exact list below (matches tests/test_entry_contract.py's
-# recomputation; regenerate with scripts/rotate_check_first.py).
+# a stale one. Round 11's stale cohort is the ledger-exact 51 queries
+# whose latest verdict is <= round 7 (newest committed artifact is
+# r10, so r7 == newest-3; union of CORRECTNESS_r1..r10): the 5 r6
+# leftovers the r10 window cut (VERDICT r10 item 2) go FIRST, then the
+# 46 r7-verdict queries — TPC-H q1-q20, the SQL/scalar/datetime
+# batteries, rollup/cube/setops/unpivot, the salted/sketch events
+# queries, pagerank, 3 incremental-streaming queries, wav roundtrip,
+# and the nested flagship. 51 > the driver's ~50 budget: the tail r7
+# query spills to round 12 by design (oldest-first ordering). Exact
+# list matches tests/test_entry_contract.py's recomputation;
+# regenerate with scripts/rotate_check_first.py.
 _CHECK_FIRST = [
-    # -- new in round 10: no driver verdict yet
-    "emb_semantic_incremental_ingest",  # batch-vs-corpus IVF cell probe, no re-assign
-    "streaming_semantic_ingest",        # cell index as accumulating stream state
-    "docs_source_quota_cap",            # per-domain quota cap, md5-deterministic
-    "docs_containment_near_dups",       # Broder asymmetric containment dedup
-    "docs_leakage_safe_split",          # cluster-rep split, no straddling dups
-    "docs_dedup_detector_agreement",    # minhash/simhash/containment pair-set audit
-    "docs_corpus_ingest_delta",         # daily-delta triage vs stored corpus indexes
-    # -- stale: latest driver verdict is round 6 (all 48 cycle now)
-    "av_audio_flac_decode_stats",
-    "docs_bigram_lm_scores",
-    "docs_heavy_hitters_mg",
-    "docs_jaccard_hashed_shingles",
-    "docs_length_histogram",
-    "docs_levenshtein_sample_pairs",
-    "docs_pack_sequences",
-    "docs_pii_scrub_stats",
-    "docs_repetition_scores",
-    "docs_top_terms",
-    "docs_train_test_split",
-    "docs_weighted_sample_stats",
-    "emb_dup_clusters",
-    "emb_int8_quantization",
-    "emb_ivf_inertia",
-    "emb_ivf_probe_topk",
-    "emb_pq_adc_topk",
-    "events_column_profile",
-    "events_compaction_roundtrip",
-    "events_hourly_daily_rollup",
-    "events_kmv_distinct_users",
-    "events_mrl_quantile_audit",
-    "events_partition_pruned_rollup",
-    "events_rank_battery",
-    "events_retention_cohorts",
-    "events_rolling_7d_actives",
-    "events_salted_hot_join",
-    "events_salted_rollup",
-    "events_scd2_intervals",
-    "events_state_as_of",
-    "events_value_quantiles",
-    "events_zorder_keys",
-    "flagship_owned_orders",
-    "imgs_decode_resize_bytes",
-    "imgs_dedup_new",
-    "imgs_format_bytes",
-    "imgs_jpeg_pixel_stats",
-    "imgs_keep_latest",
-    "imgs_point_read_fallback",
-    "imgs_resize_fanout_stats",
-    "imgs_webp_pixel_stats",
-    "metadata_fetch_stage",
-    "metadata_refresh_schedule",
+    # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",
     "metadata_validate",
     "pagination_page3",
     "q1_pricing_summary",
-    # -- touched in round 10 (candidate-id pushdown in the ingest
-    #    verify stages), verified green r9: overflow tail
-    "docs_minhash_incremental_ingest",
-    "streaming_minhash_ingest",
+    # -- stale: latest driver verdict is round 7 (all 46 cycle now)
+    "agg_all_orders",
+    "av_wav_roundtrip_stats",
+    "bucketed_cust_order_rollup",
+    "cube_orders_status_priority",
+    "datetime_function_battery",
+    "docs_collection_fn_battery",
+    "docs_semantic_dedup",
+    "events_activity_bitmaps",
+    "events_cms_user_counts",
+    "events_mg_salted_hot_join",
+    "events_session_concurrency",
+    "events_snapshot_diff",
+    "events_stalest_topk",
+    "events_value_robust_stats",
+    "flagship_nft_offers_nested",
+    "marketplace_multicoin_totals",
+    "marketplace_stream_ft_state",
+    "nation_trade_pagerank",
+    "orders_daily_moving_stats",
+    "orders_unpivot_measures",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_parts_suppliers_semi",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "reconcile_daily_counts",
+    "rollup_region_nation",
+    "scalar_function_battery",
+    "setops_customer_segments",
+    "sql_big_spenders",
+    "sql_correlated_outliers",
+    "streaming_daily_rollup_incremental",
+    "streaming_session_windows",
+    "streaming_user_accumulator",
+    "topk_orders_per_segment",
 ]
 
 
