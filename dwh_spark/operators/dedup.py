@@ -449,8 +449,12 @@ def minhash_incremental_near_dups(
     """
     banded_corpus = _banded(corpus, text, key, k, n_hashes, bands)
     banded_new = _banded(new_docs, text, key, k, n_hashes, bands)
+    # the banded BATCH is the explicitly-pinned broadcast side (a daily
+    # batch is small by construction) so the stored corpus band index is
+    # streamed, never shuffled — same pin as cell_probe /
+    # candidate_corpus_shingles rather than trusting AQE's size pick
     pairs = (
-        banded_new.alias("n")
+        F.broadcast(banded_new).alias("n")
         .join(
             banded_corpus.alias("c"),
             (F.col("n.band") == F.col("c.band"))
@@ -478,6 +482,85 @@ def minhash_incremental_near_dups(
     )
 
 
+def containment_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    min_common: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Ingest-time Broder containment screen: which NEW docs share a
+    >= ``threshold`` containment (either direction) with an EXISTING
+    corpus doc. The daily-batch shape of :func:`containment_pairs` —
+    the screen that catches a short new doc embedded in a long stored
+    one (or vice versa), the pair class the MinHash band probe misses
+    by construction (it estimates union-normalized Jaccard).
+
+    The corpus side is the stored shingle POSTING index
+    (h=xxhash64(shingle), corpus_id, n_c) — recomputed here from the
+    corpus frame; in production a table each ingest appends to, the
+    exact analog of the band index in
+    :func:`minhash_incremental_near_dups`. The batch explodes its own
+    postings and is BROADCAST into the index, so the index is scanned
+    once (streamed, never shuffled) and per-batch cost is
+    O(batch_shingles + collisions) regardless of corpus size. The
+    collision aggregate shuffles only matched (new_id, corpus_id)
+    rows. ``max_doc_freq`` is the stop-gram cap applied to the STORED
+    index side (boilerplate shingles posted in more than that many
+    corpus docs are dropped from the probe, bounding per-shingle
+    fan-out; same under-estimate trade as :func:`containment_pairs`).
+
+    Returns (new_id, corpus_id, cont_new_in_corpus,
+    cont_corpus_in_new) for pairs with >= ``min_common`` shared
+    shingles and max(containment) >= ``threshold``.
+    """
+    postings = (
+        corpus.select(
+            F.col(key).alias("corpus_id"), shingles(F.col(text), k).alias("sh")
+        )
+        .select(
+            F.explode("sh").alias("shingle"), "corpus_id", F.size("sh").alias("n_c")
+        )
+        .select(F.xxhash64("shingle").alias("h"), "corpus_id", "n_c")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            postings.groupBy("h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("h")
+        )
+        postings = postings.join(rare, "h")
+    batch = (
+        new_docs.select(F.col(key).alias("new_id"), shingles(F.col(text), k).alias("sh"))
+        .select(F.explode("sh").alias("shingle"), "new_id", F.size("sh").alias("n_n"))
+        .select(F.xxhash64("shingle").alias("h"), "new_id", "n_n")
+    )
+    return (
+        postings.join(F.broadcast(batch), "h")
+        .groupBy("new_id", "corpus_id")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_n").alias("n_n"),
+            F.first("n_c").alias("n_c"),
+        )
+        .filter(F.col("n_common") >= min_common)
+        .withColumn(
+            "cont_new_in_corpus",
+            F.round(F.col("n_common").cast("double") / F.col("n_n").cast("double"), 6),
+        )
+        .withColumn(
+            "cont_corpus_in_new",
+            F.round(F.col("n_common").cast("double") / F.col("n_c").cast("double"), 6),
+        )
+        .filter(F.greatest("cont_new_in_corpus", "cont_corpus_in_new") >= threshold)
+        .select("new_id", "corpus_id", "cont_new_in_corpus", "cont_corpus_in_new")
+    )
+
+
 def corpus_ingest_triage(
     corpus_kept: DataFrame,
     new_docs: DataFrame,
@@ -486,44 +569,87 @@ def corpus_ingest_triage(
     key: str = "doc_id",
     quality_threshold: float = 0.5,
     near_threshold: float = 0.7,
+    detect_contained: bool = False,
+    containment_threshold: float = 0.9,
 ) -> DataFrame:
     """Daily-delta triage against a standing corpus: route each new
     doc to the FIRST matching decision — 'low_quality' (score below
-    threshold; pure codegen, cheapest test first), 'exact_dup'
-    (md5(text) already in the corpus hash index), 'near_dup' (the
-    incremental MinHash band probe, :func:`minhash_incremental_near_
-    dups`), else 'kept'. ``corpus_kept`` is the quality-filtered
-    standing corpus; its exact-canon survivors feed the near-dup
-    probe. ``quality`` is a Column-builder (text column -> score).
+    threshold; pure codegen), 'exact_dup' (md5(text) already in the
+    corpus hash index), 'near_dup' (the incremental MinHash band
+    probe, :func:`minhash_incremental_near_dups`), 'contained' (the
+    incremental Broder screen :func:`containment_incremental`, only
+    when ``detect_contained``), else 'kept'. ``corpus_kept`` is the
+    quality-filtered standing corpus; its exact-canon survivors feed
+    the near-dup and containment probes. ``quality`` is a
+    Column-builder (text column -> score).
 
-    Returns ``new_docs``' rows plus a ``decision`` column. At 100 TB
-    the corpus contributes only its STORED indexes (hash set, band
-    index) — per-batch cost is O(batch + collisions), never a corpus
-    rescan.
+    Probes run cheapest-first over SHRINKING inputs: quality is pure
+    codegen over the batch; the exact-dup probe sees only
+    quality-passers; the near-dup and containment probes see only
+    quality-passing non-exact-dups — a rejected doc never reaches a
+    shuffle, and each arm's broadcast side shrinks with the prior
+    rejections. (Decision PRIORITY is unchanged: a doc matching two
+    arms still routes to the first; gating only removes probe work
+    whose outcome the CASE would ignore.)
+
+    The exact-dup probe never puts the corpus on a build side: the
+    BATCH hash set is broadcast INTO the corpus-sized stored index
+    (inner join, build = batch), and the resulting ``found`` set —
+    <= batch rows by construction — is broadcast back onto the batch.
+    The stored index is streamed exactly like the band/posting
+    indexes; at 100 TB no probe shuffles or broadcasts the corpus.
+
+    Returns ``new_docs``' rows plus a ``decision`` column. Per-batch
+    cost is O(batch + collisions), never a corpus rescan.
     """
     canon = keep_canonical(corpus_kept, text=text, key=key)
-    hashes = corpus_kept.select(F.md5(text).alias("__h")).distinct()
+    # the stored hash index, scanned as-is: de-dup happens AFTER the
+    # probe on the <= batch-sized `found` set, so the corpus side needs
+    # no distinct-shuffle even when recomputed from the corpus frame
+    hash_index = corpus_kept.select(F.md5(text).alias("__h"))
+    scored = new_docs.withColumn("__q", quality(F.col(text)))
+    qual_ok = scored.filter(F.col("__q") >= quality_threshold)
+    batch_hashes = qual_ok.select(F.md5(F.col(text)).alias("__h")).distinct()
+    found = (
+        hash_index.join(F.broadcast(batch_hashes), "__h")
+        .select("__h")
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    survivors = qual_ok.join(
+        F.broadcast(found), F.md5(F.col(text)) == F.col("__h"), "left_anti"
+    )
     near = (
         minhash_incremental_near_dups(
-            canon, new_docs, text=text, key=key, threshold=near_threshold
+            canon, survivors, text=text, key=key, threshold=near_threshold
         )
         .select(F.col("new_id").alias(key))
         .distinct()
         .withColumn("__near", F.lit(True))
     )
-    return (
-        new_docs.withColumn("__q", quality(F.col(text)))
-        .join(hashes, F.md5(F.col(text)) == F.col("__h"), "left")
+    out = (
+        scored.join(F.broadcast(found), F.md5(F.col(text)) == F.col("__h"), "left")
         .join(near, key, "left")
-        .withColumn(
-            "decision",
-            F.when(F.col("__q") < quality_threshold, F.lit("low_quality"))
-            .when(F.col("__h").isNotNull(), F.lit("exact_dup"))
-            .when(F.col("__near"), F.lit("near_dup"))
-            .otherwise(F.lit("kept")),
-        )
-        .drop("__q", "__h", "__near")
     )
+    decision = (
+        F.when(F.col("__q") < quality_threshold, F.lit("low_quality"))
+        .when(F.col("__exact"), F.lit("exact_dup"))
+        .when(F.col("__near"), F.lit("near_dup"))
+    )
+    drop = ["__q", "__h", "__exact", "__near"]
+    if detect_contained:
+        contained = (
+            containment_incremental(
+                canon, survivors, text=text, key=key, threshold=containment_threshold
+            )
+            .select(F.col("new_id").alias(key))
+            .distinct()
+            .withColumn("__contained", F.lit(True))
+        )
+        out = out.join(contained, key, "left")
+        decision = decision.when(F.col("__contained"), F.lit("contained"))
+        drop.append("__contained")
+    return out.withColumn("decision", decision.otherwise(F.lit("kept"))).drop(*drop)
 
 
 def simhash(df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 32) -> DataFrame:

@@ -912,12 +912,16 @@ def docs_corpus_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-9/10 incremental machinery end-to-end: each new doc
     (doc_id % 10 == 7 plays the delta) is routed to the FIRST
     matching decision: 'low_quality' (quality score < 0.5, pure
-    codegen — cheapest test first so rejected docs never reach a
+    codegen — cheapest test first, and each later probe's input is
+    gated on the prior rejections, so a rejected doc never reaches a
     shuffle), 'exact_dup' (md5(text) already in the standing corpus's
-    hash index — an equi-join against a stored corpus-sized index,
-    O(batch) probe rows), 'near_dup' (the incremental MinHash band
-    probe against the corpus survivors' band index, candidate-only
-    shingle verify — never a corpus self-join), else 'kept'. The
+    hash index — the BATCH hash set is broadcast INTO the stored
+    index via an inner join that builds on the batch side, and the
+    <= batch-sized `found` set is broadcast back, so the corpus index
+    is streamed once and is never a build side or shuffled),
+    'near_dup' (the incremental MinHash band probe against the corpus
+    survivors' band index, candidate-only shingle verify — never a
+    corpus self-join), else 'kept'. The
     standing corpus is the quality-filtered exact-canon survivor set,
     exactly what docs_corpus_build materializes. Output pins each
     decision class's membership via id_sum. At 100 TB every per-batch

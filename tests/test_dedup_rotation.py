@@ -259,3 +259,77 @@ def test_containment_stop_gram_cap(spark):
     # the genuine containment (unique shingles, doc-freq 2) survives
     assert (5, 6) in capped
     assert not any(p[0] == 1 for p in capped)
+
+
+def _subtree(lines: list[str], ix: int) -> list[str]:
+    """Lines of the plan subtree rooted at lines[ix] (indent-based)."""
+    def depth(l: str) -> int:
+        for i, ch in enumerate(l):
+            if ch not in " :+-":
+                return i
+        return len(l)
+    d = depth(lines[ix])
+    out = [lines[ix]]
+    for l in lines[ix + 1:]:
+        if depth(l) <= d:
+            break
+        out.append(l)
+    return out
+
+
+def test_triage_exact_probe_never_builds_on_corpus(spark):
+    """VERDICT r10 #1: the exact-dup arm must probe the stored corpus
+    hash index with the BROADCAST batch-hash set (inner join, build =
+    batch) and broadcast the <= batch-sized `found` set back — never
+    put the corpus index on the build side of an outer join, never
+    shuffle it. Pinned on the executed plan: (a) the md5 LeftOuter
+    broadcast join's build subtree is the `__exact` found-projection,
+    not a raw corpus aggregate; (b) the inner __h probe builds right
+    on the batch side (batch filter marker in the build subtree, no
+    corpus marker); (c) the corpus-index streamed side reaches its
+    FileScan with no Exchange in between; (d) no SortMergeJoin on
+    __h anywhere (the 100 TB fallback shape the old LEFT join forced)."""
+    from dwh_spark.operators.dedup import corpus_ingest_triage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    quality = lambda c: F.when(F.length(c) > 20, F.lit(1.0)).otherwise(F.lit(0.0))
+    out = corpus_ingest_triage(corpus, new_docs, quality)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+
+    # (d) the scale-killer fallback must not appear for the hash probe
+    assert not any("SortMergeJoin [__h" in l for l in lines), plan
+    assert not any("SortMergeJoin [md5" in l for l in lines), plan
+
+    # (a) the outer md5 probe joins against the broadcast found set
+    outer_ix = next(
+        i for i, l in enumerate(lines)
+        if "BroadcastHashJoin [md5" in l and "LeftOuter" in l
+    )
+    outer_sub = _subtree(lines, outer_ix)
+    bx_ix = next(i for i, l in enumerate(outer_sub) if "BroadcastExchange" in l)
+    found_sub = _subtree(outer_sub, bx_ix)
+    assert any("__exact" in l for l in found_sub), plan
+
+    # (b) inside found: the inner probe builds on the BATCH hash set
+    inner_rel = next(
+        i for i, l in enumerate(found_sub)
+        if "BroadcastHashJoin [__h" in l and "Inner, BuildRight" in l
+    )
+    inner_sub = _subtree(found_sub, inner_rel)
+    build_ix = next(
+        i for i, l in enumerate(inner_sub) if "BroadcastExchange" in l
+    )
+    build_sub = _subtree(inner_sub, build_ix)
+    assert any("% 10) = 7" in l and "NOT" not in l for l in build_sub), plan
+    assert not any("NOT ((doc_id" in l for l in build_sub), plan
+
+    # (c) the corpus-index streamed side: scan -> project, no Exchange
+    streamed = inner_sub[1:build_ix]
+    assert any("NOT ((doc_id" in l for l in streamed), plan
+    assert not any("Exchange" in l for l in streamed), plan
