@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # list matches tests/test_entry_contract.py's recomputation;
 # regenerate with scripts/rotate_check_first.py.
 _CHECK_FIRST = [
+    # -- new in round 11: no driver verdict yet
+    "docs_corpus_ingest_contained",     # triage + incremental Broder containment arm
     # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",

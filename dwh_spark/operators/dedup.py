@@ -112,6 +112,7 @@ def containment_pairs(
     threshold: float = 0.9,
     min_common: int = 3,
     max_doc_freq: int | None = None,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Broder CONTAINMENT near-dups (Broder 1997, "On the resemblance
     and containment of documents"): c(A⊆B) = |S(A) ∩ S(B)| / |S(A)| —
@@ -143,11 +144,31 @@ def containment_pairs(
     is mostly boilerplate — exactly the pairs a dedup pass should not
     fire on anyway. None (default) disables the cap; the oracle-gated
     query runs uncapped.
+
+    ``bucket`` names a column of ``df`` that pre-filters the candidate
+    universe to SAME-BUCKET pairs (e.g. the crawl source, a shard key,
+    or a precomputed cluster id): the bucket value joins alongside the
+    shingle hash, so cross-bucket pairs are pruned inside the join
+    itself — the inverted-index blowup is bounded by the largest
+    bucket, not the corpus. This is the composed 100 TB form the
+    paragraph above names; recall is exactly the same-bucket subset of
+    the uncapped pair set (cross-bucket containment is invisible by
+    construction — pick the bucket to match where fragment dups
+    actually occur, e.g. within a source).
     """
-    idx = df.select(F.col(key), shingles(F.col(text), k).alias("sh")).select(
+    cols = [F.col(key), shingles(F.col(text), k).alias("sh")]
+    node_fields = [F.col(key).alias("id"), F.size("sh").alias("n")]
+    if bucket is not None:
+        cols.append(F.col(bucket))
+    idx = df.select(*cols).select(
         F.explode("sh").alias("shingle"),
-        F.struct(F.col(key).alias("id"), F.size("sh").alias("n")).alias("node"),
-    ).select(F.xxhash64("shingle").alias("h"), "node")
+        F.struct(*node_fields).alias("node"),
+        *([F.col(bucket).alias("bk")] if bucket is not None else []),
+    ).select(
+        F.xxhash64("shingle").alias("h"),
+        "node",
+        *(["bk"] if bucket is not None else []),
+    )
     if max_doc_freq is not None:
         rare = (
             idx.groupBy("h")
@@ -157,11 +178,11 @@ def containment_pairs(
         )
         idx = idx.join(rare, "h")
     a, b = idx.alias("a"), idx.alias("b")
+    cond = (F.col("a.h") == F.col("b.h")) & (F.col("a.node.id") < F.col("b.node.id"))
+    if bucket is not None:
+        cond = cond & (F.col("a.bk") == F.col("b.bk"))
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.node.id") < F.col("b.node.id")),
-        )
+        a.join(b, cond)
         .groupBy(
             F.col("a.node.id").alias("id_a"), F.col("b.node.id").alias("id_b")
         )

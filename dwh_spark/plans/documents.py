@@ -938,6 +938,146 @@ def docs_corpus_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_corpus_ingest_contained",
+    oracle=f"""
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+    ),
+    docs AS (SELECT doc_id, string_split(text, ' ') AS s FROM alldocs),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                   for i in range(1, len(s) - 1)])) AS shingle
+      FROM docs WHERE len(s) >= 3
+    ),
+    corpus_kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 <> 7 AND {_QUALITY_SQL} >= 0.5
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM corpus_kept GROUP BY md5(text)
+    ),
+    canon_docs AS (
+      SELECT k.doc_id FROM corpus_kept k JOIN canon USING (doc_id)
+    ),
+    newdocs AS (
+      SELECT doc_id, text, {_QUALITY_SQL} AS q
+      FROM alldocs WHERE doc_id % 10 = 7 OR doc_id >= 1000000
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
+    mhsig AS (
+      SELECT doc_id, seeds.seed,
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM mhsig GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM banded n JOIN banded c
+        ON n.band = c.band AND n.band_key = c.band_key
+      WHERE n.doc_id IN (SELECT doc_id FROM newdocs)
+        AND c.doc_id IN (SELECT doc_id FROM canon_docs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.new_id, count(*) AS n_common, max(sb.n_sh) AS nb, c.corpus_id
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+      JOIN sizes sb ON sb.doc_id = c.corpus_id
+      GROUP BY c.new_id, c.corpus_id
+    ),
+    near_ids AS (
+      SELECT DISTINCT new_id AS doc_id
+      FROM common JOIN sizes sa ON sa.doc_id = new_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + nb - n_common) >= 0.7
+    ),
+    ct_common AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_common
+      FROM sh a JOIN sh b ON b.shingle = a.shingle
+      WHERE a.doc_id IN (SELECT doc_id FROM newdocs)
+        AND b.doc_id IN (SELECT doc_id FROM canon_docs)
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    contained_ids AS (
+      SELECT DISTINCT new_id AS doc_id FROM ct_common
+      JOIN sizes sa ON sa.doc_id = new_id
+      JOIN sizes sb ON sb.doc_id = ct_common.corpus_id
+      WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.n_sh, 6),
+                     round(CAST(n_common AS DOUBLE) / sb.n_sh, 6)) >= 0.9
+    ),
+    triaged AS (
+      SELECT n.doc_id,
+             CASE
+               WHEN n.q < 0.5 THEN 'low_quality'
+               WHEN md5(n.text) IN (SELECT DISTINCT md5(text) FROM corpus_kept)
+                 THEN 'exact_dup'
+               WHEN n.doc_id IN (SELECT doc_id FROM near_ids) THEN 'near_dup'
+               WHEN n.doc_id IN (SELECT doc_id FROM contained_ids)
+                 THEN 'contained'
+               ELSE 'kept'
+             END AS decision
+      FROM newdocs n
+    )
+    SELECT decision, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM triaged GROUP BY 1
+    """,
+)
+def docs_corpus_ingest_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-delta triage with the CONTAINMENT arm on (VERDICT r10
+    #5): the short-doc-embedded-in-long class slips past both the
+    exact-hash and the MinHash band screens by construction — MinHash
+    estimates union-normalized Jaccard, which a 30-word fragment of a
+    100-word stored doc keeps under ~0.3. The delta here is the %10==7
+    split PLUS a fragment per %10==3 corpus doc (its first 30 words,
+    id offset +1,000,000 — ids map onto stored docs of every length,
+    so short sources produce exact dups and long sources produce
+    containment-only fragments; the offset keeps fragment ids disjoint
+    from real ids). Routing adds 'contained' AFTER 'near_dup': the
+    incremental Broder screen (operators/dedup.py:
+    containment_incremental) probes the corpus survivors' stored
+    shingle POSTING index with the batch postings BROADCAST — the
+    posting index is streamed once, never shuffled, per-batch cost
+    O(batch_shingles + collisions), the same stored-index discipline
+    as the band and hash probes. Reference parity: the skip-if-exists
+    ingest discipline of x/imgresizer/resizer.go:137-174 extended to
+    subset-containment; Broder 1997 §2 defines the containment
+    measure."""
+    docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    frags = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " ").alias("text"),
+    )
+    new_docs = (
+        docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text").unionByName(frags)
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    corpus_kept = corpus.filter(T.quality_score(F.col("text")) >= 0.5)
+    triaged = D.corpus_ingest_triage(
+        corpus_kept, new_docs, T.quality_score, detect_contained=True
+    )
+    return triaged.groupBy("decision").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+@query(
     "docs_dedup_detector_agreement",
     oracle=f"""
     WITH {_SHINGLES_CTE},
