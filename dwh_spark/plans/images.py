@@ -891,3 +891,116 @@ def imgs_jpeg_reencode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return fanned.mapInPandas(reencode_verify, stats_schema)
+
+
+@query(
+    "imgs_phash_near_dups",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS image_id, doc_id AS base, 0 AS edit FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 6
+    ),
+    cells AS (
+      SELECT i.image_id, g.r, g.c,
+             ((('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.image_id,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.image_id = b1.image_id
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1
+    )
+    SELECT h1.image_id AS id_a, h2.image_id AS id_b,
+           CAST(bit_count(xor(h1.h, h2.h)) AS BIGINT) AS hamming
+    FROM hashes h1 JOIN hashes h2 ON h1.image_id < h2.image_id
+    WHERE bit_count(xor(h1.h, h2.h)) <= 3
+    """,
+)
+def imgs_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup dedup (VERDICT r10 #3, the B5 gap):
+    exact content-md5 dedup misses every re-encode and resize of the
+    same artwork — the reference's e2e corpus is 7 raster encodings of
+    one image (x/imgresizer/resizer_test.go:10-27). Each doc becomes a
+    REAL 8×8 two-tone PNG whose cell pattern is md5-derived from
+    doc_id (engine-portable, like every hash family here); doc_id%10
+    ==4 additionally plants a 2× nearest-upscaled BMP RE-ENCODE
+    (id +1,000,000) and %10==6 plants a 3×-upscaled GIF with ONE cell
+    flipped (id +2,000,000) — a resize+re-encode dup and an edited
+    near-dup per ten docs, crossing three codecs.
+
+    The Spark side does the real work: vendored png/bmp/gif decode →
+    Rec.601 luma → exact area-downscale to the 8×8 grid → 56-bit
+    dHash (multimodal/perceptual.py) in one Arrow mapInPandas pass,
+    then the permute-and-reblock pigeonhole join (4×14-bit blocks,
+    full recall at hamming <= 3, never all-pairs). The oracle never
+    decodes: it derives each image's dHash from the generating
+    arithmetic (bit = cell(c+1) brighter than cell(c), cells from the
+    md5 formula, the edit flip applied in SQL) and brute-forces
+    all-pairs with bit_count(xor()) — so a decode, downscale, luma, or
+    blocking bug all surface as a mismatch. The exact-upscale
+    round-trip is guaranteed by the floor-partitioned area mean
+    (perceptual.py:area_downscale); one-cell edits move at most 2 of
+    the 56 bits, inside the hamming budget."""
+    from dwh_spark.multimodal.perceptual import perceptual_near_dup_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)  # single-row-group fixture would pin one core
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(base: int, flip: bool) -> np.ndarray:
+            g = np.empty((8, 8), np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(hashlib.md5(f"{base}:{r}:{c}".encode()).hexdigest()[0], 16)
+                        % 2
+                    )
+            if flip:
+                g[base % 8, (base // 8) % 8] ^= 1
+            rgb = np.where(g[:, :, None] == 1, 200, 50).astype(np.uint8)
+            return np.repeat(rgb, 3, axis=2)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base_img = grid(d, flip=False)
+                out.append((d, codecs.png_encode(base_img)))
+                if d % 10 == 4:
+                    up2 = base_img.repeat(2, axis=0).repeat(2, axis=1)
+                    out.append((d + 1000000, codecs.bmp_encode(up2)))
+                if d % 10 == 6:
+                    edited = grid(d, flip=True).repeat(3, axis=0).repeat(3, axis=1)
+                    out.append((d + 2000000, codecs.gif_encode(edited)))
+            yield pd.DataFrame(out, columns=["image_id", "content"])
+
+    images = docs.mapInPandas(gen, "image_id long, content binary").withColumn(
+        "format", sniff_format(F.col("content"))
+    )
+    pairs = perceptual_near_dup_pairs(images, key="image_id", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

@@ -1,0 +1,85 @@
+"""Perceptual dHash: decode-robustness and blocking properties.
+
+The operator's value claim is invariance under re-encode and
+integer-factor resize, plus pigeonhole-complete pairing — each pinned
+here on real codec bytes (no fixture arithmetic shortcuts).
+"""
+
+import numpy as np
+import pytest
+
+from dwh_spark.multimodal import codecs
+from dwh_spark.multimodal.perceptual import (
+    area_downscale,
+    dhash56,
+    decode_pixels,
+    perceptual_near_dup_pairs,
+)
+
+
+def _pattern(seed: int, w: int = 8, h: int = 8) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 2, (h, w), np.uint8)
+    rgb = np.where(g[:, :, None] == 1, 200, 50).astype(np.uint8)
+    return np.repeat(rgb, 3, axis=2)
+
+
+def test_dhash_invariant_under_reencode_and_upscale():
+    img = _pattern(7)
+    h0 = dhash56(img)
+    assert h0 == dhash56(codecs.png_decode(codecs.png_encode(img)))
+    assert h0 == dhash56(codecs.bmp_decode(codecs.bmp_encode(img)))
+    for k in (2, 3, 5):
+        up = img.repeat(k, axis=0).repeat(k, axis=1)
+        assert h0 == dhash56(up), f"{k}x upscale changed the hash"
+    # cross: upscale THEN re-encode through a third codec
+    up2 = img.repeat(2, axis=0).repeat(2, axis=1)
+    assert h0 == dhash56(codecs.gif_decode(codecs.gif_encode(up2)))
+
+
+def test_dhash_one_cell_edit_moves_at_most_two_bits():
+    img = _pattern(11)
+    h0 = dhash56(img)
+    for r in range(8):
+        for c in range(8):
+            edited = img.copy()
+            edited[r, c] = 250 - edited[r, c]  # 200<->50
+            d = bin(h0 ^ dhash56(edited)).count("1")
+            assert d <= 2, (r, c, d)
+
+
+def test_area_downscale_exact_on_integer_factors():
+    gray = np.arange(64, dtype=np.float64).reshape(8, 8)
+    up = gray.repeat(4, axis=0).repeat(4, axis=1)
+    assert np.array_equal(area_downscale(up, 8, 8), gray)
+    # fractional factor still partitions all pixels exactly once
+    out = area_downscale(gray, 3, 3)
+    assert out.shape == (3, 3)
+    assert out[0, 0] == gray[:2, :2].mean()  # floor edges: 8*1//3 = 2
+
+
+def test_decode_pixels_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\x00\x01", "h264-still")
+
+
+def test_perceptual_pairs_blocked_never_all_pairs(spark):
+    """Planted 2x-BMP dup found at hamming 0; unrelated images absent;
+    the executed plan joins on the (i, val) block key — a cartesian /
+    all-pairs shape must not appear."""
+    import pandas as pd
+
+    imgs = []
+    for seed in range(6):
+        arr = _pattern(seed)
+        imgs.append((seed, "png", codecs.png_encode(arr)))
+    dup = _pattern(3).repeat(2, axis=0).repeat(2, axis=1)
+    imgs.append((100, "bmp", codecs.bmp_encode(dup)))
+    df = spark.createDataFrame(
+        pd.DataFrame(imgs, columns=["image_id", "format", "content"])
+    )
+    pairs = perceptual_near_dup_pairs(df)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got == {(3, 100): 0}
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
