@@ -1020,6 +1020,89 @@ def triage_smoke(n_corpus: int = 500_000, n_batch: int = 5_000) -> None:
     spark.stop()
 
 
+def containment_smoke(n_docs: int = 500_000, n_batch: int = 5_000) -> None:
+    """Containment dedup at 100x bench scale (VERDICT r10 #4): the
+    docstring's 100 TB forms, actually run. 10% of docs are 15-word
+    FRAGMENTS of a longer doc (containment 1.0, Jaccard ~0.22 —
+    invisible to the MinHash band machinery by construction). Times
+    three shapes over the same corpus:
+
+    1. the stop-gram-capped batch form (``max_doc_freq`` bounds the
+       per-shingle pair blowup at cap² instead of corpus²),
+    2. the bucketed composition (``bucket='source'``: the bucket key
+       joins beside the shingle hash, so the inverted-index fan-out is
+       bounded by the largest bucket),
+    3. the incremental ingest probe (``containment_incremental``:
+       batch postings BROADCAST into the stored posting index,
+       O(batch_shingles + collisions) per day).
+    """
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.dedup import containment_incremental, containment_pairs
+
+    spark = get_spark("containment-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    total = n_docs + n_batch
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("base"), i), F.lit(50_000)).cast("string"),
+        ),
+    )
+    # fragment ids map onto PLAIN bases: (id - 30_003) % 10 == 3, so a
+    # fragment's source is never itself a fragment (no chains; the
+    # modulus-aliasing trap the triage smoke documents)
+    src = spark.range(total).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            (F.col("id") % 10 == 6) & (F.col("id") >= 30_003),
+            F.col("id") - 30_003,
+        )
+        .otherwise(F.col("id"))
+        .alias("base"),
+        ((F.col("id") % 10 == 6) & (F.col("id") >= 30_003)).alias("frag"),
+    )
+    docs = src.select(
+        "doc_id",
+        F.when(F.col("frag"), F.concat_ws(" ", F.slice(words, 1, 15)))
+        .otherwise(F.concat_ws(" ", words))
+        .alias("text"),
+        F.pmod(F.xxhash64(F.col("base")), F.lit(1_000)).alias("source"),
+    ).persist()
+    n = docs.count()
+    corpus = docs.filter(F.col("doc_id") < n_docs)
+
+    t = time.perf_counter()
+    n_capped = corpus.transform(
+        lambda d: containment_pairs(d, max_doc_freq=50)
+    ).count()
+    capped_s = time.perf_counter() - t
+
+    t = time.perf_counter()
+    n_bucketed = corpus.transform(
+        lambda d: containment_pairs(d, max_doc_freq=50, bucket="source")
+    ).count()
+    bucketed_s = time.perf_counter() - t
+
+    batch = docs.filter(F.col("doc_id") >= n_docs)
+    t = time.perf_counter()
+    n_inc = containment_incremental(corpus, batch, max_doc_freq=50).count()
+    inc_s = time.perf_counter() - t
+
+    print(
+        f"containment smoke ({n} docs, ~10% planted fragments): capped "
+        f"batch {capped_s:.1f}s ({n_capped} pairs); bucketed same-source "
+        f"{bucketed_s:.1f}s ({n_bucketed} pairs); incremental probe "
+        f"{n_batch}-doc batch {inc_s:.1f}s ({n_inc} pairs) — fragments sit "
+        f"in their base's bucket, so the bucketed form keeps every planted "
+        f"pair while cross-bucket fan-out is pruned inside the join"
+    )
+    docs.unpersist()
+    spark.stop()
+
+
 def semantic_ingest_smoke(n_corpus: int = 200_000, n_batch: int = 1_000) -> None:
     """Ingest-cost asymmetry for the incremental semantic path: with
     the corpus cell index STORED (built once), screening a daily
@@ -1096,9 +1179,12 @@ if __name__ == "__main__":
         semantic_ingest_smoke()
     elif CASE == "triage":
         triage_smoke()
+    elif CASE == "containment":
+        containment_smoke()
     elif CASE is not None:
         raise SystemExit(
-            f"unknown case {CASE!r} (expected: append_log, semantic_ingest, triage)"
+            f"unknown case {CASE!r} "
+            "(expected: append_log, semantic_ingest, triage, containment)"
         )
     else:
         main()
