@@ -77,9 +77,9 @@ def per_group_cap(
     cardinality is domain-count (millions), per-group rows are
     bounded by the crawl — no global sort, and a skewed mega-domain
     is a window over one partition's rows, the ordinary AQE-skew
-    shape. Appends ``__rank`` (1-based within group); callers filter
-    ``__rank <= cap`` — returned pre-filtered here for the common
-    case.
+    shape. Returns the kept rows directly — the frame comes back
+    pre-filtered to the ``cap`` smallest-md5 rows per group, with the
+    internal ``__rank`` column dropped.
     """
     from pyspark.sql.window import Window
 

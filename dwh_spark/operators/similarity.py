@@ -521,6 +521,10 @@ def discover_hot_cells(
 # consume one skew-split result before starting the next.
 _SKEW_CELLS_CACHE: list = []
 
+# at most one live persisted batch-cell frame for the incremental
+# ingest probe's prune_cells path (same single-live rotation)
+_PROBE_CELLS_CACHE: list = []
+
 
 def semantic_prune_skew_split(
     vectors: DataFrame,
@@ -893,7 +897,15 @@ def semantic_incremental_near_dups(
     """
     new_cells = assign_cells(new_vecs, centroids, vec=vec, key=key)
     if prune_cells:
+        # single-live rotation (as _SKEW_CELLS_CACHE): the persist
+        # serves the probed-cell collect AND the returned lazy probe;
+        # the NEXT prune_cells call unpersists it, so at most one
+        # batch-cell frame stays cached per session instead of one
+        # per ingest call.
         new_cells = new_cells.persist()
+        while _PROBE_CELLS_CACHE:
+            _PROBE_CELLS_CACHE.pop().unpersist()
+        _PROBE_CELLS_CACHE.append(new_cells)
         probed = [r["cell"] for r in new_cells.select("cell").distinct().collect()]
         corpus_cells = corpus_cells.filter(F.col("cell").isin(probed))
     return cell_probe(corpus_cells, new_cells, threshold, vec=vec, key=key)

@@ -117,11 +117,35 @@ HEADLINERS = {
     "docs_source_quota_cap": "per-domain cap: one hash shuffle on source "
     "feeds the md5-order window; kept set joined back for the audit rollup",
     "docs_containment_near_dups": "asymmetric containment pairs: inverted "
-    "index keyed on xxhash64 longs, both sides the identical subplan "
-    "(ReuseExchange computes the index once)",
+    "index keyed on xxhash64 longs; at this SF AQE broadcasts one index copy "
+    "(BroadcastHashJoin BuildRight below — the two FileScan+Generate "
+    "subtrees are the same subplan computed twice, cheap at this size); "
+    "at scale the same plan becomes an SMJ whose identical sides reuse "
+    "one exchange",
     "docs_corpus_ingest_delta": "delta triage: codegen quality gate, hash-"
     "index equi-join, incremental band probe with candidate-only shingle "
     "verify — the corpus side contributes only its stored indexes",
+    "docs_dedup_detector_agreement": "three bucket-bounded detectors "
+    "(MinHash bands, SimHash blocks, containment posting join) feed ONE "
+    "pair-keyed agreement aggregate; no all-pairs stage anywhere — the "
+    "cost IS the detectors, the overlap matrix is a single extra groupBy",
+    "streaming_semantic_ingest": "drained read-back of the versioned "
+    "batch=* result dirs (per-batch fold inside foreachBatch: assign vs "
+    "broadcast centroids, batch BROADCAST into the within-cell probe, "
+    "probed-cell IN-list pushed into the stored-index scan — see "
+    "streaming/emb_ingest.py)",
+    "docs_leakage_safe_split": "split membership hashes the dup-CLUSTER "
+    "representative (connected components over band pairs), so dup "
+    "families never straddle train/eval; the cluster map is a broadcast "
+    "join back onto the corpus",
+    "docs_corpus_ingest_contained": "triage + incremental Broder screen: "
+    "the batch's postings BROADCAST into the stored shingle posting "
+    "index (O(batch × collisions)); the containment decision composes "
+    "with the exact/near/quality arms without re-scanning the corpus",
+    "imgs_phash_near_dups": "perceptual 56-bit dHash over REAL decoded "
+    "pixels, hamming-bucketed via 14-bit pigeonhole blocks — candidate "
+    "pairs come from per-block equi-joins, never an all-pairs image "
+    "compare",
 }
 
 
