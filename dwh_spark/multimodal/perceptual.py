@@ -32,7 +32,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dwh_spark.operators.dedup import simhash_blocked_pairs
+from dwh_spark.operators.dedup import simhash_blocked_pairs, simhash_blocked_probe
 
 DHASH_BITS = 56
 _GRID = 8  # 8x8 luma grid -> 7 comparisons x 8 rows
@@ -149,6 +149,50 @@ def perceptual_near_dup_pairs(
     )
     return simhash_blocked_pairs(
         hashes,
+        key="image_id",
+        n_blocks=n_blocks,
+        block_bits=DHASH_BITS // n_blocks,
+        max_hamming=max_hamming,
+    )
+
+
+def perceptual_incremental_ingest(
+    index_hashes: DataFrame,
+    new_images: DataFrame,
+    key: str = "image_id",
+    content_col: str = "content",
+    format_col: str = "format",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Ingest-time perceptual screen: which images of a new batch are
+    re-encodes/resizes/near-edits of something already in the corpus —
+    the dHash twin of the MinHash band probe
+    (operators/dedup.py:minhash_incremental_near_dups) and the exact
+    skip-if-exists discipline of the reference's blob store
+    (x/imgresizer/resizer.go:137-174 asks storage per item; it never
+    enumerates the store).
+
+    ``index_hashes`` is the STORED (image_id, dhash) fingerprint index
+    — built once by :func:`dhash_frame` when each image was ingested,
+    maintained as an append log exactly like the band index. Only the
+    NEW batch is decoded (one Arrow mapInPandas over batch rows);
+    :func:`simhash_blocked_probe` broadcasts the batch's 14-bit blocks
+    into the index, so the corpus is scanned once, never shuffled,
+    never re-decoded. Per-day cost: O(batch decodes + index scan +
+    block collisions) — independent of corpus pair count.
+
+    Returns (batch_id, index_id, hamming) for matches at
+    hamming ≤ ``max_hamming``.
+    """
+    batch_hashes = dhash_frame(new_images, key, content_col, format_col).select(
+        F.col("image_id"), F.col("dhash").alias("simhash")
+    )
+    return simhash_blocked_probe(
+        index_hashes.select(F.col(key).alias("image_id"), F.col("dhash").alias("simhash"))
+        if "dhash" in index_hashes.columns
+        else index_hashes,
+        batch_hashes,
         key="image_id",
         n_blocks=n_blocks,
         block_bits=DHASH_BITS // n_blocks,

@@ -795,6 +795,55 @@ def simhash_blocked_pairs(
     )
 
 
+def simhash_blocked_probe(
+    index_sh: DataFrame,
+    batch_sh: DataFrame,
+    key: str = "doc_id",
+    n_blocks: int = 4,
+    block_bits: int = 15,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Asymmetric permute-and-reblock probe: every (batch, index) pair
+    at hamming ≤ ``max_hamming`` between a STORED fingerprint index and
+    a small new batch — the ingest-time twin of
+    :func:`simhash_blocked_pairs`, same pigeonhole recall guarantee
+    (n_blocks > max_hamming ⇒ at least one block matches exactly).
+
+    Scale shape follows the incremental-probe discipline every other
+    ingest arm here uses (band probe, cell probe, hash probe): the
+    batch's exploded blocks are BROADCAST into the index's exploded
+    blocks, so the corpus-sized index is scanned once — never shuffled,
+    never self-joined — and per-batch cost is O(index blocks scanned +
+    bucket collisions), independent of corpus pair count. Returns
+    (batch_id, index_id, hamming); self-pairs are kept if a key appears
+    on both sides (callers filter).
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole guarantee needs n_blocks > max_hamming "
+            f"(got {n_blocks} blocks for hamming {max_hamming})"
+        )
+    mask = (1 << block_bits) - 1
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i")
+    val = F.expr(f"shiftright(simhash, i * {block_bits})").bitwiseAND(F.lit(mask))
+    idx = (
+        index_sh.select(F.col(key).alias("index_id"), "simhash", blocks)
+        .select("index_id", F.col("simhash").alias("sh_i"), "i", val.alias("val"))
+    )
+    bat = (
+        batch_sh.select(F.col(key).alias("batch_id"), "simhash", blocks)
+        .select("batch_id", F.col("simhash").alias("sh_b"), "i", val.alias("val"))
+    )
+    return (
+        idx.join(F.broadcast(bat), ["i", "val"])
+        .select("batch_id", "index_id", "sh_b", "sh_i")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_b").bitwiseXOR(F.col("sh_i"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_id", "index_id", "hamming")
+    )
+
+
 def simhash_near_duplicates_rotated(
     df: DataFrame,
     text: str = "text",

@@ -963,6 +963,19 @@ def imgs_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(32)  # single-row-group fixture would pin one core
     )
+    images = _phash_fixture_images(docs, base=True, variants=True)
+    pairs = perceptual_near_dup_pairs(images, key="image_id", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _phash_fixture_images(docs, base: bool, variants: bool):
+    """The perceptual fixture corpus shared by the batch and
+    incremental dHash queries: per doc_id a REAL 8×8 two-tone PNG whose
+    cell pattern is md5-derived (``base``), plus per ten docs a 2×
+    nearest-upscaled BMP re-encode (id +1,000,000, doc_id%10==4) and a
+    3×-upscaled one-cell-edited GIF (id +2,000,000, %10==6)
+    (``variants``). Deterministic arithmetic end-to-end so the DuckDB
+    oracles re-derive every dHash without decoding."""
 
     def gen(batches):
         import hashlib
@@ -972,16 +985,16 @@ def imgs_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from dwh_spark.multimodal import codecs
 
-        def grid(base: int, flip: bool) -> np.ndarray:
+        def grid(b: int, flip: bool) -> np.ndarray:
             g = np.empty((8, 8), np.uint8)
             for r in range(8):
                 for c in range(8):
                     g[r, c] = (
-                        int(hashlib.md5(f"{base}:{r}:{c}".encode()).hexdigest()[0], 16)
+                        int(hashlib.md5(f"{b}:{r}:{c}".encode()).hexdigest()[0], 16)
                         % 2
                     )
             if flip:
-                g[base % 8, (base // 8) % 8] ^= 1
+                g[b % 8, (b // 8) % 8] ^= 1
             rgb = np.where(g[:, :, None] == 1, 200, 50).astype(np.uint8)
             return np.repeat(rgb, 3, axis=2)
 
@@ -990,17 +1003,87 @@ def imgs_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base_img = grid(d, flip=False)
-                out.append((d, codecs.png_encode(base_img)))
-                if d % 10 == 4:
+                if base:
+                    out.append((d, codecs.png_encode(base_img)))
+                if variants and d % 10 == 4:
                     up2 = base_img.repeat(2, axis=0).repeat(2, axis=1)
                     out.append((d + 1000000, codecs.bmp_encode(up2)))
-                if d % 10 == 6:
+                if variants and d % 10 == 6:
                     edited = grid(d, flip=True).repeat(3, axis=0).repeat(3, axis=1)
                     out.append((d + 2000000, codecs.gif_encode(edited)))
             yield pd.DataFrame(out, columns=["image_id", "content"])
 
-    images = docs.mapInPandas(gen, "image_id long, content binary").withColumn(
+    return docs.mapInPandas(gen, "image_id long, content binary").withColumn(
         "format", sniff_format(F.col("content"))
     )
-    pairs = perceptual_near_dup_pairs(images, key="image_id", max_hamming=3)
-    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "imgs_phash_incremental_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS image_id, doc_id AS base, 0 AS edit, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0, 1 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1, 1 FROM documents WHERE doc_id % 10 = 6
+    ),
+    cells AS (
+      SELECT i.image_id, i.is_new, g.r, g.c,
+             ((('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.image_id, b1.is_new,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.image_id = b1.image_id
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    )
+    SELECT n.image_id AS batch_id, x.image_id AS index_id,
+           CAST(bit_count(xor(n.h, x.h)) AS BIGINT) AS hamming
+    FROM hashes n JOIN hashes x ON n.is_new = 1 AND x.is_new = 0
+    WHERE bit_count(xor(n.h, x.h)) <= 3
+    """,
+)
+def imgs_phash_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time perceptual screen — the dHash twin of the MinHash
+    band probe and the reference's skip-if-exists blob discipline
+    (x/imgresizer/resizer.go:137-174: per-item existence asks, never a
+    store enumeration). The corpus fingerprint index is the stored
+    (image_id, dhash) frame built ONCE from the base PNGs; the daily
+    batch is the planted variants (2× BMP re-encodes, 3× one-cell-edit
+    GIFs). Only the batch is decoded; its 14-bit pigeonhole blocks are
+    BROADCAST into the index (multimodal/perceptual.py:
+    perceptual_incremental_ingest), so the corpus is scanned once —
+    never shuffled, never re-decoded, never self-joined. The oracle
+    re-derives both hash sets from the generating arithmetic and
+    brute-forces batch×index, so a decode, downscale, blocking, or
+    probe-direction bug all surface as a mismatch."""
+    from dwh_spark.multimodal.perceptual import (
+        dhash_frame,
+        perceptual_incremental_ingest,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)  # single-row-group fixture would pin one core
+    )
+    index = dhash_frame(_phash_fixture_images(docs, base=True, variants=False))
+    batch = _phash_fixture_images(docs, base=False, variants=True)
+    matches = perceptual_incremental_ingest(index, batch, max_hamming=3)
+    return matches.select(
+        "batch_id", "index_id", F.col("hamming").cast("long").alias("hamming")
+    )

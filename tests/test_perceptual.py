@@ -83,3 +83,41 @@ def test_perceptual_pairs_blocked_never_all_pairs(spark):
     assert got == {(3, 100): 0}
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perceptual_incremental_probe_broadcasts_batch(spark):
+    """Ingest probe: planted re-encode matches its base at hamming 0;
+    the BATCH side is the broadcast build side (the stored index is
+    never shuffled — no Exchange hashpartitioning on the index branch),
+    matching the band/cell/hash probe discipline."""
+    import pandas as pd
+
+    from dwh_spark.multimodal.perceptual import (
+        dhash_frame,
+        perceptual_incremental_ingest,
+    )
+
+    corpus = [(i, "png", codecs.png_encode(_pattern(i))) for i in range(6)]
+    index = dhash_frame(
+        spark.createDataFrame(
+            pd.DataFrame(corpus, columns=["image_id", "format", "content"])
+        )
+    )
+    up = _pattern(4).repeat(3, axis=0).repeat(3, axis=1)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(200, "gif", codecs.gif_encode(up))],
+            columns=["image_id", "format", "content"],
+        )
+    )
+    matches = perceptual_incremental_ingest(index, batch)
+    got = {(r["batch_id"], r["index_id"]): r["hamming"] for r in matches.collect()}
+    assert got == {(200, 4): 0}
+    plan = matches._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the index is the STREAM side: between the join node and its
+    # BroadcastExchange build (the batch) there must be no hash
+    # repartition — the only exchange above the join is the distinct's,
+    # which runs over collision-bounded candidate rows, not the index
+    stream_side = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in stream_side
