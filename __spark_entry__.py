@@ -56,6 +56,7 @@ _CHECK_FIRST = [
     "docs_corpus_ingest_contained",     # triage + incremental Broder containment arm
     "imgs_phash_near_dups",             # perceptual dHash near-dup, pigeonhole-blocked
     "imgs_phash_incremental_ingest",    # dHash ingest probe vs stored fingerprint index
+    "docs_hybrid_rrf_retrieval",        # BM25 + cosine reciprocal-rank fusion
     # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",

@@ -491,9 +491,16 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     """,
 )
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("s")
-    )
+    return _bm25_doc_scores(load_table(spark, sf_dir, "documents")).orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    ).limit(10)
+
+
+def _bm25_doc_scores(documents: DataFrame) -> DataFrame:
+    """Per-doc BM25 over the fixed term set: (doc_id, bm25) for every
+    doc containing at least one term. Shared by the lexical top-k and
+    the hybrid-RRF fusion below."""
+    docs = documents.select("doc_id", F.split(F.col("text"), " ").alias("s"))
     stats = docs.agg(
         F.count("*").alias("n_docs"), F.sum(F.size("s")).alias("total_len")
     )
@@ -523,12 +530,141 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score").cast("double"), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
-        .limit(10)
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score").cast("double"), 6).alias("bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR'09)
+# of the lexical BM25 arm and a semantic cosine arm — the standard
+# two-tower retrieval composition a RAG / training-data-curation
+# pipeline runs, expressed entirely as the fusion of two top-k frames.
+# Scale: each arm ends in a TakeOrderedAndProject top-k (the lexical
+# arm's scorer is the broadcast-stats BM25 above; the semantic arm
+# broadcasts the single query vector and scans the corpus once), so
+# the fusion join touches <= 2k rows regardless of corpus size. RRF
+# needs only the RANKS, never score calibration across arms — exactly
+# why it's the robust default. k=60 per the paper.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_QUERY_VEC = 7  # embeddings row used as the semantic query
+_SQL_NORM2 = (
+    "list_reduce(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " (a, b) -> a + b)"
+)
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@query(
+    "docs_hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(len(s)) AS total_len FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, len(s) AS dl, w, count(*) AS tf
+      FROM (SELECT doc_id, s, unnest(s) AS w FROM docs)
+      WHERE w IN {_BM25_TERMS!r}
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    term_scores AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * ({_BM25_K1} + 1.0))
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * t.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))),
+               8) AS DECIMAL(16,8)) AS term_score
+      FROM tf t JOIN dfreq d ON d.w = t.w CROSS JOIN stats st
+    ),
+    bm AS (
+      SELECT doc_id, CAST(round(CAST(sum(term_score) AS DOUBLE), 6) AS DOUBLE) AS bm25
+      FROM term_scores GROUP BY 1
+    ),
+    lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM bm
+      ) ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    base AS (
+      SELECT vec_id, embedding, {_SQL_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    qv AS (SELECT embedding AS q_emb, norm2 AS q_norm2 FROM base
+           WHERE vec_id = {_RRF_QUERY_VEC}),
+    sem_scored AS (
+      SELECT v.vec_id,
+             round({_SQL_DOT.format(a='v.embedding', b='qv.q_emb')}
+                   / (sqrt(v.norm2) * sqrt(qv.q_norm2)), 6) AS cosine
+      FROM base v CROSS JOIN qv WHERE v.vec_id <> {_RRF_QUERY_VEC}
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id, sem_rank FROM (
+        SELECT vec_id, cosine,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS sem_rank
+        FROM sem_scored
+      ) ORDER BY cosine DESC, vec_id LIMIT 20
+    )
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+           round(coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lex_rank), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.sem_rank), 0.0),
+                 8) AS rrf
+    FROM lex l FULL JOIN sem s ON s.doc_id = l.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def docs_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hybrid retrieval: BM25 top-20 and cosine top-20 fused by
+    reciprocal rank (score = Σ 1/(60+rank); absent-from-arm contributes
+    0, reported as rank 0). Ranks tie-break on doc_id in both engines,
+    and RRF uses integer ranks only, so the fusion is bit-deterministic
+    — no cross-arm score calibration to drift. Both arms compile to
+    TakeOrderedAndProject top-k; the full-outer fusion join sees at
+    most 40 rows at any corpus size."""
+    from dwh_spark.operators.similarity import cosine_topk
+
+    documents = load_table(spark, sf_dir, "documents")
+    lex20 = (
+        _bm25_doc_scores(documents)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = lex20.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == _RRF_QUERY_VEC), k=20
+    ).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").cast("long").alias("sem_rank")
+    )
+
+    one = F.lit(1.0)
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).alias("sem_rank"),
+        F.round(
+            F.coalesce(one / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
 
 
 # ---------------------------------------------------------------------------

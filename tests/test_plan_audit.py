@@ -147,3 +147,17 @@ def test_partition_pruned_rollup_reads_only_matching_days(spark):
     df = events_partition_pruned_rollup(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_hybrid_rrf_arms_are_topk_pruned(spark):
+    """Both retrieval arms must compile to TakeOrderedAndProject
+    (distributed top-k, never a global sort of the scored corpus), so
+    the fusion join sees <= 40 rows at any corpus size."""
+    from dwh_spark.plans.pipeline_extra import docs_hybrid_rrf_retrieval
+
+    df = docs_hybrid_rrf_retrieval(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2, (
+        "an arm's top-k fell back to a global Sort+Limit"
+    )
+    assert "CartesianProduct" not in plan
