@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     "imgs_phash_near_dups",             # perceptual dHash near-dup, pigeonhole-blocked
     "imgs_phash_incremental_ingest",    # dHash ingest probe vs stored fingerprint index
     "docs_hybrid_rrf_retrieval",        # BM25 + cosine reciprocal-rank fusion
+    "emb_semantic_decontaminate",       # eval-set broadcast screen of the train corpus
     # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",

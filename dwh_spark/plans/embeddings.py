@@ -247,6 +247,62 @@ def emb_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_semantic_decontaminate",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    ev AS (SELECT vec_id AS eval_id, embedding AS e_emb, norm2 AS e_norm2
+           FROM base WHERE vec_id % 50 = 7),
+    train AS (SELECT * FROM base WHERE vec_id % 50 <> 7)
+    SELECT t.vec_id AS train_id, ev.eval_id,
+           round({_DOT.format(a='t.embedding', b='ev.e_emb')}
+                 / (sqrt(t.norm2) * sqrt(ev.e_norm2)), 6) AS cosine
+    FROM train t CROSS JOIN ev
+    WHERE round({_DOT.format(a='t.embedding', b='ev.e_emb')}
+                / (sqrt(t.norm2) * sqrt(ev.e_norm2)), 6) >= 0.3
+    """,
+)
+def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space twin of
+    the n-gram `docs_decontaminate`: train items too close (cosine ≥
+    threshold) to ANY eval item are contamination the n-gram screen
+    misses whenever the leak is a paraphrase rather than a verbatim
+    span. Returns the (train_id, eval_id, cosine) evidence pairs a
+    curation pipeline drops or audits.
+
+    Scale shape: an eval set is SMALL by construction (thousands of
+    rows vs a 100 TB train corpus), so the eval side is broadcast and
+    the train corpus is scanned exactly once with the cosine computed
+    map-side — zero shuffles, the same discipline as the scalar-stats
+    crossJoins. For eval sets too large to broadcast, compose the IVF
+    cell path instead (`semantic_incremental_near_dups` with the eval
+    set as the probe batch — O(eval + probed cells)). Threshold 0.3 is
+    fixture-calibrated (near-orthogonal synthetic vectors)."""
+    from dwh_spark.operators.similarity import _dot_expr, with_norm
+
+    base = with_norm(load_table(spark, sf_dir, "embeddings"))
+    ev = base.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("norm2").alias("e_norm2"),
+    )
+    train = base.filter(F.col("vec_id") % 50 != 7)
+    cosine = F.round(
+        F.expr(_dot_expr("embedding", "e_emb"))
+        / (F.sqrt("norm2") * F.sqrt("e_norm2")),
+        6,
+    )
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.3)
+        .select(F.col("vec_id").alias("train_id"), "eval_id", "cosine")
+    )
+
+
+@query(
     "emb_semantic_incremental_ingest",
     oracle=f"""
     WITH corpus AS (

@@ -59,6 +59,8 @@ _ALLOW_BNLJ = {
     "emb_semantic_trained_prune", # same centroid broadcast (train + assignment)
     "emb_semantic_incremental_ingest",  # same centroid broadcast (both assignments)
     "docs_corpus_build",          # semantic stage: clamped <=65536-row centroid broadcast
+    "docs_hybrid_rrf_retrieval",  # one-row BM25 stats + single query-vector broadcast
+    "emb_semantic_decontaminate", # small eval set broadcast, train scanned once
 }
 
 
