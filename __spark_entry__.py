@@ -58,6 +58,8 @@ _CHECK_FIRST = [
     "imgs_phash_incremental_ingest",    # dHash ingest probe vs stored fingerprint index
     "docs_hybrid_rrf_retrieval",        # BM25 + cosine reciprocal-rank fusion
     "emb_semantic_decontaminate",       # eval-set broadcast screen of the train corpus
+    "docs_quality_weighted_sample",     # per-doc Bernoulli keep at p=quality
+    "docs_corpus_snapshot_diff",        # added/removed/changed audit between versions
     # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",

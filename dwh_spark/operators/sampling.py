@@ -63,6 +63,24 @@ def stratified_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
     return df.filter(hash_bucket(F.col(key)) < pct)
 
 
+def weighted_sample(df: DataFrame, key: str, weight: Column) -> DataFrame:
+    """Deterministic Bernoulli sample with a PER-ROW keep probability:
+    keep a row iff its md5-uniform draw (hash_bucket over 1e6 buckets,
+    so per-micro granularity) falls below ``weight`` ∈ [0, 1] — the
+    quality-weighted downsampling pass of a DCLM/FineWeb-style corpus
+    build, where high-quality documents survive preferentially instead
+    of the all-or-nothing threshold cut.
+
+    Membership depends only on (key value, weight value): reproducible
+    on any engine and any partitioning, re-runnable incrementally (a
+    re-ingested doc makes the same draw). Pure map-side filter — zero
+    shuffles, composes before any rollup. The weight column must be
+    deterministic row arithmetic for oracle parity (e.g.
+    ``functions.text.quality_score``)."""
+    draw = hash_bucket(F.col(key), 1_000_000)
+    return df.filter(draw < F.round(weight * 1_000_000, 0).cast("long"))
+
+
 def per_group_cap(
     df: DataFrame, group: str, key: str, cap: int
 ) -> DataFrame:

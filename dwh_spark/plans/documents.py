@@ -644,6 +644,7 @@ from dwh_spark.operators.sampling import (  # noqa: E402
     hash_bucket_sql,
     per_group_cap,
     train_test_split,
+    weighted_sample,
 )
 
 
@@ -832,6 +833,130 @@ def docs_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_chars"
             ),
         )
+    )
+
+
+@query(
+    "docs_quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars, {_QUALITY_SQL} AS q FROM documents
+    ),
+    kept AS (
+      SELECT doc_id FROM scored
+      WHERE {hash_bucket_sql('doc_id', 1_000_000)}
+            < CAST(round(q * 1000000, 0) AS BIGINT)
+    )
+    SELECT s.source,
+           count(*) AS n_docs,
+           count(k.doc_id) AS n_kept,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN s.doc_id END) AS BIGINT)
+             AS kept_id_sum,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN s.n_chars END) AS BIGINT)
+             AS kept_chars
+    FROM scored s LEFT JOIN kept k ON k.doc_id = s.doc_id
+    GROUP BY 1
+    """,
+)
+def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling
+    (operators/sampling.py:weighted_sample) — the DCLM/FineWeb-style
+    soft downsampling pass: each doc survives with probability equal
+    to its quality score, so high-quality docs are kept preferentially
+    while low-quality mass is thinned rather than hard-cut at a
+    threshold. The draw is the md5-uniform per-doc hash (per-micro
+    granularity), so membership is reproducible on any engine / any
+    partitioning and stable under incremental re-ingest. Audit output
+    per source pins WHICH docs were kept (id/char checksums), not just
+    how many. Pure map-side filter — the only shuffle is the audit
+    rollup itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = weighted_sample(docs, "doc_id", T.quality_score(F.col("text"))).select(
+        F.col("doc_id").alias("kept_id")
+    )
+    return (
+        docs.join(kept, docs.doc_id == kept.kept_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("kept_id").alias("n_kept"),
+            F.sum(F.when(F.col("kept_id").isNotNull(), F.col("doc_id"))).alias(
+                "kept_id_sum"
+            ),
+            F.sum(F.when(F.col("kept_id").isNotNull(), F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "docs_corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % 7 <> 3
+    ),
+    v2 AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 11 = 2 THEN text || ' [rev2]'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 <> 4
+    )
+    SELECT coalesce(v1.source, v2.source) AS source,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(v1.doc_id, v2.doc_id)) AS BIGINT) AS id_sum
+    FROM v1 FULL JOIN v2 ON v2.doc_id = v1.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def docs_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the added/removed/changed/unchanged
+    reconciliation between two corpus versions (a nightly crawl vs
+    yesterday's), the audit a dataset release pipeline publishes with
+    every version bump. Two simulated snapshots of the documents
+    table (v1 drops doc_id%7==3, v2 drops %5==4 and revises %11==2)
+    full-outer join on the primary key; rows compare by md5 digest,
+    computed map-side BEFORE the join so only (id, source, 32-byte
+    digest) ever crosses the shuffle — never the document bodies.
+    At 100 TB both snapshots are bucketed by doc_id, making this the
+    exchange-free SortMergeJoin of `bucketed_cust_order_rollup`;
+    checksummed per (source, status) so the diff pins WHICH docs
+    moved."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 3).select(
+        F.col("doc_id").alias("id1"),
+        F.col("source").alias("src1"),
+        F.md5(F.col("text")).alias("h1"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id2"),
+        F.col("source").alias("src2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    status = (
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        v1.join(v2, F.col("id1") == F.col("id2"), "full_outer")
+        .select(
+            F.coalesce(F.col("src1"), F.col("src2")).alias("source"),
+            status.alias("status"),
+            F.coalesce(F.col("id1"), F.col("id2")).alias("did"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"), F.sum("did").alias("id_sum"))
     )
 
 

@@ -787,3 +787,24 @@ def test_containment_matches_bruteforce(spark, docs_words, threshold):
         for r in containment_pairs(df, threshold=threshold).collect()
     }
     assert got == want
+
+
+def test_weighted_sample_edges_and_partition_invariance(spark):
+    """weight 0 keeps nothing, weight 1 keeps everything, and the kept
+    set at a fractional weight depends only on key values — identical
+    under repartitioning (the incremental-re-ingest guarantee)."""
+    from pyspark.sql import functions as F
+
+    from dwh_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    assert weighted_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "k", F.lit(1.0)).count() == 2000
+    kept = {r["k"] for r in weighted_sample(df, "k", F.lit(0.3)).collect()}
+    kept_re = {
+        r["k"]
+        for r in weighted_sample(df.repartition(13, "k"), "k", F.lit(0.3)).collect()
+    }
+    assert kept == kept_re
+    # md5-uniform draw: observed rate within a loose CLT band of 0.3
+    assert 0.25 < len(kept) / 2000 < 0.35
