@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "emb_semantic_decontaminate",       # eval-set broadcast screen of the train corpus
     "docs_quality_weighted_sample",     # per-doc Bernoulli keep at p=quality
     "docs_corpus_snapshot_diff",        # added/removed/changed audit between versions
+    "docs_cross_source_dup_matrix",     # which sources duplicate each other
     # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",

@@ -560,6 +560,50 @@ from dwh_spark.operators.graph import connected_components  # noqa: E402
 
 
 @query(
+    "docs_cross_source_dup_matrix",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           CAST(sum(p.id_a + p.id_b) AS BIGINT) AS id_checksum
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def docs_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — WHERE the near-dups come from:
+    per canonical source pair (least, greatest), how many near-dup
+    pairs straddle it. The provenance question a corpus curator asks
+    before dropping a source ("is crawl B mostly re-posts of crawl
+    A?") and the input to per-source dedup budgets. Built on the
+    session-cached hashed Jaccard pair frame (the bucket-bounded
+    detector); the pair set is tiny relative to the corpus, so source
+    attribution BROADCASTS the pairs into two corpus scans — the
+    documents table is never shuffled, and the rollup groups the
+    pair-sized frame only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    with_a = docs.join(
+        F.broadcast(pairs), docs.doc_id == pairs.id_a
+    ).select("id_a", "id_b", F.col("source").alias("src_a"))
+    with_b = docs.join(
+        F.broadcast(with_a), docs.doc_id == with_a.id_b
+    ).select("id_a", "id_b", "src_a", F.col("source").alias("src_b"))
+    return (
+        with_b.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            (F.col("id_a") + F.col("id_b")).alias("idsum"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"), F.sum("idsum").alias("id_checksum"))
+    )
+
+
+@query(
     "docs_dup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
