@@ -773,3 +773,97 @@ def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, seeds, index_store, out_dir, os.path.join(root, "ckpt")
     )
     return read_semantic_ingest_results(spark, out_dir)
+
+
+_PHASH_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS image_id, doc_id AS base, 0 AS edit FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 6
+    ),
+    cells AS (
+      SELECT i.image_id, g.r, g.c,
+             ((('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.image_id,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.image_id = b1.image_id
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1
+    )
+    SELECT h1.image_id, count(*) AS n_earlier_pdups
+    FROM hashes h1 JOIN hashes h2 ON h2.image_id < h1.image_id
+    WHERE bit_count(xor(h1.h, h2.h)) <= 3
+    GROUP BY 1
+    """
+
+
+@query("streaming_phash_ingest", oracle=_PHASH_INGEST_ORACLE)
+def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual near-dup ingest — the dHash fingerprint
+    index as accumulating stream state (streaming/phash_ingest.py),
+    closing the perceptual family's batch → incremental → streaming
+    ladder the way the MinHash and semantic ingests close theirs:
+    images arrive in image_id order across 3 micro-batches (all base
+    PNGs first, then the 2x BMP re-encodes, then the 3x one-cell-edit
+    GIFs — the perceptual fixture of imgs_phash_near_dups); each batch
+    is DECODED ONCE, flags within-batch earlier mates via the
+    pigeonhole blocked self-join, probes the stored fingerprint index
+    with its blocks broadcast (never an index self-join, never a
+    corpus re-decode), then appends its O(batch) 16-byte fingerprints
+    under the high-water replay guard. Id-ordered batches make the
+    drained output equal the brute-force earlier-partners oracle.
+    At 100 TB the index is ~16 GB/billion images, scanned once per
+    ingest; decode cost rides only on the new batch."""
+    import os
+
+    from dwh_spark.plans.images import _phash_fixture_images
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_phash_ingest_results,
+        run_phash_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    images = _phash_fixture_images(docs, base=True, variants=True)
+
+    root = tempfile.mkdtemp(prefix="dwh_phash_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    from pyspark.sql.window import Window
+
+    import shutil
+
+    sliced = images.withColumn("__slice", F.ntile(3).over(Window.orderBy("image_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(images.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_phash_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
+    return read_phash_ingest_results(spark, out_dir)

@@ -23,6 +23,7 @@ _STREAMING = {
     "streaming_dim_enrichment",
     "streaming_minhash_ingest",  # plan of the returned DF = drained out-dir read
     "streaming_semantic_ingest",  # same drained out-dir read
+    "streaming_phash_ingest",  # same drained out-dir read
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where one side is a

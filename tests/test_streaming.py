@@ -924,3 +924,85 @@ def test_semantic_index_cell_prune_reaches_scan(spark, tmp_path):
     assert "PushedFilters: [In(cell" in plan, plan
     got = sorted(map(tuple, pruned.collect()))
     assert got == sorted(map(tuple, plain.collect())) and got
+
+
+def test_phash_ingest_exactly_once_under_lost_checkpoint(spark, tmp_path):
+    """M22 for the streaming PERCEPTUAL ingest: a re-drive with a lost
+    checkpoint re-delivers every batch id from 0 — the high-water
+    guard must skip them all, so the fingerprint store doesn't
+    double-append. Drained result must equal the batch brute-force
+    earlier-partners computation over the same fingerprints."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dwh_spark.multimodal import codecs
+    from dwh_spark.multimodal.perceptual import dhash_frame
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_phash_ingest_results,
+        run_phash_ingest,
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    def pattern(seed):
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, 2, (8, 8), np.uint8)
+        rgb = np.where(g[:, :, None] == 1, 200, 50).astype(np.uint8)
+        return np.repeat(rgb, 3, axis=2)
+
+    rows = [(i, "png", codecs.png_encode(pattern(i))) for i in range(8)]
+    # ids 100/101: re-encodes of 3 and 5 — cross-batch perceptual dups
+    rows.append((100, "bmp", codecs.bmp_encode(pattern(3).repeat(2, 0).repeat(2, 1))))
+    rows.append((101, "gif", codecs.gif_encode(pattern(5))))
+    images = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "format", "content"])
+    )
+
+    input_dir = str(tmp_path / "input")
+    staged = str(tmp_path / "staged")
+    sliced = images.withColumn(
+        "__slice", F.ntile(2).over(Window.orderBy("image_id"))
+    )
+    sliced.repartition(1).write.partitionBy("__slice").parquet(staged)
+    os.makedirs(input_dir)
+    for i in range(1, 3):
+        sdir = os.path.join(staged, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(str(tmp_path / "index"), write_partitions=1)
+    out_dir = str(tmp_path / "out")
+
+    def drive(ckpt):
+        stream = (
+            spark.readStream.schema(images.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        run_phash_ingest(stream, index_store, out_dir, str(tmp_path / ckpt))
+
+    drive("ckpt1")
+    drive("ckpt2")  # lost checkpoint: batch ids restart at 0
+
+    got = {
+        (r["image_id"], r["n_earlier_pdups"])
+        for r in read_phash_ingest_results(spark, out_dir).collect()
+    }
+    h = {r["image_id"]: r["dhash"] for r in dhash_frame(images).collect()}
+    want = {}
+    for b, hb in h.items():
+        n = sum(
+            1 for a, ha in h.items() if a < b and bin(ha ^ hb).count("1") <= 3
+        )
+        if n:
+            want[b] = n
+    assert got == set(want.items()) and (100, 1) in got and (101, 1) in got
+    # fingerprint store accumulated each image exactly once
+    assert index_store.current(spark).count() == images.count()
