@@ -146,6 +146,24 @@ HEADLINERS = {
     "pixels, hamming-bucketed via 14-bit pigeonhole blocks — candidate "
     "pairs come from per-block equi-joins, never an all-pairs image "
     "compare",
+    "imgs_phash_incremental_ingest": "perceptual ingest probe: only the "
+    "batch is decoded; its blocks BROADCAST into the stored fingerprint "
+    "index (BroadcastHashJoin, index = stream side, never shuffled)",
+    "docs_hybrid_rrf_retrieval": "rank-only fusion of two "
+    "TakeOrderedAndProject top-k arms — the full-outer fusion join sees "
+    "<= 40 rows at any corpus size",
+    "emb_semantic_decontaminate": "eval set broadcast, train corpus "
+    "scanned ONCE with map-side cosine — zero exchanges anywhere in the "
+    "plan",
+    "docs_quality_weighted_sample": "per-row Bernoulli keep at p=quality: "
+    "md5-uniform draw vs quality score, all inside whole-stage codegen — "
+    "the only exchange is the audit rollup",
+    "docs_corpus_snapshot_diff": "md5 digests projected BEFORE the "
+    "full-outer join, so only (id, source, 32-byte digest) crosses the "
+    "shuffle — never the document bodies",
+    "docs_cross_source_dup_matrix": "the near-dup pair frame (tiny vs "
+    "corpus) broadcast into two corpus scans for source attribution — "
+    "documents never shuffled",
 }
 
 
