@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "docs_corpus_snapshot_diff",        # added/removed/changed audit between versions
     "docs_cross_source_dup_matrix",     # which sources duplicate each other
     "streaming_phash_ingest",           # dHash fingerprint index as stream state
+    "av_audio_fp_near_dups",            # energy-difference audio fingerprint dedup
     # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",

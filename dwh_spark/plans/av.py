@@ -684,3 +684,118 @@ def av_audio_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, predictor string, n_samples long, sum_val long, "
         "min_val long, max_val long",
     )
+
+
+@query(
+    "av_audio_fp_near_dups",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 1 AS gain, -1 AS edit_w
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 2, -1 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1, 3 FROM documents WHERE doc_id % 10 = 6
+    ),
+    seeds AS (
+      SELECT i.audio_id, i.gain, i.edit_w, w.w,
+             ('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':'
+                                 || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+               % 2048 AS a
+      FROM ids i, (SELECT unnest(range(0, 57)) AS w) w
+    ),
+    sq AS (
+      SELECT s.audio_id, s.w,
+             sum(CASE WHEN s.w = s.edit_w THEN 500 * 500
+                  ELSE (((s.a + t.j * 13) % 2048 - 1024) * s.gain)
+                       * (((s.a + t.j * 13) % 2048 - 1024) * s.gain)
+                 END) AS e
+      FROM seeds s, (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT a.audio_id,
+             CAST(sum(CASE WHEN b.e > a.e THEN (1::BIGINT << a.w)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM sq a JOIN sq b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+      GROUP BY 1
+    )
+    SELECT f1.audio_id AS id_a, f2.audio_id AS id_b,
+           CAST(bit_count(xor(f1.h, f2.h)) AS BIGINT) AS hamming
+    FROM fp f1 JOIN fp f2 ON f1.audio_id < f2.audio_id
+    WHERE bit_count(xor(f1.h, f2.h)) <= 3
+    """,
+)
+def av_audio_fp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup dedup — the audio twin of
+    imgs_phash_near_dups, closing the same gap for the third modality:
+    content-md5 dedup misses every gain change and re-encode of the
+    same recording. Each doc becomes a REAL 3648-sample PCM16 WAV
+    whose samples are closed-form integer arithmetic; doc_id%10==4
+    plants an amplitude-DOUBLED copy (id +1,000,000 — gain scales
+    every window energy by exactly 4, so the energy-difference
+    fingerprint is IDENTICAL: hamming 0 by construction, no float
+    anywhere) and %10==6 plants a one-window edit (id +2,000,000 —
+    disturbs at most the two comparisons touching the window).
+
+    The Spark side does the real work: WAV container decode → int64
+    window energies → 56-bit Haitsma-Kalker-style sign hash
+    (multimodal/audio_fp.py) in one Arrow mapInPandas pass, then the
+    permute-and-reblock pigeonhole join (4×14-bit blocks, full recall
+    at hamming ≤ 3, never all-pairs). The oracle never decodes: it
+    re-derives every fingerprint from the generating arithmetic and
+    brute-forces all-pairs — container assembly, decode, windowing,
+    energy, and blocking all have to agree."""
+    from dwh_spark.multimodal.audio_fp import audio_fp_near_dup_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)  # single-row-group fixture would pin one core
+    )
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal.audio import wav_encode
+
+        j = _np.arange(64, dtype=_np.int64)
+
+        def clip(d: int) -> "_np.ndarray":
+            # per-window md5 seed so window energies decorrelate across
+            # docs (a shared linear sequence would make every clip a
+            # near-dup of every other — the fixture must have real
+            # negatives); within-window samples are a cheap linear run
+            wins = []
+            for w in range(57):
+                a = (
+                    int(
+                        _hashlib.md5(f"{d}:{w}".encode()).hexdigest()[:4], 16
+                    )
+                    % 2048
+                )
+                wins.append((a + j * 13) % 2048 - 1024)
+            return _np.concatenate(wins).astype(_np.int16)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = clip(d)
+                rows.append((d, wav_encode(s, 1000)))
+                if d % 10 == 4:
+                    rows.append((d + 1000000, wav_encode(s * 2, 1000)))
+                if d % 10 == 6:
+                    t = s.copy()
+                    t[3 * 64 : 4 * 64] = 500
+                    rows.append((d + 2000000, wav_encode(t, 1000)))
+            yield _pd.DataFrame(rows, columns=["audio_id", "content"])
+
+    audio = docs.mapInPandas(gen, "audio_id long, content binary")
+    pairs = audio_fp_near_dup_pairs(audio, key="audio_id", max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

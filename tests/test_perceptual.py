@@ -121,3 +121,24 @@ def test_perceptual_incremental_probe_broadcasts_batch(spark):
     # which runs over collision-bounded candidate rows, not the index
     stream_side = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in stream_side
+
+
+def test_audio_energy_fp_gain_invariant_and_edit_local():
+    """Exact gain (no clipping) preserves every window-energy
+    comparison — identical fingerprint; a one-window edit flips at
+    most the two comparisons touching that window. Real WAV
+    round-trip included (container assembly + decode must agree)."""
+    from dwh_spark.multimodal.audio import wav_decode, wav_encode
+    from dwh_spark.multimodal.audio_fp import energy_fp56
+
+    rng = np.random.default_rng(23)
+    s = rng.integers(-1024, 1024, 57 * 64).astype(np.int16)
+    h0 = energy_fp56(s)
+    assert h0 == energy_fp56(s * 2)
+    assert h0 == energy_fp56(s * 7)  # 7*1023 < 32767: still no clip
+    decoded, rate = wav_decode(wav_encode(s, 8000))
+    assert rate == 8000 and h0 == energy_fp56(decoded)
+    for w in (0, 13, 56):
+        t = s.copy()
+        t[w * 64 : (w + 1) * 64] = 600
+        assert bin(h0 ^ energy_fp56(t)).count("1") <= 2, w
