@@ -7,6 +7,7 @@ here on real codec bytes (no fixture arithmetic shortcuts).
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from dwh_spark.multimodal import codecs
 from dwh_spark.multimodal.perceptual import (
@@ -142,3 +143,43 @@ def test_audio_energy_fp_gain_invariant_and_edit_local():
         t = s.copy()
         t[w * 64 : (w + 1) * 64] = 600
         assert bin(h0 ^ energy_fp56(t)).count("1") <= 2, w
+
+
+def test_audio_fp_composes_with_blocked_probe(spark):
+    """The audio fingerprint frame feeds the same asymmetric ingest
+    probe as the image path: a gain-doubled batch clip matches its
+    stored base at hamming 0, batch side broadcast."""
+    import pandas as pd
+
+    from dwh_spark.multimodal.audio import wav_encode
+    from dwh_spark.multimodal.audio_fp import AUDIO_FP_BITS, audio_fp_frame
+    from dwh_spark.operators.dedup import simhash_blocked_probe
+
+    rng = np.random.default_rng(5)
+    clips = [
+        (i, wav_encode(rng.integers(-1024, 1024, 57 * 64).astype(np.int16), 8000))
+        for i in range(5)
+    ]
+    base = np.frombuffer(clips[2][1][-57 * 64 * 2 :], dtype="<i2")
+    corpus = spark.createDataFrame(
+        pd.DataFrame(clips, columns=["audio_id", "content"])
+    )
+    index = audio_fp_frame(corpus).select(
+        "audio_id", F.col("afp").alias("simhash")
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(900, wav_encode((base * 2).astype(np.int16), 8000))],
+            columns=["audio_id", "content"],
+        )
+    )
+    got = {
+        (r["batch_id"], r["index_id"]): r["hamming"]
+        for r in simhash_blocked_probe(
+            index,
+            audio_fp_frame(batch).select("audio_id", F.col("afp").alias("simhash")),
+            key="audio_id",
+            block_bits=AUDIO_FP_BITS // 4,
+        ).collect()
+    }
+    assert got == {(900, 2): 0}
