@@ -47,10 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # 46 r7-verdict queries — TPC-H q1-q20, the SQL/scalar/datetime
 # batteries, rollup/cube/setops/unpivot, the salted/sketch events
 # queries, pagerank, 3 incremental-streaming queries, wav roundtrip,
-# and the nested flagship. 51 > the driver's ~50 budget: the tail r7
-# query spills to round 12 by design (oldest-first ordering). Exact
-# list matches tests/test_entry_contract.py's recomputation;
-# regenerate with scripts/rotate_check_first.py.
+# and the nested flagship. Round 11 also shipped NEW queries (never
+# checked — they lead, per priority (1)): with ~10 new + 51 stale
+# against the driver's ~50 budget, the r7 tail spills to round 12 by
+# design (oldest-first ordering keeps the spill at the cohort's
+# youngest end). Exact list matches tests/test_entry_contract.py's
+# recomputation; regenerate with scripts/rotate_check_first.py.
 _CHECK_FIRST = [
     # -- new in round 11: no driver verdict yet
     "docs_corpus_ingest_contained",     # triage + incremental Broder containment arm
@@ -63,6 +65,7 @@ _CHECK_FIRST = [
     "docs_cross_source_dup_matrix",     # which sources duplicate each other
     "streaming_phash_ingest",           # dHash fingerprint index as stream state
     "av_audio_fp_near_dups",            # energy-difference audio fingerprint dedup
+    "av_video_phash_near_dups",         # per-frame dHash voting over real AVI decode
     # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",

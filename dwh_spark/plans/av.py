@@ -799,3 +799,129 @@ def av_audio_fp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@query(
+    "av_video_phash_near_dups",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS edit FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 6
+    ),
+    cells AS (
+      SELECT i.video_id, f.f, g.r, g.c,
+             ((('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND f.f = 2 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 4)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    ),
+    frame_pairs AS (
+      SELECT h1.video_id AS id_a, h2.video_id AS id_b,
+             bit_count(xor(h1.h, h2.h)) AS hamming
+      FROM hashes h1
+      JOIN hashes h2 ON h2.f = h1.f AND h1.video_id < h2.video_id
+      WHERE bit_count(xor(h1.h, h2.h)) <= 3
+    )
+    SELECT id_a, id_b, count(*) AS n_frames_matched,
+           CAST(sum(hamming) AS BIGINT) AS total_hamming
+    FROM frame_pairs GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def av_video_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup dedup — temporally-aligned per-frame
+    dHash voting (multimodal/perceptual.py:video_perceptual_near_dups),
+    lifting the image dHash to the third multimodal family: a
+    re-encoded/resized copy matches on every frame; a one-frame edit
+    costs one vote, not the match. Each doc becomes a REAL 4-frame
+    uncompressed AVI of 8×8 two-tone md5-grid frames; doc_id%10==4
+    plants a 2× nearest-upscaled full re-encode (id +1,000,000 — all
+    4 frames hash-identical) and %10==6 plants a copy whose FRAME 2
+    has one cell flipped (id +2,000,000 — that frame moves ≤ 2 bits,
+    the other three are exact). The Spark side decodes real RIFF/movi
+    bytes (each blob crosses to Python once; only 16-byte-per-frame
+    fingerprints come back) and votes via the per-(frame_ix, block)
+    pigeonhole join; the oracle re-derives every frame hash from the
+    generating arithmetic and brute-forces the aligned frame pairs —
+    encode, container walk, decode, downscale, and voting all have to
+    agree."""
+    from dwh_spark.multimodal.perceptual import video_perceptual_near_dups
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)  # single-row-group fixture would pin one core
+    )
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(b: int, f: int, flip: bool) -> "_np.ndarray":
+            g = _np.empty((8, 8), _np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            _hashlib.md5(
+                                f"{b}:{f}:{r}:{c}".encode()
+                            ).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            if flip:
+                g[b % 8, (b // 8) % 8] ^= 1
+            rgb = _np.where(g[:, :, None] == 1, 200, 50).astype(_np.uint8)
+            return _np.repeat(rgb, 3, axis=2)
+
+        def video(b: int, edit: bool, scale: int) -> bytes:
+            frames = _np.stack(
+                [grid(b, f, flip=edit and f == 2) for f in range(4)]
+            )
+            if scale > 1:
+                frames = frames.repeat(scale, axis=1).repeat(scale, axis=2)
+            return codecs.avi_encode(frames)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                out.append((d, 4, video(d, False, 1)))
+                if d % 10 == 4:
+                    out.append((d + 1000000, 4, video(d, False, 2)))
+                if d % 10 == 6:
+                    out.append((d + 2000000, 4, video(d, True, 1)))
+            yield _pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
+
+    vids = docs.mapInPandas(gen, "video_id long, n_frames long, content binary")
+    pairs = video_perceptual_near_dups(vids, max_hamming=3, min_frames=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("total_hamming").cast("long").alias("total_hamming"),
+    )
