@@ -103,3 +103,37 @@ def audio_fp_near_dup_pairs(
         block_bits=AUDIO_FP_BITS // n_blocks,
         max_hamming=max_hamming,
     )
+
+
+def audio_fp_incremental_ingest(
+    index_fps: DataFrame,
+    new_audio: DataFrame,
+    key: str = "audio_id",
+    content_col: str = "content",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Ingest-time audio screen: which clips of a new batch are gain
+    changes / re-encodes / near-edits of something already in the
+    corpus — the audio twin of
+    perceptual.py:perceptual_incremental_ingest, same discipline: the
+    STORED (audio_id, afp) fingerprint index (16 bytes/clip, built
+    once at each clip's own ingest) is scanned once and never
+    shuffled; only the NEW batch is decoded, and its blocks are
+    BROADCAST into the index via the shared asymmetric probe. Returns
+    (batch_id, index_id, hamming)."""
+    from dwh_spark.operators.dedup import simhash_blocked_probe
+
+    batch_fps = audio_fp_frame(new_audio, key, content_col).select(
+        F.col("audio_id"), F.col("afp").alias("simhash")
+    )
+    return simhash_blocked_probe(
+        index_fps.select(F.col(key).alias("audio_id"), F.col("afp").alias("simhash"))
+        if "afp" in index_fps.columns
+        else index_fps,
+        batch_fps,
+        key="audio_id",
+        n_blocks=n_blocks,
+        block_bits=AUDIO_FP_BITS // n_blocks,
+        max_hamming=max_hamming,
+    )

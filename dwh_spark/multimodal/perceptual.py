@@ -254,6 +254,56 @@ def video_perceptual_near_dups(
     )
 
 
+def video_perceptual_incremental_ingest(
+    index_frames: DataFrame,
+    new_videos: DataFrame,
+    key: str = "video_id",
+    content_col: str = "content",
+    n_frames_col: str = "n_frames",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    min_frames: int = 3,
+) -> DataFrame:
+    """Ingest-time video screen against a STORED per-frame fingerprint
+    index (``index_frames`` = (video_id, frame_ix, dhash), appended as
+    each video was ingested — 16 bytes per frame, never pixels): only
+    the NEW batch is decoded, its per-frame blocks are BROADCAST into
+    the index per (frame_ix, block) — temporally aligned inside the
+    join, index scanned once, never shuffled, never re-decoded — and
+    pairs vote exactly like :func:`video_perceptual_near_dups`.
+    Returns (batch_id, index_id, n_frames_matched, total_hamming)."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole guarantee needs n_blocks > max_hamming "
+            f"(got {n_blocks} blocks for hamming {max_hamming})"
+        )
+    block_bits = DHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i")
+    val = F.expr(f"shiftright(dhash, i * {block_bits})").bitwiseAND(F.lit(mask))
+    idx = index_frames.select(
+        F.col(key).alias("index_id"), "frame_ix", "dhash", blocks
+    ).select("index_id", F.col("dhash").alias("h_i"), "frame_ix", "i", val.alias("val"))
+    bat = video_dhash_frames(new_videos, key, content_col, n_frames_col).select(
+        F.col("video_id").alias("batch_id"), "frame_ix", "dhash", blocks
+    ).select("batch_id", F.col("dhash").alias("h_b"), "frame_ix", "i", val.alias("val"))
+    frame_matches = (
+        idx.join(F.broadcast(bat), ["frame_ix", "i", "val"])
+        .select("batch_id", "index_id", "frame_ix", "h_b", "h_i")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (
+        frame_matches.groupBy("batch_id", "index_id")
+        .agg(
+            F.count("*").alias("n_frames_matched"),
+            F.sum("hamming").alias("total_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 def perceptual_incremental_ingest(
     index_hashes: DataFrame,
     new_images: DataFrame,

@@ -754,47 +754,7 @@ def av_audio_fp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(32)  # single-row-group fixture would pin one core
     )
 
-    def gen(batches):
-        import hashlib as _hashlib
-
-        import numpy as _np
-        import pandas as _pd
-
-        from dwh_spark.multimodal.audio import wav_encode
-
-        j = _np.arange(64, dtype=_np.int64)
-
-        def clip(d: int) -> "_np.ndarray":
-            # per-window md5 seed so window energies decorrelate across
-            # docs (a shared linear sequence would make every clip a
-            # near-dup of every other — the fixture must have real
-            # negatives); within-window samples are a cheap linear run
-            wins = []
-            for w in range(57):
-                a = (
-                    int(
-                        _hashlib.md5(f"{d}:{w}".encode()).hexdigest()[:4], 16
-                    )
-                    % 2048
-                )
-                wins.append((a + j * 13) % 2048 - 1024)
-            return _np.concatenate(wins).astype(_np.int16)
-
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                s = clip(d)
-                rows.append((d, wav_encode(s, 1000)))
-                if d % 10 == 4:
-                    rows.append((d + 1000000, wav_encode(s * 2, 1000)))
-                if d % 10 == 6:
-                    t = s.copy()
-                    t[3 * 64 : 4 * 64] = 500
-                    rows.append((d + 2000000, wav_encode(t, 1000)))
-            yield _pd.DataFrame(rows, columns=["audio_id", "content"])
-
-    audio = docs.mapInPandas(gen, "audio_id long, content binary")
+    audio = _audio_fp_fixture(docs, base=True, variants=True)
     pairs = audio_fp_near_dup_pairs(audio, key="audio_id", max_hamming=3)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -872,6 +832,71 @@ def av_video_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(32)  # single-row-group fixture would pin one core
     )
 
+    vids = _video_phash_fixture(docs, base=True, variants=True)
+    pairs = video_perceptual_near_dups(vids, max_hamming=3, min_frames=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("total_hamming").cast("long").alias("total_hamming"),
+    )
+
+
+def _audio_fp_fixture(docs, base: bool, variants: bool):
+    """The perceptual audio fixture shared by the batch and incremental
+    fingerprint queries: per doc a 3648-sample PCM16 WAV whose window
+    energies are md5-seeded (a shared linear sequence would make every
+    clip a near-dup of every other — the fixture needs real
+    negatives); per ten docs an amplitude-DOUBLED copy (id +1,000,000,
+    doc_id%10==4 — fingerprint-identical, exact integer gain) and a
+    one-window edit (id +2,000,000, %10==6). All arithmetic is
+    SQL-derivable so the oracles never decode."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal.audio import wav_encode
+
+        j = _np.arange(64, dtype=_np.int64)
+
+        def clip(d: int) -> "_np.ndarray":
+            wins = []
+            for w in range(57):
+                a = (
+                    int(_hashlib.md5(f"{d}:{w}".encode()).hexdigest()[:4], 16)
+                    % 2048
+                )
+                wins.append((a + j * 13) % 2048 - 1024)
+            return _np.concatenate(wins).astype(_np.int16)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = clip(d)
+                if base:
+                    rows.append((d, wav_encode(s, 1000)))
+                if variants and d % 10 == 4:
+                    rows.append((d + 1000000, wav_encode(s * 2, 1000)))
+                if variants and d % 10 == 6:
+                    t = s.copy()
+                    t[3 * 64 : 4 * 64] = 500
+                    rows.append((d + 2000000, wav_encode(t, 1000)))
+            yield _pd.DataFrame(rows, columns=["audio_id", "content"])
+
+    return docs.mapInPandas(gen, "audio_id long, content binary")
+
+
+def _video_phash_fixture(docs, base: bool, variants: bool):
+    """The perceptual video fixture shared by the batch and incremental
+    queries: per doc a REAL 4-frame uncompressed AVI of 8×8 two-tone
+    md5-grid frames; per ten docs a 2× nearest-upscaled full re-encode
+    (id +1,000,000, doc_id%10==4) and a copy whose frame 2 has one
+    cell flipped (id +2,000,000, %10==6)."""
+
     def gen(batches):
         import hashlib as _hashlib
 
@@ -910,18 +935,165 @@ def av_video_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                out.append((d, 4, video(d, False, 1)))
-                if d % 10 == 4:
+                if base:
+                    out.append((d, 4, video(d, False, 1)))
+                if variants and d % 10 == 4:
                     out.append((d + 1000000, 4, video(d, False, 2)))
-                if d % 10 == 6:
+                if variants and d % 10 == 6:
                     out.append((d + 2000000, 4, video(d, True, 1)))
             yield _pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
 
-    vids = docs.mapInPandas(gen, "video_id long, n_frames long, content binary")
-    pairs = video_perceptual_near_dups(vids, max_hamming=3, min_frames=3)
-    return pairs.select(
-        "id_a",
-        "id_b",
+    return docs.mapInPandas(gen, "video_id long, n_frames long, content binary")
+
+
+@query(
+    "av_audio_fp_incremental_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 1 AS gain, -1 AS edit_w,
+             0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 2, -1, 1 FROM documents
+      WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1, 3, 1 FROM documents
+      WHERE doc_id % 10 = 6
+    ),
+    seeds AS (
+      SELECT i.audio_id, i.is_new, i.gain, i.edit_w, w.w,
+             ('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':'
+                                 || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+               % 2048 AS a
+      FROM ids i, (SELECT unnest(range(0, 57)) AS w) w
+    ),
+    sq AS (
+      SELECT s.audio_id, s.is_new, s.w,
+             sum(CASE WHEN s.w = s.edit_w THEN 500 * 500
+                  ELSE (((s.a + t.j * 13) % 2048 - 1024) * s.gain)
+                       * (((s.a + t.j * 13) % 2048 - 1024) * s.gain)
+                 END) AS e
+      FROM seeds s, (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1, 2, 3
+    ),
+    fp AS (
+      SELECT a.audio_id, a.is_new,
+             CAST(sum(CASE WHEN b.e > a.e THEN (1::BIGINT << a.w)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM sq a JOIN sq b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+      GROUP BY 1, 2
+    )
+    SELECT n.audio_id AS batch_id, x.audio_id AS index_id,
+           CAST(bit_count(xor(n.h, x.h)) AS BIGINT) AS hamming
+    FROM fp n JOIN fp x ON n.is_new = 1 AND x.is_new = 0
+    WHERE bit_count(xor(n.h, x.h)) <= 3
+    """,
+)
+def av_audio_fp_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time AUDIO perceptual screen — the audio twin of
+    imgs_phash_incremental_ingest: the corpus fingerprint index is the
+    stored (audio_id, afp) frame built ONCE from the base clips (16
+    bytes/clip); the daily batch is the planted variants (doubled-gain
+    copies and one-window edits). Only the batch is decoded; its
+    14-bit blocks are BROADCAST into the index
+    (multimodal/audio_fp.py:audio_fp_incremental_ingest), so the
+    corpus is scanned once — never shuffled, never re-decoded. The
+    oracle re-derives both fingerprint sets arithmetically and
+    brute-forces batch×index."""
+    from dwh_spark.multimodal.audio_fp import (
+        audio_fp_frame,
+        audio_fp_incremental_ingest,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = audio_fp_frame(_audio_fp_fixture(docs, base=True, variants=False))
+    batch = _audio_fp_fixture(docs, base=False, variants=True)
+    matches = audio_fp_incremental_ingest(index, batch, max_hamming=3)
+    return matches.select(
+        "batch_id", "index_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query(
+    "av_video_phash_incremental_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS edit, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0, 1 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1, 1 FROM documents WHERE doc_id % 10 = 6
+    ),
+    cells AS (
+      SELECT i.video_id, i.is_new, f.f, g.r, g.c,
+             ((('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND f.f = 2 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 4)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.is_new, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2, 3
+    ),
+    frame_matches AS (
+      SELECT n.video_id AS batch_id, x.video_id AS index_id,
+             bit_count(xor(n.h, x.h)) AS hamming
+      FROM hashes n
+      JOIN hashes x ON x.f = n.f AND n.is_new = 1 AND x.is_new = 0
+      WHERE bit_count(xor(n.h, x.h)) <= 3
+    )
+    SELECT batch_id, index_id, count(*) AS n_frames_matched,
+           CAST(sum(hamming) AS BIGINT) AS total_hamming
+    FROM frame_matches GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def av_video_phash_incremental_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-time VIDEO perceptual screen: the corpus keeps a
+    per-frame fingerprint index (16 bytes/frame, built once as each
+    video was ingested); a new batch decodes ONLY itself, broadcasts
+    its per-frame blocks into the index per (frame_ix, block) —
+    temporally aligned inside the join — and votes like the batch
+    query (≥ 3 of 4 frames at hamming ≤ 3). The oracle re-derives
+    every frame hash arithmetically and brute-forces the aligned
+    batch×index frame pairs."""
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_perceptual_incremental_ingest,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = video_dhash_frames(_video_phash_fixture(docs, base=True, variants=False))
+    batch = _video_phash_fixture(docs, base=False, variants=True)
+    matches = video_perceptual_incremental_ingest(
+        index, batch, max_hamming=3, min_frames=3
+    )
+    return matches.select(
+        "batch_id",
+        "index_id",
         F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
         F.col("total_hamming").cast("long").alias("total_hamming"),
     )
