@@ -164,6 +164,19 @@ HEADLINERS = {
     "docs_cross_source_dup_matrix": "the near-dup pair frame (tiny vs "
     "corpus) broadcast into two corpus scans for source attribution — "
     "documents never shuffled",
+    "av_audio_fp_near_dups": "56-bit energy-difference audio fingerprint "
+    "(exact int64, gain-invariant) paired by the pigeonhole blocked "
+    "equi-join — never all-pairs",
+    "av_video_phash_near_dups": "per-frame dHash voting: blocked join "
+    "keyed per (frame_ix, block) so candidates are temporally aligned "
+    "inside the join; blobs cross to Python once",
+    "av_video_phash_incremental_ingest": "video ingest probe: batch-only "
+    "decode, per-frame blocks BROADCAST into the stored fingerprint "
+    "index (BroadcastHashJoin, index = stream side)",
+    "streaming_phash_ingest": "drained read-back of the versioned "
+    "batch=* result dirs (per-batch fold inside foreachBatch: one decode "
+    "pass, blocked within-batch pairs, broadcast index probe, O(batch) "
+    "fingerprint appends — see streaming/phash_ingest.py)",
 }
 
 
