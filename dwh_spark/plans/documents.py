@@ -912,25 +912,27 @@ def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity), so membership is reproducible on any engine / any
     partitioning and stable under incremental re-ingest. Audit output
     per source pins WHICH docs were kept (id/char checksums), not just
-    how many. Pure map-side filter — the only shuffle is the audit
-    rollup itself."""
+    how many. Pure map-side filter; the audit joins two SOURCE-keyed
+    aggregates (source-cardinality rows, broadcast), never a row-level
+    corpus self-join — two corpus scans, zero row-scale shuffles
+    beyond the two rollups."""
     docs = load_table(spark, sf_dir, "documents")
-    kept = weighted_sample(docs, "doc_id", T.quality_score(F.col("text"))).select(
-        F.col("doc_id").alias("kept_id")
-    )
-    return (
-        docs.join(kept, docs.doc_id == kept.kept_id, "left")
+    kept_stats = (
+        weighted_sample(docs, "doc_id", T.quality_score(F.col("text")))
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.count("kept_id").alias("n_kept"),
-            F.sum(F.when(F.col("kept_id").isNotNull(), F.col("doc_id"))).alias(
-                "kept_id_sum"
-            ),
-            F.sum(F.when(F.col("kept_id").isNotNull(), F.col("n_chars"))).alias(
-                "kept_chars"
-            ),
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+            F.sum("n_chars").alias("kept_chars"),
         )
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return totals.join(F.broadcast(kept_stats), "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        "kept_id_sum",
+        "kept_chars",
     )
 
 

@@ -183,3 +183,51 @@ def test_audio_fp_composes_with_blocked_probe(spark):
         ).collect()
     }
     assert got == {(900, 2): 0}
+
+
+def test_video_incremental_probe_broadcasts_batch(spark):
+    """Video ingest probe: an upscaled re-encode matches its stored
+    base on all frames; the BATCH side is the broadcast build side and
+    the stored per-frame index reaches the join without a hash
+    repartition — same discipline as the image probe."""
+    import pandas as pd
+
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_perceptual_incremental_ingest,
+    )
+
+    def vid(seed, scale=1, edit_frame=None):
+        frames = np.stack([_pattern(seed * 10 + f) for f in range(4)])
+        if edit_frame is not None:
+            frames = frames.copy()
+            frames[edit_frame, 0, 0] = 250 - frames[edit_frame, 0, 0]
+        if scale > 1:
+            frames = frames.repeat(scale, axis=1).repeat(scale, axis=2)
+        return codecs.avi_encode(frames)
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 4, vid(i)) for i in range(5)],
+            columns=["video_id", "n_frames", "content"],
+        )
+    )
+    index = video_dhash_frames(corpus)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(300, 4, vid(2, scale=2)), (301, 4, vid(4, edit_frame=1))],
+            columns=["video_id", "n_frames", "content"],
+        )
+    )
+    matches = video_perceptual_incremental_ingest(index, batch, min_frames=3)
+    got = {
+        (r["batch_id"], r["index_id"]): (r["n_frames_matched"], r["total_hamming"])
+        for r in matches.collect()
+    }
+    assert got[(300, 2)] == (4, 0)
+    n, h = got[(301, 4)]
+    assert n == 4 and 0 < h <= 2  # edited frame still within hamming budget
+    plan = matches._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    stream_side = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in stream_side
