@@ -808,3 +808,35 @@ def test_weighted_sample_edges_and_partition_invariance(spark):
     assert kept == kept_re
     # md5-uniform draw: observed rate within a loose CLT band of 0.3
     assert 0.25 < len(kept) / 2000 < 0.35
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 56) - 1), min_size=1, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=(1 << 56) - 1), min_size=1, max_size=4),
+)
+def test_blocked_probe_matches_bruteforce(spark, index_fps, batch_fps):
+    """simhash_blocked_probe == brute-force batch×index at hamming <=
+    n_blocks-1 for ANY fingerprint sets — the pigeonhole recall
+    guarantee all three perceptual ingest probes (image/audio/video)
+    lean on, including fingerprints crafted so every differing bit
+    straddles a block boundary."""
+    from dwh_spark.operators.dedup import simhash_blocked_probe
+
+    idx = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(index_fps)], "doc_id long, simhash long"
+    )
+    bat = spark.createDataFrame(
+        [(100 + i, h) for i, h in enumerate(batch_fps)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["batch_id"], r["index_id"]): r["hamming"]
+        for r in simhash_blocked_probe(idx, bat, block_bits=14).collect()
+    }
+    want = {}
+    for bi, bh in enumerate(batch_fps):
+        for ii, ih in enumerate(index_fps):
+            d = bin(bh ^ ih).count("1")
+            if d <= 3:
+                want[(100 + bi, ii)] = d
+    assert got == want
