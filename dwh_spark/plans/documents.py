@@ -580,10 +580,14 @@ def docs_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     before dropping a source ("is crawl B mostly re-posts of crawl
     A?") and the input to per-source dedup budgets. Built on the
     session-cached hashed Jaccard pair frame (the bucket-bounded
-    detector); the pair set is tiny relative to the corpus, so source
-    attribution BROADCASTS the pairs into two corpus scans — the
-    documents table is never shuffled, and the rollup groups the
-    pair-sized frame only."""
+    detector). Source attribution BROADCASTS the pairs into two corpus
+    scans — the documents table is never shuffled, and the rollup
+    groups the pair-sized frame only. The broadcast is right while the
+    pair set stays broadcast-sized (a daily delta's pairs, a bucketed
+    detector's output); for a full-corpus pair set that outgrows the
+    broadcast threshold, drop the hint — the join keys on doc_id, so
+    an id-bucketed corpus co-locates it as the exchange-free SMJ of
+    `bucketed_cust_order_rollup`, shuffling only the slim pair frame."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
     with_a = docs.join(
