@@ -153,9 +153,13 @@ def test_partition_pruned_rollup_reads_only_matching_days(spark):
 
 
 def test_hybrid_rrf_arms_are_topk_pruned(spark):
-    """Both retrieval arms must compile to TakeOrderedAndProject
-    (distributed top-k, never a global sort of the scored corpus), so
-    the fusion join sees <= 40 rows at any corpus size."""
+    """Both retrieval arms must prune to top-k BEFORE any global
+    stage: the lexical limit compiles to TakeOrderedAndProject
+    (distributed top-k, never a global sort of the scored corpus) and
+    the semantic window's rank filter pushes down as a PARTIAL
+    WindowGroupLimit — each map partition contributes <= k rows to the
+    window shuffle. The fusion join then sees <= 40 rows at any
+    corpus size."""
     from dwh_spark.plans.pipeline_extra import docs_hybrid_rrf_retrieval
 
     df = docs_hybrid_rrf_retrieval(spark, SF_SMALL)
@@ -163,4 +167,7 @@ def test_hybrid_rrf_arms_are_topk_pruned(spark):
     assert plan.count("TakeOrderedAndProject") >= 2, (
         "an arm's top-k fell back to a global Sort+Limit"
     )
+    assert "WindowGroupLimit" in plan and "Partial" in plan.split(
+        "WindowGroupLimit", 2
+    )[-1], "semantic arm's rank filter did not push a partial group limit"
     assert "CartesianProduct" not in plan
