@@ -867,3 +867,96 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_phash_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
     return read_phash_ingest_results(spark, out_dir)
+
+
+_AUDIO_FP_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 1 AS gain, -1 AS edit_w
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 2, -1 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1, 3 FROM documents WHERE doc_id % 10 = 6
+    ),
+    seeds AS (
+      SELECT i.audio_id, i.gain, i.edit_w, w.w,
+             ('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':'
+                                 || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+               % 2048 AS a
+      FROM ids i, (SELECT unnest(range(0, 57)) AS w) w
+    ),
+    sq AS (
+      SELECT s.audio_id, s.w,
+             sum(CASE WHEN s.w = s.edit_w THEN 500 * 500
+                  ELSE (((s.a + t.j * 13) % 2048 - 1024) * s.gain)
+                       * (((s.a + t.j * 13) % 2048 - 1024) * s.gain)
+                 END) AS e
+      FROM seeds s, (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT a.audio_id,
+             CAST(sum(CASE WHEN b.e > a.e THEN (1::BIGINT << a.w)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM sq a JOIN sq b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+      GROUP BY 1
+    )
+    SELECT f1.audio_id, count(*) AS n_earlier_adups
+    FROM fp f1 JOIN fp f2 ON f2.audio_id < f1.audio_id
+    WHERE bit_count(xor(f1.h, f2.h)) <= 3
+    GROUP BY 1
+    """
+
+
+@query("streaming_audio_fp_ingest", oracle=_AUDIO_FP_INGEST_ORACLE)
+def streaming_audio_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual AUDIO ingest — the energy-hash fingerprint
+    index as accumulating stream state, via the SAME generic fold as
+    the image ingest (streaming/phash_ingest.py:run_fingerprint_ingest
+    — crash semantics, replay guard, and index discipline written
+    once, bound per modality): clips arrive in audio_id order across 3
+    micro-batches (base clips first, then the doubled-gain copies,
+    then the one-window edits — the perceptual audio fixture of
+    av_audio_fp_near_dups); each batch is DECODED ONCE, flags
+    within-batch earlier mates via the pigeonhole blocked self-join,
+    probes the stored fingerprint index with its blocks broadcast,
+    then appends its O(batch) 16-byte fingerprints under the
+    high-water replay guard. Id-ordered batches make the drained
+    output equal the brute-force earlier-partners oracle."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.plans.av import _audio_fp_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_audio_fp_ingest_results,
+        run_audio_fp_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    audio = _audio_fp_fixture(docs, base=True, variants=True)
+
+    root = tempfile.mkdtemp(prefix="dwh_audio_fp_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(audio.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_audio_fp_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
+    return read_audio_fp_ingest_results(spark, out_dir)
