@@ -69,6 +69,7 @@ _CHECK_FIRST = [
     "av_audio_fp_incremental_ingest",   # audio fingerprint probe vs stored index
     "av_video_phash_incremental_ingest", # per-frame video probe vs stored index
     "streaming_audio_fp_ingest",        # audio fingerprint index as stream state
+    "streaming_video_phash_ingest",     # per-frame video index as stream state
     # -- stale r6 verdicts (cut from the r10 window): lead the round
     "metadata_scd1_merge",
     "metadata_task_priority_order",

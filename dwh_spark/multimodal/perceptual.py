@@ -272,6 +272,25 @@ def video_perceptual_incremental_ingest(
     join, index scanned once, never shuffled, never re-decoded — and
     pairs vote exactly like :func:`video_perceptual_near_dups`.
     Returns (batch_id, index_id, n_frames_matched, total_hamming)."""
+    batch_frames = video_dhash_frames(new_videos, key, content_col, n_frames_col)
+    return video_frame_vote_probe(
+        index_frames, batch_frames, key, max_hamming, n_blocks, min_frames
+    )
+
+
+def video_frame_vote_probe(
+    index_frames: DataFrame,
+    batch_frames: DataFrame,
+    key: str = "video_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    min_frames: int = 3,
+) -> DataFrame:
+    """The fingerprint-level vote probe behind
+    :func:`video_perceptual_incremental_ingest` (and the streaming
+    fold, which holds already-decoded batch frames): both inputs are
+    (key, frame_ix, dhash) frames; the batch's per-frame blocks are
+    BROADCAST into the index per (frame_ix, block) and pairs vote."""
     if max_hamming >= n_blocks:
         raise ValueError(
             f"pigeonhole guarantee needs n_blocks > max_hamming "
@@ -284,8 +303,8 @@ def video_perceptual_incremental_ingest(
     idx = index_frames.select(
         F.col(key).alias("index_id"), "frame_ix", "dhash", blocks
     ).select("index_id", F.col("dhash").alias("h_i"), "frame_ix", "i", val.alias("val"))
-    bat = video_dhash_frames(new_videos, key, content_col, n_frames_col).select(
-        F.col("video_id").alias("batch_id"), "frame_ix", "dhash", blocks
+    bat = batch_frames.select(
+        F.col(key).alias("batch_id"), "frame_ix", "dhash", blocks
     ).select("batch_id", F.col("dhash").alias("h_b"), "frame_ix", "i", val.alias("val"))
     frame_matches = (
         idx.join(F.broadcast(bat), ["frame_ix", "i", "val"])

@@ -960,3 +960,101 @@ def streaming_audio_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_audio_fp_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
     return read_audio_fp_ingest_results(spark, out_dir)
+
+
+_VIDEO_PHASH_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS edit FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 6
+    ),
+    cells AS (
+      SELECT i.video_id, f.f, g.r, g.c,
+             ((('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND f.f = 2 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 4)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    ),
+    votes AS (
+      SELECT h1.video_id AS later_id, h2.video_id AS earlier_id, count(*) AS n
+      FROM hashes h1
+      JOIN hashes h2 ON h2.f = h1.f AND h2.video_id < h1.video_id
+      WHERE bit_count(xor(h1.h, h2.h)) <= 3
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT later_id AS video_id, count(*) AS n_earlier_vdups
+    FROM votes GROUP BY 1
+    """
+
+
+@query("streaming_video_phash_ingest", oracle=_VIDEO_PHASH_INGEST_ORACLE)
+def streaming_video_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual VIDEO ingest — the per-frame dHash index as
+    accumulating stream state with the VOTE probe
+    (streaming/phash_ingest.py:run_video_phash_ingest), completing the
+    last rung of the modality matrix: every dedup family (MinHash,
+    semantic, image, audio, video) now runs batch + incremental +
+    streaming. Videos arrive in video_id order across 3 micro-batches
+    (bases, then 2x re-encodes, then frame-2 edits — the perceptual
+    video fixture); each batch decodes only itself (one Arrow pass per
+    fold), votes within-batch, probes the stored (video_id, frame_ix,
+    dhash) index per (frame_ix, block) with its blocks broadcast, then
+    appends O(batch frames) 16-byte rows under the high-water replay
+    guard. Drained output equals the brute-force earlier-partners
+    vote oracle."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.plans.av import _video_phash_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_video_phash_ingest_results,
+        run_video_phash_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    vids = _video_phash_fixture(docs, base=True, variants=True)
+
+    root = tempfile.mkdtemp(prefix="dwh_video_phash_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = vids.withColumn("__slice", F.ntile(3).over(Window.orderBy("video_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(vids.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_video_phash_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
+    return read_video_phash_ingest_results(spark, out_dir)

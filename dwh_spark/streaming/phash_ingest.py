@@ -185,3 +185,82 @@ def read_audio_fp_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*")
     ).select("audio_id", "n_earlier_adups")
+
+
+def run_video_phash_ingest(
+    stream: DataFrame,
+    index_store: ParquetAppendLog,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    min_frames: int = 3,
+    maintenance=None,
+) -> None:
+    """Video binding with per-frame VOTING (a video pairs when ≥
+    ``min_frames`` temporally-aligned frames match): the index store
+    accumulates (video_id, frame_ix, dhash) rows — 16 bytes/frame; each
+    batch decodes only itself (one Arrow pass, blobs never exploded),
+    votes within-batch off its own frame fingerprints, probes the
+    stored per-frame index with its blocks broadcast
+    (multimodal/perceptual.py:video_perceptual_incremental_ingest),
+    then appends under the same high-water replay guard as the generic
+    fold. Output per batch: (video_id, n_earlier_vdups)."""
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_frame_vote_probe,
+    )
+
+    spark = stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        lc = index_store.last_committed()
+        if lc is not None and batch_id <= lc:
+            return
+        batch_frames = video_dhash_frames(batch_df).persist()
+        # within-batch earlier mates: the same vote probe with the
+        # batch as BOTH sides — keep index_id < batch_id pairs (the
+        # probe keeps self-pairs and both directions; earlier-mates
+        # semantics filters one direction, as the cell probes do)
+        within = (
+            video_frame_vote_probe(
+                batch_frames, batch_frames,
+                max_hamming=max_hamming, n_blocks=n_blocks,
+                min_frames=min_frames,
+            )
+            .filter(F.col("index_id") < F.col("batch_id"))
+            .select(F.col("batch_id").alias("video_id"))
+        )
+        prior = index_store.current(spark)
+        flagged = within
+        if prior is not None:
+            cross = video_frame_vote_probe(
+                prior, batch_frames,
+                max_hamming=max_hamming, n_blocks=n_blocks,
+                min_frames=min_frames,
+            ).select(F.col("batch_id").alias("video_id"))
+            flagged = flagged.unionByName(cross)
+        flagged.groupBy("video_id").agg(
+            F.count("*").alias("n_earlier_vdups")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        index_store.append(batch_frames, batch_id)
+        batch_frames.unpersist()
+        if maintenance is not None:
+            maintenance(batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_video_phash_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All drained (video_id, n_earlier_vdups) rows across batches."""
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "batch=*")
+    ).select("video_id", "n_earlier_vdups")

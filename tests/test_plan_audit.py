@@ -25,6 +25,7 @@ _STREAMING = {
     "streaming_semantic_ingest",  # same drained out-dir read
     "streaming_phash_ingest",  # same drained out-dir read
     "streaming_audio_fp_ingest",  # same drained out-dir read
+    "streaming_video_phash_ingest",  # same drained out-dir read
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where one side is a
