@@ -177,6 +177,14 @@ HEADLINERS = {
     "batch=* result dirs (per-batch fold inside foreachBatch: one decode "
     "pass, blocked within-batch pairs, broadcast index probe, O(batch) "
     "fingerprint appends — see streaming/phash_ingest.py)",
+    "streaming_audio_fp_ingest": "drained read-back (the GENERIC "
+    "fingerprint fold of streaming/phash_ingest.py bound to the audio "
+    "energy hash — same replay guard and index discipline as the image "
+    "binding)",
+    "streaming_video_phash_ingest": "drained read-back (per-frame "
+    "fingerprint index as stream state; the fold votes within-batch by "
+    "self-probing its own frames and probes the stored index via the "
+    "shared video_frame_vote_probe — batch decoded once per fold)",
 }
 
 
