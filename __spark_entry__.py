@@ -40,73 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # LONGEST-UNCHECKED greens, (4) queries touched this round but already
 # verified LAST round trail as overflow — if the ~50-slot window cuts
 # anything, it cuts re-verification of a recent-fresh verdict, never
-# a stale one. Round 11's stale cohort is the ledger-exact 51 queries
-# whose latest verdict is <= round 7 (newest committed artifact is
-# r10, so r7 == newest-3; union of CORRECTNESS_r1..r10): the 5 r6
-# leftovers the r10 window cut (VERDICT r10 item 2) go FIRST, then the
-# 46 r7-verdict queries — TPC-H q1-q20, the SQL/scalar/datetime
-# batteries, rollup/cube/setops/unpivot, the salted/sketch events
-# queries, pagerank, 3 incremental-streaming queries, wav roundtrip,
-# and the nested flagship. Round 11 also shipped NEW queries (never
-# checked — they lead, per priority (1)): with ~10 new + 51 stale
-# against the driver's ~50 budget, the r7 tail spills to round 12 by
-# design (oldest-first ordering keeps the spill at the cohort's
-# youngest end). Exact list matches tests/test_entry_contract.py's
-# recomputation; regenerate with scripts/rotate_check_first.py.
+# a stale one. Round 12's stale cohort is the ledger-exact 65 queries
+# whose latest verdict is <= round 8 (newest committed artifact is
+# r11, so r8 == newest-3; union of CORRECTNESS_r1..r11): the 16
+# r7-verdict queries the r11 window cut (VERDICT r11 item 2 names
+# them: q4_order_priority_exists … topk_orders_per_segment) go FIRST,
+# then the 49 r8-verdict queries — the marketplace state family
+# (batch + stream), the events sketch/session/funnel family, TPC-H
+# q11/q12/q16/q21/q22, the docs BM25/winnowing/simhash trio, and the
+# click-purchase streaming joins. New round-12 queries (never
+# checked) lead, per priority (1). 65 stale + new > the ~50 budget:
+# the r8 tail spills to round 13 by design (oldest-first ordering
+# keeps the spill at the cohort's youngest end). Exact list matches
+# tests/test_entry_contract.py's recomputation; regenerate with
+# scripts/rotate_check_first.py.
 _CHECK_FIRST = [
-    # -- new in round 11: no driver verdict yet
-    "docs_corpus_ingest_contained",     # triage + incremental Broder containment arm
-    "imgs_phash_near_dups",             # perceptual dHash near-dup, pigeonhole-blocked
-    "imgs_phash_incremental_ingest",    # dHash ingest probe vs stored fingerprint index
-    "docs_hybrid_rrf_retrieval",        # BM25 + cosine reciprocal-rank fusion
-    "emb_semantic_decontaminate",       # eval-set broadcast screen of the train corpus
-    "docs_quality_weighted_sample",     # per-doc Bernoulli keep at p=quality
-    "docs_corpus_snapshot_diff",        # added/removed/changed audit between versions
-    "docs_cross_source_dup_matrix",     # which sources duplicate each other
-    "streaming_phash_ingest",           # dHash fingerprint index as stream state
-    "av_audio_fp_near_dups",            # energy-difference audio fingerprint dedup
-    "av_video_phash_near_dups",         # per-frame dHash voting over real AVI decode
-    "av_audio_fp_incremental_ingest",   # audio fingerprint probe vs stored index
-    "av_video_phash_incremental_ingest", # per-frame video probe vs stored index
-    "streaming_audio_fp_ingest",        # audio fingerprint index as stream state
-    "streaming_video_phash_ingest",     # per-frame video index as stream state
-    # -- stale r6 verdicts (cut from the r10 window): lead the round
-    "metadata_scd1_merge",
-    "metadata_task_priority_order",
-    "metadata_validate",
-    "pagination_page3",
-    "q1_pricing_summary",
-    # -- stale: latest driver verdict is round 7 (all 46 cycle now)
-    "agg_all_orders",
-    "av_wav_roundtrip_stats",
-    "bucketed_cust_order_rollup",
-    "cube_orders_status_priority",
-    "datetime_function_battery",
-    "docs_collection_fn_battery",
-    "docs_semantic_dedup",
-    "events_activity_bitmaps",
-    "events_cms_user_counts",
-    "events_mg_salted_hot_join",
-    "events_session_concurrency",
-    "events_snapshot_diff",
-    "events_stalest_topk",
-    "events_value_robust_stats",
-    "flagship_nft_offers_nested",
-    "marketplace_multicoin_totals",
-    "marketplace_stream_ft_state",
-    "nation_trade_pagerank",
-    "orders_daily_moving_stats",
-    "orders_unpivot_measures",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_parts_suppliers_semi",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
+    # -- stale r7 verdicts (cut from the r11 window): lead the round
     "q4_order_priority_exists",
     "q5_region_volume",
     "q6_forecast_revenue",
@@ -123,6 +72,56 @@ _CHECK_FIRST = [
     "streaming_session_windows",
     "streaming_user_accumulator",
     "topk_orders_per_segment",
+    # -- stale: latest driver verdict is round 8 (all 49 cycle now)
+    "av_audio_chunk_energy",
+    "av_audio_chunking",
+    "customer_forget_cascade",
+    "docs_bm25_topk",
+    "docs_corpus_build",
+    "docs_fingerprint_winnowing",
+    "docs_simhash_rotation_near_dups",
+    "docs_token_stats",
+    "emb_ivf_recall_audit",
+    "events_asof_last_click",
+    "events_daily_type_pivot",
+    "events_error_purchase_proximity",
+    "events_foreign_errors_in_sessions",
+    "events_funnel_signup_purchase",
+    "events_hll_distinct_users",
+    "events_hll_union_merge",
+    "events_interval_frame_sums",
+    "events_json_extract",
+    "events_kmv_set_algebra",
+    "events_range_hypertable_rollup",
+    "events_session_funnel_windows",
+    "events_sessionization",
+    "filters_combinators",
+    "imgs_real_pixel_stats",
+    "marketplace_audit_counts",
+    "marketplace_bids_surviving",
+    "marketplace_ft_state",
+    "marketplace_listed_value",
+    "marketplace_nfts_state",
+    "marketplace_offers_surviving",
+    "marketplace_stream_bids_surviving",
+    "marketplace_stream_nfts_state",
+    "marketplace_stream_offers_surviving",
+    "marketplace_stream_users_state",
+    "marketplace_users_state",
+    "nation_trade_triangles",
+    "orders_incremental_cdc_merge",
+    "point_lookup_composite",
+    "q11_important_stock",
+    "q12_shipmode_priority_counts",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "semi_anti_customers",
+    "streaming_click_purchase_join",
+    "streaming_click_purchase_left_join",
+    "streaming_daily_rollup",
+    "streaming_dedup_exactly_once",
+    "streaming_dim_enrichment",
 ]
 
 
