@@ -55,6 +55,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_contract.py's recomputation; regenerate with
 # scripts/rotate_check_first.py.
 _CHECK_FIRST = [
+    # -- new in round 12: no driver verdict yet
+    "av_audio_fp_offset_near_dups",     # H-K subfingerprint + relative-offset vote
+    "av_video_phash_offset_near_dups",  # head-drop-tolerant per-frame offset vote
+    "imgs_corpus_build",                # image corpus-build capstone rollup
     # -- stale r7 verdicts (cut from the r11 window): lead the round
     "q4_order_priority_exists",
     "q5_region_volume",

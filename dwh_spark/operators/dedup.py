@@ -503,40 +503,28 @@ def minhash_incremental_near_dups(
     )
 
 
-def containment_incremental(
+def containment_posting_index(
     corpus: DataFrame,
-    new_docs: DataFrame,
     text: str = "text",
     key: str = "doc_id",
     k: int = 3,
-    threshold: float = 0.9,
-    min_common: int = 3,
-    max_doc_freq: int | None = None,
+    with_df: bool = False,
 ) -> DataFrame:
-    """Ingest-time Broder containment screen: which NEW docs share a
-    >= ``threshold`` containment (either direction) with an EXISTING
-    corpus doc. The daily-batch shape of :func:`containment_pairs` —
-    the screen that catches a short new doc embedded in a long stored
-    one (or vice versa), the pair class the MinHash band probe misses
-    by construction (it estimates union-normalized Jaccard).
+    """Build the stored shingle posting index that
+    :func:`containment_incremental` probes: one row per (shingle,
+    doc) posting — ``h`` = xxhash64(shingle), ``corpus_id``, ``n_c``
+    (the doc's distinct-shingle count) — plus, when ``with_df``, the
+    per-shingle document frequency ``df`` stored IN the index.
 
-    The corpus side is the stored shingle POSTING index
-    (h=xxhash64(shingle), corpus_id, n_c) — recomputed here from the
-    corpus frame; in production a table each ingest appends to, the
-    exact analog of the band index in
-    :func:`minhash_incremental_near_dups`. The batch explodes its own
-    postings and is BROADCAST into the index, so the index is scanned
-    once (streamed, never shuffled) and per-batch cost is
-    O(batch_shingles + collisions) regardless of corpus size. The
-    collision aggregate shuffles only matched (new_id, corpus_id)
-    rows. ``max_doc_freq`` is the stop-gram cap applied to the STORED
-    index side (boilerplate shingles posted in more than that many
-    corpus docs are dropped from the probe, bounding per-shingle
-    fan-out; same under-estimate trade as :func:`containment_pairs`).
-
-    Returns (new_id, corpus_id, cont_new_in_corpus,
-    cont_corpus_in_new) for pairs with >= ``min_common`` shared
-    shingles and max(containment) >= ``threshold``.
+    ``df`` is what makes the stop-gram cap map-side at ingest time:
+    the probe filters ``df <= cap`` on the stored column instead of
+    aggregating the corpus-sized posting table per batch. Attaching it
+    costs one window aggregate here, at INDEX BUILD time — once per
+    index version, amortized over every subsequent ingest. The column
+    is append-maintainable: a new doc's postings only ever INCREMENT
+    the df of the shingles it contains (df never shrinks under
+    append), so production upkeep is a merge of per-batch (h, count)
+    partials into the index's df — no corpus rescan there either.
     """
     postings = (
         corpus.select(
@@ -547,14 +535,69 @@ def containment_incremental(
         )
         .select(F.xxhash64("shingle").alias("h"), "corpus_id", "n_c")
     )
-    if max_doc_freq is not None:
-        rare = (
-            postings.groupBy("h")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("h")
+    if not with_df:
+        return postings
+    from pyspark.sql import Window
+
+    return postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("h"))
+    )
+
+
+def containment_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    min_common: int = 3,
+    max_doc_freq: int | None = None,
+    posting_index: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time Broder containment screen: which NEW docs share a
+    >= ``threshold`` containment (either direction) with an EXISTING
+    corpus doc. The daily-batch shape of :func:`containment_pairs` —
+    the screen that catches a short new doc embedded in a long stored
+    one (or vice versa), the pair class the MinHash band probe misses
+    by construction (it estimates union-normalized Jaccard).
+
+    The corpus side is the stored shingle POSTING index
+    (:func:`containment_posting_index`) — recomputed here from the
+    corpus frame unless a prebuilt ``posting_index`` frame is passed;
+    in production it is a table each ingest appends to, the exact
+    analog of the band index in :func:`minhash_incremental_near_dups`.
+    The batch explodes its own postings and is BROADCAST into the
+    index, so the index is scanned once (streamed, never shuffled) and
+    per-batch cost is O(batch_shingles + collisions) regardless of
+    corpus size. The collision aggregate shuffles only matched
+    (new_id, corpus_id) rows. ``max_doc_freq`` is the stop-gram cap:
+    boilerplate shingles posted in more than that many corpus docs are
+    dropped from the probe (bounding per-shingle fan-out; same
+    under-estimate trade as :func:`containment_pairs`). The cap is a
+    map-side ``df <= cap`` filter on the index's STORED df column —
+    the df aggregate runs at index build time, never per batch, so
+    enabling the cap adds no corpus-side shuffle to the probe
+    (tests/test_dedup_rotation.py pins the capped probe plan over a
+    prebuilt index to the uncapped plan's aggregate count).
+
+    Returns (new_id, corpus_id, cont_new_in_corpus,
+    cont_corpus_in_new) for pairs with >= ``min_common`` shared
+    shingles and max(containment) >= ``threshold``.
+    """
+    if posting_index is not None:
+        postings = posting_index
+        if max_doc_freq is not None and "df" not in postings.columns:
+            raise ValueError(
+                "max_doc_freq needs a posting index built with "
+                "with_df=True (stored df column)"
+            )
+    else:
+        postings = containment_posting_index(
+            corpus, text=text, key=key, k=k, with_df=max_doc_freq is not None
         )
-        postings = postings.join(rare, "h")
+    if max_doc_freq is not None:
+        postings = postings.filter(F.col("df") <= max_doc_freq).drop("df")
     batch = (
         new_docs.select(F.col(key).alias("new_id"), shingles(F.col(text), k).alias("sh"))
         .select(F.explode("sh").alias("shingle"), "new_id", F.size("sh").alias("n_n"))

