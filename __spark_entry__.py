@@ -59,6 +59,7 @@ _CHECK_FIRST = [
     "av_audio_fp_offset_near_dups",     # H-K subfingerprint + relative-offset vote
     "av_video_phash_offset_near_dups",  # head-drop-tolerant per-frame offset vote
     "imgs_corpus_build",                # image corpus-build capstone rollup
+    "av_audio_fp_offset_ingest",        # offset-tolerant probe vs stored lookup table
     # -- stale r7 verdicts (cut from the r11 window): lead the round
     "q4_order_priority_exists",
     "q5_region_volume",

@@ -1373,3 +1373,91 @@ def av_video_phash_offset_near_dups(
         F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
         F.col("total_hamming").cast("long").alias("total_hamming"),
     )
+
+
+@query(
+    "av_audio_fp_offset_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 0 AS skip_head,
+             57 AS n_win, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 8, 49, 1 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0, 49, 1 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    seeds AS (
+      SELECT i.audio_id, i.is_new, w.w,
+             ('0x' || substr(md5('off:' || CAST(i.base AS VARCHAR) || ':'
+                              || CAST(i.skip_head + w.w AS VARCHAR)), 1, 4))::BIGINT
+               % 2048 AS a
+      FROM ids i, (SELECT unnest(range(0, 57)) AS w) w
+      WHERE w.w < i.n_win
+    ),
+    sq AS (
+      SELECT s.audio_id, s.is_new, s.w,
+             sum((((s.a + t.j * 13) % 2048 - 1024)
+                  * ((s.a + t.j * 13) % 2048 - 1024))) AS e
+      FROM seeds s, (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.audio_id, a.is_new, a.w,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM sq a JOIN sq b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, b.is_new, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 25)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2, 3
+      HAVING count(*) = 32
+    )
+    SELECT n.audio_id AS batch_id, x.audio_id AS index_id,
+           CAST(x.p - n.p AS BIGINT) AS offset_w,
+           count(*) AS n_matches
+    FROM sub n JOIN sub x
+      ON x.word = n.word AND n.is_new = 1 AND x.is_new = 0
+    GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    """,
+)
+def av_audio_fp_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time OFFSET-TOLERANT audio screen — the H-K lookup table
+    as the stored artifact: the corpus side is the (audio_id, pos,
+    sub32) subfingerprint table built once from the base clips (~12
+    bytes/position, the audio analog of the per-frame video index);
+    the daily batch is the planted trimmed/gain variants. Only the
+    batch is decoded; its subfingerprints are BROADCAST into the index
+    (multimodal/audio_fp.py:audio_offset_incremental_ingest), the
+    index is scanned once — never shuffled, never re-decoded — and
+    matches vote per relative offset, so the head-trimmed batch clips
+    surface at offset_w=8 even though their whole-clip hash shares no
+    window with the stored one. The oracle re-derives both
+    subfingerprint tables arithmetically and brute-forces the
+    batch×index word matches."""
+    from dwh_spark.multimodal.audio_fp import (
+        audio_offset_incremental_ingest,
+        audio_subfingerprint_frame,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = audio_subfingerprint_frame(_audio_offset_fixture(docs, base=True, variants=False))
+    batch = _audio_offset_fixture(docs, base=False, variants=True)
+    matches = audio_offset_incremental_ingest(index, batch, min_matches=5)
+    return matches.select(
+        "batch_id",
+        "index_id",
+        F.col("offset").cast("long").alias("offset_w"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )

@@ -1267,6 +1267,192 @@ def semantic_ingest_smoke(n_corpus: int = 200_000, n_batch: int = 1_000) -> None
     spark.stop()
 
 
+
+
+def audio_fp_ingest_smoke(n_corpus: int = 100_000, n_batch: int = 1_000) -> None:
+    """Ingest-cost asymmetry for the incremental AUDIO perceptual path
+    (VERDICT r11 next #6 — the audio twin of phash_ingest_smoke): with
+    the corpus energy-fingerprint index STORED (decoded once, 16
+    bytes/clip thereafter), screening a daily clip batch costs
+    O(batch decodes + index scan + block collisions) — the naive
+    alternative re-DECODES every corpus WAV per ingest. Planted batch:
+    exact-2x-gain copies (fingerprint-identical by construction, so
+    every batch clip must hit its base)."""
+    import tempfile
+
+    from dwh_spark.multimodal.audio_fp import (
+        audio_fp_frame,
+        audio_fp_incremental_ingest,
+        audio_fp_near_dup_pairs,
+    )
+
+    spark = get_spark("audio-fp-ingest-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(which: str, n: int, base_of):
+        ids = spark.range(n).repartition(64)
+
+        def run(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            from dwh_spark.multimodal.audio import wav_encode
+
+            j = np.arange(64, dtype=np.int64)
+
+            def clip(d: int) -> "np.ndarray":
+                wins = []
+                for w in range(57):
+                    a = (
+                        int(hashlib.md5(f"{d}:{w}".encode()).hexdigest()[:4], 16)
+                        % 2048
+                    )
+                    wins.append((a + j * 13) % 2048 - 1024)
+                return np.concatenate(wins).astype(np.int16)
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "base":
+                        out.append((i, wav_encode(clip(i), 1000)))
+                    else:
+                        s2 = (clip(base_of(i)) * 2).astype(np.int16)
+                        out.append((10_000_000 + i, wav_encode(s2, 1000)))
+                yield pd.DataFrame(out, columns=["audio_id", "content"])
+
+        return ids.mapInPandas(run, "audio_id long, content binary")
+
+    corpus = gen("base", n_corpus, None)
+    batch = gen("gain", n_batch, lambda i: (i * 97) % n_corpus)
+
+    root = tempfile.mkdtemp(prefix="dwh_audio_fp_smoke_")
+    t = time.perf_counter()
+    audio_fp_frame(corpus).write.parquet(root + "/index")
+    build_s = time.perf_counter() - t
+    index = spark.read.parquet(root + "/index")
+
+    t = time.perf_counter()
+    n_hits = audio_fp_incremental_ingest(index, batch).count()
+    probe_s = time.perf_counter() - t
+
+    t = time.perf_counter()
+    n_naive = (
+        audio_fp_near_dup_pairs(corpus.unionByName(batch))
+        .filter(F.col("id_b") >= 10_000_000)
+        .count()
+    )
+    naive_s = time.perf_counter() - t
+
+    print(
+        f"audio fp ingest smoke ({n_corpus} corpus clips, {n_batch}-clip "
+        f"gain batch): fingerprint index build ONCE {build_s:.1f}s "
+        f"(decode-bound, 16 B/clip stored); incremental probe {probe_s:.1f}s "
+        f"({n_hits} matches — only the batch decoded, index scanned once); "
+        f"naive full re-pair {naive_s:.1f}s ({n_naive} batch matches — "
+        f"re-decodes the whole corpus every ingest). Per-day asymmetry "
+        f"{naive_s / max(probe_s, 1e-9):.1f}x"
+    )
+    spark.stop()
+
+
+def video_phash_ingest_smoke(
+    n_corpus: int = 200_000, n_frames: int = 10, n_batch: int = 1_000
+) -> None:
+    """Ingest-cost asymmetry for the PER-FRAME video index (VERDICT
+    r11 next #6): the stored index grows per FRAME — at 200k 10-frame
+    videos it holds 2M fingerprint rows — and the probe must stay
+    O(batch frames): the batch's per-frame blocks are broadcast into
+    the index, which is scanned once and never re-decoded. The naive
+    alternative re-decodes all 2M corpus frames per ingest. Planted
+    batch: 2x nearest-upscale re-encodes (per-frame dHash-invariant,
+    every batch video must out-vote min_frames on its base). Frame
+    grids come from one md5 digest per frame (64 of its 128 bits fill
+    the 8x8 cells) so fixture generation stays decode-dominated, not
+    hash-dominated."""
+    import tempfile
+
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_perceptual_incremental_ingest,
+        video_perceptual_near_dups,
+    )
+
+    spark = get_spark("video-phash-ingest-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(which: str, n: int, base_of):
+        ids = spark.range(n).repartition(64)
+
+        def run(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            from dwh_spark.multimodal import codecs
+
+            def grid(b: int, f: int) -> "np.ndarray":
+                bits = np.frombuffer(
+                    hashlib.md5(f"{b}:{f}".encode()).digest()[:8], np.uint8
+                )
+                g = ((bits[:, None] >> np.arange(8)) & 1).astype(np.uint8)
+                rgb = np.where(g[:, :, None] == 1, 200, 50).astype(np.uint8)
+                return np.repeat(rgb, 3, axis=2)
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    b = i if which == "base" else base_of(i)
+                    frames = np.stack([grid(b, f) for f in range(n_frames)])
+                    if which != "base":
+                        frames = frames.repeat(2, axis=1).repeat(2, axis=2)
+                        i += 10_000_000
+                    out.append((i, n_frames, codecs.avi_encode(frames)))
+                yield pd.DataFrame(
+                    out, columns=["video_id", "n_frames", "content"]
+                )
+
+        return ids.mapInPandas(run, "video_id long, n_frames long, content binary")
+
+    corpus = gen("base", n_corpus, None)
+    batch = gen("reenc", n_batch, lambda i: (i * 97) % n_corpus)
+
+    root = tempfile.mkdtemp(prefix="dwh_video_phash_smoke_")
+    t = time.perf_counter()
+    video_dhash_frames(corpus).write.parquet(root + "/index")
+    build_s = time.perf_counter() - t
+    index = spark.read.parquet(root + "/index")
+    n_index_rows = index.count()
+
+    t = time.perf_counter()
+    n_hits = video_perceptual_incremental_ingest(index, batch).count()
+    probe_s = time.perf_counter() - t
+
+    t = time.perf_counter()
+    n_naive = (
+        video_perceptual_near_dups(corpus.unionByName(batch))
+        .filter(F.col("id_b") >= 10_000_000)
+        .count()
+    )
+    naive_s = time.perf_counter() - t
+
+    print(
+        f"video phash ingest smoke ({n_corpus} corpus videos x {n_frames} "
+        f"frames = {n_index_rows} stored fingerprint rows, {n_batch}-video "
+        f"re-encode batch): per-frame index build ONCE {build_s:.1f}s "
+        f"(decode-bound, 16 B/frame stored); incremental probe {probe_s:.1f}s "
+        f"({n_hits} video matches — only the batch decoded, the index "
+        f"scanned once); naive full re-pair {naive_s:.1f}s ({n_naive} batch "
+        f"matches — re-decodes every corpus frame per ingest). Per-day "
+        f"asymmetry {naive_s / max(probe_s, 1e-9):.1f}x"
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if CASE == "append_log":
         append_log_soak()
@@ -1278,10 +1464,15 @@ if __name__ == "__main__":
         containment_smoke()
     elif CASE == "phash_ingest":
         phash_ingest_smoke()
+    elif CASE == "audio_fp_ingest":
+        audio_fp_ingest_smoke()
+    elif CASE == "video_phash_ingest":
+        video_phash_ingest_smoke()
     elif CASE is not None:
         raise SystemExit(
             f"unknown case {CASE!r} "
-            "(expected: append_log, semantic_ingest, triage, containment, phash_ingest)"
+            "(expected: append_log, semantic_ingest, triage, containment, "
+            "phash_ingest, audio_fp_ingest, video_phash_ingest)"
         )
     else:
         main()
