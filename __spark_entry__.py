@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "av_video_phash_offset_near_dups",  # head-drop-tolerant per-frame offset vote
     "imgs_corpus_build",                # image corpus-build capstone rollup
     "av_audio_fp_offset_ingest",        # offset-tolerant probe vs stored lookup table
+    "imgs_corpus_ingest_triage",        # image daily-delta triage vs stored indexes
     # -- stale r7 verdicts (cut from the r11 window): lead the round
     "q4_order_priority_exists",
     "q5_region_volume",

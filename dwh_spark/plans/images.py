@@ -1089,11 +1089,12 @@ def imgs_phash_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _imgs_corpus_fixture(docs):
+def _imgs_corpus_fixture(docs, base: bool = True, variants: bool = True):
     """Fixture corpus for the image corpus-build capstone (seed prefix
     'icb:' decorrelates it from _phash_fixture_images, FIXTURES.md
-    discipline). Per doc a REAL 8×8 two-tone PNG; planted rejects,
-    one arm per pipeline stage:
+    discipline). ``base`` emits per doc a REAL 8×8 two-tone PNG;
+    ``variants`` emits the planted rejects, one arm per pipeline
+    stage:
 
     - %10==2 → byte-identical PNG copy   (id+1,000,000; exact-dup arm)
     - %10==4 → 2× nearest-upscale BMP    (id+2,000,000; dHash hamming 0)
@@ -1136,19 +1137,20 @@ def _imgs_corpus_fixture(docs):
                 d = int(doc_id)
                 base_img = grid(d, flip=False)
                 png = codecs.png_encode(base_img)
-                out.append((d, png))
-                if d % 10 == 2:
+                if base:
+                    out.append((d, png))
+                if variants and d % 10 == 2:
                     out.append((d + 1000000, png))
-                if d % 10 == 4:
+                if variants and d % 10 == 4:
                     up2 = base_img.repeat(2, axis=0).repeat(2, axis=1)
                     out.append((d + 2000000, codecs.bmp_encode(up2)))
-                if d % 10 == 6:
+                if variants and d % 10 == 6:
                     edited = grid(d, flip=True).repeat(3, axis=0).repeat(3, axis=1)
                     out.append((d + 3000000, codecs.gif_encode(edited)))
-                if d % 10 == 8:
+                if variants and d % 10 == 8:
                     flat = np.full((8, 8, 3), 50, np.uint8)
                     out.append((d + 4000000, codecs.png_encode(flat)))
-                if d % 10 == 0:
+                if variants and d % 10 == 0:
                     out.append((d + 5000000, png[:24]))
             yield pd.DataFrame(out, columns=["image_id", "content"])
 
@@ -1157,7 +1159,59 @@ def _imgs_corpus_fixture(docs):
     )
 
 
-# single live persisted feature frame (same rotation discipline as
+def _imgs_feature_frame(imgs: DataFrame) -> DataFrame:
+    """ONE Arrow pass per image corpus: (image_id, bmd5, ok, dhash,
+    contrast) — content md5, decode-try, 56-bit dHash, and 8×8-grid
+    luma contrast. Blobs cross to Python exactly once; only the
+    ~50-byte feature row returns. This is the stored per-image
+    artifact every corpus-build/triage stage probes (the hash index
+    and fingerprint index are column subsets of it)."""
+    from dwh_spark.multimodal.perceptual import (
+        area_downscale,
+        decode_pixels,
+        dhash56,
+    )
+
+    def feat(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for k, fmt, c in zip(pdf["image_id"], pdf["format"], pdf["content"]):
+                data = bytes(c)
+                bmd5 = hashlib.md5(data).hexdigest()
+                try:
+                    arr = decode_pixels(data, fmt)
+                    gray = (
+                        0.299 * arr[:, :, 0].astype(np.float64)
+                        + 0.587 * arr[:, :, 1].astype(np.float64)
+                        + 0.114 * arr[:, :, 2].astype(np.float64)
+                    )
+                    g = area_downscale(gray, 8, 8)
+                    out.append(
+                        (
+                            int(k),
+                            bmd5,
+                            True,
+                            dhash56(arr),
+                            int(round(g.max() - g.min())),
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — any decode failure routes out
+                    out.append((int(k), bmd5, False, None, None))
+            yield pd.DataFrame(
+                out, columns=["image_id", "bmd5", "ok", "dhash", "contrast"]
+            )
+
+    return imgs.mapInPandas(
+        feat, "image_id long, bmd5 string, ok boolean, dhash long, contrast long"
+    )
+
+
+# live persisted feature frames (same rotation discipline as
 # documents.py:_CORPUS_SEM_CACHE): the slim (id, md5, ok, dhash,
 # contrast) frame feeds four downstream consumers — re-decoding the
 # corpus per consumer would quadruple the only expensive stage
@@ -1269,12 +1323,7 @@ def imgs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing rescans or re-decodes the corpus: the feature frame is the
     16-byte-per-image artifact every later stage (and the incremental
     ingest twins) probes."""
-    from dwh_spark.multimodal.perceptual import (
-        DHASH_BITS,
-        area_downscale,
-        decode_pixels,
-        dhash56,
-    )
+    from dwh_spark.multimodal.perceptual import DHASH_BITS
     from dwh_spark.operators.dedup import simhash_blocked_pairs
     from dwh_spark.operators.sampling import hash_bucket
 
@@ -1283,45 +1332,7 @@ def imgs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(32)
     )
-    imgs = _imgs_corpus_fixture(docs)
-
-    def feat(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for k, fmt, c in zip(pdf["image_id"], pdf["format"], pdf["content"]):
-                data = bytes(c)
-                bmd5 = hashlib.md5(data).hexdigest()
-                try:
-                    arr = decode_pixels(data, fmt)
-                    gray = (
-                        0.299 * arr[:, :, 0].astype(np.float64)
-                        + 0.587 * arr[:, :, 1].astype(np.float64)
-                        + 0.114 * arr[:, :, 2].astype(np.float64)
-                    )
-                    g = area_downscale(gray, 8, 8)
-                    out.append(
-                        (
-                            int(k),
-                            bmd5,
-                            True,
-                            dhash56(arr),
-                            int(round(g.max() - g.min())),
-                        )
-                    )
-                except Exception:  # noqa: BLE001 — any decode failure routes out
-                    out.append((int(k), bmd5, False, None, None))
-            yield pd.DataFrame(
-                out, columns=["image_id", "bmd5", "ok", "dhash", "contrast"]
-            )
-
-    feats = imgs.mapInPandas(
-        feat, "image_id long, bmd5 string, ok boolean, dhash long, contrast long"
-    ).persist()
+    feats = _imgs_feature_frame(_imgs_corpus_fixture(docs)).persist()
     while _IMGS_CORPUS_CACHE:
         _IMGS_CORPUS_CACHE.pop().unpersist()
     _IMGS_CORPUS_CACHE.append(feats)
@@ -1359,4 +1370,169 @@ def imgs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_images"),
             F.sum("image_id").alias("id_sum"),
         )
+    )
+
+
+_IMGS_TRIAGE_ORACLE = """
+WITH ids AS (
+  SELECT doc_id + 1000000 AS image_id, doc_id AS base, 'copy' AS kind
+  FROM documents WHERE doc_id % 10 = 2
+  UNION ALL
+  SELECT doc_id + 2000000, doc_id, 'reenc' FROM documents WHERE doc_id % 10 = 4
+  UNION ALL
+  SELECT doc_id + 3000000, doc_id, 'edit' FROM documents WHERE doc_id % 10 = 6
+  UNION ALL
+  SELECT doc_id + 4000000, doc_id, 'flat' FROM documents WHERE doc_id % 10 = 8
+  UNION ALL
+  SELECT doc_id + 5000000, doc_id, 'trunc' FROM documents WHERE doc_id % 10 = 0
+),
+all_imgs AS (
+  SELECT doc_id AS image_id, doc_id AS base, 'base' AS kind, 0 AS is_new
+  FROM documents
+  UNION ALL
+  SELECT image_id, base, kind, 1 FROM ids
+),
+cells AS (
+  SELECT a.image_id, a.kind, a.is_new, g.r, g.c,
+         ((('0x' || substr(md5('icb:' || CAST(a.base AS VARCHAR) || ':'
+                            || g.r || ':' || g.c), 1, 1))::INT
+           + CASE WHEN a.kind = 'edit' AND g.r = a.base % 8
+                   AND g.c = (a.base // 8) % 8 THEN 1 ELSE 0 END)
+          % 2) AS b
+  FROM all_imgs a,
+       (SELECT r.r, c.c
+        FROM (SELECT unnest(range(0, 8)) AS r) r,
+             (SELECT unnest(range(0, 8)) AS c) c) g
+  WHERE a.kind IN ('base', 'copy', 'reenc', 'edit')
+),
+pats AS (
+  SELECT image_id, kind, is_new,
+         string_agg(CAST(b AS VARCHAR), '' ORDER BY r, c) AS pat,
+         count(DISTINCT b) AS n_lv
+  FROM cells GROUP BY 1, 2, 3
+),
+hashes AS (
+  SELECT b1.image_id,
+         CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                       THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                       ELSE 0 END) AS BIGINT) AS h
+  FROM cells b1
+  JOIN cells b2 ON b2.image_id = b1.image_id AND b2.r = b1.r
+               AND b2.c = b1.c + 1
+  GROUP BY 1
+),
+-- the stored corpus artifacts: base-image hash classes + fingerprints
+corpus AS (
+  SELECT p.image_id, p.pat, h.h
+  FROM pats p JOIN hashes h USING (image_id)
+  WHERE p.is_new = 0 AND p.n_lv > 1
+),
+exact AS (  -- byte-identity needs the same codec+size class: only the
+            -- 8x8 PNG arm ('copy') shares the corpus PNGs' class
+  SELECT DISTINCT p.image_id
+  FROM pats p JOIN corpus c ON c.pat = p.pat
+  WHERE p.is_new = 1 AND p.kind IN ('base', 'copy')
+),
+near AS (
+  SELECT DISTINCT p.image_id
+  FROM pats p
+  JOIN hashes hb USING (image_id)
+  JOIN corpus c ON bit_count(xor(hb.h, c.h)) <= 3
+  WHERE p.is_new = 1 AND p.n_lv > 1
+    AND p.image_id NOT IN (SELECT image_id FROM exact)
+),
+dec AS (
+  SELECT i.image_id,
+         CASE WHEN i.kind = 'trunc' THEN 'undecodable'
+              WHEN i.kind = 'flat' OR p.n_lv = 1 THEN 'low_quality'
+              WHEN e.image_id IS NOT NULL THEN 'exact_dup'
+              WHEN n.image_id IS NOT NULL THEN 'near_dup'
+              ELSE 'kept' END AS decision
+  FROM ids i
+  LEFT JOIN pats p ON p.image_id = i.image_id
+  LEFT JOIN exact e ON e.image_id = i.image_id
+  LEFT JOIN near n ON n.image_id = i.image_id
+)
+SELECT image_id, decision FROM dec
+"""
+
+
+@query("imgs_corpus_ingest_triage", oracle=_IMGS_TRIAGE_ORACLE)
+def imgs_corpus_ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-delta triage for the IMAGE modality — the incremental
+    twin of imgs_corpus_build and the image analog of the docs triage
+    (operators/dedup.py:corpus_ingest_triage): route each NEW image to
+    the FIRST matching decision — 'undecodable' (decode-try fails),
+    'low_quality' (zero 8×8-grid contrast), 'exact_dup' (content md5
+    already in the STORED corpus hash index), 'near_dup' (dHash within
+    hamming ≤ 3 of the STORED fingerprint index), else 'kept'.
+
+    Probe discipline matches the docs triage exactly: both stored
+    indexes are column subsets of the corpus feature frame (built once
+    at corpus-build time; recomputed here from the base fixture) and
+    are STREAMED, never shuffled — the batch's hash set and
+    fingerprint blocks are BROADCAST into them; probes run
+    cheapest-first over shrinking inputs (decode/contrast gates are
+    per-row, the exact probe sees only quality passers, the perceptual
+    probe only quality-passing non-exact rows). Per-batch cost is
+    O(batch decodes + index scans + collisions) — the corpus is never
+    re-decoded. The oracle re-derives decisions from the generating
+    arithmetic: dHashes and byte-identity classes (pattern equality
+    within one codec+size class) from doc_id alone."""
+    from dwh_spark.multimodal.perceptual import DHASH_BITS
+    from dwh_spark.operators.dedup import simhash_blocked_probe
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    corpus_feats = _imgs_feature_frame(
+        _imgs_corpus_fixture(docs, base=True, variants=False)
+    ).persist()
+    batch_feats = _imgs_feature_frame(
+        _imgs_corpus_fixture(docs, base=False, variants=True)
+    ).persist()
+    while _IMGS_CORPUS_CACHE:
+        _IMGS_CORPUS_CACHE.pop().unpersist()
+    _IMGS_CORPUS_CACHE.extend([corpus_feats, batch_feats])
+
+    qual = batch_feats.filter(F.col("ok") & (F.col("contrast") > 0))
+    # exact probe: batch hash set BROADCAST into the streamed corpus
+    # hash index; `found` is <= batch rows and broadcasts back
+    batch_hashes = qual.select("bmd5").distinct()
+    found = (
+        corpus_feats.select("bmd5")
+        .join(F.broadcast(batch_hashes), "bmd5")
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    survivors = qual.join(F.broadcast(found.select("bmd5")), "bmd5", "left_anti")
+    # perceptual probe: batch fingerprint blocks BROADCAST into the
+    # streamed corpus fingerprint index
+    near = (
+        simhash_blocked_probe(
+            corpus_feats.select("image_id", F.col("dhash").alias("simhash")),
+            survivors.select("image_id", F.col("dhash").alias("simhash")),
+            key="image_id",
+            n_blocks=4,
+            block_bits=DHASH_BITS // 4,
+            max_hamming=3,
+        )
+        .select(F.col("batch_id").alias("image_id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    decision = (
+        F.when(~F.col("ok"), F.lit("undecodable"))
+        .when(F.col("contrast") == 0, F.lit("low_quality"))
+        .when(F.col("__exact"), F.lit("exact_dup"))
+        .when(F.col("__near"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        batch_feats.join(F.broadcast(found), "bmd5", "left")
+        .join(near, "image_id", "left")
+        .withColumn("decision", decision)
+        .select("image_id", "decision")
     )

@@ -177,6 +177,13 @@ HEADLINERS = {
     "av_video_phash_incremental_ingest": "video ingest probe: batch-only "
     "decode, per-frame blocks BROADCAST into the stored fingerprint "
     "index (BroadcastHashJoin, index = stream side)",
+    "imgs_corpus_ingest_triage": "image daily-delta triage: decode/"
+    "contrast gates per-row, batch hash set and fingerprint blocks "
+    "BROADCAST into the streamed stored indexes, probes gated "
+    "cheapest-first over shrinking inputs",
+    "av_audio_fp_offset_ingest": "offset-tolerant audio ingest: batch "
+    "subfingerprints BROADCAST into the stored H-K lookup table, "
+    "relative-offset vote over matches only",
     "imgs_corpus_build": "image corpus-build capstone: one Arrow "
     "feature pass (blobs cross once), md5 groupBy exact arm, blocked "
     "perceptual arm over survivors only, codegen hash split — the "
