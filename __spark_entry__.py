@@ -61,6 +61,8 @@ _CHECK_FIRST = [
     "imgs_corpus_build",                # image corpus-build capstone rollup
     "av_audio_fp_offset_ingest",        # offset-tolerant probe vs stored lookup table
     "imgs_corpus_ingest_triage",        # image daily-delta triage vs stored indexes
+    "av_video_phash_offset_ingest",     # head-drop-tolerant probe vs per-frame index
+    "streaming_audio_offset_ingest",    # H-K lookup table as stream state
     # -- stale r7 verdicts (cut from the r11 window): lead the round
     "q4_order_priority_exists",
     "q5_region_volume",

@@ -218,6 +218,45 @@ def audio_offset_near_dup_pairs(
     )
 
 
+def audio_offset_vote_probe(
+    index_subfps: DataFrame,
+    batch_subfps: DataFrame,
+    key: str = "audio_id",
+    min_matches: int = 5,
+) -> DataFrame:
+    """The subfingerprint-level probe behind
+    :func:`audio_offset_incremental_ingest` (and the streaming fold,
+    which holds already-decoded batch subfingerprints): both inputs
+    are (key, pos, sub32) frames; the batch's words are BROADCAST into
+    the stored lookup table (scanned once, never shuffled) and matches
+    vote per relative offset. Returns (batch_id, index_id, offset,
+    n_matches) with offset = pos_index - pos_batch."""
+    return (
+        index_subfps.select(
+            F.col(key).alias("index_id"),
+            F.col("pos").alias("pos_i"),
+            "sub32",
+        )
+        .join(
+            F.broadcast(
+                batch_subfps.select(
+                    F.col(key).alias("batch_id"),
+                    F.col("pos").alias("pos_b"),
+                    "sub32",
+                )
+            ),
+            "sub32",
+        )
+        .groupBy(
+            "batch_id",
+            "index_id",
+            (F.col("pos_i") - F.col("pos_b")).alias("offset"),
+        )
+        .agg(F.count("*").alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
 def audio_offset_incremental_ingest(
     index_subfps: DataFrame,
     new_audio: DataFrame,
@@ -232,29 +271,8 @@ def audio_offset_incremental_ingest(
     relative-offset vote. Returns (batch_id, index_id, offset,
     n_matches)."""
     batch = audio_subfingerprint_frame(new_audio, key, content_col)
-    return (
-        index_subfps.select(
-            F.col(key).alias("index_id"),
-            F.col("pos").alias("pos_i"),
-            "sub32",
-        )
-        .join(
-            F.broadcast(
-                batch.select(
-                    F.col("audio_id").alias("batch_id"),
-                    F.col("pos").alias("pos_b"),
-                    "sub32",
-                )
-            ),
-            "sub32",
-        )
-        .groupBy(
-            "batch_id",
-            "index_id",
-            (F.col("pos_i") - F.col("pos_b")).alias("offset"),
-        )
-        .agg(F.count("*").alias("n_matches"))
-        .filter(F.col("n_matches") >= min_matches)
+    return audio_offset_vote_probe(
+        index_subfps, batch, key=key, min_matches=min_matches
     )
 
 

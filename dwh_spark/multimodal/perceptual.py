@@ -399,6 +399,65 @@ def video_frame_vote_probe(
     )
 
 
+def video_offset_vote_probe(
+    index_frames: DataFrame,
+    batch_frames: DataFrame,
+    key: str = "video_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    min_frames: int = 3,
+) -> DataFrame:
+    """The OFFSET-TOLERANT ingest probe — :func:`video_frame_vote_probe`
+    with the frame_ix join key dropped and a relative-offset vote, so a
+    stored video still catches a head-dropped / time-shifted batch
+    copy. Both inputs are (key, frame_ix, dhash) frames; the batch's
+    per-frame blocks are BROADCAST into the index (scanned once, never
+    shuffled, never re-decoded) and matched frame pairs vote on
+    (index frame_ix - batch frame_ix). Same scale trade as
+    :func:`video_offset_near_dups`: per-(block, value) fan-out is the
+    frame corpus / 2^block_bits; compose with coarse time-banding
+    beyond that budget. Returns (batch_id, index_id, offset,
+    n_frames_matched, total_hamming)."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole guarantee needs n_blocks > max_hamming "
+            f"(got {n_blocks} blocks for hamming {max_hamming})"
+        )
+    block_bits = DHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i")
+    val = F.expr(f"shiftright(dhash, i * {block_bits})").bitwiseAND(F.lit(mask))
+    idx = index_frames.select(
+        F.col(key).alias("index_id"), "frame_ix", "dhash", blocks
+    ).select(
+        "index_id", F.col("dhash").alias("h_i"),
+        F.col("frame_ix").alias("f_i"), "i", val.alias("val"),
+    )
+    bat = batch_frames.select(
+        F.col(key).alias("batch_id"), "frame_ix", "dhash", blocks
+    ).select(
+        "batch_id", F.col("dhash").alias("h_b"),
+        F.col("frame_ix").alias("f_b"), "i", val.alias("val"),
+    )
+    frame_matches = (
+        idx.join(F.broadcast(bat), ["i", "val"])
+        .select("batch_id", "index_id", "f_i", "f_b", "h_b", "h_i")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (
+        frame_matches.groupBy(
+            "batch_id", "index_id", (F.col("f_i") - F.col("f_b")).alias("offset")
+        )
+        .agg(
+            F.count("*").alias("n_frames_matched"),
+            F.sum("hamming").alias("total_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 def perceptual_incremental_ingest(
     index_hashes: DataFrame,
     new_images: DataFrame,

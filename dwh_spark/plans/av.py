@@ -1461,3 +1461,92 @@ def av_audio_fp_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").cast("long").alias("offset_w"),
         F.col("n_matches").cast("long").alias("n_matches"),
     )
+
+
+@query(
+    "av_video_phash_offset_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS drop_head,
+             0 AS edit, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 1, 0, 1 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1, 1, 1 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    cells AS (
+      SELECT i.video_id, i.is_new, f.f - i.drop_head AS f, g.r, g.c,
+             ((('0x' || substr(md5('voff:' || CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND f.f = 2 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 5)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+      WHERE f.f >= i.drop_head
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.is_new, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2, 3
+    ),
+    frame_matches AS (
+      SELECT n.video_id AS batch_id, x.video_id AS index_id,
+             x.f - n.f AS offset_f,
+             bit_count(xor(n.h, x.h)) AS hamming
+      FROM hashes n JOIN hashes x ON n.is_new = 1 AND x.is_new = 0
+      WHERE bit_count(xor(n.h, x.h)) <= 3
+    )
+    SELECT batch_id, index_id, CAST(offset_f AS BIGINT) AS offset_f,
+           count(*) AS n_frames_matched,
+           CAST(sum(hamming) AS BIGINT) AS total_hamming
+    FROM frame_matches GROUP BY 1, 2, 3 HAVING count(*) >= 3
+    """,
+)
+def av_video_phash_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time OFFSET-TOLERANT video screen: the stored per-frame
+    fingerprint index catches a HEAD-DROPPED batch copy that the
+    aligned probe (av_video_phash_incremental_ingest) misses by
+    construction — the probe drops the frame_ix join key and votes on
+    the relative offset instead
+    (multimodal/perceptual.py:video_offset_vote_probe). Only the batch
+    is decoded; its per-frame blocks are BROADCAST into the index
+    (scanned once, never shuffled, never re-decoded). The planted
+    head-dropped copies match at offset_f=1 with all 4 surviving
+    frames; the dropped+edited copies keep all 4 votes with the edit
+    in total_hamming. The oracle re-derives every frame hash and
+    brute-forces the UNALIGNED batch×index frame pairs."""
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_offset_vote_probe,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = video_dhash_frames(_video_offset_fixture(docs, base=True, variants=False))
+    batch = _video_offset_fixture(docs, base=False, variants=True)
+    matches = video_offset_vote_probe(
+        index, video_dhash_frames(batch), max_hamming=3, min_frames=3
+    )
+    return matches.select(
+        "batch_id",
+        "index_id",
+        F.col("offset").cast("long").alias("offset_f"),
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("total_hamming").cast("long").alias("total_hamming"),
+    )

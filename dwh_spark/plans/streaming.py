@@ -1068,3 +1068,113 @@ def streaming_video_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_video_phash_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
     return read_video_phash_ingest_results(spark, out_dir)
+
+
+_AUDIO_OFFSET_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 0 AS skip_head, 57 AS n_win
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 8, 49 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0, 49 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    seeds AS (
+      SELECT i.audio_id, w.w,
+             ('0x' || substr(md5('off:' || CAST(i.base AS VARCHAR) || ':'
+                              || CAST(i.skip_head + w.w AS VARCHAR)), 1, 4))::BIGINT
+               % 2048 AS a
+      FROM ids i, (SELECT unnest(range(0, 57)) AS w) w
+      WHERE w.w < i.n_win
+    ),
+    sq AS (
+      SELECT s.audio_id, s.w,
+             sum((((s.a + t.j * 13) % 2048 - 1024)
+                  * ((s.a + t.j * 13) % 2048 - 1024))) AS e
+      FROM seeds s, (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT a.audio_id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM sq a JOIN sq b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 25)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2
+      HAVING count(*) = 32
+    ),
+    offset_pairs AS (
+      SELECT a.audio_id AS id_a, b.audio_id AS id_b
+      FROM sub a JOIN sub b
+        ON b.word = a.word AND a.audio_id < b.audio_id
+      GROUP BY a.audio_id, b.audio_id, (a.p - b.p)
+      HAVING count(*) >= 5
+    ),
+    partners AS (SELECT DISTINCT id_a, id_b FROM offset_pairs)
+    SELECT id_b AS audio_id, count(*) AS n_earlier_odups
+    FROM partners GROUP BY 1
+    """
+
+
+@query("streaming_audio_offset_ingest", oracle=_AUDIO_OFFSET_INGEST_ORACLE)
+def streaming_audio_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OFFSET-TOLERANT audio ingest — the Haitsma-Kalker
+    subfingerprint LOOKUP TABLE as accumulating stream state
+    (streaming/phash_ingest.py:run_audio_offset_ingest), so the stream
+    flags earlier TRIMMED/time-shifted copies that the whole-clip-hash
+    stream (streaming_audio_fp_ingest) misses by construction: clips
+    (the offset fixture of av_audio_fp_offset_near_dups: bases plus
+    head-trim and tail-trim+gain copies) arrive in audio_id order,
+    split by ntile(3) into 3 equal-count micro-batches — id ORDER is
+    what parity needs; fixture groups may straddle a batch boundary,
+    which only moves partners between the within-batch and index-probe
+    arms. Each batch is DECODED ONCE into its subfingerprints, votes
+    within-batch by self-probing its own words, probes the stored
+    table with its words BROADCAST, then appends O(batch positions)
+    ~12-byte rows under the high-water replay guard. Drained output
+    equals the brute-force earlier-partners offset-vote oracle."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.plans.av import _audio_offset_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_audio_offset_ingest_results,
+        run_audio_offset_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    audio = _audio_offset_fixture(docs, base=True, variants=True)
+
+    root = tempfile.mkdtemp(prefix="dwh_audio_offset_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(audio.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_audio_offset_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
+    return read_audio_offset_ingest_results(spark, out_dir)

@@ -264,3 +264,82 @@ def read_video_phash_ingest_results(spark: SparkSession, out_dir: str) -> DataFr
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*")
     ).select("video_id", "n_earlier_vdups")
+
+
+def run_audio_offset_ingest(
+    stream: DataFrame,
+    index_store: ParquetAppendLog,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_matches: int = 5,
+    maintenance=None,
+) -> None:
+    """OFFSET-TOLERANT audio binding: the stored state is the
+    Haitsma-Kalker subfingerprint LOOKUP TABLE ((audio_id, pos, sub32)
+    — ~12 bytes/position, the audio analog of the per-frame video
+    index), so the stream catches TRIMMED/time-shifted earlier copies
+    the whole-clip hash misses by construction. Each batch decodes
+    only itself (one Arrow pass → subfingerprints), votes within-batch
+    by self-probing its own words, probes the stored table with its
+    words broadcast (multimodal/audio_fp.py:audio_offset_vote_probe),
+    then appends O(batch positions) rows under the same high-water
+    replay guard as the generic fold. Output per batch:
+    (audio_id, n_earlier_odups) — distinct earlier partners with >=
+    ``min_matches`` word matches at one consistent offset."""
+    from dwh_spark.multimodal.audio_fp import (
+        audio_offset_vote_probe,
+        audio_subfingerprint_frame,
+    )
+
+    spark = stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        lc = index_store.last_committed()
+        if lc is not None and batch_id <= lc:
+            return
+        batch_subfps = audio_subfingerprint_frame(batch_df).persist()
+        # a pair can qualify at more than one offset — count PARTNERS,
+        # not qualifying (pair, offset) rows
+        within = (
+            audio_offset_vote_probe(
+                batch_subfps, batch_subfps, min_matches=min_matches
+            )
+            .filter(F.col("index_id") < F.col("batch_id"))
+            .select(F.col("batch_id").alias("audio_id"), "index_id")
+            .distinct()
+        )
+        prior = index_store.current(spark)
+        flagged = within
+        if prior is not None:
+            cross = (
+                audio_offset_vote_probe(
+                    prior, batch_subfps, min_matches=min_matches
+                )
+                .select(F.col("batch_id").alias("audio_id"), "index_id")
+                .distinct()
+            )
+            flagged = flagged.unionByName(cross)
+        flagged.groupBy("audio_id").agg(
+            F.count("*").alias("n_earlier_odups")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        index_store.append(batch_subfps, batch_id)
+        batch_subfps.unpersist()
+        if maintenance is not None:
+            maintenance(batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_audio_offset_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All drained (audio_id, n_earlier_odups) rows across batches."""
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "batch=*")
+    ).select("audio_id", "n_earlier_odups")

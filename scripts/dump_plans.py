@@ -184,6 +184,13 @@ HEADLINERS = {
     "av_audio_fp_offset_ingest": "offset-tolerant audio ingest: batch "
     "subfingerprints BROADCAST into the stored H-K lookup table, "
     "relative-offset vote over matches only",
+    "av_video_phash_offset_ingest": "head-drop-tolerant video ingest: "
+    "frame_ix dropped from the join key, batch frames BROADCAST, "
+    "pairs vote on the relative frame offset",
+    "streaming_audio_offset_ingest": "drained read-back (the H-K "
+    "subfingerprint lookup table as stream state — each batch "
+    "self-probes for within-batch trims, probes the stored table "
+    "broadcast-side, appends O(batch positions) rows)",
     "imgs_corpus_build": "image corpus-build capstone: one Arrow "
     "feature pass (blobs cross once), md5 groupBy exact arm, blocked "
     "perceptual arm over survivors only, codegen hash split — the "
