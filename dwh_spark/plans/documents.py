@@ -2490,3 +2490,77 @@ def docs_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(err_bound * (K + 1) <= n).alias("bound_certified"),
         )
     )
+
+
+@query(
+    "docs_containment_capped_ingest",
+    oracle=f"""
+    WITH alldocs AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+               AS text
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+    ),
+    docs AS (SELECT doc_id, string_split(text, ' ') AS s FROM alldocs),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                   for i in range(1, len(s) - 1)])) AS shingle
+      FROM docs WHERE len(s) >= 3
+    ),
+    corpus_df AS (
+      SELECT shingle, count(*) AS df FROM sh
+      WHERE doc_id < 1000000 GROUP BY 1
+    ),
+    rare AS (SELECT shingle FROM corpus_df WHERE df <= 25),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    ct_common AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_common
+      FROM sh a
+      JOIN rare r ON r.shingle = a.shingle
+      JOIN sh b ON b.shingle = a.shingle
+      WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT new_id, corpus_id,
+           round(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS cont_new_in_corpus,
+           round(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS cont_corpus_in_new
+    FROM ct_common
+    JOIN sizes sa ON sa.doc_id = new_id
+    JOIN sizes sb ON sb.doc_id = corpus_id
+    WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.n_sh, 6),
+                   round(CAST(n_common AS DOUBLE) / sb.n_sh, 6)) >= 0.9
+    """,
+)
+def docs_containment_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental Broder containment screen with the STOP-GRAM
+    CAP ON over a PREBUILT posting index (VERDICT r11 what's-wrong #3,
+    closed): the stored index (operators/dedup.py:
+    containment_posting_index, with_df=True) carries per-shingle
+    document frequency as a COLUMN, so the cap (df <= 25: boilerplate
+    shingles posted in more than 25 corpus docs leave the probe) is a
+    map-side filter on the streamed index — the probe plan contains NO
+    corpus-side aggregate (pinned by tests/test_dedup_rotation.py::
+    test_containment_capped_probe_is_map_side). Batch = the first-30-
+    words fragments of the %10==3 corpus docs (containment-only pairs);
+    containment denominators stay the FULL per-doc shingle counts (the
+    cap drops join rows, not set sizes) — the documented under-estimate
+    trade applies only to n_common. The oracle derives the posting DF,
+    the cap, and both containment directions from first principles."""
+    from dwh_spark.operators.dedup import (
+        containment_incremental,
+        containment_posting_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    frags = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " ").alias("text"),
+    )
+    index = containment_posting_index(corpus, with_df=True)
+    return containment_incremental(
+        corpus, frags, threshold=0.9, max_doc_freq=25, posting_index=index
+    )

@@ -177,6 +177,9 @@ HEADLINERS = {
     "av_video_phash_incremental_ingest": "video ingest probe: batch-only "
     "decode, per-frame blocks BROADCAST into the stored fingerprint "
     "index (BroadcastHashJoin, index = stream side)",
+    "docs_containment_capped_ingest": "stop-gram cap as a map-side "
+    "filter on the stored df column — no corpus-side aggregate in the "
+    "probe; batch postings BROADCAST into the capped index",
     "imgs_corpus_ingest_triage": "image daily-delta triage: decode/"
     "contrast gates per-row, batch hash set and fingerprint blocks "
     "BROADCAST into the streamed stored indexes, probes gated "
