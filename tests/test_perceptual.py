@@ -374,3 +374,50 @@ def test_video_offset_vote_finds_head_dropped_copy(spark):
     # flipped cell's neighbor comparison keeps its sign) — the claim
     # is the edited frame STILL VOTES, i.e. all 4 frames match
     assert (off, nm) == (1, 4) and th <= 2
+
+
+def test_video_offset_probe_broadcasts_batch(spark):
+    """The offset-tolerant video ingest probe keeps the asymmetric
+    discipline (stored per-frame index streamed, BATCH frames
+    broadcast) while catching a head-dropped batch copy the aligned
+    probe misses at the right offset."""
+    import pandas as pd
+
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_frame_vote_probe,
+        video_offset_vote_probe,
+    )
+
+    def vid(seed, n=5, head_drop=False):
+        frames = np.stack([_pattern(seed * 10 + f) for f in range(n)])
+        if head_drop:
+            frames = frames[1:]
+        return len(frames), codecs.avi_encode(frames)
+
+    rows = []
+    for i in range(4):
+        n, v = vid(i)
+        rows.append((i, n, v))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "n_frames", "content"])
+    )
+    index = video_dhash_frames(corpus)
+    n, v = vid(2, head_drop=True)
+    batch_frames = video_dhash_frames(
+        spark.createDataFrame(
+            pd.DataFrame([(500, n, v)], columns=["video_id", "n_frames", "content"])
+        )
+    )
+    aligned = video_frame_vote_probe(index, batch_frames, min_frames=3)
+    assert aligned.count() == 0  # absolute frame_ix: every vote lost
+    probe = video_offset_vote_probe(index, batch_frames, min_frames=3)
+    got = {
+        (r["batch_id"], r["index_id"]): (
+            r["offset"], r["n_frames_matched"], r["total_hamming"]
+        )
+        for r in probe.collect()
+    }
+    assert got == {(500, 2): (1, 4, 0)}
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
