@@ -1178,3 +1178,107 @@ def streaming_audio_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     run_audio_offset_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
     return read_audio_offset_ingest_results(spark, out_dir)
+
+
+_VIDEO_OFFSET_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS drop_head, 0 AS edit
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 1, 0 FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1, 1 FROM documents WHERE doc_id % 10 = 7
+    ),
+    cells AS (
+      SELECT i.video_id, f.f - i.drop_head AS f, g.r, g.c,
+             ((('0x' || substr(md5('voff:' || CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND f.f = 2 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 5)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+      WHERE f.f >= i.drop_head
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    ),
+    offset_pairs AS (
+      SELECT a.video_id AS id_a, b.video_id AS id_b
+      FROM hashes a JOIN hashes b ON a.video_id < b.video_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+      GROUP BY a.video_id, b.video_id, (b.f - a.f)
+      HAVING count(*) >= 3
+    ),
+    partners AS (SELECT DISTINCT id_a, id_b FROM offset_pairs)
+    SELECT id_b AS video_id, count(*) AS n_earlier_ovdups
+    FROM partners GROUP BY 1
+    """
+
+
+@query("streaming_video_offset_ingest", oracle=_VIDEO_OFFSET_INGEST_ORACLE)
+def streaming_video_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OFFSET-TOLERANT video ingest — completes the offset
+    family's modality matrix (audio batch/incremental/streaming, video
+    batch/incremental/STREAMING): the per-frame fingerprint index as
+    stream state with the RELATIVE-OFFSET vote probe
+    (streaming/phash_ingest.py:run_video_offset_ingest), so the stream
+    flags earlier head-dropped copies the aligned video fold misses by
+    construction. Videos (the offset fixture: 5-frame bases plus
+    head-dropped and head-dropped+edited copies) arrive in video_id
+    order, split by ntile(3) into 3 equal-count micro-batches — id
+    ORDER is what parity needs; fixture groups may straddle a batch
+    boundary, which only moves partners between the within-batch and
+    index-probe arms. Each batch decodes only itself (one Arrow pass),
+    self-probes for within-batch partners, probes the stored index
+    with its frames BROADCAST, then appends O(batch frames) 16-byte
+    rows under the high-water replay guard. Drained output equals the
+    brute-force earlier-partners offset-vote oracle."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.plans.av import _video_offset_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_video_offset_ingest_results,
+        run_video_offset_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    vids = _video_offset_fixture(docs, base=True, variants=True)
+
+    root = tempfile.mkdtemp(prefix="dwh_video_offset_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = vids.withColumn("__slice", F.ntile(3).over(Window.orderBy("video_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(vids.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_video_offset_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
+    return read_video_offset_ingest_results(spark, out_dir)

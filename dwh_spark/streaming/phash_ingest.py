@@ -343,3 +343,84 @@ def read_audio_offset_ingest_results(spark: SparkSession, out_dir: str) -> DataF
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*")
     ).select("audio_id", "n_earlier_odups")
+
+
+def run_video_offset_ingest(
+    stream: DataFrame,
+    index_store: ParquetAppendLog,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    min_frames: int = 3,
+    maintenance=None,
+) -> None:
+    """OFFSET-TOLERANT video binding — run_video_phash_ingest with the
+    relative-offset vote probe substituted
+    (multimodal/perceptual.py:video_offset_vote_probe), so the stream
+    flags earlier HEAD-DROPPED / time-shifted copies the aligned fold
+    misses by construction. Same index store (per-frame 16-byte rows),
+    same decode-once/broadcast-probe/replay-guard discipline. Output
+    per batch: (video_id, n_earlier_ovdups) — distinct earlier
+    partners with >= ``min_frames`` frame matches at one consistent
+    offset."""
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_offset_vote_probe,
+    )
+
+    spark = stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        lc = index_store.last_committed()
+        if lc is not None and batch_id <= lc:
+            return
+        batch_frames = video_dhash_frames(batch_df).persist()
+        # a pair can qualify at more than one offset — count PARTNERS
+        within = (
+            video_offset_vote_probe(
+                batch_frames, batch_frames,
+                max_hamming=max_hamming, n_blocks=n_blocks,
+                min_frames=min_frames,
+            )
+            .filter(F.col("index_id") < F.col("batch_id"))
+            .select(F.col("batch_id").alias("video_id"), "index_id")
+            .distinct()
+        )
+        prior = index_store.current(spark)
+        flagged = within
+        if prior is not None:
+            cross = (
+                video_offset_vote_probe(
+                    prior, batch_frames,
+                    max_hamming=max_hamming, n_blocks=n_blocks,
+                    min_frames=min_frames,
+                )
+                .select(F.col("batch_id").alias("video_id"), "index_id")
+                .distinct()
+            )
+            flagged = flagged.unionByName(cross)
+        flagged.groupBy("video_id").agg(
+            F.count("*").alias("n_earlier_ovdups")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        index_store.append(batch_frames, batch_id)
+        batch_frames.unpersist()
+        if maintenance is not None:
+            maintenance(batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_video_offset_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All drained (video_id, n_earlier_ovdups) rows across batches."""
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "batch=*")
+    ).select("video_id", "n_earlier_ovdups")

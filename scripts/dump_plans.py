@@ -194,6 +194,9 @@ HEADLINERS = {
     "subfingerprint lookup table as stream state — each batch "
     "self-probes for within-batch trims, probes the stored table "
     "broadcast-side, appends O(batch positions) rows)",
+    "streaming_video_offset_ingest": "drained read-back (per-frame "
+    "index as stream state with the RELATIVE-OFFSET vote probe — "
+    "head-dropped copies keep their votes across batches)",
     "imgs_corpus_build": "image corpus-build capstone: one Arrow "
     "feature pass (blobs cross once), md5 groupBy exact arm, blocked "
     "perceptual arm over survivors only, codegen hash split — the "

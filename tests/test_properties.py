@@ -840,3 +840,31 @@ def test_blocked_probe_matches_bruteforce(spark, index_fps, batch_fps):
             if d <= 3:
                 want[(100 + bi, ii)] = d
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(40, 60),
+    st.integers(0, 12),
+    st.integers(1, 15),
+)
+def test_subfingerprint_trim_offset_invariant(seed, n_win, head_k, gain):
+    """For ANY int16 clip, ANY window-multiple head trim, and ANY
+    non-clipping gain: every subfingerprint of the trimmed+gained copy
+    equals its base twin at exactly the trim offset (the H-K value
+    claim of multimodal/audio_fp.py:subfingerprints, pinned as a law
+    rather than on one fixture)."""
+    import numpy as np
+
+    from dwh_spark.multimodal.audio_fp import subfingerprints
+
+    s = np.random.default_rng(seed).integers(-1024, 1024, n_win * 64).astype(np.int16)
+    base = dict(subfingerprints(s))
+    trimmed = (s[head_k * 64:].astype(np.int64) * gain)
+    got = dict(subfingerprints(trimmed))
+    # windows: len//64; positions: windows-1-32+1; empty when too short
+    n_win = len(trimmed) // 64
+    assert len(got) == max(0, n_win - 32)
+    for p, word in got.items():
+        assert word == base[p + head_k], (p, head_k, gain)
