@@ -145,14 +145,12 @@ def subfingerprints(samples: np.ndarray, win: int = SUBFP_WIN) -> list[tuple[int
         return []
     sq = (flat[: n_win * win].reshape(n_win, win) ** 2).sum(axis=1)
     bits = (sq[1:] > sq[:-1]).astype(np.int64)  # n_win - 1 sign bits
-    out = []
-    for p in range(len(bits) - SUBFP_BITS + 1):
-        word = 0
-        for t in range(SUBFP_BITS):
-            if bits[p + t]:
-                word |= 1 << t
-        out.append((p, word))
-    return out
+    # all sliding 32-bit words in one vectorized pass (a Python
+    # double loop here costs ~80M interpreted ops per 100k-clip index
+    # build; exact int64 arithmetic either way)
+    windows = np.lib.stride_tricks.sliding_window_view(bits, SUBFP_BITS)
+    words = windows @ (np.int64(1) << np.arange(SUBFP_BITS, dtype=np.int64))
+    return list(enumerate(int(w) for w in words))
 
 
 def audio_subfingerprint_frame(
@@ -201,7 +199,20 @@ def audio_offset_near_dup_pairs(
     (id_a, id_b, offset, n_matches) with offset = pos_a - pos_b
     (positive ⇒ b starts ``offset`` windows into a)."""
     fp = audio_subfingerprint_frame(audio, key, content_col)
-    a, b = fp.alias("a"), fp.alias("b")
+    return audio_offset_pairs_from_subfps(fp, min_matches=min_matches)
+
+
+def audio_offset_pairs_from_subfps(
+    subfps: DataFrame, min_matches: int = 5
+) -> DataFrame:
+    """The pairs-form offset vote over an ALREADY-DECODED (audio_id,
+    pos, sub32) table — id_a < id_b INSIDE the join condition, so the
+    self-join never carries both pair directions or the self-pair
+    groups (every position matches itself at offset 0) through the
+    vote. Shared by :func:`audio_offset_near_dup_pairs` and the
+    streaming fold's within-batch arm. Returns
+    (id_a, id_b, offset, n_matches)."""
+    a, b = subfps.alias("a"), subfps.alias("b")
     return (
         a.join(
             b,
@@ -271,8 +282,16 @@ def audio_offset_incremental_ingest(
     relative-offset vote. Returns (batch_id, index_id, offset,
     n_matches)."""
     batch = audio_subfingerprint_frame(new_audio, key, content_col)
+    # the subfingerprint frame always emits 'audio_id' (its schema is
+    # fixed); normalize the index side the same way so a non-default
+    # ``key`` resolves — the same normalization as
+    # :func:`audio_fp_incremental_ingest`
+    if key != "audio_id":
+        index_subfps = index_subfps.select(
+            F.col(key).alias("audio_id"), "pos", "sub32"
+        )
     return audio_offset_vote_probe(
-        index_subfps, batch, key=key, min_matches=min_matches
+        index_subfps, batch, key="audio_id", min_matches=min_matches
     )
 
 

@@ -191,6 +191,112 @@ def video_dhash_frames(
     )
 
 
+def _blocked_frame_matches(
+    a_frames: DataFrame,
+    b_frames: DataFrame,
+    a_id: str,
+    b_id: str,
+    align_frames: bool,
+    broadcast_b: bool,
+    lt_filter: bool,
+    max_hamming: int,
+    n_blocks: int,
+) -> DataFrame:
+    """The ONE pigeonhole block join all four video pairing/probing
+    forms share (aligned/offset × self-pair/index-probe): explode each
+    (id, frame_ix, dhash) row into ``n_blocks`` 14-bit block values,
+    equi-join on (block, value) — plus ``frame_ix`` when
+    ``align_frames`` — then dedupe multi-block hits and keep frame
+    pairs at hamming <= ``max_hamming``. ``broadcast_b`` pins the B
+    side as the broadcast build (the ingest-probe discipline: stored
+    index streamed, batch broadcast); ``lt_filter`` keeps a.id < b.id
+    (the self-join form). Full recall at hamming <= n_blocks-1 by
+    pigeonhole. Returns (a_id, b_id, f_a, f_b, hamming)."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole guarantee needs n_blocks > max_hamming "
+            f"(got {n_blocks} blocks for hamming {max_hamming})"
+        )
+    block_bits = DHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i")
+    val = F.expr(f"shiftright(dhash, i * {block_bits})").bitwiseAND(F.lit(mask))
+
+    def side(frames: DataFrame, out_id: str, h: str, f: str) -> DataFrame:
+        return frames.select("video_id", "frame_ix", "dhash", blocks).select(
+            F.col("video_id").alias(out_id),
+            F.col("dhash").alias(h),
+            F.col("frame_ix").alias(f),
+            "i",
+            val.alias("val"),
+        )
+
+    a = side(a_frames, a_id, "h_a", "f_a")
+    b = side(b_frames, b_id, "h_b", "f_b")
+    if broadcast_b:
+        b = F.broadcast(b)
+    cond = (F.col("a.i") == F.col("b.i")) & (F.col("a.val") == F.col("b.val"))
+    if align_frames:
+        cond = cond & (F.col("a.f_a") == F.col("b.f_b"))
+    if lt_filter:
+        cond = cond & (F.col(f"a.{a_id}") < F.col(f"b.{b_id}"))
+    return (
+        a.alias("a")
+        .join(b.alias("b"), cond)
+        .select(a_id, b_id, "f_a", "f_b", "h_a", "h_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _norm_frames(frames: DataFrame, key: str) -> DataFrame:
+    """Normalize a (key, frame_ix, dhash) frame table to the
+    'video_id' column name :func:`_blocked_frame_matches` expects."""
+    if key == "video_id":
+        return frames
+    return frames.select(
+        F.col(key).alias("video_id"), "frame_ix", "dhash"
+    )
+
+
+def video_offset_pairs_from_frames(
+    frames: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Offset-form frame pairs over an ALREADY-DECODED (video_id,
+    frame_ix, dhash) table — the pairs-form self-join (id_a < id_b
+    inside the join condition), shared by :func:`video_offset_near_dups`
+    and the streaming fold's within-batch arm so neither carries both
+    pair directions or self-pair groups through the vote. Returns
+    (id_a, id_b, f_a, f_b, hamming)."""
+    return _blocked_frame_matches(
+        frames, frames, "id_a", "id_b",
+        align_frames=False, broadcast_b=False, lt_filter=True,
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
+def video_offset_partner_votes(
+    frames: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    min_frames: int = 3,
+) -> DataFrame:
+    """Distinct (id_a, id_b) partner pairs (id_a < id_b) with >=
+    ``min_frames`` frame matches at ONE consistent relative offset —
+    the within-batch arm of the streaming offset fold."""
+    return (
+        video_offset_pairs_from_frames(frames, max_hamming, n_blocks)
+        .groupBy("id_a", "id_b", (F.col("f_a") - F.col("f_b")).alias("offset"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_frames)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def video_perceptual_near_dups(
     videos: DataFrame,
     key: str = "video_id",
@@ -214,38 +320,11 @@ def video_perceptual_near_dups(
     head loses every vote — the offset-tolerant form is
     :func:`video_offset_near_dups`. Returns
     (id_a, id_b, n_frames_matched, total_hamming)."""
-    if max_hamming >= n_blocks:
-        raise ValueError(
-            f"pigeonhole guarantee needs n_blocks > max_hamming "
-            f"(got {n_blocks} blocks for hamming {max_hamming})"
-        )
-    block_bits = DHASH_BITS // n_blocks
-    mask = (1 << block_bits) - 1
     fp = video_dhash_frames(videos, key, content_col, n_frames_col)
-    blk = fp.select(
-        "video_id",
-        "frame_ix",
-        "dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i"),
-    ).withColumn(
-        "val",
-        F.expr(f"shiftright(dhash, i * {block_bits})").bitwiseAND(F.lit(mask)),
-    )
-    a = blk.select(
-        F.col("video_id").alias("id_a"), F.col("dhash").alias("h_a"),
-        "frame_ix", "i", "val",
-    )
-    b = blk.select(
-        F.col("video_id").alias("id_b"), F.col("dhash").alias("h_b"),
-        "frame_ix", "i", "val",
-    )
-    frame_pairs = (
-        a.join(b, ["frame_ix", "i", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "frame_ix", "h_a", "h_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
+    frame_pairs = _blocked_frame_matches(
+        fp, fp, "id_a", "id_b",
+        align_frames=True, broadcast_b=False, lt_filter=True,
+        max_hamming=max_hamming, n_blocks=n_blocks,
     )
     return (
         frame_pairs.groupBy("id_a", "id_b")
@@ -285,38 +364,9 @@ def video_offset_near_dups(
     cover the expected drift) — same composition as the band/bucket
     discipline everywhere else in-repo. Returns
     (id_a, id_b, offset, n_frames_matched, total_hamming)."""
-    if max_hamming >= n_blocks:
-        raise ValueError(
-            f"pigeonhole guarantee needs n_blocks > max_hamming "
-            f"(got {n_blocks} blocks for hamming {max_hamming})"
-        )
-    block_bits = DHASH_BITS // n_blocks
-    mask = (1 << block_bits) - 1
     fp = video_dhash_frames(videos, key, content_col, n_frames_col)
-    blk = fp.select(
-        "video_id",
-        "frame_ix",
-        "dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i"),
-    ).withColumn(
-        "val",
-        F.expr(f"shiftright(dhash, i * {block_bits})").bitwiseAND(F.lit(mask)),
-    )
-    a = blk.select(
-        F.col("video_id").alias("id_a"), F.col("dhash").alias("h_a"),
-        F.col("frame_ix").alias("f_a"), "i", "val",
-    )
-    b = blk.select(
-        F.col("video_id").alias("id_b"), F.col("dhash").alias("h_b"),
-        F.col("frame_ix").alias("f_b"), "i", "val",
-    )
-    frame_pairs = (
-        a.join(b, ["i", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "f_a", "f_b", "h_a", "h_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
+    frame_pairs = video_offset_pairs_from_frames(
+        fp, max_hamming=max_hamming, n_blocks=n_blocks
     )
     return (
         frame_pairs.groupBy(
@@ -367,27 +417,12 @@ def video_frame_vote_probe(
     fold, which holds already-decoded batch frames): both inputs are
     (key, frame_ix, dhash) frames; the batch's per-frame blocks are
     BROADCAST into the index per (frame_ix, block) and pairs vote."""
-    if max_hamming >= n_blocks:
-        raise ValueError(
-            f"pigeonhole guarantee needs n_blocks > max_hamming "
-            f"(got {n_blocks} blocks for hamming {max_hamming})"
-        )
-    block_bits = DHASH_BITS // n_blocks
-    mask = (1 << block_bits) - 1
-    blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i")
-    val = F.expr(f"shiftright(dhash, i * {block_bits})").bitwiseAND(F.lit(mask))
-    idx = index_frames.select(
-        F.col(key).alias("index_id"), "frame_ix", "dhash", blocks
-    ).select("index_id", F.col("dhash").alias("h_i"), "frame_ix", "i", val.alias("val"))
-    bat = batch_frames.select(
-        F.col(key).alias("batch_id"), "frame_ix", "dhash", blocks
-    ).select("batch_id", F.col("dhash").alias("h_b"), "frame_ix", "i", val.alias("val"))
-    frame_matches = (
-        idx.join(F.broadcast(bat), ["frame_ix", "i", "val"])
-        .select("batch_id", "index_id", "frame_ix", "h_b", "h_i")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))))
-        .filter(F.col("hamming") <= max_hamming)
+    frame_matches = _blocked_frame_matches(
+        _norm_frames(index_frames, key),
+        _norm_frames(batch_frames, key),
+        "index_id", "batch_id",
+        align_frames=True, broadcast_b=True, lt_filter=False,
+        max_hamming=max_hamming, n_blocks=n_blocks,
     )
     return (
         frame_matches.groupBy("batch_id", "index_id")
@@ -418,37 +453,16 @@ def video_offset_vote_probe(
     frame corpus / 2^block_bits; compose with coarse time-banding
     beyond that budget. Returns (batch_id, index_id, offset,
     n_frames_matched, total_hamming)."""
-    if max_hamming >= n_blocks:
-        raise ValueError(
-            f"pigeonhole guarantee needs n_blocks > max_hamming "
-            f"(got {n_blocks} blocks for hamming {max_hamming})"
-        )
-    block_bits = DHASH_BITS // n_blocks
-    mask = (1 << block_bits) - 1
-    blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i")
-    val = F.expr(f"shiftright(dhash, i * {block_bits})").bitwiseAND(F.lit(mask))
-    idx = index_frames.select(
-        F.col(key).alias("index_id"), "frame_ix", "dhash", blocks
-    ).select(
-        "index_id", F.col("dhash").alias("h_i"),
-        F.col("frame_ix").alias("f_i"), "i", val.alias("val"),
-    )
-    bat = batch_frames.select(
-        F.col(key).alias("batch_id"), "frame_ix", "dhash", blocks
-    ).select(
-        "batch_id", F.col("dhash").alias("h_b"),
-        F.col("frame_ix").alias("f_b"), "i", val.alias("val"),
-    )
-    frame_matches = (
-        idx.join(F.broadcast(bat), ["i", "val"])
-        .select("batch_id", "index_id", "f_i", "f_b", "h_b", "h_i")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))))
-        .filter(F.col("hamming") <= max_hamming)
+    frame_matches = _blocked_frame_matches(
+        _norm_frames(index_frames, key),
+        _norm_frames(batch_frames, key),
+        "index_id", "batch_id",
+        align_frames=False, broadcast_b=True, lt_filter=False,
+        max_hamming=max_hamming, n_blocks=n_blocks,
     )
     return (
         frame_matches.groupBy(
-            "batch_id", "index_id", (F.col("f_i") - F.col("f_b")).alias("offset")
+            "batch_id", "index_id", (F.col("f_a") - F.col("f_b")).alias("offset")
         )
         .agg(
             F.count("*").alias("n_frames_matched"),

@@ -519,7 +519,7 @@ def containment_posting_index(
     ``df`` is what makes the stop-gram cap map-side at ingest time:
     the probe filters ``df <= cap`` on the stored column instead of
     aggregating the corpus-sized posting table per batch. Attaching it
-    costs one window aggregate here, at INDEX BUILD time — once per
+    costs one hash aggregate + join here, at INDEX BUILD time — once per
     index version, amortized over every subsequent ingest. The column
     is append-maintainable: a new doc's postings only ever INCREMENT
     the df of the shingles it contains (df never shrinks under
@@ -537,11 +537,14 @@ def containment_posting_index(
     )
     if not with_df:
         return postings
-    from pyspark.sql import Window
-
-    return postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("h"))
-    )
+    # groupBy + join, NOT a Window.partitionBy("h") count: the window
+    # form has no map-side partial aggregation, so every posting of a
+    # hot shingle funnels into one task — and the hottest keys are
+    # exactly the stop-grams the df column exists to drop. The groupBy
+    # combines map-side; the join back re-shuffles on h (build-time
+    # cost, amortized per index version).
+    freq = postings.groupBy("h").agg(F.count("*").alias("df"))
+    return postings.join(freq, "h")
 
 
 def containment_incremental(

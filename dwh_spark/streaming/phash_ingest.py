@@ -1,30 +1,34 @@
 """Streaming PERCEPTUAL near-dup ingest — fingerprint indexes as
-accumulating stream state, one fold shared by the image and audio
-modalities.
+accumulating stream state, ONE fold shared by every modality binding.
 
 The sibling of ``streaming/docs_ingest.py`` (MinHash bands) and
 ``streaming/emb_ingest.py`` (IVF cells), completing the ladder for the
 perceptual dedup families: media batches arrive in key order; each
-batch is decoded ONCE (Arrow mapInPandas → a 56-bit fingerprint: image
-dHash or audio energy hash), flags within-batch earlier mates off its
-own fingerprint frame, probes the STORED fingerprint index for
-cross-batch re-encodes/resizes/gain-changes/near-edits (batch blocks
-BROADCAST into the index — operators/dedup.py:simhash_blocked_probe),
-then appends its O(batch) fingerprint rows under the high-water replay
-guard. Id-ordered batches make "stored index ∪ smaller-id batch mates"
-exactly "all earlier items", so the drained output equals the batch
-earlier-partners oracle — stream/batch parity, the repo-wide streaming
-claim.
+batch is decoded ONCE (Arrow mapInPandas → a fingerprint frame), flags
+within-batch earlier mates off its own frame, probes the STORED index
+for cross-batch re-encodes/resizes/gain-changes/trims (batch side
+BROADCAST into the index), then appends its O(batch) fingerprint rows
+under the high-water replay guard. Id-ordered batches make "stored
+index ∪ smaller-id batch mates" exactly "all earlier items", so the
+drained output equals the batch earlier-partners oracle — stream/batch
+parity, the repo-wide streaming claim.
 
-The fold is GENERIC over the fingerprint function (``fp_fn``: media
-batch → (key, fingerprint) frame): ``run_phash_ingest`` (images) and
-``run_audio_fp_ingest`` (audio clips) are thin bindings, so the crash
-semantics, replay guard, and index discipline are written — and
-tested — once. Crash semantics match the sibling ingests: per-batch
-results land in a VERSIONED output dir (``out/batch=<id>``, overwrite)
-BEFORE the index append commits; the append is the completion marker.
+ALL bindings run through :func:`_run_indexed_ingest` — the crash
+semantics, replay guard, versioned-output-then-append commit ordering,
+and index discipline are written (and tested) ONCE; a binding supplies
+only its fingerprint function and its within/cross partner probes:
 
-At 100 TB the fingerprint index is 16 bytes/item — a billion items is
+- image / audio whole-clip  (56-bit hash, pigeonhole blocked probe)
+- video ALIGNED             (per-frame index, temporally-aligned vote)
+- audio OFFSET              (H-K subfingerprint lookup table)
+- video OFFSET              (per-frame index, relative-offset vote)
+
+Crash semantics (identical everywhere): per-batch results land in a
+VERSIONED output dir (``out/batch=<id>``, overwrite) BEFORE the index
+append commits; the append is the completion marker.
+
+At 100 TB the fingerprint index is 16 bytes/item (12 B/position for
+the audio lookup table, 16 B/frame for video) — a billion items is
 ~16 GB, scanned once per ingest batch and never shuffled; the decode
 cost lives entirely on the new batch. Reference parity:
 x/imgresizer/resizer.go:137-174 asks the blob store "exists?" per
@@ -46,27 +50,31 @@ from dwh_spark.operators.dedup import simhash_blocked_pairs, simhash_blocked_pro
 from dwh_spark.streaming.ingest import ParquetAppendLog
 
 
-def run_fingerprint_ingest(
+def _run_indexed_ingest(
     stream: DataFrame,
-    fp_fn: Callable[[DataFrame], DataFrame],
     index_store: ParquetAppendLog,
     out_dir: str,
     checkpoint_dir: str,
-    key: str,
-    fp_col: str,
+    fp_fn: Callable[[DataFrame], DataFrame],
+    within_fn: Callable[[DataFrame], DataFrame],
+    cross_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    id_col: str,
     out_count_col: str,
-    fp_bits: int = 56,
-    max_hamming: int = 3,
-    n_blocks: int = 4,
     maintenance=None,
 ) -> None:
-    """Drain an id-ordered media stream, flagging each item's earlier
-    perceptual near-dup partners. ``fp_fn`` maps the raw batch frame to
-    (key, fp_col); ``maintenance`` is the same housekeeping seam as the
-    sibling ingests (compact/expire on the index store after each batch
-    commit)."""
+    """THE fold: drain an id-ordered media stream, flagging each
+    item's earlier perceptual near-dup partners.
+
+    ``fp_fn`` maps the raw batch frame to the fingerprint frame that
+    is both probed and appended (the stored artifact's schema).
+    ``within_fn(batch_fps)`` and ``cross_fn(prior_index, batch_fps)``
+    each return ONE ROW PER (item, earlier-partner) with the item's id
+    in ``id_col`` — the fold unions them and counts partners. The
+    within arm should use the pairs-form (earlier < later INSIDE the
+    join) so the self-join never carries both pair directions or the
+    self-pair groups through its vote; the cross arm must BROADCAST
+    the batch side into the streamed index."""
     spark = stream.sparkSession
-    block_bits = fp_bits // n_blocks
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         # high-water replay guard (index append commits LAST = marker)
@@ -75,30 +83,13 @@ def run_fingerprint_ingest(
             return
         # one decode pass feeds three consumers (within-batch pairs,
         # the index probe, the store append): persist the slim
-        # (key, fingerprint) frame, never the media bytes
+        # fingerprint frame, never the media bytes
         batch_fps = fp_fn(batch_df).persist()
-        sh = batch_fps.select(
-            F.col(key).alias("doc_id"), F.col(fp_col).alias("simhash")
-        )
-        within = simhash_blocked_pairs(
-            sh, key="doc_id", n_blocks=n_blocks,
-            block_bits=block_bits, max_hamming=max_hamming,
-        ).select(F.col("id_b").alias(key))
+        flagged = within_fn(batch_fps)
         prior = index_store.current(spark)
-        flagged = within
         if prior is not None:
-            crossb = simhash_blocked_probe(
-                prior.select(
-                    F.col(key).alias("doc_id"), F.col(fp_col).alias("simhash")
-                ),
-                sh,
-                key="doc_id",
-                n_blocks=n_blocks,
-                block_bits=block_bits,
-                max_hamming=max_hamming,
-            ).select(F.col("batch_id").alias(key))
-            flagged = flagged.unionByName(crossb)
-        flagged.groupBy(key).agg(
+            flagged = flagged.unionByName(cross_fn(prior, batch_fps))
+        flagged.groupBy(id_col).agg(
             F.count("*").alias(out_count_col)
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
@@ -117,6 +108,54 @@ def run_fingerprint_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def _read_results(spark: SparkSession, out_dir: str, cols: list[str]) -> DataFrame:
+    """All drained per-batch result rows across ``out/batch=*``."""
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "batch=*")
+    ).select(*cols)
+
+
+def run_fingerprint_ingest(
+    stream: DataFrame,
+    fp_fn: Callable[[DataFrame], DataFrame],
+    index_store: ParquetAppendLog,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    fp_col: str,
+    out_count_col: str,
+    fp_bits: int = 56,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    maintenance=None,
+) -> None:
+    """Whole-item fingerprint binding (one 56-bit hash per item —
+    image dHash or audio energy hash): within-batch mates via the
+    pigeonhole blocked self-join, cross-batch via the blocked probe
+    with the batch's blocks broadcast."""
+    block_bits = fp_bits // n_blocks
+
+    def as_sh(fps: DataFrame) -> DataFrame:
+        return fps.select(F.col(key).alias("doc_id"), F.col(fp_col).alias("simhash"))
+
+    def within(batch_fps: DataFrame) -> DataFrame:
+        return simhash_blocked_pairs(
+            as_sh(batch_fps), key="doc_id", n_blocks=n_blocks,
+            block_bits=block_bits, max_hamming=max_hamming,
+        ).select(F.col("id_b").alias(key))
+
+    def cross(prior: DataFrame, batch_fps: DataFrame) -> DataFrame:
+        return simhash_blocked_probe(
+            as_sh(prior), as_sh(batch_fps), key="doc_id",
+            n_blocks=n_blocks, block_bits=block_bits, max_hamming=max_hamming,
+        ).select(F.col("batch_id").alias(key))
+
+    _run_indexed_ingest(
+        stream, index_store, out_dir, checkpoint_dir,
+        fp_fn, within, cross, key, out_count_col, maintenance,
+    )
 
 
 def run_phash_ingest(
@@ -148,9 +187,7 @@ def run_phash_ingest(
 
 def read_phash_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """All drained (image_id, n_earlier_pdups) rows across batches."""
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "batch=*")
-    ).select("image_id", "n_earlier_pdups")
+    return _read_results(spark, out_dir, ["image_id", "n_earlier_pdups"])
 
 
 def run_audio_fp_ingest(
@@ -182,9 +219,7 @@ def run_audio_fp_ingest(
 
 def read_audio_fp_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """All drained (audio_id, n_earlier_adups) rows across batches."""
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "batch=*")
-    ).select("audio_id", "n_earlier_adups")
+    return _read_results(spark, out_dir, ["audio_id", "n_earlier_adups"])
 
 
 def run_video_phash_ingest(
@@ -197,73 +232,50 @@ def run_video_phash_ingest(
     min_frames: int = 3,
     maintenance=None,
 ) -> None:
-    """Video binding with per-frame VOTING (a video pairs when ≥
-    ``min_frames`` temporally-aligned frames match): the index store
-    accumulates (video_id, frame_ix, dhash) rows — 16 bytes/frame; each
-    batch decodes only itself (one Arrow pass, blobs never exploded),
-    votes within-batch off its own frame fingerprints, probes the
-    stored per-frame index with its blocks broadcast
-    (multimodal/perceptual.py:video_perceptual_incremental_ingest),
-    then appends under the same high-water replay guard as the generic
-    fold. Output per batch: (video_id, n_earlier_vdups)."""
+    """Video binding with temporally-ALIGNED per-frame VOTING (a video
+    pairs when >= ``min_frames`` same-index frames match): the index
+    store accumulates (video_id, frame_ix, dhash) rows — 16 bytes per
+    frame; each batch decodes only itself (one Arrow pass, blobs never
+    exploded), votes within-batch via the pairs-form aligned self-join
+    (earlier < later inside the join), probes the stored per-frame
+    index with its blocks broadcast
+    (multimodal/perceptual.py:video_frame_vote_probe). Output per
+    batch: (video_id, n_earlier_vdups)."""
     from dwh_spark.multimodal.perceptual import (
+        _blocked_frame_matches,
         video_dhash_frames,
         video_frame_vote_probe,
     )
 
-    spark = stream.sparkSession
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        lc = index_store.last_committed()
-        if lc is not None and batch_id <= lc:
-            return
-        batch_frames = video_dhash_frames(batch_df).persist()
-        # within-batch earlier mates: the same vote probe with the
-        # batch as BOTH sides — keep index_id < batch_id pairs (the
-        # probe keeps self-pairs and both directions; earlier-mates
-        # semantics filters one direction, as the cell probes do)
-        within = (
-            video_frame_vote_probe(
-                batch_frames, batch_frames,
+    def within(batch_frames: DataFrame) -> DataFrame:
+        return (
+            _blocked_frame_matches(
+                batch_frames, batch_frames, "id_a", "id_b",
+                align_frames=True, broadcast_b=False, lt_filter=True,
                 max_hamming=max_hamming, n_blocks=n_blocks,
-                min_frames=min_frames,
             )
-            .filter(F.col("index_id") < F.col("batch_id"))
-            .select(F.col("batch_id").alias("video_id"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_frames)
+            .select(F.col("id_b").alias("video_id"))
         )
-        prior = index_store.current(spark)
-        flagged = within
-        if prior is not None:
-            cross = video_frame_vote_probe(
-                prior, batch_frames,
-                max_hamming=max_hamming, n_blocks=n_blocks,
-                min_frames=min_frames,
-            ).select(F.col("batch_id").alias("video_id"))
-            flagged = flagged.unionByName(cross)
-        flagged.groupBy("video_id").agg(
-            F.count("*").alias("n_earlier_vdups")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        index_store.append(batch_frames, batch_id)
-        batch_frames.unpersist()
-        if maintenance is not None:
-            maintenance(batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    def cross(prior: DataFrame, batch_frames: DataFrame) -> DataFrame:
+        return video_frame_vote_probe(
+            prior, batch_frames,
+            max_hamming=max_hamming, n_blocks=n_blocks, min_frames=min_frames,
+        ).select(F.col("batch_id").alias("video_id"))
+
+    _run_indexed_ingest(
+        stream, index_store, out_dir, checkpoint_dir,
+        video_dhash_frames, within, cross, "video_id", "n_earlier_vdups",
+        maintenance,
     )
-    q.awaitTermination()
 
 
 def read_video_phash_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """All drained (video_id, n_earlier_vdups) rows across batches."""
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "batch=*")
-    ).select("video_id", "n_earlier_vdups")
+    return _read_results(spark, out_dir, ["video_id", "n_earlier_vdups"])
 
 
 def run_audio_offset_ingest(
@@ -278,71 +290,46 @@ def run_audio_offset_ingest(
     Haitsma-Kalker subfingerprint LOOKUP TABLE ((audio_id, pos, sub32)
     — ~12 bytes/position, the audio analog of the per-frame video
     index), so the stream catches TRIMMED/time-shifted earlier copies
-    the whole-clip hash misses by construction. Each batch decodes
-    only itself (one Arrow pass → subfingerprints), votes within-batch
-    by self-probing its own words, probes the stored table with its
-    words broadcast (multimodal/audio_fp.py:audio_offset_vote_probe),
-    then appends O(batch positions) rows under the same high-water
-    replay guard as the generic fold. Output per batch:
-    (audio_id, n_earlier_odups) — distinct earlier partners with >=
-    ``min_matches`` word matches at one consistent offset."""
+    the whole-clip hash misses by construction. Within-batch partners
+    come from the pairs-form offset vote (earlier < later inside the
+    join); the cross probe broadcasts the batch's words into the
+    stored table (multimodal/audio_fp.py:audio_offset_vote_probe).
+    Output per batch: (audio_id, n_earlier_odups) — distinct earlier
+    partners with >= ``min_matches`` word matches at one consistent
+    offset."""
     from dwh_spark.multimodal.audio_fp import (
+        audio_offset_pairs_from_subfps,
         audio_offset_vote_probe,
         audio_subfingerprint_frame,
     )
 
-    spark = stream.sparkSession
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        lc = index_store.last_committed()
-        if lc is not None and batch_id <= lc:
-            return
-        batch_subfps = audio_subfingerprint_frame(batch_df).persist()
-        # a pair can qualify at more than one offset — count PARTNERS,
-        # not qualifying (pair, offset) rows
-        within = (
-            audio_offset_vote_probe(
-                batch_subfps, batch_subfps, min_matches=min_matches
-            )
-            .filter(F.col("index_id") < F.col("batch_id"))
-            .select(F.col("batch_id").alias("audio_id"), "index_id")
+    def within(batch_subfps: DataFrame) -> DataFrame:
+        # a pair can qualify at more than one offset — count PARTNERS
+        return (
+            audio_offset_pairs_from_subfps(batch_subfps, min_matches=min_matches)
+            .select("id_a", "id_b")
             .distinct()
+            .select(F.col("id_b").alias("audio_id"))
         )
-        prior = index_store.current(spark)
-        flagged = within
-        if prior is not None:
-            cross = (
-                audio_offset_vote_probe(
-                    prior, batch_subfps, min_matches=min_matches
-                )
-                .select(F.col("batch_id").alias("audio_id"), "index_id")
-                .distinct()
-            )
-            flagged = flagged.unionByName(cross)
-        flagged.groupBy("audio_id").agg(
-            F.count("*").alias("n_earlier_odups")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        index_store.append(batch_subfps, batch_id)
-        batch_subfps.unpersist()
-        if maintenance is not None:
-            maintenance(batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    def cross(prior: DataFrame, batch_subfps: DataFrame) -> DataFrame:
+        return (
+            audio_offset_vote_probe(prior, batch_subfps, min_matches=min_matches)
+            .select("batch_id", "index_id")
+            .distinct()
+            .select(F.col("batch_id").alias("audio_id"))
+        )
+
+    _run_indexed_ingest(
+        stream, index_store, out_dir, checkpoint_dir,
+        audio_subfingerprint_frame, within, cross,
+        "audio_id", "n_earlier_odups", maintenance,
     )
-    q.awaitTermination()
 
 
 def read_audio_offset_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """All drained (audio_id, n_earlier_odups) rows across batches."""
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "batch=*")
-    ).select("audio_id", "n_earlier_odups")
+    return _read_results(spark, out_dir, ["audio_id", "n_earlier_odups"])
 
 
 def run_video_offset_ingest(
@@ -355,72 +342,46 @@ def run_video_offset_ingest(
     min_frames: int = 3,
     maintenance=None,
 ) -> None:
-    """OFFSET-TOLERANT video binding — run_video_phash_ingest with the
-    relative-offset vote probe substituted
+    """OFFSET-TOLERANT video binding — the aligned video fold with the
+    relative-offset vote substituted
     (multimodal/perceptual.py:video_offset_vote_probe), so the stream
     flags earlier HEAD-DROPPED / time-shifted copies the aligned fold
     misses by construction. Same index store (per-frame 16-byte rows),
-    same decode-once/broadcast-probe/replay-guard discipline. Output
-    per batch: (video_id, n_earlier_ovdups) — distinct earlier
-    partners with >= ``min_frames`` frame matches at one consistent
-    offset."""
+    same decode-once/broadcast-probe discipline. Output per batch:
+    (video_id, n_earlier_ovdups) — distinct earlier partners with >=
+    ``min_frames`` frame matches at one consistent offset."""
     from dwh_spark.multimodal.perceptual import (
         video_dhash_frames,
+        video_offset_partner_votes,
         video_offset_vote_probe,
     )
 
-    spark = stream.sparkSession
+    def within(batch_frames: DataFrame) -> DataFrame:
+        return video_offset_partner_votes(
+            batch_frames,
+            max_hamming=max_hamming, n_blocks=n_blocks, min_frames=min_frames,
+        ).select(F.col("id_b").alias("video_id"))
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        lc = index_store.last_committed()
-        if lc is not None and batch_id <= lc:
-            return
-        batch_frames = video_dhash_frames(batch_df).persist()
+    def cross(prior: DataFrame, batch_frames: DataFrame) -> DataFrame:
         # a pair can qualify at more than one offset — count PARTNERS
-        within = (
+        return (
             video_offset_vote_probe(
-                batch_frames, batch_frames,
+                prior, batch_frames,
                 max_hamming=max_hamming, n_blocks=n_blocks,
                 min_frames=min_frames,
             )
-            .filter(F.col("index_id") < F.col("batch_id"))
-            .select(F.col("batch_id").alias("video_id"), "index_id")
+            .select("batch_id", "index_id")
             .distinct()
+            .select(F.col("batch_id").alias("video_id"))
         )
-        prior = index_store.current(spark)
-        flagged = within
-        if prior is not None:
-            cross = (
-                video_offset_vote_probe(
-                    prior, batch_frames,
-                    max_hamming=max_hamming, n_blocks=n_blocks,
-                    min_frames=min_frames,
-                )
-                .select(F.col("batch_id").alias("video_id"), "index_id")
-                .distinct()
-            )
-            flagged = flagged.unionByName(cross)
-        flagged.groupBy("video_id").agg(
-            F.count("*").alias("n_earlier_ovdups")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        index_store.append(batch_frames, batch_id)
-        batch_frames.unpersist()
-        if maintenance is not None:
-            maintenance(batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_indexed_ingest(
+        stream, index_store, out_dir, checkpoint_dir,
+        video_dhash_frames, within, cross, "video_id", "n_earlier_ovdups",
+        maintenance,
     )
-    q.awaitTermination()
 
 
 def read_video_offset_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """All drained (video_id, n_earlier_ovdups) rows across batches."""
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "batch=*")
-    ).select("video_id", "n_earlier_ovdups")
+    return _read_results(spark, out_dir, ["video_id", "n_earlier_ovdups"])
