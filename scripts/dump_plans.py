@@ -191,9 +191,9 @@ HEADLINERS = {
     "frame_ix dropped from the join key, batch frames BROADCAST, "
     "pairs vote on the relative frame offset",
     "streaming_audio_offset_ingest": "drained read-back (the H-K "
-    "subfingerprint lookup table as stream state — each batch "
-    "self-probes for within-batch trims, probes the stored table "
-    "broadcast-side, appends O(batch positions) rows)",
+    "subfingerprint lookup table as stream state — pairs-form "
+    "within-batch vote, stored table probed broadcast-side, O(batch "
+    "positions) appends; all bindings share _run_indexed_ingest)",
     "streaming_video_offset_ingest": "drained read-back (per-frame "
     "index as stream state with the RELATIVE-OFFSET vote probe — "
     "head-dropped copies keep their votes across batches)",
@@ -217,9 +217,9 @@ HEADLINERS = {
     "energy hash — same replay guard and index discipline as the image "
     "binding)",
     "streaming_video_phash_ingest": "drained read-back (per-frame "
-    "fingerprint index as stream state; the fold votes within-batch by "
-    "self-probing its own frames and probes the stored index via the "
-    "shared video_frame_vote_probe — batch decoded once per fold)",
+    "fingerprint index as stream state; pairs-form aligned within-batch "
+    "vote, stored index probed via the shared video_frame_vote_probe — "
+    "batch decoded once per fold)",
 }
 
 
