@@ -1550,3 +1550,140 @@ def av_video_phash_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
         F.col("total_hamming").cast("long").alias("total_hamming"),
     )
+
+
+def _audio_snippet_fixture(docs, base: bool, snippets: bool):
+    """Fixture for audio SNIPPET identification: the corpus is the
+    same 57-window md5-seeded clips as _audio_offset_fixture (seed
+    'off:' — one stored lookup table serves both the dedup and the
+    retrieval query, exactly like production); per ten docs a 40-window
+    MID-CLIP snippet (windows 8..47, id +4,000,000, doc_id%10==1 — an
+    id arm the offset fixture doesn't use). A 40-window snippet yields
+    8 subfingerprints; all 8 match the source clip at offset 8."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal.audio import wav_encode
+
+        j = _np.arange(64, dtype=_np.int64)
+
+        def clip(d: int) -> "_np.ndarray":
+            wins = []
+            for w in range(57):
+                a = (
+                    int(_hashlib.md5(f"off:{d}:{w}".encode()).hexdigest()[:4], 16)
+                    % 2048
+                )
+                wins.append((a + j * 13) % 2048 - 1024)
+            return _np.concatenate(wins).astype(_np.int16)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = clip(d)
+                if base:
+                    rows.append((d, wav_encode(s, 1000)))
+                if snippets and d % 10 == 1:
+                    rows.append(
+                        (d + 4000000, wav_encode(s[8 * 64 : 48 * 64], 1000))
+                    )
+            yield _pd.DataFrame(rows, columns=["audio_id", "content"])
+
+    return docs.mapInPandas(gen, "audio_id long, content binary")
+
+
+@query(
+    "av_audio_snippet_search",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 0 AS skip_head,
+             57 AS n_win, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000, doc_id, 8, 40, 1 FROM documents
+      WHERE doc_id % 10 = 1
+    ),
+    seeds AS (
+      SELECT i.audio_id, i.is_new, w.w,
+             ('0x' || substr(md5('off:' || CAST(i.base AS VARCHAR) || ':'
+                              || CAST(i.skip_head + w.w AS VARCHAR)), 1, 4))::BIGINT
+               % 2048 AS a
+      FROM ids i, (SELECT unnest(range(0, 57)) AS w) w
+      WHERE w.w < i.n_win
+    ),
+    sq AS (
+      SELECT s.audio_id, s.is_new, s.w,
+             sum((((s.a + t.j * 13) % 2048 - 1024)
+                  * ((s.a + t.j * 13) % 2048 - 1024))) AS e
+      FROM seeds s, (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.audio_id, a.is_new, a.w,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM sq a JOIN sq b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, b.is_new, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 25)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2, 3
+      HAVING count(*) = 32
+    )
+    SELECT q.audio_id AS snippet_id, x.audio_id AS clip_id,
+           CAST(x.p - q.p AS BIGINT) AS offset_w,
+           count(*) AS n_matches
+    FROM sub q JOIN sub x
+      ON x.word = q.word AND q.is_new = 1 AND x.is_new = 0
+    GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    """,
+)
+def av_audio_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO SNIPPET IDENTIFICATION — the Haitsma-Kalker lookup
+    table's actual retrieval use (song-ID): given a SHORT mid-clip
+    excerpt, return WHICH stored clip contains it and WHERE
+    (offset_w = windows into the clip). Same stored artifact and the
+    same broadcast probe as the offset dedup
+    (multimodal/audio_fp.py:audio_offset_vote_probe) — the dedup index
+    doubles as a content-identification index, no second structure.
+    The planted 40-window mid-clip snippets (windows 8..47 of their
+    source) yield 8 subfingerprints; all 8 hit the source at
+    offset_w=8 — a whole-clip hash cannot express this query at all
+    (the snippet shares no window partition with the stored clip).
+    Scale: snippets are the tiny broadcast side; the 2.5M-row-per-100k
+    -clip lookup table is scanned once (the audio_offset_ingest smoke
+    measures exactly this asymmetry). The oracle re-derives both
+    subfingerprint tables arithmetically and brute-forces the
+    snippet×corpus word matches."""
+    from dwh_spark.multimodal.audio_fp import (
+        audio_offset_vote_probe,
+        audio_subfingerprint_frame,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = audio_subfingerprint_frame(
+        _audio_snippet_fixture(docs, base=True, snippets=False)
+    )
+    queries_fp = audio_subfingerprint_frame(
+        _audio_snippet_fixture(docs, base=False, snippets=True)
+    )
+    matches = audio_offset_vote_probe(index, queries_fp, min_matches=5)
+    return matches.select(
+        F.col("batch_id").alias("snippet_id"),
+        F.col("index_id").alias("clip_id"),
+        F.col("offset").cast("long").alias("offset_w"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )

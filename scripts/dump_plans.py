@@ -201,6 +201,9 @@ HEADLINERS = {
     "feature pass (blobs cross once), md5 groupBy exact arm, blocked "
     "perceptual arm over survivors only, codegen hash split — the "
     "rollup pins stage membership via id sums",
+    "av_audio_snippet_search": "snippet-to-clip retrieval (song-ID "
+    "shape): tiny snippet word set BROADCAST into the stored lookup "
+    "table, offset vote returns WHERE in the clip the snippet sits",
     "av_audio_fp_offset_near_dups": "Haitsma-Kalker block matching: "
     "exact-equality equi-join on 32-bit subfingerprints (the lookup "
     "table as a join; fan-out = positions/2^32) + a relative-offset "
