@@ -66,6 +66,7 @@ _CHECK_FIRST = [
     "docs_containment_capped_ingest",   # stop-gram cap as a map-side index filter
     "streaming_video_offset_ingest",    # per-frame index + offset vote as stream state
     "av_audio_snippet_search",          # snippet-to-clip retrieval via the lookup table
+    "av_video_snippet_search",          # frame-excerpt-to-video retrieval + offset
     # -- stale r7 verdicts (cut from the r11 window): lead the round
     "q4_order_priority_exists",
     "q5_region_volume",

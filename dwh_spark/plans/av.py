@@ -1687,3 +1687,138 @@ def av_audio_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").cast("long").alias("offset_w"),
         F.col("n_matches").cast("long").alias("n_matches"),
     )
+
+
+def _video_snippet_fixture(docs, base: bool, snippets: bool):
+    """Fixture for video SNIPPET identification: the corpus is the same
+    5-frame md5-seeded videos as _video_offset_fixture (seed 'voff:' —
+    one stored per-frame index serves both the dedup and the retrieval
+    query); per ten docs a 3-frame MID-CLIP excerpt (frames 1..3,
+    id +4,000,000, doc_id%10==1 — an id arm the offset fixture doesn't
+    use). All 3 excerpt frames hit the source video at offset 1."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(b: int, f: int) -> "_np.ndarray":
+            g = _np.empty((8, 8), _np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            _hashlib.md5(
+                                f"voff:{b}:{f}:{r}:{c}".encode()
+                            ).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            rgb = _np.where(g[:, :, None] == 1, 200, 50).astype(_np.uint8)
+            return _np.repeat(rgb, 3, axis=2)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [grid(d, f) for f in range(5)]
+                if base:
+                    out.append((d, 5, codecs.avi_encode(_np.stack(frames))))
+                if snippets and d % 10 == 1:
+                    out.append(
+                        (d + 4000000, 3, codecs.avi_encode(_np.stack(frames[1:4])))
+                    )
+            yield _pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
+
+    return docs.mapInPandas(gen, "video_id long, n_frames long, content binary")
+
+
+@query(
+    "av_video_snippet_search",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS skip_f, 5 AS n_f,
+             0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000, doc_id, 1, 3, 1 FROM documents
+      WHERE doc_id % 10 = 1
+    ),
+    cells AS (
+      SELECT i.video_id, i.is_new, f.f - i.skip_f AS f, g.r, g.c,
+             ('0x' || substr(md5('voff:' || CAST(i.base AS VARCHAR) || ':'
+                              || CAST(f.f AS VARCHAR) || ':' || g.r
+                              || ':' || g.c), 1, 1))::INT % 2 AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 5)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+      WHERE f.f >= i.skip_f AND f.f < i.skip_f + i.n_f
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.is_new, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2, 3
+    ),
+    frame_matches AS (
+      SELECT q.video_id AS snippet_id, x.video_id AS clip_id,
+             x.f - q.f AS offset_f,
+             bit_count(xor(q.h, x.h)) AS hamming
+      FROM hashes q JOIN hashes x ON q.is_new = 1 AND x.is_new = 0
+      WHERE bit_count(xor(q.h, x.h)) <= 3
+    )
+    SELECT snippet_id, clip_id, CAST(offset_f AS BIGINT) AS offset_f,
+           count(*) AS n_frames_matched,
+           CAST(sum(hamming) AS BIGINT) AS total_hamming
+    FROM frame_matches GROUP BY 1, 2, 3 HAVING count(*) >= 3
+    """,
+)
+def av_video_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO SNIPPET IDENTIFICATION — the per-frame index's retrieval
+    use (scene-ID): a SHORT mid-clip frame excerpt returns WHICH
+    stored video contains it and WHERE (offset_f = frames into the
+    clip). Same stored artifact and the same relative-offset broadcast
+    probe as the video offset dedup
+    (multimodal/perceptual.py:video_offset_vote_probe) — the per-frame
+    dedup index doubles as the content-identification index. The
+    planted 3-frame excerpts (frames 1..3 of their 5-frame source)
+    match at offset_f=1 with all 3 frames at hamming 0 — the aligned
+    probe cannot express this query (frame 0 of the excerpt is frame 1
+    of the source). Scale: excerpts are the tiny broadcast side; the
+    per-frame index (2M rows at the video smoke's 200k corpus) is
+    scanned once. The oracle re-derives every frame hash and
+    brute-forces the unaligned excerpt×corpus pairs."""
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_offset_vote_probe,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = video_dhash_frames(_video_snippet_fixture(docs, base=True, snippets=False))
+    queries_fp = video_dhash_frames(
+        _video_snippet_fixture(docs, base=False, snippets=True)
+    )
+    matches = video_offset_vote_probe(
+        index, queries_fp, max_hamming=3, min_frames=3
+    )
+    return matches.select(
+        F.col("batch_id").alias("snippet_id"),
+        F.col("index_id").alias("clip_id"),
+        F.col("offset").cast("long").alias("offset_f"),
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("total_hamming").cast("long").alias("total_hamming"),
+    )

@@ -204,6 +204,9 @@ HEADLINERS = {
     "av_audio_snippet_search": "snippet-to-clip retrieval (song-ID "
     "shape): tiny snippet word set BROADCAST into the stored lookup "
     "table, offset vote returns WHERE in the clip the snippet sits",
+    "av_video_snippet_search": "frame-excerpt retrieval (scene-ID "
+    "shape): excerpt frames BROADCAST into the stored per-frame "
+    "index, relative-offset vote returns (video, frame offset)",
     "av_audio_fp_offset_near_dups": "Haitsma-Kalker block matching: "
     "exact-equality equi-join on 32-bit subfingerprints (the lookup "
     "table as a join; fan-out = positions/2^32) + a relative-offset "
