@@ -40,74 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # LONGEST-UNCHECKED greens, (4) queries touched this round but already
 # verified LAST round trail as overflow — if the ~50-slot window cuts
 # anything, it cuts re-verification of a recent-fresh verdict, never
-# a stale one. Round 12's stale cohort is the ledger-exact 65 queries
-# whose latest verdict is <= round 8 (newest committed artifact is
-# r11, so r8 == newest-3; union of CORRECTNESS_r1..r11): the 16
-# r7-verdict queries the r11 window cut (VERDICT r11 item 2 names
-# them: q4_order_priority_exists … topk_orders_per_segment) go FIRST,
-# then the 49 r8-verdict queries — the marketplace state family
-# (batch + stream), the events sketch/session/funnel family, TPC-H
-# q11/q12/q16/q21/q22, the docs BM25/winnowing/simhash trio, and the
-# click-purchase streaming joins. New round-12 queries (never
-# checked) lead, per priority (1). 65 stale + new > the ~50 budget:
-# the r8 tail spills to round 13 by design (oldest-first ordering
-# keeps the spill at the cohort's youngest end). Exact list matches
-# tests/test_entry_contract.py's recomputation; regenerate with
-# scripts/rotate_check_first.py.
+# a stale one. Round 13's stale cohort is the ledger-exact 76 queries
+# whose latest verdict is <= round 9 (newest committed artifact is
+# r12, so r9 == newest-3; union of CORRECTNESS_r1..r12): the 26
+# r8-verdict queries the r12 window cut (VERDICT r12 item 2 names
+# them: the marketplace batch/stream state family, TPC-H
+# q11/q12/q16/q21/q22, imgs_real_pixel_stats, nation_trade_triangles,
+# the CDC merge, point_lookup_composite, semi_anti_customers, and the
+# five r8 streaming queries) go FIRST, then the 50 r9-verdict queries
+# oldest-first (alphabetical within the uniform-age cohort). New
+# round-13 queries (never checked) lead, per priority (1). 76 stale +
+# new > the ~50 budget: the r9 tail spills to round 14 by design
+# (ordering keeps the spill at the cohort's youngest end). Exact list
+# matches tests/test_entry_contract.py's recomputation; regenerate
+# with scripts/rotate_check_first.py.
 _CHECK_FIRST = [
-    # -- new in round 12: no driver verdict yet
-    "av_audio_fp_offset_near_dups",     # H-K subfingerprint + relative-offset vote
-    "av_video_phash_offset_near_dups",  # head-drop-tolerant per-frame offset vote
-    "imgs_corpus_build",                # image corpus-build capstone rollup
-    "av_audio_fp_offset_ingest",        # offset-tolerant probe vs stored lookup table
-    "imgs_corpus_ingest_triage",        # image daily-delta triage vs stored indexes
-    "av_video_phash_offset_ingest",     # head-drop-tolerant probe vs per-frame index
-    "streaming_audio_offset_ingest",    # H-K lookup table as stream state
-    "docs_containment_capped_ingest",   # stop-gram cap as a map-side index filter
-    "streaming_video_offset_ingest",    # per-frame index + offset vote as stream state
-    "av_audio_snippet_search",          # snippet-to-clip retrieval via the lookup table
-    "av_video_snippet_search",          # frame-excerpt-to-video retrieval + offset
-    # -- stale r7 verdicts (cut from the r11 window): lead the round
-    "q4_order_priority_exists",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "reconcile_daily_counts",
-    "rollup_region_nation",
-    "scalar_function_battery",
-    "setops_customer_segments",
-    "sql_big_spenders",
-    "sql_correlated_outliers",
-    "streaming_daily_rollup_incremental",
-    "streaming_session_windows",
-    "streaming_user_accumulator",
-    "topk_orders_per_segment",
-    # -- stale: latest driver verdict is round 8 (all 49 cycle now)
-    "av_audio_chunk_energy",
-    "av_audio_chunking",
-    "customer_forget_cascade",
-    "docs_bm25_topk",
-    "docs_corpus_build",
-    "docs_fingerprint_winnowing",
-    "docs_simhash_rotation_near_dups",
-    "docs_token_stats",
-    "emb_ivf_recall_audit",
-    "events_asof_last_click",
-    "events_daily_type_pivot",
-    "events_error_purchase_proximity",
-    "events_foreign_errors_in_sessions",
-    "events_funnel_signup_purchase",
-    "events_hll_distinct_users",
-    "events_hll_union_merge",
-    "events_interval_frame_sums",
-    "events_json_extract",
-    "events_kmv_set_algebra",
-    "events_range_hypertable_rollup",
-    "events_session_funnel_windows",
-    "events_sessionization",
-    "filters_combinators",
+    # -- new round-13 queries are prepended here as they land
+    # -- stale: latest driver verdict is round 8 (all 26 lead)
     "imgs_real_pixel_stats",
     "marketplace_audit_counts",
     "marketplace_bids_surviving",
@@ -134,6 +83,58 @@ _CHECK_FIRST = [
     "streaming_daily_rollup",
     "streaming_dedup_exactly_once",
     "streaming_dim_enrichment",
+    # -- stale: latest driver verdict is round 9 (50; the tail
+    # -- past the ~50-slot window spills to round 14 by design)
+    "av_audio_adpcm_decode_stats",
+    "av_audio_g711_decode_stats",
+    "av_video_frame_digests",
+    "av_video_mjpeg_frame_stats",
+    "av_video_real_frame_stats",
+    "docs_chunk_windows",
+    "docs_decontaminate",
+    "docs_dup_clusters",
+    "docs_dup_clusters_distributed",
+    "docs_duplicated_ngram_spans",
+    "docs_exact_dedup",
+    "docs_fingerprint_clusters",
+    "docs_jaccard_pairs",
+    "docs_lang_temperature_mixture",
+    "docs_langid_confusion",
+    "docs_minhash_incremental_ingest",
+    "docs_minhash_lsh_audit",
+    "docs_minhash_near_dups",
+    "docs_pack_training_order",
+    "docs_quality_composite_filter",
+    "docs_quality_scores",
+    "docs_semantic_dedup_skew_split",
+    "docs_simhash_near_dups",
+    "docs_tfidf_knn_communities",
+    "emb_cosine_near_dups",
+    "emb_cosine_topk",
+    "emb_ivf_cells",
+    "emb_label_stats",
+    "emb_lsh_topk",
+    "emb_semantic_trained_prune",
+    "emb_trained_recall_audit",
+    "events_daily_rollup",
+    "events_gap_fill_locf",
+    "events_latest_state",
+    "events_retention_rates",
+    "events_value_histogram_quantiles",
+    "imgs_gif_pixel_stats",
+    "imgs_jpeg_reencode_stats",
+    "imgs_tiff_pixel_stats",
+    "orders_bloom_prejoin_prune",
+    "orders_constraint_checks",
+    "orders_incremental_join_view",
+    "orders_jdbc_roundtrip",
+    "orders_multiformat_roundtrip",
+    "orders_pivot_unpivot_roundtrip",
+    "orders_schema_evolution_read",
+    "orders_set_ops_battery",
+    "orders_window_function_battery",
+    "streaming_latest_state",
+    "streaming_minhash_ingest",
 ]
 
 
