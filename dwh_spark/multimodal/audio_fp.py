@@ -178,11 +178,59 @@ def audio_subfingerprint_frame(
     return audio.select(key, content_col).mapInPandas(run, AUDIO_SUBFP_SCHEMA)
 
 
+def attach_subfp_df(subfps: DataFrame) -> DataFrame:
+    """Attach the per-word posting count ``df`` to a (audio_id, pos,
+    sub32) lookup table — the hot-word guard's stored column, the
+    exact analog of ``containment_posting_index(with_df=True)``
+    (operators/dedup.py): real audio is NOT uniform over the 2^32
+    word space — digital silence (leading/trailing padding) gives
+    every window energy 0 and every sign bit 0, so every position in
+    a silent span emits ``sub32 = 0``, and the equi-join's hot bucket
+    is |silent positions|² corpus-wide. H-K production systems skip
+    low-entropy subfingerprints for the same reason; here the skip is
+    data-adaptive (``df <= cap``) rather than entropy-thresholded, so
+    it also catches non-silent degenerate content (constant tones,
+    shared jingles).
+
+    groupBy + join, NOT a Window.partitionBy("sub32") count: the
+    window form has no map-side partial aggregation, so every posting
+    of a hot word funnels into one task — the hottest words being
+    exactly the ones the df column exists to drop. Attaching costs one
+    hash aggregate + join at INDEX BUILD time, amortized over every
+    subsequent probe; the column is append-maintainable (a new clip's
+    positions only ever INCREMENT the df of the words it emits — df
+    never shrinks under append), so production upkeep is a merge of
+    per-batch (sub32, count) partials, no corpus rescan."""
+    freq = subfps.groupBy("sub32").agg(F.count("*").alias("df"))
+    return subfps.join(freq, "sub32")
+
+
+def _cap_index_words(index_subfps: DataFrame, max_word_freq: int | None) -> DataFrame:
+    """Apply the hot-word cap to the INDEX side of an offset join:
+    map-side ``df <= cap`` filter on the stored df column (loud error
+    if the cap is requested without one), and drop the df column
+    either way so an uncapped probe over a with-df table doesn't
+    carry the unused column through the join (ADVICE r12). Filtering
+    the index side alone kills the hot bucket: batch positions with a
+    hot word then match nothing."""
+    if max_word_freq is not None:
+        if "df" not in index_subfps.columns:
+            raise ValueError(
+                "max_word_freq needs a lookup table with a stored df "
+                "column (attach_subfp_df)"
+            )
+        index_subfps = index_subfps.filter(F.col("df") <= max_word_freq)
+    if "df" in index_subfps.columns:
+        index_subfps = index_subfps.drop("df")
+    return index_subfps
+
+
 def audio_offset_near_dup_pairs(
     audio: DataFrame,
     key: str = "audio_id",
     content_col: str = "content",
     min_matches: int = 5,
+    max_word_freq: int | None = None,
 ) -> DataFrame:
     """Offset-tolerant audio near-dup pairs — the Haitsma-Kalker
     block-matching form the whole-clip hash cannot express: clips
@@ -194,24 +242,40 @@ def audio_offset_near_dup_pairs(
 
     Scale: the join is exact equality on the 32-bit word — H-K's
     lookup table as an equi-join; per-value fan-out is corpus
-    positions / 2^32, never all-pairs, and the offset vote shuffles
+    positions / 2^32 ON UNIFORM words — real audio is not uniform
+    (silence ⇒ ``sub32 = 0`` corpus-wide), so ``max_word_freq`` caps
+    per-word fan-out data-adaptively (hot words dropped before the
+    join; see :func:`attach_subfp_df`) — and the offset vote shuffles
     only matched (id_a, id_b, offset) rows. Returns
     (id_a, id_b, offset, n_matches) with offset = pos_a - pos_b
     (positive ⇒ b starts ``offset`` windows into a)."""
     fp = audio_subfingerprint_frame(audio, key, content_col)
-    return audio_offset_pairs_from_subfps(fp, min_matches=min_matches)
+    return audio_offset_pairs_from_subfps(
+        fp, min_matches=min_matches, max_word_freq=max_word_freq
+    )
 
 
 def audio_offset_pairs_from_subfps(
-    subfps: DataFrame, min_matches: int = 5
+    subfps: DataFrame,
+    min_matches: int = 5,
+    max_word_freq: int | None = None,
 ) -> DataFrame:
     """The pairs-form offset vote over an ALREADY-DECODED (audio_id,
     pos, sub32) table — id_a < id_b INSIDE the join condition, so the
     self-join never carries both pair directions or the self-pair
     groups (every position matches itself at offset 0) through the
     vote. Shared by :func:`audio_offset_near_dup_pairs` and the
-    streaming fold's within-batch arm. Returns
+    streaming fold's within-batch arm. ``max_word_freq`` drops hot
+    words (df computed here if the frame has no stored df column —
+    one extra aggregate, acceptable in the corpus-wide self-join
+    form; the per-batch probe :func:`audio_offset_vote_probe`
+    REQUIRES the stored column instead) from BOTH sides before the
+    self-join, so a degenerate value (silence ⇒ sub32 = 0) never
+    materializes its |hot|² bucket. Returns
     (id_a, id_b, offset, n_matches)."""
+    if max_word_freq is not None and "df" not in subfps.columns:
+        subfps = attach_subfp_df(subfps)
+    subfps = _cap_index_words(subfps, max_word_freq)
     a, b = subfps.alias("a"), subfps.alias("b")
     return (
         a.join(
@@ -234,14 +298,21 @@ def audio_offset_vote_probe(
     batch_subfps: DataFrame,
     key: str = "audio_id",
     min_matches: int = 5,
+    max_word_freq: int | None = None,
 ) -> DataFrame:
     """The subfingerprint-level probe behind
     :func:`audio_offset_incremental_ingest` (and the streaming fold,
     which holds already-decoded batch subfingerprints): both inputs
     are (key, pos, sub32) frames; the batch's words are BROADCAST into
     the stored lookup table (scanned once, never shuffled) and matches
-    vote per relative offset. Returns (batch_id, index_id, offset,
-    n_matches) with offset = pos_index - pos_batch."""
+    vote per relative offset. ``max_word_freq`` is the hot-word cap —
+    a map-side ``df <= cap`` filter on the index's STORED df column
+    (:func:`attach_subfp_df`; loud ValueError without one — the df
+    aggregate belongs at index build time, never per batch), dropping
+    degenerate words (silence ⇒ sub32 = 0) before they funnel every
+    silent position corpus-wide into one join key. Returns (batch_id,
+    index_id, offset, n_matches) with offset = pos_index - pos_batch."""
+    index_subfps = _cap_index_words(index_subfps, max_word_freq)
     return (
         index_subfps.select(
             F.col(key).alias("index_id"),
@@ -274,24 +345,32 @@ def audio_offset_incremental_ingest(
     key: str = "audio_id",
     content_col: str = "content",
     min_matches: int = 5,
+    max_word_freq: int | None = None,
 ) -> DataFrame:
     """Ingest-time offset-tolerant audio screen: the stored lookup
-    table ``index_subfps`` = (audio_id, pos, sub32) is scanned once
-    with the NEW batch's subfingerprints BROADCAST into it (the same
-    asymmetric-probe discipline as every perceptual ingest), then the
-    relative-offset vote. Returns (batch_id, index_id, offset,
-    n_matches)."""
+    table ``index_subfps`` = (audio_id, pos, sub32[, df]) is scanned
+    once with the NEW batch's subfingerprints BROADCAST into it (the
+    same asymmetric-probe discipline as every perceptual ingest), then
+    the relative-offset vote. ``max_word_freq`` caps hot words via the
+    stored df column (see :func:`audio_offset_vote_probe`). Returns
+    (batch_id, index_id, offset, n_matches)."""
     batch = audio_subfingerprint_frame(new_audio, key, content_col)
     # the subfingerprint frame always emits 'audio_id' (its schema is
     # fixed); normalize the index side the same way so a non-default
     # ``key`` resolves — the same normalization as
-    # :func:`audio_fp_incremental_ingest`
+    # :func:`audio_fp_incremental_ingest` (keep the stored df column:
+    # the hot-word cap filters on it map-side)
     if key != "audio_id":
+        keep = ["pos", "sub32"] + (["df"] if "df" in index_subfps.columns else [])
         index_subfps = index_subfps.select(
-            F.col(key).alias("audio_id"), "pos", "sub32"
+            F.col(key).alias("audio_id"), *keep
         )
     return audio_offset_vote_probe(
-        index_subfps, batch, key="audio_id", min_matches=min_matches
+        index_subfps,
+        batch,
+        key="audio_id",
+        min_matches=min_matches,
+        max_word_freq=max_word_freq,
     )
 
 

@@ -191,6 +191,54 @@ def video_dhash_frames(
     )
 
 
+def video_block_df(
+    frames: DataFrame, n_blocks: int = 4
+) -> DataFrame:
+    """Per-(block, value) posting counts over a (video_id, frame_ix,
+    dhash) frame table — the stored hot-block artifact of the
+    offset-tolerant video guard: real video is not uniform over the
+    2^14 block-value space (a black or flat frame hashes to dhash=0,
+    so (i, 0) is hot in every block corpus-wide), and the offset
+    forms drop the frame_ix join key that bounded the aligned form's
+    buckets. The table is at most n_blocks × 2^block_bits rows
+    (4 × 16,384 = 65,536 for the defaults) — always broadcastable —
+    and append-maintainable: a new video's frames only ever INCREMENT
+    the df of the values they emit, so production upkeep is a merge
+    of per-batch (i, val, count) partials, no corpus rescan. Built
+    once at index build time (groupBy combines map-side), consumed by
+    the ``max_block_freq`` cap in :func:`video_offset_vote_probe` /
+    :func:`video_offset_pairs_from_frames`. Returns (i, val, df)."""
+    block_bits = DHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i")
+    val = F.expr(f"shiftright(dhash, i * {block_bits})").bitwiseAND(F.lit(mask))
+    return (
+        frames.select("dhash", blocks)
+        .select("i", val.alias("val"))
+        .groupBy("i", "val")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def _hot_blocks(
+    block_df: DataFrame | None, max_block_freq: int | None
+) -> DataFrame | None:
+    """The tiny over-cap (i, val) set the guard anti-joins away — at
+    most corpus_blocks / cap values by construction, broadcast always.
+    Loud ValueError when a cap is requested without the stored block
+    stats (the df aggregate belongs at index build time, never per
+    probe)."""
+    if max_block_freq is None:
+        return None
+    if block_df is None:
+        raise ValueError(
+            "max_block_freq needs the stored block stats table "
+            "(video_block_df) — the df aggregate runs at index build "
+            "time, never per probe"
+        )
+    return block_df.filter(F.col("df") > max_block_freq).select("i", "val")
+
+
 def _blocked_frame_matches(
     a_frames: DataFrame,
     b_frames: DataFrame,
@@ -201,6 +249,7 @@ def _blocked_frame_matches(
     lt_filter: bool,
     max_hamming: int,
     n_blocks: int,
+    hot_blocks: DataFrame | None = None,
 ) -> DataFrame:
     """The ONE pigeonhole block join all four video pairing/probing
     forms share (aligned/offset × self-pair/index-probe): explode each
@@ -210,8 +259,15 @@ def _blocked_frame_matches(
     pairs at hamming <= ``max_hamming``. ``broadcast_b`` pins the B
     side as the broadcast build (the ingest-probe discipline: stored
     index streamed, batch broadcast); ``lt_filter`` keeps a.id < b.id
-    (the self-join form). Full recall at hamming <= n_blocks-1 by
-    pigeonhole. Returns (a_id, b_id, f_a, f_b, hamming)."""
+    (the self-join form). ``hot_blocks`` is the offset forms' hot-value
+    guard: a tiny (i, val) over-cap set (:func:`_hot_blocks`)
+    broadcast LEFT-ANTI-joined off the A (index/self) side before the
+    match join — no shuffle, no per-probe aggregate — so a degenerate
+    value (black frame ⇒ dhash 0 ⇒ every block (i, 0)) never
+    materializes its |hot|² bucket; a frame pair then needs at least
+    one NON-hot shared block. Full recall at hamming <= n_blocks-1 by
+    pigeonhole (minus pairs whose every shared block is hot — the
+    stated cap trade). Returns (a_id, b_id, f_a, f_b, hamming)."""
     if max_hamming >= n_blocks:
         raise ValueError(
             f"pigeonhole guarantee needs n_blocks > max_hamming "
@@ -232,6 +288,11 @@ def _blocked_frame_matches(
         )
 
     a = side(a_frames, a_id, "h_a", "f_a")
+    if hot_blocks is not None:
+        # guard the streamed/index side only: the broadcast side's hot
+        # blocks then match nothing, and the anti-join is itself a
+        # broadcast build (the hot set is <= corpus_blocks/cap rows)
+        a = a.join(F.broadcast(hot_blocks), ["i", "val"], "left_anti")
     b = side(b_frames, b_id, "h_b", "f_b")
     if broadcast_b:
         b = F.broadcast(b)
@@ -264,17 +325,28 @@ def video_offset_pairs_from_frames(
     frames: DataFrame,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    max_block_freq: int | None = None,
+    block_df: DataFrame | None = None,
 ) -> DataFrame:
     """Offset-form frame pairs over an ALREADY-DECODED (video_id,
     frame_ix, dhash) table — the pairs-form self-join (id_a < id_b
     inside the join condition), shared by :func:`video_offset_near_dups`
     and the streaming fold's within-batch arm so neither carries both
-    pair directions or self-pair groups through the vote. Returns
+    pair directions or self-pair groups through the vote.
+    ``max_block_freq`` is the hot-block cap (black/flat frames hash to
+    dhash 0 corpus-wide); ``block_df`` is the stored stats table
+    (:func:`video_block_df`) — computed here from the frame table if
+    omitted (one extra bounded aggregate, acceptable in the
+    corpus-wide self-join form; the per-batch probe
+    :func:`video_offset_vote_probe` REQUIRES the stored table). Returns
     (id_a, id_b, f_a, f_b, hamming)."""
+    if max_block_freq is not None and block_df is None:
+        block_df = video_block_df(frames, n_blocks=n_blocks)
     return _blocked_frame_matches(
         frames, frames, "id_a", "id_b",
         align_frames=False, broadcast_b=False, lt_filter=True,
         max_hamming=max_hamming, n_blocks=n_blocks,
+        hot_blocks=_hot_blocks(block_df, max_block_freq),
     )
 
 
@@ -344,6 +416,7 @@ def video_offset_near_dups(
     max_hamming: int = 3,
     n_blocks: int = 4,
     min_frames: int = 3,
+    max_block_freq: int | None = None,
 ) -> DataFrame:
     """Offset-tolerant video near-dups — the relative-offset vote
     :func:`video_perceptual_near_dups` cannot express: that form joins
@@ -366,7 +439,10 @@ def video_offset_near_dups(
     (id_a, id_b, offset, n_frames_matched, total_hamming)."""
     fp = video_dhash_frames(videos, key, content_col, n_frames_col)
     frame_pairs = video_offset_pairs_from_frames(
-        fp, max_hamming=max_hamming, n_blocks=n_blocks
+        fp,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_block_freq=max_block_freq,
     )
     return (
         frame_pairs.groupBy(
@@ -441,6 +517,8 @@ def video_offset_vote_probe(
     max_hamming: int = 3,
     n_blocks: int = 4,
     min_frames: int = 3,
+    max_block_freq: int | None = None,
+    block_df: DataFrame | None = None,
 ) -> DataFrame:
     """The OFFSET-TOLERANT ingest probe — :func:`video_frame_vote_probe`
     with the frame_ix join key dropped and a relative-offset vote, so a
@@ -450,15 +528,22 @@ def video_offset_vote_probe(
     shuffled, never re-decoded) and matched frame pairs vote on
     (index frame_ix - batch frame_ix). Same scale trade as
     :func:`video_offset_near_dups`: per-(block, value) fan-out is the
-    frame corpus / 2^block_bits; compose with coarse time-banding
-    beyond that budget. Returns (batch_id, index_id, offset,
-    n_frames_matched, total_hamming)."""
+    frame corpus / 2^block_bits ON UNIFORM values — real video is not
+    uniform (black/flat frames ⇒ dhash 0 corpus-wide), so
+    ``max_block_freq`` caps hot block values via the STORED stats
+    table ``block_df`` (:func:`video_block_df`, built at index build
+    time; loud ValueError if the cap is requested without it) — a
+    broadcast anti-join off the streamed index side, no per-batch
+    aggregate. Compose with coarse time-banding beyond that budget.
+    Returns (batch_id, index_id, offset, n_frames_matched,
+    total_hamming)."""
     frame_matches = _blocked_frame_matches(
         _norm_frames(index_frames, key),
         _norm_frames(batch_frames, key),
         "index_id", "batch_id",
         align_frames=False, broadcast_b=True, lt_filter=False,
         max_hamming=max_hamming, n_blocks=n_blocks,
+        hot_blocks=_hot_blocks(block_df, max_block_freq),
     )
     return (
         frame_matches.groupBy(

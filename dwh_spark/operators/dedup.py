@@ -600,7 +600,12 @@ def containment_incremental(
             corpus, text=text, key=key, k=k, with_df=max_doc_freq is not None
         )
     if max_doc_freq is not None:
-        postings = postings.filter(F.col("df") <= max_doc_freq).drop("df")
+        postings = postings.filter(F.col("df") <= max_doc_freq)
+    if "df" in postings.columns:
+        # drop either way: an UNCAPPED probe over a prebuilt with_df
+        # index must not carry the unused df column through the
+        # broadcast join and collision aggregate (ADVICE r12)
+        postings = postings.drop("df")
     batch = (
         new_docs.select(F.col(key).alias("new_id"), shingles(F.col(text), k).alias("sh"))
         .select(F.explode("sh").alias("shingle"), "new_id", F.size("sh").alias("n_n"))

@@ -1,0 +1,248 @@
+"""Hot-value guard for the offset-tolerant perceptual family
+(VERDICT r12 What's-wrong #2): real media is not uniform over the
+fingerprint value space — digital silence makes every position emit
+``sub32 = 0`` and a black/flat frame hashes to ``dhash = 0`` — so the
+offset equi-joins funnel all degenerate positions corpus-wide into one
+key (|hot|² pairs). The guard stores per-value df in the lookup table
+/ block-stats artifact at index build time and drops over-cap values
+map-side (filter / broadcast anti-join), never per-probe aggregates.
+
+These tests pin (a) result semantics: planted trimmed/shifted copies
+still match through their CONTENT values while degenerate cross-pairs
+vanish; (b) the plan: the capped probe over a PREBUILT stored artifact
+adds no aggregate (audio: map-side df filter; video: one broadcast
+left-anti, zero aggregates); (c) a cap without the stored artifact is
+a loud ValueError, not a silent per-batch aggregate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_spark.multimodal.audio_fp import (
+    attach_subfp_df,
+    audio_offset_pairs_from_subfps,
+    audio_offset_vote_probe,
+)
+from dwh_spark.multimodal.perceptual import (
+    video_block_df,
+    video_offset_pairs_from_frames,
+    video_offset_vote_probe,
+)
+
+
+def _subfp_rows(audio_id, words, start=0):
+    """(audio_id, pos, sub32) rows for a word sequence."""
+    return [(audio_id, start + i, w) for i, w in enumerate(words)]
+
+
+def _audio_frames(spark):
+    """Three stored clips + one batch clip. Every stored clip leads
+    with a SILENT run (word 0 at 8 positions — 8 same-offset votes
+    between ANY two clips, a false pair at min_matches=5); content words are
+    disjoint per clip except the batch clip, which is clip 1's content
+    trimmed by 2 positions (the head-trim copy class)."""
+    content = {
+        1: [101, 102, 103, 104, 105, 106, 107, 108],
+        2: [201, 202, 203, 204, 205, 206, 207, 208],
+        3: [301, 302, 303, 304, 305, 306, 307, 308],
+    }
+    index_rows = []
+    for cid, words in content.items():
+        index_rows += _subfp_rows(cid, [0] * 8 + words)
+    # batch: head-trim of clip 1 by 2 windows — silent run shrinks to
+    # 6 positions, content words survive shifted: pos_index - pos_batch = 2
+    batch_rows = _subfp_rows(10, [0] * 6 + content[1])
+    schema = "audio_id long, pos long, sub32 long"
+    return (
+        spark.createDataFrame(index_rows, schema),
+        spark.createDataFrame(batch_rows, schema),
+    )
+
+
+def test_audio_capped_probe_semantics(spark):
+    index, batch = _audio_frames(spark)
+    uncapped = {
+        (r["batch_id"], r["index_id"], r["offset"]): r["n_matches"]
+        for r in audio_offset_vote_probe(index, batch, min_matches=5).collect()
+    }
+    # the silent×silent bucket creates false pairs vs clips 2 and 3:
+    # 6×8 word-0 matches per pair, 6 same-offset votes at offset 0
+    assert any(k[1] == 2 for k in uncapped) and any(k[1] == 3 for k in uncapped)
+    stored = attach_subfp_df(index).localCheckpoint()
+    capped = {
+        (r["batch_id"], r["index_id"], r["offset"]): r["n_matches"]
+        for r in audio_offset_vote_probe(
+            stored, batch, min_matches=5, max_word_freq=3
+        ).collect()
+    }
+    # word 0 (df=24) dropped; the true pair survives on its 8 content
+    # words (df=1 each) at the head-trim offset
+    assert capped == {(10, 1, 2): 8}
+
+
+def test_audio_cap_without_df_raises(spark):
+    index, batch = _audio_frames(spark)
+    with pytest.raises(ValueError, match="stored df"):
+        audio_offset_vote_probe(index, batch, max_word_freq=3)
+
+
+def test_audio_capped_probe_plan_is_map_side(spark):
+    """The cap over a PREBUILT with-df lookup table must add zero
+    aggregates (the df aggregate ran at index build time): same
+    HashAggregate count as the uncapped probe over the plain table,
+    no Window node, and the df filter visible as a Filter."""
+    index, batch = _audio_frames(spark)
+    stored = attach_subfp_df(index).localCheckpoint()
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p_uncapped = plan(audio_offset_vote_probe(index, batch, min_matches=5))
+    p_capped = plan(
+        audio_offset_vote_probe(stored, batch, min_matches=5, max_word_freq=3)
+    )
+    assert p_capped.count("HashAggregate") == p_uncapped.count("HashAggregate")
+    assert "Window" not in p_capped
+    assert "df" in p_capped  # the map-side df <= cap filter
+
+
+def test_audio_uncapped_over_stored_df_drops_column(spark):
+    """ADVICE r12: an uncapped probe over a with-df table must not
+    carry the unused df column into the join."""
+    index, batch = _audio_frames(spark)
+    stored = attach_subfp_df(index).localCheckpoint()
+    out = audio_offset_vote_probe(stored, batch, min_matches=5)
+    plain = audio_offset_vote_probe(index, batch, min_matches=5)
+    got = {tuple(r) for r in out.collect()}
+    assert got == {tuple(r) for r in plain.collect()}
+    # the join NODE itself must not reference df (the stored column is
+    # projected away before the join; the checkpoint scan below it
+    # still lists df, which is fine — column pruning does not reach
+    # into a checkpoint)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert join_lines and all("df#" not in ln for ln in join_lines)
+    # and the vote aggregate above it must not carry df either
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert all("df#" not in ln for ln in agg_lines)
+
+
+def test_audio_capped_pairs_form(spark):
+    """Self-join form: df computed inline when absent (corpus-wide
+    run), hot word dropped from BOTH sides."""
+    index, _ = _audio_frames(spark)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in audio_offset_pairs_from_subfps(index, min_matches=5).collect()
+    }
+    # 8×8 word-0 matches per pair: offset 0 gets 8 votes — every
+    # cross pair is a false positive without the guard
+    assert uncapped == {(1, 2), (1, 3), (2, 3)}
+    capped = audio_offset_pairs_from_subfps(
+        index, min_matches=5, max_word_freq=3
+    ).collect()
+    assert capped == []  # content words are disjoint across clips
+
+
+def _video_frames(spark):
+    """Two stored videos + one batch video. Stored videos lead with
+    4 BLACK frames (dhash 0 — every 14-bit block hot corpus-wide);
+    content frames are disjoint per video except the batch video,
+    which is video 1's content head-dropped by 1 frame (3 black
+    survive — 3 same-offset black votes vs ANY stored video, a false
+    pair at min_frames=3)."""
+    # content dhashes: distinct high-entropy values per video
+    c1 = [0x0123456789ABCD, 0x23456789ABCDEF, 0x3456789ABCDEF1, 0x456789ABCDEF12]
+    c2 = [0x56789ABCDEF123, 0x6789ABCDEF1234, 0x789ABCDEF12345, 0x89ABCDEF123456]
+    rows = []
+    for vid, content in ((1, c1), (2, c2)):
+        for ix, h in enumerate([0, 0, 0, 0] + content):
+            rows.append((vid, ix, h))
+    batch_rows = [(10, ix, h) for ix, h in enumerate([0, 0, 0] + c1)]
+    schema = "video_id long, frame_ix long, dhash long"
+    return (
+        spark.createDataFrame(rows, schema),
+        spark.createDataFrame(batch_rows, schema),
+    )
+
+
+def test_video_capped_probe_semantics(spark):
+    index, batch = _video_frames(spark)
+    uncapped = {
+        (r["batch_id"], r["index_id"], r["offset"]): r["n_frames_matched"]
+        for r in video_offset_vote_probe(
+            index, batch, max_hamming=3, min_frames=3
+        ).collect()
+    }
+    # black×black: 3×4 frame matches per pair, 3 votes at offsets 0
+    # and 1 — video 2 is a false pair without the guard
+    assert any(k[1] == 2 for k in uncapped)
+    stats = video_block_df(index).localCheckpoint()
+    capped = {
+        (r["batch_id"], r["index_id"], r["offset"]): r["n_frames_matched"]
+        for r in video_offset_vote_probe(
+            index,
+            batch,
+            max_hamming=3,
+            min_frames=3,
+            max_block_freq=3,
+            block_df=stats,
+        ).collect()
+    }
+    # every block of dhash 0 has df=8 > 3 → dropped; the true pair
+    # survives on its 4 content frames at the head-drop offset
+    assert capped == {(10, 1, 1): 4}
+
+
+def test_video_cap_without_stats_raises(spark):
+    index, batch = _video_frames(spark)
+    with pytest.raises(ValueError, match="video_block_df"):
+        video_offset_vote_probe(index, batch, max_block_freq=3)
+
+
+def test_video_capped_probe_plan_no_aggregate(spark):
+    """The cap over a PREBUILT block-stats table must add zero
+    aggregates and zero shuffles to the probe: one extra
+    BroadcastHashJoin (the left-anti), same HashAggregate and
+    Exchange counts as uncapped."""
+    index, batch = _video_frames(spark)
+    stats = video_block_df(index).localCheckpoint()
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p_uncapped = plan(
+        video_offset_vote_probe(index, batch, max_hamming=3, min_frames=3)
+    )
+    p_capped = plan(
+        video_offset_vote_probe(
+            index, batch, max_hamming=3, min_frames=3,
+            max_block_freq=3, block_df=stats,
+        )
+    )
+    assert p_capped.count("HashAggregate") == p_uncapped.count("HashAggregate")
+    # same SHUFFLE count (the hot set itself rides a BroadcastExchange)
+    assert p_capped.count("Exchange hashpartitioning") == p_uncapped.count(
+        "Exchange hashpartitioning"
+    )
+    assert "LeftAnti" in p_capped and "LeftAnti" not in p_uncapped
+
+
+def test_video_capped_pairs_form(spark):
+    index, _ = _video_frames(spark)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in video_offset_pairs_from_frames(index, max_hamming=3)
+        .groupBy("id_a", "id_b", (F.col("f_a") - F.col("f_b")).alias("o"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    assert uncapped == {(1, 2)}  # black×black false pair
+    capped = (
+        video_offset_pairs_from_frames(index, max_hamming=3, max_block_freq=3)
+        .groupBy("id_a", "id_b", (F.col("f_a") - F.col("f_b")).alias("o"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .collect()
+    )
+    assert capped == []  # content frames are disjoint across videos
