@@ -55,7 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches tests/test_entry_contract.py's recomputation; regenerate
 # with scripts/rotate_check_first.py.
 _CHECK_FIRST = [
-    # -- new round-13 queries are prepended here as they land
+    # -- new round-13 queries: no driver verdict yet
+    "av_audio_fp_offset_capped_ingest",   # hot-word cap: silence-padded corpus
+    "av_video_phash_offset_capped_ingest",  # hot-block cap: black-frame corpus
     # -- stale: latest driver verdict is round 8 (all 26 lead)
     "imgs_real_pixel_stats",
     "marketplace_audit_counts",

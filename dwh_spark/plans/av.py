@@ -1822,3 +1822,377 @@ def av_video_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
         F.col("total_hamming").cast("long").alias("total_hamming"),
     )
+
+
+# live persisted per-frame index for the capped offset query: the
+# index frame feeds BOTH the block-stats build and the probe — without
+# the persist the AVI corpus would be decoded twice (same rotation
+# discipline as plans/images.py:_IMGS_CORPUS_CACHE)
+_AV_CAPPED_CACHE: list = []
+
+
+def _audio_silence_offset_fixture(docs, base: bool, variants: bool):
+    """Fixture for the HOT-WORD-CAPPED offset audio query: the
+    _audio_offset_fixture shape with a planted 48-window SILENT pad
+    leading every clip (the real-world degenerate case — digital
+    silence gives every window energy 0, every sign bit 0, and every
+    all-silent position the subfingerprint sub32=0 corpus-wide; seed
+    prefix 'offc:' decorrelates the content from every other fixture,
+    FIXTURES.md discipline). Per ten docs a HEAD-TRIMMED copy (first
+    8 SILENT windows cut — the copy keeps a 40-window pad, so batch
+    and index BOTH emit the hot word; id +3,000,000, %10==3) and a
+    TAIL-TRIMMED + exact-2x-gain copy (last 8 content windows cut,
+    id +1,000,000, %10==7; gain maps silence to silence and scales
+    every content energy equally)."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal.audio import wav_encode
+
+        j = _np.arange(64, dtype=_np.int64)
+        sil = _np.zeros(48 * 64, dtype=_np.int64)
+
+        def clip(d: int) -> "_np.ndarray":
+            wins = [sil]
+            for w in range(57):
+                a = (
+                    int(_hashlib.md5(f"offc:{d}:{w}".encode()).hexdigest()[:4], 16)
+                    % 2048
+                )
+                wins.append((a + j * 13) % 2048 - 1024)
+            return _np.concatenate(wins).astype(_np.int16)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = clip(d)
+                if base:
+                    rows.append((d, wav_encode(s, 1000)))
+                if variants and d % 10 == 3:
+                    rows.append((d + 3000000, wav_encode(s[8 * 64:], 1000)))
+                if variants and d % 10 == 7:
+                    doubled = (s[: 97 * 64].astype(_np.int64) * 2).astype(_np.int16)
+                    rows.append((d + 1000000, wav_encode(doubled, 1000)))
+            yield _pd.DataFrame(rows, columns=["audio_id", "content"])
+
+    return docs.mapInPandas(gen, "audio_id long, content binary")
+
+
+@query(
+    "av_audio_fp_offset_capped_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 48 AS n_sil,
+             57 AS n_con, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 40, 57, 1 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 48, 49, 1 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    con AS (
+      SELECT i.audio_id, i.is_new, i.n_sil + w.w AS w,
+             sum((((('0x' || substr(md5('offc:' || CAST(i.base AS VARCHAR)
+                                     || ':' || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024)
+                  * ((('0x' || substr(md5('offc:' || CAST(i.base AS VARCHAR)
+                                     || ':' || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024))) AS e
+      FROM ids i,
+           (SELECT unnest(range(0, 57)) AS w) w,
+           (SELECT unnest(range(0, 64)) AS j) t
+      WHERE w.w < i.n_con
+      GROUP BY 1, 2, 3
+    ),
+    energies AS (
+      SELECT audio_id, is_new, w, e FROM con
+      UNION ALL
+      SELECT i.audio_id, i.is_new, w.w, 0 AS e
+      FROM ids i, (SELECT unnest(range(0, 48)) AS w) w
+      WHERE w.w < i.n_sil
+    ),
+    bits AS (
+      SELECT a.audio_id, a.is_new, a.w,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM energies a
+      JOIN energies b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, b.is_new, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 73)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2, 3
+      HAVING count(*) = 32
+    ),
+    wdf AS (
+      SELECT word, count(*) AS df FROM sub WHERE is_new = 0 GROUP BY 1
+    )
+    SELECT n.audio_id AS batch_id, x.audio_id AS index_id,
+           CAST(x.p - n.p AS BIGINT) AS offset_w,
+           count(*) AS n_matches
+    FROM sub n
+    JOIN sub x ON x.word = n.word AND n.is_new = 1 AND x.is_new = 0
+    JOIN wdf d ON d.word = x.word AND d.df <= 8
+    GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    """,
+)
+def av_audio_fp_offset_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-WORD-CAPPED offset-tolerant audio ingest (VERDICT r12
+    What's-wrong #2): every clip leads with 48 windows of DIGITAL
+    SILENCE, so without a guard every all-silent position emits
+    sub32=0 and the lookup-table equi-join funnels |silent positions|²
+    pairs corpus-wide into one key — every batch clip would "match"
+    every stored clip on silence alone (the planted pads alone give
+    >= 8 same-offset votes per cross pair, over min_matches). The
+    stored lookup table carries a per-word df column
+    (multimodal/audio_fp.py:attach_subfp_df, the
+    containment_posting_index pattern — append-maintainable, df only
+    grows); the probe drops words with df > 8 MAP-SIDE (a filter on
+    the stored column, zero per-batch aggregates —
+    tests/test_offset_hot_guard.py pins the plan), which kills the
+    silence word AND the low-entropy silence-boundary words while the
+    md5-seeded content words (df ~= 1) keep voting: head-trimmed
+    copies still match their base at offset_w=8, tail-trimmed+gain
+    copies at offset_w=0, and no cross pair survives. The oracle
+    re-derives energies -> sign bits -> words, computes the SAME
+    per-word df over the index side, and applies the SAME df <= 8
+    cap before its brute-force join."""
+    from dwh_spark.multimodal.audio_fp import (
+        attach_subfp_df,
+        audio_offset_incremental_ingest,
+        audio_subfingerprint_frame,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = attach_subfp_df(
+        audio_subfingerprint_frame(
+            _audio_silence_offset_fixture(docs, base=True, variants=False)
+        )
+    )
+    batch = _audio_silence_offset_fixture(docs, base=False, variants=True)
+    matches = audio_offset_incremental_ingest(
+        index, batch, min_matches=5, max_word_freq=8
+    )
+    return matches.select(
+        "batch_id",
+        "index_id",
+        F.col("offset").cast("long").alias("offset_w"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
+
+
+def _video_black_offset_fixture(docs, base: bool, variants: bool):
+    """Fixture for the HOT-BLOCK-CAPPED offset video query: per doc a
+    REAL uncompressed AVI of 4 BLACK frames (uniform tone — the
+    real-world degenerate case: dhash 0, every 14-bit block value 0
+    corpus-wide) followed by 5 md5-grid content frames (seed prefix
+    'vblk:' decorrelates from every other fixture). Per ten docs a
+    HEAD-DROPPED copy (first BLACK frame cut — batch and index BOTH
+    keep black frames, so both emit the hot block value;
+    id +3,000,000, %10==3) and a head-dropped copy with one cell
+    flipped in content frame 2 (id +1,000,000, %10==7 — the flip
+    moves <= 2 dHash bits, so the edited frame still votes and the
+    edit shows in total_hamming)."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import codecs
+
+        black = _np.full((8, 8, 3), 50, _np.uint8)
+
+        def grid(b: int, f: int, flip: bool) -> "_np.ndarray":
+            g = _np.empty((8, 8), _np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            _hashlib.md5(
+                                f"vblk:{b}:{f}:{r}:{c}".encode()
+                            ).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            if flip:
+                g[b % 8, (b // 8) % 8] ^= 1
+            rgb = _np.where(g[:, :, None] == 1, 200, 50).astype(_np.uint8)
+            return _np.repeat(rgb, 3, axis=2)
+
+        def video(b: int, head_drop: bool, edit: bool):
+            frames = [black] * 4 + [
+                grid(b, f, flip=edit and f == 2) for f in range(5)
+            ]
+            if head_drop:
+                frames = frames[1:]
+            return codecs.avi_encode(_np.stack(frames)), len(frames)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if base:
+                    v, n = video(d, False, False)
+                    out.append((d, n, v))
+                if variants and d % 10 == 3:
+                    v, n = video(d, True, False)
+                    out.append((d + 3000000, n, v))
+                if variants and d % 10 == 7:
+                    v, n = video(d, True, True)
+                    out.append((d + 1000000, n, v))
+            yield _pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
+
+    return docs.mapInPandas(gen, "video_id long, n_frames long, content binary")
+
+
+@query(
+    "av_video_phash_offset_capped_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS drop_head,
+             0 AS edit, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 1, 0, 1 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1, 1, 1 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    cells AS (
+      SELECT i.video_id, i.is_new, f.f + 4 - i.drop_head AS f, g.r, g.c,
+             ((('0x' || substr(md5('vblk:' || CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND f.f = 2 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 5)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.is_new, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT i.video_id, i.is_new, f.f - i.drop_head AS f, 0 AS h
+      FROM ids i, (SELECT unnest(range(0, 4)) AS f) f
+      WHERE f.f >= i.drop_head
+    ),
+    xb AS (
+      SELECT h.video_id, h.f, h.h, b.i,
+             CAST((h.h >> (b.i * 14)) & 16383 AS BIGINT) AS val
+      FROM hashes h, (SELECT unnest(range(0, 4)) AS i) b
+      WHERE h.is_new = 0
+    ),
+    nb AS (
+      SELECT h.video_id, h.f, h.h, b.i,
+             CAST((h.h >> (b.i * 14)) & 16383 AS BIGINT) AS val
+      FROM hashes h, (SELECT unnest(range(0, 4)) AS i) b
+      WHERE h.is_new = 1
+    ),
+    bdf AS (
+      SELECT i, val, count(*) AS df FROM xb GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT n.video_id AS batch_id, n.f AS f_n, n.h AS h_n,
+                      x.video_id AS index_id, x.f AS f_x, x.h AS h_x
+      FROM nb n
+      JOIN xb x ON x.i = n.i AND x.val = n.val
+      JOIN bdf d ON d.i = x.i AND d.val = x.val AND d.df <= 8
+    ),
+    frame_matches AS (
+      SELECT batch_id, index_id, f_x - f_n AS offset_f,
+             bit_count(xor(h_n, h_x)) AS hamming
+      FROM cand
+      WHERE bit_count(xor(h_n, h_x)) <= 3
+    )
+    SELECT batch_id, index_id, CAST(offset_f AS BIGINT) AS offset_f,
+           count(*) AS n_frames_matched,
+           CAST(sum(hamming) AS BIGINT) AS total_hamming
+    FROM frame_matches GROUP BY 1, 2, 3 HAVING count(*) >= 3
+    """,
+)
+def av_video_phash_offset_capped_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HOT-BLOCK-CAPPED offset-tolerant video ingest (VERDICT r12
+    What's-wrong #2): every video leads with 4 BLACK frames, so
+    without a guard every black frame hashes to dhash=0 and the
+    offset probe — which dropped the frame_ix join key that bounded
+    the aligned form's buckets — funnels every (block, 0) posting
+    corpus-wide into four hot keys; the planted pads alone give 3
+    same-offset votes per cross pair, over min_frames. The guard is
+    the STORED block-stats table
+    (multimodal/perceptual.py:video_block_df — bounded at
+    n_blocks x 2^14 rows, append-maintainable), from which the probe
+    anti-joins the over-cap (i, val) set BROADCAST off the streamed
+    index side (df > 8 dropped; zero per-batch aggregates, zero added
+    shuffles — tests/test_offset_hot_guard.py pins the plan). The
+    md5-grid content frames keep voting: head-dropped copies match
+    their base at offset_f=1 with all 5 content frames, the edited
+    variant keeps all 5 votes with the flip in total_hamming, and no
+    cross pair survives. The oracle re-derives every frame hash,
+    splits it into the SAME 14-bit blocks, computes the SAME
+    per-(block, value) df over the index side, and applies the SAME
+    df <= 8 cap before its brute-force unaligned join."""
+    from dwh_spark.multimodal.perceptual import (
+        video_block_df,
+        video_dhash_frames,
+        video_offset_vote_probe,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = video_dhash_frames(
+        _video_black_offset_fixture(docs, base=True, variants=False)
+    ).persist()
+    while _AV_CAPPED_CACHE:
+        _AV_CAPPED_CACHE.pop().unpersist()
+    _AV_CAPPED_CACHE.append(index)
+    stats = video_block_df(index)
+    batch = _video_black_offset_fixture(docs, base=False, variants=True)
+    matches = video_offset_vote_probe(
+        index,
+        video_dhash_frames(batch),
+        max_hamming=3,
+        min_frames=3,
+        max_block_freq=8,
+        block_df=stats,
+    )
+    return matches.select(
+        "batch_id",
+        "index_id",
+        F.col("offset").cast("long").alias("offset_f"),
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("total_hamming").cast("long").alias("total_hamming"),
+    )
