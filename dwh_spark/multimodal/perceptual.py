@@ -250,6 +250,7 @@ def _blocked_frame_matches(
     max_hamming: int,
     n_blocks: int,
     hot_blocks: DataFrame | None = None,
+    max_offset: int | None = None,
 ) -> DataFrame:
     """The ONE pigeonhole block join all four video pairing/probing
     forms share (aligned/offset × self-pair/index-probe): explode each
@@ -294,9 +295,36 @@ def _blocked_frame_matches(
         # broadcast build (the hot set is <= corpus_blocks/cap rows)
         a = a.join(F.broadcast(hot_blocks), ["i", "val"], "left_anti")
     b = side(b_frames, b_id, "h_b", "f_b")
+    if max_offset is not None and not align_frames:
+        # time-banded composition: a coarse frame-time band joined
+        # BESIDE the block key bounds each bucket to ~3 bands of
+        # frames instead of the whole frame corpus per value. Band
+        # width = max_offset, so |f_a - f_b| <= max_offset implies the
+        # bands differ by at most 1; the B side (the broadcast/batch
+        # side — 3x a bounded batch, never 3x the corpus) explodes to
+        # its band and both neighbors, the join adds band equality as
+        # an EQUI key, and the exact |offset| <= max_offset filter
+        # runs post-join. Full recall for in-band offsets; pairs
+        # drifted further than max_offset are out of contract.
+        band = max(int(max_offset), 1)
+        a = a.withColumn("band", F.floor(F.col("f_a") / band))
+        b = b.withColumn(
+            "band",
+            F.explode(
+                F.array(
+                    F.floor(F.col("f_b") / band) - 1,
+                    F.floor(F.col("f_b") / band),
+                    F.floor(F.col("f_b") / band) + 1,
+                )
+            ),
+        )
     if broadcast_b:
         b = F.broadcast(b)
     cond = (F.col("a.i") == F.col("b.i")) & (F.col("a.val") == F.col("b.val"))
+    if max_offset is not None and not align_frames:
+        cond = cond & (F.col("a.band") == F.col("b.band")) & (
+            F.abs(F.col("a.f_a") - F.col("b.f_b")) <= max_offset
+        )
     if align_frames:
         cond = cond & (F.col("a.f_a") == F.col("b.f_b"))
     if lt_filter:
@@ -327,6 +355,7 @@ def video_offset_pairs_from_frames(
     n_blocks: int = 4,
     max_block_freq: int | None = None,
     block_df: DataFrame | None = None,
+    max_offset: int | None = None,
 ) -> DataFrame:
     """Offset-form frame pairs over an ALREADY-DECODED (video_id,
     frame_ix, dhash) table — the pairs-form self-join (id_a < id_b
@@ -347,6 +376,7 @@ def video_offset_pairs_from_frames(
         align_frames=False, broadcast_b=False, lt_filter=True,
         max_hamming=max_hamming, n_blocks=n_blocks,
         hot_blocks=_hot_blocks(block_df, max_block_freq),
+        max_offset=max_offset,
     )
 
 
@@ -417,6 +447,7 @@ def video_offset_near_dups(
     n_blocks: int = 4,
     min_frames: int = 3,
     max_block_freq: int | None = None,
+    max_offset: int | None = None,
 ) -> DataFrame:
     """Offset-tolerant video near-dups — the relative-offset vote
     :func:`video_perceptual_near_dups` cannot express: that form joins
@@ -432,10 +463,16 @@ def video_offset_near_dups(
     per-(block, value) bucket the whole FRAME corpus / 2^block_bits —
     the same fan-out class as running the image near-dup over every
     frame (bounded, but bigger than the temporally-aligned form's
-    per-slot buckets). A corpus beyond that budget composes this with
-    coarse time-banding (join on a frame-time bucket wide enough to
-    cover the expected drift) — same composition as the band/bucket
-    discipline everywhere else in-repo. Returns
+    per-slot buckets). A corpus beyond that budget passes
+    ``max_offset`` — the IMPLEMENTED time-banded composition
+    (:func:`_blocked_frame_matches`): a coarse frame-time band of
+    width ``max_offset`` joins BESIDE the block key (one side
+    explodes to its band and both neighbors), bounding each bucket to
+    ~3 bands of frames instead of the whole corpus, with full recall
+    for |offset| <= max_offset (drifts beyond that are out of
+    contract — same composition as the band/bucket discipline
+    everywhere else in-repo; parity pinned by
+    tests/test_offset_hot_guard.py). Returns
     (id_a, id_b, offset, n_frames_matched, total_hamming)."""
     fp = video_dhash_frames(videos, key, content_col, n_frames_col)
     frame_pairs = video_offset_pairs_from_frames(
@@ -443,6 +480,7 @@ def video_offset_near_dups(
         max_hamming=max_hamming,
         n_blocks=n_blocks,
         max_block_freq=max_block_freq,
+        max_offset=max_offset,
     )
     return (
         frame_pairs.groupBy(
@@ -519,6 +557,7 @@ def video_offset_vote_probe(
     min_frames: int = 3,
     max_block_freq: int | None = None,
     block_df: DataFrame | None = None,
+    max_offset: int | None = None,
 ) -> DataFrame:
     """The OFFSET-TOLERANT ingest probe — :func:`video_frame_vote_probe`
     with the frame_ix join key dropped and a relative-offset vote, so a
@@ -544,6 +583,7 @@ def video_offset_vote_probe(
         align_frames=False, broadcast_b=True, lt_filter=False,
         max_hamming=max_hamming, n_blocks=n_blocks,
         hot_blocks=_hot_blocks(block_df, max_block_freq),
+        max_offset=max_offset,
     )
     return (
         frame_matches.groupBy(

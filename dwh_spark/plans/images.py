@@ -1321,8 +1321,12 @@ def imgs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs — the brute-force form exists only in the
     oracle), and the split is a pure-codegen hash bucket. At 100 TB
     nothing rescans or re-decodes the corpus: the feature frame is the
-    16-byte-per-image artifact every later stage (and the incremental
-    ingest twins) probes."""
+    ~50-byte-per-image artifact every later stage (and the incremental
+    ingest twins) probes — the md5 rides as its 32-char hex string
+    (the form DuckDB's md5() emits, keeping every oracle
+    engine-portable); a deployment squeezing the artifact would pack
+    it as 2 x int64 (~16 B/row) at the cost of hex-splitting in every
+    SQL consumer."""
     from dwh_spark.multimodal.perceptual import DHASH_BITS
     from dwh_spark.operators.dedup import simhash_blocked_pairs
     from dwh_spark.operators.sampling import hash_bucket

@@ -246,3 +246,80 @@ def test_video_capped_pairs_form(spark):
         .collect()
     )
     assert capped == []  # content frames are disjoint across videos
+
+
+def _periodic_frames(spark):
+    """Planted-drift fixture for the time-banded composition: two
+    20-frame videos with a 4-frame PERIODIC dhash pattern (the
+    degenerate-for-banding case — every value recurs at every
+    multiple of the period, so the unbanded join matches at offsets
+    ..., -6, -2, 2, 6, ... corpus-wide); video 2 is video 1 drifted
+    by 2 frames."""
+    pattern = [
+        0x0F1E2D3C4B5A69,
+        0x123456789ABCDE,
+        0x3C4B5A69780F1E,
+        0x56789ABCDEF012,
+    ]
+    rows = []
+    for f in range(20):
+        rows.append((1, f, pattern[f % 4]))
+        rows.append((2, f, pattern[(f + 2) % 4]))
+    return spark.createDataFrame(rows, "video_id long, frame_ix long, dhash long")
+
+
+def test_video_time_band_parity_and_shrinkage(spark):
+    """The banded offset join (max_offset) must equal the unbanded
+    join filtered to in-band offsets — and produce strictly fewer
+    frame-pair rows on periodic content (bucket shrinkage visible at
+    the result level: out-of-band periodic echoes never join)."""
+    frames = _periodic_frames(spark)
+    unbanded = video_offset_pairs_from_frames(frames, max_hamming=3)
+    banded = video_offset_pairs_from_frames(frames, max_hamming=3, max_offset=3)
+    in_band = unbanded.filter(F.abs(F.col("f_a") - F.col("f_b")) <= 3)
+    got = {tuple(r) for r in banded.collect()}
+    want = {tuple(r) for r in in_band.collect()}
+    assert got == want and got
+    # periodic echoes at |offset| in {6, 10, 14, 18} are out of band
+    n_all = unbanded.count()
+    assert len(got) < n_all
+    # the drifted copy's true offset survives the band
+    offsets = {r["f_a"] - r["f_b"] for r in banded.collect()}
+    assert 2 in offsets or -2 in offsets
+
+
+def test_video_time_band_is_equi_join_key(spark):
+    """The band must join as an EQUI key beside (i, val) — visible in
+    the join node — not as a post-join filter alone."""
+    frames = _periodic_frames(spark)
+    banded = video_offset_pairs_from_frames(frames, max_hamming=3, max_offset=3)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "BroadcastHashJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert join_lines and any("band" in ln for ln in join_lines), plan
+
+
+def test_video_time_band_composes_with_cap(spark):
+    """Banding and the hot-block cap stack: planted black frames drop
+    via the cap, periodic echoes drop via the band, the true drifted
+    offset survives both."""
+    frames = _periodic_frames(spark)
+    black = spark.createDataFrame(
+        [(v, 100 + k, 0) for v in (1, 2) for k in range(8)],
+        "video_id long, frame_ix long, dhash long",
+    )
+    both = frames.unionByName(black)
+    stats = video_block_df(both).localCheckpoint()
+    # cap between the periodic content's df (10 per block value) and
+    # the black frames' (16)
+    capped_banded = video_offset_pairs_from_frames(
+        both, max_hamming=3, max_offset=3, max_block_freq=12, block_df=stats
+    )
+    rows = capped_banded.collect()
+    assert rows
+    # no pair row touches the black frames (dhash 0 blocks are hot:
+    # df = 16 per block value > 12)
+    assert all(r["h_a"] != 0 and r["h_b"] != 0 for r in rows)
+    assert all(abs(r["f_a"] - r["f_b"]) <= 3 for r in rows)
