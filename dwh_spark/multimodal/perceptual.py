@@ -349,6 +349,34 @@ def _norm_frames(frames: DataFrame, key: str) -> DataFrame:
     )
 
 
+def video_aligned_pairs_from_frames(
+    frames: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    min_frames: int = 3,
+) -> DataFrame:
+    """Temporally-ALIGNED video pairs over an ALREADY-DECODED
+    (video_id, frame_ix, dhash) table — the frames-level form of
+    :func:`video_perceptual_near_dups` (same per-(frame_ix, block)
+    bucketed join, id_a < id_b inside the join condition), for
+    callers that hold a persisted frame table (the corpus-build
+    capstone computes frames once and feeds every stage). Returns
+    (id_a, id_b, n_frames_matched, total_hamming)."""
+    frame_pairs = _blocked_frame_matches(
+        frames, frames, "id_a", "id_b",
+        align_frames=True, broadcast_b=False, lt_filter=True,
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+    return (
+        frame_pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_frames_matched"),
+            F.sum("hamming").alias("total_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 def video_offset_pairs_from_frames(
     frames: DataFrame,
     max_hamming: int = 3,
