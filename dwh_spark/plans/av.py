@@ -2317,9 +2317,23 @@ def _audio_feature_frame(audio):
                     )
                 except Exception:  # noqa: BLE001 — decode failure routes out
                     out.append((int(k), bmd5, False, None, None, None))
+            # nullable Int64 arrays, NOT a plain DataFrame: pandas
+            # coerces an int column containing None to float64, and a
+            # 56-bit fingerprint above 2^53 silently loses its low
+            # bits there (one undecodable row in a batch corrupted
+            # every fingerprint in it — hamming-0 gain copies stopped
+            # matching their base)
             yield pd.DataFrame(
-                out,
-                columns=["audio_id", "bmd5", "ok", "afp", "n_lv", "words"],
+                {
+                    "audio_id": pd.array(
+                        [r[0] for r in out], dtype="int64"
+                    ),
+                    "bmd5": [r[1] for r in out],
+                    "ok": [r[2] for r in out],
+                    "afp": pd.array([r[3] for r in out], dtype="Int64"),
+                    "n_lv": pd.array([r[4] for r in out], dtype="Int64"),
+                    "words": [r[5] for r in out],
+                }
             )
 
     return audio.mapInPandas(
@@ -2562,4 +2576,202 @@ def av_audio_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_clips"),
             F.sum("audio_id").alias("id_sum"),
         )
+    )
+
+
+_AV_AUDIO_TRIAGE_ORACLE = (
+    """
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 'base' AS kind, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 'copy', 1 FROM documents WHERE doc_id % 10 = 2
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 'gain', 1 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 'shift', 1 FROM documents WHERE doc_id % 10 = 6
+      UNION ALL
+      SELECT doc_id + 4000000, doc_id, 'flat', 1 FROM documents WHERE doc_id % 10 = 8
+      UNION ALL
+      SELECT doc_id + 5000000, doc_id, 'trunc', 1 FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 6000000, doc_id, 'novel', 1 FROM documents WHERE doc_id % 10 = 5
+    ),
+"""
+    + _AV_AUDIO_CORPUS_ORACLE_BODY
+    + """,
+    corpus AS (
+      SELECT i.audio_id, p.pat, h.h
+      FROM ids i
+      JOIN nlv n ON n.audio_id = i.audio_id
+      JOIN pats p ON p.audio_id = i.audio_id
+      JOIN hashes h ON h.audio_id = i.audio_id
+      WHERE i.is_new = 0 AND n.n_lv > 1
+    ),
+    exact AS (
+      SELECT DISTINCT p.audio_id
+      FROM pats p
+      JOIN ids i ON i.audio_id = p.audio_id AND i.is_new = 1
+      JOIN corpus c ON c.pat = p.pat
+    ),
+    near AS (
+      SELECT DISTINCT hb.audio_id
+      FROM hashes hb
+      JOIN ids i ON i.audio_id = hb.audio_id AND i.is_new = 1
+      JOIN nlv n ON n.audio_id = hb.audio_id AND n.n_lv > 1
+      JOIN corpus c ON bit_count(xor(hb.h, c.h)) <= 3
+      WHERE hb.audio_id NOT IN (SELECT audio_id FROM exact)
+    ),
+    bwords AS (
+      SELECT b.audio_id, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN ids i ON i.audio_id = b.audio_id AND i.is_new = 1
+      JOIN nlv n ON n.audio_id = b.audio_id AND n.n_lv > 1
+      JOIN (SELECT unnest(range(0, 25)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      WHERE b.audio_id NOT IN (SELECT audio_id FROM exact)
+        AND b.audio_id NOT IN (SELECT audio_id FROM near)
+      GROUP BY 1, 2
+      HAVING count(*) = 32
+    ),
+    cwords AS (
+      SELECT b.audio_id, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN corpus c ON c.audio_id = b.audio_id
+      JOIN (SELECT unnest(range(0, 25)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2
+      HAVING count(*) = 32
+    ),
+    offd AS (
+      SELECT DISTINCT id_b FROM (
+        SELECT n.audio_id AS id_b, x.audio_id AS ix, x.p - n.p AS o,
+               count(*) AS nv
+        FROM bwords n JOIN cwords x ON x.word = n.word
+        GROUP BY 1, 2, 3 HAVING count(*) >= 5
+      )
+    ),
+    dec AS (
+      SELECT i.audio_id,
+             CASE WHEN i.kind = 'trunc' THEN 'undecodable'
+                  WHEN i.kind = 'flat' OR n.n_lv = 1 THEN 'low_quality'
+                  WHEN e.audio_id IS NOT NULL THEN 'exact_dup'
+                  WHEN nr.audio_id IS NOT NULL THEN 'near_dup'
+                  WHEN o.id_b IS NOT NULL THEN 'offset_dup'
+                  ELSE 'kept' END AS decision
+      FROM ids i
+      LEFT JOIN nlv n ON n.audio_id = i.audio_id
+      LEFT JOIN exact e ON e.audio_id = i.audio_id
+      LEFT JOIN near nr ON nr.audio_id = i.audio_id
+      LEFT JOIN offd o ON o.id_b = i.audio_id
+      WHERE i.is_new = 1
+    )
+    SELECT audio_id, decision FROM dec
+    """
+)
+
+
+@query("av_audio_corpus_ingest_triage", oracle=_AV_AUDIO_TRIAGE_ORACLE)
+def av_audio_corpus_ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-delta triage for the AUDIO modality — the incremental
+    twin of av_audio_corpus_build (the same composition the docs and
+    image modalities already have, closing the capstone matrix of
+    VERDICT r12 missing #4): route each NEW clip to the FIRST
+    matching decision — 'undecodable' (decode-try fails),
+    'low_quality' (one energy level), 'exact_dup' (content md5 in the
+    STORED corpus hash index), 'near_dup' (whole-clip fingerprint
+    within hamming <= 3 of the STORED fingerprint index),
+    'offset_dup' (>= 5 subfingerprint words matching the STORED H-K
+    lookup table at one relative offset — the arm that catches the
+    loop-shifted copies the whole-clip probe misses), else 'kept'
+    (the planted brand-new clips).
+
+    Probe discipline matches the docs/image triages exactly: all
+    three stored indexes are column subsets / posexplodes of the
+    corpus feature frame (built once at corpus-build time; recomputed
+    here from the base fixture) and are STREAMED, never shuffled —
+    the batch's hash set, fingerprint blocks, and words are BROADCAST
+    into them; probes run cheapest-first over shrinking inputs, so a
+    clip rejected by a cheap arm never reaches a shuffle. Per-batch
+    cost is O(batch decodes + index scans + collisions); the corpus
+    is never re-decoded. The oracle re-derives every decision from
+    the generating arithmetic."""
+    from dwh_spark.multimodal.audio_fp import (
+        AUDIO_FP_BITS,
+        audio_offset_vote_probe,
+    )
+    from dwh_spark.operators.dedup import simhash_blocked_probe
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    corpus_feats = _audio_feature_frame(
+        _audio_corpus_fixture(docs, base=True, variants=False)
+    ).persist()
+    batch_feats = _audio_feature_frame(
+        _audio_corpus_fixture(docs, base=False, variants=True, novel=True)
+    ).persist()
+    while _AV_CORPUS_CACHE:
+        _AV_CORPUS_CACHE.pop().unpersist()
+    _AV_CORPUS_CACHE.extend([corpus_feats, batch_feats])
+
+    qual = batch_feats.filter(F.col("ok") & (F.col("n_lv") > 1))
+    batch_hashes = qual.select("bmd5").distinct()
+    found = (
+        corpus_feats.select("bmd5")
+        .join(F.broadcast(batch_hashes), "bmd5")
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    survivors = qual.join(F.broadcast(found.select("bmd5")), "bmd5", "left_anti")
+    near = (
+        simhash_blocked_probe(
+            corpus_feats.select("audio_id", F.col("afp").alias("simhash")),
+            survivors.select("audio_id", F.col("afp").alias("simhash")),
+            key="audio_id",
+            n_blocks=4,
+            block_bits=AUDIO_FP_BITS // 4,
+            max_hamming=3,
+        )
+        .select(F.col("batch_id").alias("audio_id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    surv2 = survivors.join(near.select("audio_id"), "audio_id", "left_anti")
+    offd = (
+        audio_offset_vote_probe(
+            corpus_feats.select(
+                "audio_id", F.posexplode("words").alias("pos", "sub32")
+            ),
+            surv2.select(
+                "audio_id", F.posexplode("words").alias("pos", "sub32")
+            ),
+            min_matches=5,
+        )
+        .select(F.col("batch_id").alias("audio_id"))
+        .distinct()
+        .withColumn("__off", F.lit(True))
+    )
+    decision = (
+        F.when(~F.col("ok"), F.lit("undecodable"))
+        .when(F.col("n_lv") == 1, F.lit("low_quality"))
+        .when(F.col("__exact"), F.lit("exact_dup"))
+        .when(F.col("__near"), F.lit("near_dup"))
+        .when(F.col("__off"), F.lit("offset_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        batch_feats.join(F.broadcast(found), "bmd5", "left")
+        .join(near, "audio_id", "left")
+        .join(offd, "audio_id", "left")
+        .withColumn("decision", decision)
+        .select("audio_id", "decision")
     )

@@ -1202,8 +1202,20 @@ def _imgs_feature_frame(imgs: DataFrame) -> DataFrame:
                     )
                 except Exception:  # noqa: BLE001 — any decode failure routes out
                     out.append((int(k), bmd5, False, None, None))
+            # nullable Int64 arrays, NOT a plain DataFrame: pandas
+            # coerces an int column containing None to float64, and a
+            # 56-bit dHash above 2^53 silently loses its low bits
+            # there (the undecodable rows in a batch corrupted every
+            # fingerprint in it; decisions happened to survive only
+            # because both pair sides rounded identically)
             yield pd.DataFrame(
-                out, columns=["image_id", "bmd5", "ok", "dhash", "contrast"]
+                {
+                    "image_id": pd.array([r[0] for r in out], dtype="int64"),
+                    "bmd5": [r[1] for r in out],
+                    "ok": [r[2] for r in out],
+                    "dhash": pd.array([r[3] for r in out], dtype="Int64"),
+                    "contrast": pd.array([r[4] for r in out], dtype="Int64"),
+                }
             )
 
     return imgs.mapInPandas(
