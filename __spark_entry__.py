@@ -58,6 +58,10 @@ _CHECK_FIRST = [
     # -- new round-13 queries: no driver verdict yet
     "av_audio_fp_offset_capped_ingest",   # hot-word cap: silence-padded corpus
     "av_video_phash_offset_capped_ingest",  # hot-block cap: black-frame corpus
+    "av_audio_corpus_build",            # audio corpus capstone w/ offset screen
+    "av_video_corpus_build",            # video corpus capstone w/ offset screen
+    "av_audio_corpus_ingest_triage",    # audio daily-delta triage vs stored indexes
+    "av_video_corpus_ingest_triage",    # video daily-delta triage vs stored indexes
     # -- stale: latest driver verdict is round 8 (all 26 lead)
     "imgs_real_pixel_stats",
     "marketplace_audit_counts",
