@@ -1552,6 +1552,233 @@ def audio_offset_ingest_smoke(n_corpus: int = 100_000, n_batch: int = 1_000) -> 
     spark.stop()
 
 
+def audio_snippet_smoke(n_corpus: int = 100_000, n_queries: int = 200) -> None:
+    """Retrieval-cost shape for SNIPPET identification (VERDICT r12
+    next #5): the same stored H-K lookup table the offset ingest
+    maintains (~25 rows/clip = 2.5M rows at 100k clips) doubles as
+    the retrieval index — a 40-window snippet (8 subfingerprint
+    words) is BROADCAST into the table, scanned once, and votes on
+    its relative offset; the corpus is never re-decoded per query
+    set. The naive alternative decodes the corpus and runs the full
+    pair vote. Planted queries: windows [k, k+40) of a random base
+    clip, k per query — every snippet must identify its base at
+    offset k (found == planted asserted)."""
+    import tempfile
+
+    from dwh_spark.multimodal.audio_fp import (
+        audio_offset_near_dup_pairs,
+        audio_offset_vote_probe,
+        audio_subfingerprint_frame,
+    )
+
+    spark = get_spark("audio-snippet-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(which: str, n: int, base_of, start_of):
+        ids = spark.range(n).repartition(64)
+
+        def run(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            from dwh_spark.multimodal.audio import wav_encode
+
+            j = np.arange(64, dtype=np.int64)
+
+            def clip(d: int) -> "np.ndarray":
+                wins = []
+                for w in range(57):
+                    a = (
+                        int(hashlib.md5(f"{d}:{w}".encode()).hexdigest()[:4], 16)
+                        % 2048
+                    )
+                    wins.append((a + j * 13) % 2048 - 1024)
+                return np.concatenate(wins).astype(np.int16)
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "base":
+                        out.append((i, wav_encode(clip(i), 1000)))
+                    else:
+                        k = start_of(i)
+                        snip = clip(base_of(i))[k * 64: (k + 40) * 64]
+                        out.append((10_000_000 + i, wav_encode(snip, 1000)))
+                yield pd.DataFrame(out, columns=["audio_id", "content"])
+
+        return ids.mapInPandas(run, "audio_id long, content binary")
+
+    corpus = gen("base", n_corpus, None, None)
+    start_of = lambda i: (i * 7) % 17  # noqa: E731 — snippet start window
+    queries = gen("snip", n_queries, lambda i: (i * 97) % n_corpus, start_of)
+
+    root = tempfile.mkdtemp(prefix="dwh_audio_snippet_smoke_")
+    t = time.perf_counter()
+    audio_subfingerprint_frame(corpus).write.parquet(root + "/index")
+    build_s = time.perf_counter() - t
+    index = spark.read.parquet(root + "/index")
+    n_index_rows = index.count()
+
+    t = time.perf_counter()
+    hits = (
+        audio_offset_vote_probe(
+            index, audio_subfingerprint_frame(queries), min_matches=5
+        )
+        .select("batch_id", "index_id", "offset")
+        .collect()
+    )
+    probe_s = time.perf_counter() - t
+    want = {
+        (10_000_000 + i, (i * 97) % n_corpus, (i * 7) % 17)
+        for i in range(n_queries)
+    }
+    got = {(r["batch_id"], r["index_id"], r["offset"]) for r in hits}
+    assert want <= got, f"missing {sorted(want - got)[:5]}"
+    n_extra = len(got - want)
+
+    t = time.perf_counter()
+    n_naive = (
+        audio_offset_near_dup_pairs(corpus.unionByName(queries))
+        .filter(F.col("id_b") >= 10_000_000)
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    naive_s = time.perf_counter() - t
+
+    print(
+        f"audio snippet smoke ({n_corpus} corpus clips = {n_index_rows} "
+        f"stored lookup rows, {n_queries} 40-window snippets): index "
+        f"build ONCE {build_s:.1f}s; snippet probe {probe_s:.1f}s (all "
+        f"{n_queries} planted snippets identified at their planted "
+        f"offsets, {n_extra} extra hits — snippets broadcast, table "
+        f"scanned once, corpus never re-decoded); naive full re-pair "
+        f"{naive_s:.1f}s ({n_naive} matches). Per-query-set asymmetry "
+        f"{naive_s / max(probe_s, 1e-9):.1f}x"
+    )
+    spark.stop()
+
+
+def video_snippet_smoke(
+    n_corpus: int = 200_000, n_frames: int = 10, n_queries: int = 200
+) -> None:
+    """Retrieval-cost shape for VIDEO scene identification: the same
+    stored per-frame fingerprint index the offset ingest maintains
+    (2M rows at 200k 10-frame videos) doubles as the retrieval index
+    — a 5-frame excerpt is BROADCAST into it and votes on its
+    relative offset. Planted queries: frames [k, k+5) of a random
+    base video — every excerpt must identify its base at offset k
+    (found == planted asserted). Naive alternative re-decodes all 2M
+    corpus frames per query set."""
+    import tempfile
+
+    from dwh_spark.multimodal.perceptual import (
+        video_dhash_frames,
+        video_offset_near_dups,
+        video_offset_vote_probe,
+    )
+
+    spark = get_spark("video-snippet-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(which: str, n: int, base_of, start_of):
+        ids = spark.range(n).repartition(64)
+
+        def run(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            from dwh_spark.multimodal import codecs
+
+            def grid(b: int, f: int) -> "np.ndarray":
+                bits = np.frombuffer(
+                    hashlib.md5(f"{b}:{f}".encode()).digest()[:8], np.uint8
+                )
+                cells = np.unpackbits(bits).reshape(8, 8)
+                rgb = np.where(cells[:, :, None] == 1, 200, 50).astype(np.uint8)
+                return np.repeat(rgb, 3, axis=2)
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "base":
+                        frames = [grid(i, f) for f in range(n_frames)]
+                        out.append(
+                            (i, len(frames), codecs.avi_encode(np.stack(frames)))
+                        )
+                    else:
+                        b, k = base_of(i), start_of(i)
+                        frames = [grid(b, k + f) for f in range(5)]
+                        out.append(
+                            (
+                                10_000_000 + i,
+                                5,
+                                codecs.avi_encode(np.stack(frames)),
+                            )
+                        )
+                yield pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
+
+        return ids.mapInPandas(run, "video_id long, n_frames long, content binary")
+
+    corpus = gen("base", n_corpus, None, None)
+    start_of = lambda i: (i * 3) % (n_frames - 4)  # noqa: E731
+    queries = gen("snip", n_queries, lambda i: (i * 97) % n_corpus, start_of)
+
+    root = tempfile.mkdtemp(prefix="dwh_video_snippet_smoke_")
+    t = time.perf_counter()
+    video_dhash_frames(corpus).write.parquet(root + "/index")
+    build_s = time.perf_counter() - t
+    index = spark.read.parquet(root + "/index")
+    n_index_rows = index.count()
+
+    t = time.perf_counter()
+    hits = (
+        video_offset_vote_probe(
+            index, video_dhash_frames(queries), max_hamming=3, min_frames=3
+        )
+        .select("batch_id", "index_id", "offset")
+        .collect()
+    )
+    probe_s = time.perf_counter() - t
+    want = {
+        (10_000_000 + i, (i * 97) % n_corpus, (i * 3) % (n_frames - 4))
+        for i in range(n_queries)
+    }
+    got = {(r["batch_id"], r["index_id"], r["offset"]) for r in hits}
+    assert want <= got, f"missing {sorted(want - got)[:5]}"
+    n_extra = len(got - want)
+
+    t = time.perf_counter()
+    n_naive = (
+        video_offset_near_dups(
+            corpus.unionByName(queries), max_hamming=3, min_frames=3
+        )
+        .filter(F.col("id_b") >= 10_000_000)
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    naive_s = time.perf_counter() - t
+
+    print(
+        f"video snippet smoke ({n_corpus} corpus videos x {n_frames} "
+        f"frames = {n_index_rows} stored index rows, {n_queries} "
+        f"5-frame excerpts): index build ONCE {build_s:.1f}s; excerpt "
+        f"probe {probe_s:.1f}s (all {n_queries} planted excerpts "
+        f"identified at their planted offsets, {n_extra} extra hits); "
+        f"naive full re-pair {naive_s:.1f}s ({n_naive} matches). "
+        f"Per-query-set asymmetry {naive_s / max(probe_s, 1e-9):.1f}x"
+    )
+    spark.stop()
+
+
+
 if __name__ == "__main__":
     if CASE == "append_log":
         append_log_soak()
@@ -1569,6 +1796,10 @@ if __name__ == "__main__":
         video_phash_ingest_smoke()
     elif CASE == "audio_offset_ingest":
         audio_offset_ingest_smoke()
+    elif CASE == "audio_snippet":
+        audio_snippet_smoke()
+    elif CASE == "video_snippet":
+        video_snippet_smoke()
     elif CASE is not None:
         raise SystemExit(
             f"unknown case {CASE!r} "
