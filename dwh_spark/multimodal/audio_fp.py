@@ -178,6 +178,37 @@ def audio_subfingerprint_frame(
     return audio.select(key, content_col).mapInPandas(run, AUDIO_SUBFP_SCHEMA)
 
 
+def word_transitions(col) -> "F.Column":
+    """Bit-TRANSITION count of a 32-bit subfingerprint word — the
+    structural low-entropy measure: each word is 32 consecutive
+    energy-comparison sign bits, so digital silence / constant-energy
+    runs produce long same-bit runs (sub32 = 0 has zero transitions;
+    the silence-boundary word 1<<31 has one), while real content
+    flips signs ~every other window (~15 transitions). Pure codegen:
+    popcount((w ^ (w >> 1)) & 0x7FFFFFFF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.bit_count(
+        c.bitwiseXOR(F.shiftright(c, 1)).bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+
+
+def drop_low_entropy_words(
+    subfps: DataFrame, min_transitions: int = 4
+) -> DataFrame:
+    """H-K's production low-entropy skip as a STATELESS map-side
+    filter — the STREAMING form of the hot-word guard: the df-cap
+    (:func:`attach_subfp_df` + ``max_word_freq``) needs a stored,
+    compacted df column, which an append-only stream state cannot
+    keep fresh without per-batch corpus aggregates; dropping
+    structurally degenerate words instead needs NO state, filters
+    map-side on both the appended rows (the stored table never holds
+    them — smaller state) and the probe side, and catches the same
+    silence/constant-tone class a priori. The trade, stated: a
+    corpus-hot but high-entropy word (a shared jingle) passes here
+    and needs the df-cap; the two guards compose."""
+    return subfps.filter(word_transitions("sub32") >= min_transitions)
+
+
 def attach_subfp_df(subfps: DataFrame) -> DataFrame:
     """Attach the per-word posting count ``df`` to a (audio_id, pos,
     sub32) lookup table — the hot-word guard's stored column, the

@@ -191,6 +191,24 @@ def video_dhash_frames(
     )
 
 
+def drop_low_detail_frames(
+    frames: DataFrame, min_bits: int = 4
+) -> DataFrame:
+    """Structural low-detail frame skip — the STREAMING form of the
+    hot-block guard: the df-cap (:func:`video_block_df` +
+    ``max_block_freq``) needs the stored block-stats table, which an
+    append-only stream state cannot keep fresh without per-batch
+    aggregates; dropping structurally degenerate frames instead needs
+    NO state and filters map-side on both the appended rows (the
+    stored per-frame index never holds them) and the probe side. The
+    dHash sets one bit per brighter-than-left cell pair, so a black /
+    flat / near-uniform frame has popcount(dhash) near 0 while real
+    content carries ~half the 56 bits. The trade, stated: a
+    corpus-hot but detailed frame (a shared title card) passes here
+    and needs the df-cap; the two guards compose."""
+    return frames.filter(F.bit_count(F.col("dhash")) >= min_bits)
+
+
 def video_block_df(
     frames: DataFrame, n_blocks: int = 4
 ) -> DataFrame:

@@ -284,6 +284,7 @@ def run_audio_offset_ingest(
     out_dir: str,
     checkpoint_dir: str,
     min_matches: int = 5,
+    min_word_transitions: int | None = None,
     maintenance=None,
 ) -> None:
     """OFFSET-TOLERANT audio binding: the stored state is the
@@ -296,12 +297,29 @@ def run_audio_offset_ingest(
     stored table (multimodal/audio_fp.py:audio_offset_vote_probe).
     Output per batch: (audio_id, n_earlier_odups) — distinct earlier
     partners with >= ``min_matches`` word matches at one consistent
-    offset."""
+    offset. ``min_word_transitions`` enables the STREAMING form of
+    the hot-word guard (VERDICT r12 #2): the batch/ingest df-cap
+    needs a stored, compacted df column that an append-only stream
+    state cannot keep fresh without per-batch corpus aggregates, so
+    the stream drops structurally degenerate words instead —
+    H-K's low-entropy skip as a stateless map-side filter applied
+    BEFORE the fold's three consumers, so silence-born ``sub32 = 0``
+    rows never enter the stored table, the within-batch self-join,
+    or the probe (multimodal/audio_fp.py:drop_low_entropy_words)."""
     from dwh_spark.multimodal.audio_fp import (
         audio_offset_pairs_from_subfps,
         audio_offset_vote_probe,
         audio_subfingerprint_frame,
+        drop_low_entropy_words,
     )
+
+    if min_word_transitions is None:
+        fp_fn = audio_subfingerprint_frame
+    else:
+        def fp_fn(df: DataFrame) -> DataFrame:
+            return drop_low_entropy_words(
+                audio_subfingerprint_frame(df), min_word_transitions
+            )
 
     def within(batch_subfps: DataFrame) -> DataFrame:
         # a pair can qualify at more than one offset — count PARTNERS
@@ -322,7 +340,7 @@ def run_audio_offset_ingest(
 
     _run_indexed_ingest(
         stream, index_store, out_dir, checkpoint_dir,
-        audio_subfingerprint_frame, within, cross,
+        fp_fn, within, cross,
         "audio_id", "n_earlier_odups", maintenance,
     )
 
@@ -340,6 +358,7 @@ def run_video_offset_ingest(
     max_hamming: int = 3,
     n_blocks: int = 4,
     min_frames: int = 3,
+    min_frame_bits: int | None = None,
     maintenance=None,
 ) -> None:
     """OFFSET-TOLERANT video binding — the aligned video fold with the
@@ -349,12 +368,25 @@ def run_video_offset_ingest(
     misses by construction. Same index store (per-frame 16-byte rows),
     same decode-once/broadcast-probe discipline. Output per batch:
     (video_id, n_earlier_ovdups) — distinct earlier partners with >=
-    ``min_frames`` frame matches at one consistent offset."""
+    ``min_frames`` frame matches at one consistent offset.
+    ``min_frame_bits`` enables the STREAMING form of the hot-block
+    guard: black/flat frames (dhash popcount near 0) are dropped
+    map-side before the fold's three consumers — the stored per-frame
+    index never holds them and the dhash=0 bucket never forms
+    (multimodal/perceptual.py:drop_low_detail_frames; the stored
+    df-cap stays the batch/ingest form)."""
     from dwh_spark.multimodal.perceptual import (
+        drop_low_detail_frames,
         video_dhash_frames,
         video_offset_partner_votes,
         video_offset_vote_probe,
     )
+
+    if min_frame_bits is None:
+        fp_fn = video_dhash_frames
+    else:
+        def fp_fn(df: DataFrame) -> DataFrame:
+            return drop_low_detail_frames(video_dhash_frames(df), min_frame_bits)
 
     def within(batch_frames: DataFrame) -> DataFrame:
         return video_offset_partner_votes(
@@ -377,7 +409,7 @@ def run_video_offset_ingest(
 
     _run_indexed_ingest(
         stream, index_store, out_dir, checkpoint_dir,
-        video_dhash_frames, within, cross, "video_id", "n_earlier_ovdups",
+        fp_fn, within, cross, "video_id", "n_earlier_ovdups",
         maintenance,
     )
 

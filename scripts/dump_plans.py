@@ -226,6 +226,27 @@ HEADLINERS = {
     "fingerprint index as stream state; pairs-form aligned within-batch "
     "vote, stored index probed via the shared video_frame_vote_probe — "
     "batch decoded once per fold)",
+    "av_audio_fp_offset_capped_ingest": "hot-word cap as a MAP-SIDE "
+    "filter on the lookup table's stored df column: silence's sub32=0 "
+    "bucket never materializes, zero per-batch aggregates (the df "
+    "aggregate ran at index build time)",
+    "av_video_phash_offset_capped_ingest": "hot-block cap as a "
+    "broadcast LEFT-ANTI of the tiny over-cap (block, value) set off "
+    "the streamed index side: black frames' dhash=0 buckets never "
+    "materialize, zero added shuffles",
+    "av_audio_corpus_build": "audio corpus capstone: one Arrow "
+    "feature pass, md5 groupBy exact arm, blocked whole-clip arm over "
+    "exact survivors, posexploded offset vote over the remainder only, "
+    "codegen hash split — rollup pins stage membership via id sums",
+    "av_audio_corpus_ingest_triage": "audio delta triage: stored "
+    "hash/fingerprint/lookup-table indexes streamed, batch broadcast, "
+    "probes gated cheapest-first over shrinking survivors",
+    "av_video_corpus_build": "video corpus capstone: per-frame dHash "
+    "list from one Arrow pass, aligned frame-vote arm then offset arm "
+    "over shrinking survivors, codegen hash split",
+    "av_video_corpus_ingest_triage": "video delta triage: aligned "
+    "probe then offset probe against the stored per-frame index, "
+    "batch frames broadcast, corpus never re-decoded",
 }
 
 

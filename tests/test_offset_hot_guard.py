@@ -323,3 +323,73 @@ def test_video_time_band_composes_with_cap(spark):
     # df = 16 per block value > 12)
     assert all(r["h_a"] != 0 and r["h_b"] != 0 for r in rows)
     assert all(abs(r["f_a"] - r["f_b"]) <= 3 for r in rows)
+
+
+def test_word_transitions_values(spark):
+    """Structural low-entropy measure: silence word 0 -> 0
+    transitions; the silence-boundary word 1<<31 -> 1; alternating
+    sign bits (0x55555555) -> 31; real-content-like mixed words sit
+    well above the default cut of 4."""
+    from dwh_spark.multimodal.audio_fp import word_transitions
+
+    rows = spark.createDataFrame(
+        [(0,), (1 << 31,), (0x55555555,), (0x0F0F0F0F,), (0b1100,)],
+        "sub32 long",
+    ).select("sub32", word_transitions("sub32").alias("t"))
+    got = {r["sub32"]: r["t"] for r in rows.collect()}
+    assert got[0] == 0
+    assert got[1 << 31] == 1
+    assert got[0x55555555] == 31
+    assert got[0x0F0F0F0F] == 7
+    assert got[0b1100] == 2
+
+
+def test_drop_low_entropy_words_filters_silence(spark):
+    """The streaming-form guard: silence and boundary words drop
+    map-side (plan shows a Filter, no aggregate, no join), content
+    words survive, and the filtered pairs-form still finds the
+    planted trimmed copy."""
+    from dwh_spark.multimodal.audio_fp import drop_low_entropy_words
+
+    index, batch = _audio_frames(spark)
+    filtered = drop_low_entropy_words(index)
+    got = {r["sub32"] for r in filtered.select("sub32").distinct().collect()}
+    # word 0 and the two sub-4-transition synthetic words (103, 207)
+    # drop; the rest of the 24 content words survive
+    assert 0 not in got and got == {
+        w for w in range(101, 109) if w not in (103,)
+    } | {w for w in range(201, 209) if w not in (207,)} | set(range(301, 309))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "Join" not in plan
+    # pairs over the filtered frames: silence votes gone, content
+    # pairs need min_matches <= surviving content overlap (7 of clip
+    # 1's 8 words pass the transition cut) — cross-clip pairs vanish
+    # entirely (disjoint content words)
+    pairs = audio_offset_pairs_from_subfps(
+        drop_low_entropy_words(index.unionByName(batch)), min_matches=5
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["offset"], r["n_matches"]) for r in pairs} == {
+        (1, 10, 2, 7)
+    }
+
+
+def test_drop_low_detail_frames_filters_black(spark):
+    """Black frames (dhash popcount 0) drop map-side; the filtered
+    offset vote keeps only the true head-drop pair."""
+    from dwh_spark.multimodal.perceptual import drop_low_detail_frames
+
+    index, batch = _video_frames(spark)
+    both = index.unionByName(batch)
+    filtered = drop_low_detail_frames(both)
+    assert filtered.filter(F.col("dhash") == 0).count() == 0
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "Join" not in plan
+    got = {
+        (r["id_a"], r["id_b"], r["o"])
+        for r in video_offset_pairs_from_frames(filtered, max_hamming=3)
+        .groupBy("id_a", "id_b", (F.col("f_a") - F.col("f_b")).alias("o"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    assert got == {(1, 10, 1)}
