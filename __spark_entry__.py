@@ -62,6 +62,8 @@ _CHECK_FIRST = [
     "av_video_corpus_build",            # video corpus capstone w/ offset screen
     "av_audio_corpus_ingest_triage",    # audio daily-delta triage vs stored indexes
     "av_video_corpus_ingest_triage",    # video daily-delta triage vs stored indexes
+    "av_video_phash_offset_banded_near_dups",  # time-banded offset contract
+    "av_audio_fp_offset_entropy_ingest",  # stateless low-entropy guard (stream form)
     # -- stale: latest driver verdict is round 8 (all 26 lead)
     "imgs_real_pixel_stats",
     "marketplace_audit_counts",

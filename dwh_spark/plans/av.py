@@ -3314,3 +3314,250 @@ def av_video_corpus_ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("decision", decision)
         .select("video_id", "decision")
     )
+
+
+def _video_drift_fixture(docs, base: bool, variants: bool):
+    """Fixture for the TIME-BANDED offset query: per doc a REAL
+    8-frame AVI of md5-grid frames (seed 'vdrf:'); per ten docs a
+    SMALL-DRIFT copy (first frame cut -> offset 1, inside a
+    max_offset=2 band; id +3,000,000, %10==3) and a LARGE-DRIFT copy
+    (first FOUR frames cut -> offset 4, outside the band but still
+    carrying 4 matchable frames; id +1,000,000, %10==7) — the pair
+    the unbanded vote finds and the banded contract excludes."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(b: int, f: int) -> "_np.ndarray":
+            g = _np.empty((8, 8), _np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            _hashlib.md5(
+                                f"vdrf:{b}:{f}:{r}:{c}".encode()
+                            ).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            rgb = _np.where(g[:, :, None] == 1, 200, 50).astype(_np.uint8)
+            return _np.repeat(rgb, 3, axis=2)
+
+        def video(b: int, drop: int):
+            frames = [grid(b, f) for f in range(8)][drop:]
+            return codecs.avi_encode(_np.stack(frames)), len(frames)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if base:
+                    v, n = video(d, 0)
+                    out.append((d, n, v))
+                if variants and d % 10 == 3:
+                    v, n = video(d, 1)
+                    out.append((d + 3000000, n, v))
+                if variants and d % 10 == 7:
+                    v, n = video(d, 4)
+                    out.append((d + 1000000, n, v))
+            yield _pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
+
+    return docs.mapInPandas(gen, "video_id long, n_frames long, content binary")
+
+
+@query(
+    "av_video_phash_offset_banded_near_dups",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS drop_head
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 4 FROM documents WHERE doc_id % 10 = 7
+    ),
+    cells AS (
+      SELECT i.video_id, f.f - i.drop_head AS f, g.r, g.c,
+             (('0x' || substr(md5('vdrf:' || CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 8)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+      WHERE f.f >= i.drop_head
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    ),
+    frame_matches AS (
+      SELECT a.video_id AS id_a, b.video_id AS id_b,
+             a.f - b.f AS offset_f,
+             bit_count(xor(a.h, b.h)) AS hamming
+      FROM hashes a JOIN hashes b ON a.video_id < b.video_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+        AND abs(a.f - b.f) <= 2
+    )
+    SELECT id_a, id_b, CAST(offset_f AS BIGINT) AS offset_f,
+           count(*) AS n_frames_matched,
+           CAST(sum(hamming) AS BIGINT) AS total_hamming
+    FROM frame_matches GROUP BY 1, 2, 3 HAVING count(*) >= 3
+    """,
+)
+def av_video_phash_offset_banded_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-BANDED offset-tolerant video near-dups (VERDICT r12 next
+    #4, the oracle-gated binding of the composition): the coarse
+    frame-time band of width ``max_offset`` joins as an EQUI key
+    beside the (block, value) key, bounding each bucket to ~3 bands
+    of frames instead of the whole frame corpus per 14-bit value —
+    the beyond-budget scale path the unbanded docstring stated, now a
+    shipped option. The contract: full recall for |offset| <=
+    max_offset, drifts beyond it excluded. The fixture plants BOTH
+    sides of the contract: small-drift copies (1 frame cut, offset 1)
+    match with all 7 surviving frames; LARGE-drift copies (4 frames
+    cut, offset 4 — still 4 matchable frames, so the UNBANDED vote
+    would pair them) are excluded by the band. The oracle brute-
+    forces the unaligned frame pairs with the SAME |offset| <= 2
+    filter."""
+    from dwh_spark.multimodal.perceptual import video_offset_near_dups
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    vids = _video_drift_fixture(docs, base=True, variants=True)
+    return video_offset_near_dups(
+        vids, max_hamming=3, min_frames=3, max_offset=2
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("offset").cast("long").alias("offset_f"),
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("total_hamming").cast("long").alias("total_hamming"),
+    )
+
+
+@query(
+    "av_audio_fp_offset_entropy_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 48 AS n_sil,
+             57 AS n_con, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 40, 57, 1 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 48, 49, 1 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    con AS (
+      SELECT i.audio_id, i.is_new, i.n_sil + w.w AS w,
+             sum((((('0x' || substr(md5('offc:' || CAST(i.base AS VARCHAR)
+                                     || ':' || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024)
+                  * ((('0x' || substr(md5('offc:' || CAST(i.base AS VARCHAR)
+                                     || ':' || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024))) AS e
+      FROM ids i,
+           (SELECT unnest(range(0, 57)) AS w) w,
+           (SELECT unnest(range(0, 64)) AS j) t
+      WHERE w.w < i.n_con
+      GROUP BY 1, 2, 3
+    ),
+    energies AS (
+      SELECT audio_id, is_new, w, e FROM con
+      UNION ALL
+      SELECT i.audio_id, i.is_new, w.w, 0 AS e
+      FROM ids i, (SELECT unnest(range(0, 48)) AS w) w
+      WHERE w.w < i.n_sil
+    ),
+    bits AS (
+      SELECT a.audio_id, a.is_new, a.w,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM energies a
+      JOIN energies b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, b.is_new, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 73)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2, 3
+      HAVING count(*) = 32
+    ),
+    lively AS (
+      SELECT audio_id, is_new, p, word FROM sub
+      WHERE bit_count(xor(word, word >> 1) & 2147483647) >= 4
+    )
+    SELECT n.audio_id AS batch_id, x.audio_id AS index_id,
+           CAST(x.p - n.p AS BIGINT) AS offset_w,
+           count(*) AS n_matches
+    FROM lively n
+    JOIN lively x ON x.word = n.word AND n.is_new = 1 AND x.is_new = 0
+    GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    """,
+)
+def av_audio_fp_offset_entropy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-FORM hot-word guard, oracle-gated: the same
+    silence-padded corpus as av_audio_fp_offset_capped_ingest, but
+    guarded by the STATELESS structural filter instead of the stored
+    df cap — H-K's low-entropy skip
+    (multimodal/audio_fp.py:drop_low_entropy_words): words with fewer
+    than 4 sign-bit transitions (silence = 0, the silence-boundary
+    family = 1..3) drop MAP-SIDE from BOTH the stored table and the
+    probe, with no df column and no aggregate anywhere — the form an
+    append-only stream state can apply, since it needs no compacted
+    statistics. Trimmed/gain copies still match at their offsets via
+    the high-transition content words; the silent×silent bucket never
+    forms. The oracle re-derives the words and applies the SAME
+    transition filter (popcount((w ^ (w >> 1)) & 0x7FFFFFFF) >= 4)
+    to both sides of its brute-force join."""
+    from dwh_spark.multimodal.audio_fp import (
+        audio_offset_vote_probe,
+        audio_subfingerprint_frame,
+        drop_low_entropy_words,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = drop_low_entropy_words(
+        audio_subfingerprint_frame(
+            _audio_silence_offset_fixture(docs, base=True, variants=False)
+        )
+    )
+    batch = drop_low_entropy_words(
+        audio_subfingerprint_frame(
+            _audio_silence_offset_fixture(docs, base=False, variants=True)
+        )
+    )
+    matches = audio_offset_vote_probe(index, batch, min_matches=5)
+    return matches.select(
+        "batch_id",
+        "index_id",
+        F.col("offset").cast("long").alias("offset_w"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
