@@ -651,6 +651,8 @@ def perceptual_incremental_ingest(
     format_col: str = "format",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    max_block_freq: int | None = None,
+    block_df: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time perceptual screen: which images of a new batch are
     re-encodes/resizes/near-edits of something already in the corpus —
@@ -669,6 +671,14 @@ def perceptual_incremental_ingest(
     never re-decoded. Per-day cost: O(batch decodes + index scan +
     block collisions) — independent of corpus pair count.
 
+    ``max_block_freq`` is the hot-block guard (degenerate content —
+    flat/near-uniform images — hashes to dhash 0, making (i, 0)
+    corpus-hot): a map-side broadcast anti-join against the STORED
+    stats table ``block_df`` (operators/dedup.py:simhash_block_df,
+    built at index build time; a quality-gated corpus — the
+    corpus-build's contrast gate — needs no cap because degenerate
+    items never enter the index).
+
     Returns (batch_id, index_id, hamming) for matches at
     hamming ≤ ``max_hamming``.
     """
@@ -684,4 +694,6 @@ def perceptual_incremental_ingest(
         n_blocks=n_blocks,
         block_bits=DHASH_BITS // n_blocks,
         max_hamming=max_hamming,
+        max_block_freq=max_block_freq,
+        block_df=block_df,
     )

@@ -797,12 +797,63 @@ def simhash60(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
     )
 
 
+def simhash_block_df(
+    sh: DataFrame, n_blocks: int = 4, block_bits: int = 15
+) -> DataFrame:
+    """Per-(block, value) posting counts over a (key, simhash) frame —
+    the stored hot-block artifact for the blocked fingerprint joins
+    (:func:`simhash_blocked_pairs` / :func:`simhash_blocked_probe`):
+    real fingerprints are not uniform over the 2^block_bits value
+    space (a flat image / silent clip hashes to 0, so (i, 0) is hot
+    in every block corpus-wide — the same degenerate-value class the
+    offset family guards against). At most n_blocks × 2^block_bits
+    rows — always broadcastable — and append-maintainable (a new
+    item's blocks only ever INCREMENT the df of the values they
+    emit). Built once at index build time, consumed by the
+    ``max_block_freq`` cap. Returns (i, val, df)."""
+    mask = (1 << block_bits) - 1
+    return (
+        sh.select(
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i"),
+        )
+        .select(
+            "i",
+            F.expr(f"shiftright(simhash, i * {block_bits})")
+            .bitwiseAND(F.lit(mask))
+            .alias("val"),
+        )
+        .groupBy("i", "val")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def _simhash_hot_blocks(
+    block_df: DataFrame | None, max_block_freq: int | None, caller: str
+):
+    """The tiny over-cap (i, val) set (<= corpus_blocks/cap rows by
+    construction). Loud ValueError when a cap is requested without
+    the stored stats — the df aggregate belongs at index build time,
+    never per probe."""
+    if max_block_freq is None:
+        return None
+    if block_df is None:
+        raise ValueError(
+            f"{caller}: max_block_freq needs the stored block stats "
+            "table (simhash_block_df) — the df aggregate runs at "
+            "index build time, never per probe"
+        )
+    return block_df.filter(F.col("df") > max_block_freq).select("i", "val")
+
+
 def simhash_blocked_pairs(
     sh: DataFrame,
     key: str = "doc_id",
     n_blocks: int = 4,
     block_bits: int = 15,
     max_hamming: int = 3,
+    max_block_freq: int | None = None,
+    block_df: DataFrame | None = None,
 ) -> DataFrame:
     """Permute-and-reblock candidate join over a (key, simhash) frame.
 
@@ -816,14 +867,25 @@ def simhash_blocked_pairs(
 
     Scale: ×n_blocks row fan-out on the slim (key, fingerprint) frame,
     one equi-join shuffle on the block key; never all-pairs. Bucket
-    population is n/2^block_bits per value — widen ``block_bits`` (and
-    the fingerprint) before narrowing ``n_blocks`` if buckets run hot.
+    population is n/2^block_bits per value ON UNIFORM fingerprints —
+    degenerate content breaks uniformity (flat images / silent clips
+    hash to 0), so ``max_block_freq`` caps hot values via the STORED
+    stats table ``block_df`` (:func:`simhash_block_df`; computed here
+    from the frame if omitted — one bounded aggregate, acceptable in
+    the corpus-wide self-join form): the tiny over-cap set is
+    broadcast LEFT-ANTI-joined off one side before the match join, so
+    a pair then needs at least one NON-hot shared block (the stated
+    cap trade on pigeonhole recall; the quality-gated corpus builds
+    remove degenerate items earlier and need no cap).
     """
     if max_hamming >= n_blocks:
         raise ValueError(
             f"pigeonhole guarantee needs n_blocks > max_hamming "
             f"(got {n_blocks} blocks for hamming {max_hamming})"
         )
+    if max_block_freq is not None and block_df is None:
+        block_df = simhash_block_df(sh, n_blocks=n_blocks, block_bits=block_bits)
+    hot = _simhash_hot_blocks(block_df, max_block_freq, "simhash_blocked_pairs")
     mask = (1 << block_bits) - 1
     blk = sh.select(
         F.col(key),
@@ -834,6 +896,8 @@ def simhash_blocked_pairs(
         F.expr(f"shiftright(simhash, i * {block_bits})").bitwiseAND(F.lit(mask)),
     )
     a = blk.select(F.col(key).alias("id_a"), F.col("simhash").alias("sh_a"), "i", "val")
+    if hot is not None:
+        a = a.join(F.broadcast(hot), ["i", "val"], "left_anti")
     b = blk.select(F.col(key).alias("id_b"), F.col("simhash").alias("sh_b"), "i", "val")
     return (
         a.join(b, ["i", "val"])
@@ -853,6 +917,8 @@ def simhash_blocked_probe(
     n_blocks: int = 4,
     block_bits: int = 15,
     max_hamming: int = 3,
+    max_block_freq: int | None = None,
+    block_df: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric permute-and-reblock probe: every (batch, index) pair
     at hamming ≤ ``max_hamming`` between a STORED fingerprint index and
@@ -865,15 +931,23 @@ def simhash_blocked_probe(
     batch's exploded blocks are BROADCAST into the index's exploded
     blocks, so the corpus-sized index is scanned once — never shuffled,
     never self-joined — and per-batch cost is O(index blocks scanned +
-    bucket collisions), independent of corpus pair count. Returns
-    (batch_id, index_id, hamming); self-pairs are kept if a key appears
-    on both sides (callers filter).
+    bucket collisions), independent of corpus pair count — ON UNIFORM
+    fingerprints: degenerate content (flat images, silent clips)
+    hashes to 0 and makes (i, 0) corpus-hot, so ``max_block_freq``
+    caps hot values via the STORED stats table ``block_df``
+    (:func:`simhash_block_df`, built at index build time; loud
+    ValueError if the cap is requested without it — the df aggregate
+    never runs per batch): the tiny over-cap set is broadcast
+    LEFT-ANTI-joined off the streamed index side, zero added shuffles.
+    Returns (batch_id, index_id, hamming); self-pairs are kept if a
+    key appears on both sides (callers filter).
     """
     if max_hamming >= n_blocks:
         raise ValueError(
             f"pigeonhole guarantee needs n_blocks > max_hamming "
             f"(got {n_blocks} blocks for hamming {max_hamming})"
         )
+    hot = _simhash_hot_blocks(block_df, max_block_freq, "simhash_blocked_probe")
     mask = (1 << block_bits) - 1
     blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("i")
     val = F.expr(f"shiftright(simhash, i * {block_bits})").bitwiseAND(F.lit(mask))
@@ -881,6 +955,8 @@ def simhash_blocked_probe(
         index_sh.select(F.col(key).alias("index_id"), "simhash", blocks)
         .select("index_id", F.col("simhash").alias("sh_i"), "i", val.alias("val"))
     )
+    if hot is not None:
+        idx = idx.join(F.broadcast(hot), ["i", "val"], "left_anti")
     bat = (
         batch_sh.select(F.col(key).alias("batch_id"), "simhash", blocks)
         .select("batch_id", F.col("simhash").alias("sh_b"), "i", val.alias("val"))

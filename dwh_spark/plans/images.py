@@ -1552,3 +1552,165 @@ def imgs_corpus_ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("decision", decision)
         .select("image_id", "decision")
     )
+
+
+def _imgs_flat_phash_fixture(docs, base: bool, variants: bool):
+    """Fixture for the HOT-BLOCK-CAPPED image ingest (seed 'ipc:',
+    decorrelated per FIXTURES.md): ``base`` emits per doc a REAL 8x8
+    two-tone content PNG, PLUS a FLAT one-tone PNG per EVEN doc
+    (id +3,000,000) — the degenerate half of the corpus that makes
+    every 14-bit block of dhash 0 corpus-hot. ``variants`` emits the
+    daily batch: a 2x nearest-upscale BMP re-encode per %10==4 doc
+    (id +1,000,000, the true-match class) and a flat batch image per
+    %10==8 doc (id +2,000,000 — without a guard it would pair with
+    EVERY stored flat image)."""
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(b: int) -> np.ndarray:
+            g = np.empty((8, 8), np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            hashlib.md5(f"ipc:{b}:{r}:{c}".encode()).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            rgb = np.where(g[:, :, None] == 1, 200, 50).astype(np.uint8)
+            return np.repeat(rgb, 3, axis=2)
+
+        flat = np.full((8, 8, 3), 50, np.uint8)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if base:
+                    out.append((d, codecs.png_encode(grid(d))))
+                    if d % 2 == 0:
+                        out.append((d + 3000000, codecs.png_encode(flat)))
+                if variants and d % 10 == 4:
+                    up2 = grid(d).repeat(2, axis=0).repeat(2, axis=1)
+                    out.append((d + 1000000, codecs.bmp_encode(up2)))
+                if variants and d % 10 == 8:
+                    out.append((d + 2000000, codecs.png_encode(flat)))
+            yield pd.DataFrame(out, columns=["image_id", "content"])
+
+    return docs.mapInPandas(gen, "image_id long, content binary").withColumn(
+        "format", sniff_format(F.col("content"))
+    )
+
+
+@query(
+    "imgs_phash_capped_ingest",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS image_id, doc_id AS base, 0 AS flat, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 1, 0 FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0, 1 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1, 1 FROM documents WHERE doc_id % 10 = 8
+    ),
+    cells AS (
+      SELECT i.image_id, i.is_new, g.r, g.c,
+             (('0x' || substr(md5('ipc:' || CAST(i.base AS VARCHAR) || ':'
+                                  || g.r || ':' || g.c), 1, 1))::INT % 2) AS b
+      FROM ids i,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+      WHERE i.flat = 0
+    ),
+    hashes AS (
+      SELECT b1.image_id, b1.is_new,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.image_id = b1.image_id
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT image_id, is_new, 0 AS h FROM ids WHERE flat = 1
+    ),
+    xb AS (
+      SELECT h.image_id, h.h, b.i,
+             CAST((h.h >> (b.i * 14)) & 16383 AS BIGINT) AS val
+      FROM hashes h, (SELECT unnest(range(0, 4)) AS i) b
+      WHERE h.is_new = 0
+    ),
+    nb AS (
+      SELECT h.image_id, h.h, b.i,
+             CAST((h.h >> (b.i * 14)) & 16383 AS BIGINT) AS val
+      FROM hashes h, (SELECT unnest(range(0, 4)) AS i) b
+      WHERE h.is_new = 1
+    ),
+    bdf AS (SELECT i, val, count(*) AS df FROM xb GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT n.image_id AS batch_id, n.h AS h_n,
+                      x.image_id AS index_id, x.h AS h_x
+      FROM nb n
+      JOIN xb x ON x.i = n.i AND x.val = n.val
+      JOIN bdf d ON d.i = x.i AND d.val = x.val AND d.df <= 8
+    )
+    SELECT batch_id, index_id,
+           CAST(bit_count(xor(h_n, h_x)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h_n, h_x)) <= 3
+    """,
+)
+def imgs_phash_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-BLOCK-CAPPED perceptual image ingest — the guard the
+    offset family gained in round 13, extended to the shared blocked
+    fingerprint join (operators/dedup.py:simhash_blocked_probe),
+    which has the same degenerate-value class: HALF the stored corpus
+    here is FLAT one-tone images (dhash 0 — every 14-bit block value
+    0 is posted by every flat image), so an uncapped probe of a flat
+    batch image would pair it with every stored flat (|hot|² rows).
+    The guard is the stored (i, val, df) stats table
+    (operators/dedup.py:simhash_block_df — bounded at
+    n_blocks x 2^14 rows, append-maintainable, built at index build
+    time), anti-joined broadcast off the streamed index side: flat
+    batch images match NOTHING, while the planted 2x BMP re-encodes
+    still match their base (hamming 0) through their md5-random
+    content blocks (df ~= 1). This is the raw-corpus form of the
+    guard; the corpus-build pipeline instead removes degenerate items
+    at its contrast gate before any join — both routes stated. The
+    oracle re-derives every dHash, splits the SAME 14-bit blocks,
+    computes the SAME per-(block, value) df over the index, and
+    applies the SAME df <= 8 cap before its brute-force join."""
+    from dwh_spark.multimodal.perceptual import (
+        dhash_frame,
+        perceptual_incremental_ingest,
+    )
+    from dwh_spark.operators.dedup import simhash_block_df
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    index = dhash_frame(_imgs_flat_phash_fixture(docs, base=True, variants=False))
+    stats = simhash_block_df(
+        index.select("image_id", F.col("dhash").alias("simhash")),
+        n_blocks=4,
+        block_bits=14,
+    )
+    batch = _imgs_flat_phash_fixture(docs, base=False, variants=True)
+    matches = perceptual_incremental_ingest(
+        index, batch, max_hamming=3, max_block_freq=8, block_df=stats
+    )
+    return matches.select(
+        "batch_id", "index_id", F.col("hamming").cast("long").alias("hamming")
+    )
