@@ -393,3 +393,92 @@ def test_drop_low_detail_frames_filters_black(spark):
         .collect()
     }
     assert got == {(1, 10, 1)}
+
+
+def _simhash_frames(spark):
+    """Index of 2 content + 4 flat fingerprints; batch of 1 content
+    re-encode (identical hash) + 1 flat."""
+    index = spark.createDataFrame(
+        [(1, 0x0123456789ABCD), (2, 0x23456789ABCDEF),
+         (3, 0), (4, 0), (5, 0), (6, 0)],
+        "doc_id long, simhash long",
+    )
+    batch = spark.createDataFrame(
+        [(10, 0x0123456789ABCD), (11, 0)], "doc_id long, simhash long"
+    )
+    return index, batch
+
+
+def test_simhash_capped_probe_semantics_and_plan(spark):
+    """The generalized hot-block guard on the shared blocked join:
+    flat batch items match nothing, content matches survive; the
+    capped probe over a PREBUILT stats table adds zero aggregates and
+    zero shuffles (one broadcast left-anti)."""
+    from dwh_spark.operators.dedup import (
+        simhash_block_df,
+        simhash_blocked_probe,
+    )
+
+    index, batch = _simhash_frames(spark)
+    uncapped = {
+        (r["batch_id"], r["index_id"])
+        for r in simhash_blocked_probe(
+            index, batch, n_blocks=4, block_bits=14, max_hamming=3
+        ).collect()
+    }
+    # flat batch 11 pairs with every stored flat without the guard
+    assert {(11, 3), (11, 4), (11, 5), (11, 6), (10, 1)} <= uncapped
+    stats = simhash_block_df(index, n_blocks=4, block_bits=14).localCheckpoint()
+    capped_df = simhash_blocked_probe(
+        index, batch, n_blocks=4, block_bits=14, max_hamming=3,
+        max_block_freq=3, block_df=stats,
+    )
+    assert {(r["batch_id"], r["index_id"]) for r in capped_df.collect()} == {(10, 1)}
+    # fresh (uncollected) frames for the plan comparison: a collected
+    # DataFrame's AQE plan string appends an "Initial Plan" section
+    # that double-counts every node
+    p_un = simhash_blocked_probe(
+        index, batch, n_blocks=4, block_bits=14, max_hamming=3
+    )._jdf.queryExecution().executedPlan().toString()
+    p_cap = simhash_blocked_probe(
+        index, batch, n_blocks=4, block_bits=14, max_hamming=3,
+        max_block_freq=3, block_df=stats,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert p_cap.count("HashAggregate") == p_un.count("HashAggregate")
+    assert p_cap.count("Exchange hashpartitioning") == p_un.count(
+        "Exchange hashpartitioning"
+    )
+    assert "LeftAnti" in p_cap and "LeftAnti" not in p_un
+
+
+def test_simhash_cap_without_stats_raises(spark):
+    from dwh_spark.operators.dedup import simhash_blocked_probe
+
+    index, batch = _simhash_frames(spark)
+    with pytest.raises(ValueError, match="simhash_block_df"):
+        simhash_blocked_probe(
+            index, batch, n_blocks=4, block_bits=14, max_block_freq=3
+        )
+
+
+def test_simhash_capped_pairs_inline_stats(spark):
+    """Self-join form computes the stats inline when omitted (one
+    bounded aggregate, corpus-wide run): flat-flat pairs vanish,
+    content pairs unaffected."""
+    from dwh_spark.operators.dedup import simhash_blocked_pairs
+
+    index, _ = _simhash_frames(spark)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_blocked_pairs(
+            index, n_blocks=4, block_bits=14, max_hamming=3
+        ).collect()
+    }
+    assert {(3, 4), (3, 5), (5, 6)} <= uncapped
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_blocked_pairs(
+            index, n_blocks=4, block_bits=14, max_hamming=3, max_block_freq=3
+        ).collect()
+    }
+    assert capped == set()  # content hashes 1,2 differ by ~28 bits
