@@ -1779,6 +1779,124 @@ def video_snippet_smoke(
 
 
 
+def audio_hot_guard_smoke(n_corpus: int = 20_000, n_batch: int = 200) -> None:
+    """The hot-word guard's reason to exist, measured: a corpus whose
+    every clip leads with 16 windows of DIGITAL SILENCE (the realistic
+    degenerate case — leading/trailing padding). Every silent span
+    emits sub32=0, so the uncapped probe joins every batch silent
+    position against every stored silent position; the capped probe
+    (df stored in the lookup table, filtered map-side) never
+    materializes that bucket. Planted batch: head-trimmed copies that
+    must still match at offset 8 through their content words — capped
+    found == planted asserted."""
+    import tempfile
+
+    from dwh_spark.multimodal.audio_fp import (
+        attach_subfp_df,
+        audio_offset_vote_probe,
+        audio_subfingerprint_frame,
+    )
+
+    spark = get_spark("audio-hot-guard-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(which: str, n: int, base_of):
+        ids = spark.range(n).repartition(64)
+
+        def run(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            from dwh_spark.multimodal.audio import wav_encode
+
+            j = np.arange(64, dtype=np.int64)
+            sil = np.zeros(48 * 64, dtype=np.int64)
+
+            def clip(d: int) -> "np.ndarray":
+                wins = [sil]
+                for w in range(57):
+                    a = (
+                        int(hashlib.md5(f"hg:{d}:{w}".encode()).hexdigest()[:4], 16)
+                        % 2048
+                    )
+                    wins.append((a + j * 13) % 2048 - 1024)
+                return np.concatenate(wins).astype(np.int16)
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "base":
+                        out.append((i, wav_encode(clip(i), 1000)))
+                    else:
+                        trimmed = clip(base_of(i))[8 * 64:]
+                        out.append((10_000_000 + i, wav_encode(trimmed, 1000)))
+                yield pd.DataFrame(out, columns=["audio_id", "content"])
+
+        return ids.mapInPandas(run, "audio_id long, content binary")
+
+    corpus = gen("base", n_corpus, None)
+    batch = gen("trim", n_batch, lambda i: (i * 97) % n_corpus)
+
+    root = tempfile.mkdtemp(prefix="dwh_audio_hot_guard_smoke_")
+    t = time.perf_counter()
+    attach_subfp_df(audio_subfingerprint_frame(corpus)).write.parquet(
+        root + "/index"
+    )
+    build_s = time.perf_counter() - t
+    index = spark.read.parquet(root + "/index")
+    n_rows = index.count()
+    n_hot_rows = index.filter(F.col("df") > 8).count()
+
+    batch_subfps = audio_subfingerprint_frame(batch)
+    batch_subfps.write.parquet(root + "/batch")
+    batch_subfps = spark.read.parquet(root + "/batch")
+
+    t = time.perf_counter()
+    capped_pairs = {
+        (r["batch_id"], r["index_id"])
+        for r in audio_offset_vote_probe(
+            index, batch_subfps, min_matches=5, max_word_freq=8
+        )
+        .select("batch_id", "index_id")
+        .distinct()
+        .collect()
+    }
+    capped_s = time.perf_counter() - t
+    want = {(10_000_000 + i, (i * 97) % n_corpus) for i in range(n_batch)}
+    # every planted trim must survive the cap; sub-cap silence-BOUNDARY
+    # words (df <= 8 by luck of the md5 draw) admit a few extra
+    # coincidence pairs at the same structural offset — counted, not
+    # hidden (raise min_matches or the cap to trade them away)
+    assert want <= capped_pairs, f"missing {sorted(want - capped_pairs)[:5]}"
+    capped = len(capped_pairs)
+    n_extra = len(capped_pairs - want)
+
+    t = time.perf_counter()
+    uncapped_rows = (
+        audio_offset_vote_probe(index.drop("df"), batch_subfps, min_matches=5)
+        .count()
+    )
+    uncapped_s = time.perf_counter() - t
+
+    print(
+        f"audio hot-guard smoke ({n_corpus} silence-padded clips = "
+        f"{n_rows} lookup rows, {n_hot_rows} on hot words; "
+        f"{n_batch}-clip head-trim batch): index+df build ONCE "
+        f"{build_s:.1f}s; CAPPED probe {capped_s:.1f}s "
+        f"({n_batch}/{n_batch} planted found at offset 8 + {n_extra} "
+        f"sub-cap boundary-word coincidences, hot bucket never "
+        f"materializes); UNCAPPED probe {uncapped_s:.1f}s "
+        f"({uncapped_rows} vote groups — silence pairs every batch "
+        f"clip with the whole corpus). Guard asymmetry "
+        f"{uncapped_s / max(capped_s, 1e-9):.1f}x"
+    )
+    spark.stop()
+
+
+
 if __name__ == "__main__":
     if CASE == "append_log":
         append_log_soak()
@@ -1800,6 +1918,8 @@ if __name__ == "__main__":
         audio_snippet_smoke()
     elif CASE == "video_snippet":
         video_snippet_smoke()
+    elif CASE == "audio_hot_guard":
+        audio_hot_guard_smoke()
     elif CASE is not None:
         raise SystemExit(
             f"unknown case {CASE!r} "
