@@ -236,6 +236,47 @@ def attach_subfp_df(subfps: DataFrame) -> DataFrame:
     return subfps.join(freq, "sub32")
 
 
+def append_with_df(
+    index_with_df: DataFrame, batch_subfps: DataFrame
+) -> DataFrame:
+    """MAINTENANCE-time append for the with-df lookup table — the
+    executable form of the "df is append-maintainable" claim: given
+    the stored (audio_id, pos, sub32, df) table and a new batch's
+    plain (audio_id, pos, sub32) rows, produce the updated table
+    whose df column equals :func:`attach_subfp_df` over the union —
+    WITHOUT a corpus-wide aggregate. The only groupBys touch (a) the
+    batch (its per-word counts, broadcast everywhere after) and (b)
+    the stored rows MATCHING a batch word (the index is filtered by
+    the broadcast join before aggregating, so the aggregate input is
+    collision-sized, not corpus-sized). The stored side is rewritten
+    map-side (broadcast left join + df increment) — a full-table
+    rewrite, which is why this is the PERIODIC compaction op, not the
+    per-batch path: per batch, append plain rows and run this at the
+    compaction window (stale df between compactions only ever
+    UNDER-counts, so a ``df <= cap`` filter errs toward keeping
+    words — recall-safe)."""
+    bc = batch_subfps.groupBy("sub32").agg(F.count("*").alias("__bn"))
+    prior = (
+        index_with_df.join(F.broadcast(bc.select("sub32")), "sub32")
+        .groupBy("sub32")
+        .agg(F.max("df").alias("__prior"))
+    )
+    new_df = (
+        bc.join(prior, "sub32", "left")
+        .select(
+            "sub32",
+            (F.col("__bn") + F.coalesce(F.col("__prior"), F.lit(0))).alias("df"),
+        )
+    )
+    updated = (
+        index_with_df.join(F.broadcast(bc), "sub32", "left")
+        .withColumn("df", F.col("df") + F.coalesce(F.col("__bn"), F.lit(0)))
+        .drop("__bn")
+    )
+    appended = batch_subfps.join(F.broadcast(new_df), "sub32")
+    return updated.unionByName(appended.select(*updated.columns))
+
+
 def _cap_index_words(index_subfps: DataFrame, max_word_freq: int | None) -> DataFrame:
     """Apply the hot-word cap to the INDEX side of an offset join:
     map-side ``df <= cap`` filter on the stored df column (loud error

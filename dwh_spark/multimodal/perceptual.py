@@ -238,6 +238,25 @@ def video_block_df(
     )
 
 
+def merge_block_df(
+    block_df: DataFrame, batch_frames: DataFrame, n_blocks: int = 4
+) -> DataFrame:
+    """MAINTENANCE-time merge for the stored block-stats table — the
+    executable form of its append-maintainability: union the batch's
+    per-(block, value) counts (:func:`video_block_df` over the BATCH
+    frames only) into the stored table and re-sum. Both inputs are
+    bounded at n_blocks x 2^block_bits rows, so the merge is a
+    trivially small aggregate — no corpus rescan, ever. Equals
+    :func:`video_block_df` over the full frame union (pinned by
+    tests)."""
+    batch_stats = video_block_df(batch_frames, n_blocks=n_blocks)
+    return (
+        block_df.unionByName(batch_stats)
+        .groupBy("i", "val")
+        .agg(F.sum("df").alias("df"))
+    )
+
+
 def _hot_blocks(
     block_df: DataFrame | None, max_block_freq: int | None
 ) -> DataFrame | None:

@@ -482,3 +482,53 @@ def test_simhash_capped_pairs_inline_stats(spark):
         ).collect()
     }
     assert capped == set()  # content hashes 1,2 differ by ~28 bits
+
+
+def test_append_with_df_equals_rebuild(spark):
+    """Maintenance append must equal a full attach_subfp_df rebuild
+    over the union — and its plan must contain no corpus-wide
+    aggregate (every groupBy input is batch-sized or
+    batch-join-filtered)."""
+    from dwh_spark.multimodal.audio_fp import append_with_df
+
+    index, batch = _audio_frames(spark)
+    stored = attach_subfp_df(index).localCheckpoint()
+    merged = append_with_df(stored, batch)
+    rebuilt = attach_subfp_df(index.unionByName(batch))
+    got = {tuple(r) for r in merged.select("audio_id", "pos", "sub32", "df").collect()}
+    want = {tuple(r) for r in rebuilt.select("audio_id", "pos", "sub32", "df").collect()}
+    assert got == want
+    # capped probe over the MERGED table == over the rebuilt table
+    probe_batch = spark.createDataFrame(
+        _subfp_rows(20, [0] * 6 + [101, 102, 103, 104, 105, 106, 107, 108]),
+        "audio_id long, pos long, sub32 long",
+    )
+    a = {
+        tuple(r)
+        for r in audio_offset_vote_probe(
+            merged, probe_batch, min_matches=5, max_word_freq=4
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in audio_offset_vote_probe(
+            rebuilt, probe_batch, min_matches=5, max_word_freq=4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_merge_block_df_equals_rebuild(spark):
+    from dwh_spark.multimodal.perceptual import merge_block_df
+
+    index, batch = _video_frames(spark)
+    stored = video_block_df(index).localCheckpoint()
+    merged = {
+        (r["i"], r["val"]): r["df"]
+        for r in merge_block_df(stored, batch).collect()
+    }
+    rebuilt = {
+        (r["i"], r["val"]): r["df"]
+        for r in video_block_df(index.unionByName(batch)).collect()
+    }
+    assert merged == rebuilt
