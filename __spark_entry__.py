@@ -65,6 +65,7 @@ _CHECK_FIRST = [
     "av_video_phash_offset_banded_near_dups",  # time-banded offset contract
     "av_audio_fp_offset_entropy_ingest",  # stateless low-entropy guard (stream form)
     "imgs_phash_capped_ingest",           # hot-block cap on the shared simhash probe
+    "streaming_audio_offset_entropy_ingest",  # stream fold + stateless guard e2e
     # -- stale: latest driver verdict is round 8 (all 26 lead)
     "imgs_real_pixel_stats",
     "marketplace_audit_counts",

@@ -1282,3 +1282,136 @@ def streaming_video_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     run_video_offset_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
     return read_video_offset_ingest_results(spark, out_dir)
+
+
+_AUDIO_OFFSET_ENTROPY_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 48 AS n_sil, 57 AS n_con
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 40, 57 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 48, 49 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    con AS (
+      SELECT i.audio_id, i.n_sil + w.w AS w,
+             sum((((('0x' || substr(md5('offc:' || CAST(i.base AS VARCHAR)
+                                     || ':' || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024)
+                  * ((('0x' || substr(md5('offc:' || CAST(i.base AS VARCHAR)
+                                     || ':' || CAST(w.w AS VARCHAR)), 1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024))) AS e
+      FROM ids i,
+           (SELECT unnest(range(0, 57)) AS w) w,
+           (SELECT unnest(range(0, 64)) AS j) t
+      WHERE w.w < i.n_con
+      GROUP BY 1, 2
+    ),
+    energies AS (
+      SELECT audio_id, w, e FROM con
+      UNION ALL
+      SELECT i.audio_id, w.w, 0 AS e
+      FROM ids i, (SELECT unnest(range(0, 48)) AS w) w
+      WHERE w.w < i.n_sil
+    ),
+    bits AS (
+      SELECT a.audio_id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM energies a
+      JOIN energies b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 73)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2
+      HAVING count(*) = 32
+    ),
+    lively AS (
+      SELECT audio_id, p, word FROM sub
+      WHERE bit_count(xor(word, word >> 1) & 2147483647) >= 4
+    ),
+    offset_pairs AS (
+      SELECT a.audio_id AS id_a, b.audio_id AS id_b
+      FROM lively a JOIN lively b
+        ON b.word = a.word AND a.audio_id < b.audio_id
+      GROUP BY a.audio_id, b.audio_id, (a.p - b.p)
+      HAVING count(*) >= 5
+    ),
+    partners AS (SELECT DISTINCT id_a, id_b FROM offset_pairs)
+    SELECT id_b AS audio_id, count(*) AS n_earlier_odups
+    FROM partners GROUP BY 1
+    """
+
+
+@query(
+    "streaming_audio_offset_entropy_ingest",
+    oracle=_AUDIO_OFFSET_ENTROPY_INGEST_ORACLE,
+)
+def streaming_audio_offset_entropy_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING hot-word guard end-to-end: the offset fold of
+    streaming_audio_offset_ingest run over the SILENCE-PADDED corpus
+    (every clip leads with 48 silent windows — without a guard the
+    sub32=0 bucket pairs every clip with every earlier clip) with
+    ``min_word_transitions=4``, the stateless low-entropy skip
+    (multimodal/audio_fp.py:drop_low_entropy_words) applied inside
+    the fold BEFORE its three consumers — the stored lookup table
+    never holds a degenerate word, the within-batch self-join never
+    forms the silent bucket, and the probe side is filtered map-side
+    with NO stored statistics (the form an append-only stream state
+    can apply; the df-cap stays the batch/ingest form,
+    av_audio_fp_offset_capped_ingest). The planted head-trim and
+    tail-trim+gain copies still flag their earlier base through the
+    high-transition content words. The oracle re-derives every word,
+    applies the SAME transition filter to both join sides, and
+    brute-forces the earlier-partners offset vote."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.plans.av import _audio_silence_offset_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_audio_offset_ingest_results,
+        run_audio_offset_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    audio = _audio_silence_offset_fixture(docs, base=True, variants=True)
+
+    root = tempfile.mkdtemp(prefix="dwh_audio_offset_entropy_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(audio.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_audio_offset_ingest(
+        stream,
+        index_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        min_word_transitions=4,
+    )
+    return read_audio_offset_ingest_results(spark, out_dir)
