@@ -129,13 +129,32 @@ def run_fingerprint_ingest(
     fp_bits: int = 56,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    min_fp_bits: int | None = None,
     maintenance=None,
 ) -> None:
     """Whole-item fingerprint binding (one 56-bit hash per item —
     image dHash or audio energy hash): within-batch mates via the
     pigeonhole blocked self-join, cross-batch via the blocked probe
-    with the batch's blocks broadcast."""
+    with the batch's blocks broadcast. ``min_fp_bits`` is the
+    STREAMING form of the hot-block guard for this binding:
+    degenerate items (flat images, silent/constant clips) hash to 0
+    and make every (block, 0) bucket corpus-hot; items with fewer
+    than ``min_fp_bits`` set bits are dropped map-side BEFORE the
+    fold's three consumers — no stored statistics (the df-cap,
+    operators/dedup.py:simhash_block_df + max_block_freq, stays the
+    batch/ingest form). The filter wraps ``fp_fn`` itself, so the
+    degenerate rows never reach ANY of the fold's three consumers —
+    the stored index stays free of them (smaller state), same
+    discipline as the offset folds."""
     block_bits = fp_bits // n_blocks
+
+    if min_fp_bits is not None:
+        inner_fp_fn = fp_fn
+
+        def fp_fn(df: DataFrame) -> DataFrame:  # noqa: F811
+            return inner_fp_fn(df).filter(
+                F.bit_count(F.col(fp_col)) >= min_fp_bits
+            )
 
     def as_sh(fps: DataFrame) -> DataFrame:
         return fps.select(F.col(key).alias("doc_id"), F.col(fp_col).alias("simhash"))

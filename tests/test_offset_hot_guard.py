@@ -532,3 +532,72 @@ def test_merge_block_df_equals_rebuild(spark):
         for r in video_block_df(index.unionByName(batch)).collect()
     }
     assert merged == rebuilt
+
+
+def test_generic_fold_min_fp_bits(spark, tmp_path):
+    """run_fingerprint_ingest's stateless guard: degenerate (near-zero
+    popcount) fingerprints never reach the within/cross arms NOR the
+    stored index; content matches still flag."""
+    import os
+
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        _read_results,
+        run_fingerprint_ingest,
+    )
+
+    content = 0x0123456789ABCD
+    rows = [
+        # batch 1: one content item, two flats
+        (1, content), (2, 0), (3, 0),
+        # batch 2: a re-encode of item 1 (same fp), one more flat
+        (11, content), (12, 0),
+    ]
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    spark.createDataFrame(rows[:3], "doc_id long, fp long").coalesce(1).write.parquet(
+        str(tmp_path / "b1")
+    )
+    spark.createDataFrame(rows[3:], "doc_id long, fp long").coalesce(1).write.parquet(
+        str(tmp_path / "b2")
+    )
+    for i, src in enumerate(["b1", "b2"], 1):
+        part = next(
+            f for f in os.listdir(tmp_path / src) if f.endswith(".parquet")
+        )
+        dst = input_dir / f"batch{i}.parquet"
+        os.rename(tmp_path / src / part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store = ParquetAppendLog(str(tmp_path / "index"), write_partitions=1)
+    stream = (
+        spark.readStream.schema("doc_id long, fp long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(input_dir))
+    )
+    run_fingerprint_ingest(
+        stream,
+        lambda df: df,
+        store,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        key="doc_id",
+        fp_col="fp",
+        out_count_col="n_earlier",
+        fp_bits=56,
+        max_hamming=3,
+        n_blocks=4,
+        min_fp_bits=4,
+    )
+    got = {
+        (r["doc_id"], r["n_earlier"])
+        for r in _read_results(
+            spark, str(tmp_path / "out"), ["doc_id", "n_earlier"]
+        ).collect()
+    }
+    # only the re-encode flags its one earlier twin; flats never pair
+    assert got == {(11, 1)}
+    # and the stored index never held a degenerate row
+    stored = store.current(spark)
+    assert stored.filter(F.col("fp") == 0).count() == 0
+    assert stored.count() == 2
