@@ -247,6 +247,18 @@ HEADLINERS = {
     "av_video_corpus_ingest_triage": "video delta triage: aligned "
     "probe then offset probe against the stored per-frame index, "
     "batch frames broadcast, corpus never re-decoded",
+    "av_video_phash_offset_banded_near_dups": "time-banded offset "
+    "vote: the band joins as an EQUI key beside (block, value) — "
+    "buckets shrink to ~3 bands; out-of-band drift excluded",
+    "av_audio_fp_offset_entropy_ingest": "stateless low-entropy "
+    "guard: <4-transition words dropped map-side on both join sides, "
+    "no df column, no aggregate — the streaming-capable form",
+    "imgs_phash_capped_ingest": "hot-block cap on the shared simhash "
+    "probe: stored (i, val, df) stats anti-joined broadcast off the "
+    "streamed index; flat batch images match nothing",
+    "streaming_audio_offset_entropy_ingest": "drained read-back (the "
+    "offset fold with the in-fold low-entropy skip: degenerate words "
+    "never enter the stored lookup-table state)",
 }
 
 
