@@ -1897,6 +1897,138 @@ def audio_hot_guard_smoke(n_corpus: int = 20_000, n_batch: int = 200) -> None:
 
 
 
+def video_hot_guard_smoke(n_corpus: int = 10_000, n_batch: int = 200) -> None:
+    """The hot-BLOCK guard measured on the video offset probe: every
+    stored video leads with 4 BLACK frames (dhash 0 — every 14-bit
+    block value 0 posted 4x per video corpus-wide) and the batch's
+    head-dropped copies keep 3, so the uncapped probe joins every
+    batch black block against 40k index black rows per block AND
+    pairs every batch clip with the whole corpus (3 same-offset black
+    votes >= min_frames). The capped probe anti-joins the stored
+    block-stats' over-cap set broadcast — the bucket never forms.
+    Planted head-drops must still match at offset 1 through their 6
+    content frames (found == planted asserted).
+
+    CAP CALIBRATION LESSON (learned here): dHash bits are biased
+    (P(set) = 1/4), so a 14-bit block carries ~11.3 bits of entropy
+    and the NATURAL content bucket at 60k frames runs df ~40-250 — a
+    cap of 8 (right for the audio 2^32 word space, where natural df
+    is ~1) drops the CONTENT too and every planted pair vanishes. The
+    cap must sit above the natural per-value df
+    (~corpus_blocks / 2^effective_entropy) and below the degenerate
+    df (black = 4 x corpus = 40k here, two orders above); 500 splits
+    them cleanly. Production picks it off the stored stats table's
+    quantiles — the table doubles as the calibration artifact."""
+    import tempfile
+
+    from dwh_spark.multimodal.perceptual import (
+        video_block_df,
+        video_dhash_frames,
+        video_offset_vote_probe,
+    )
+
+    spark = get_spark("video-hot-guard-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(which: str, n: int, base_of):
+        ids = spark.range(n).repartition(64)
+
+        def run(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            from dwh_spark.multimodal import codecs
+
+            black = np.full((8, 8, 3), 50, np.uint8)
+
+            def grid(b: int, f: int) -> "np.ndarray":
+                bits = np.frombuffer(
+                    hashlib.md5(f"vhg:{b}:{f}".encode()).digest()[:8], np.uint8
+                )
+                cells = np.unpackbits(bits).reshape(8, 8)
+                rgb = np.where(cells[:, :, None] == 1, 200, 50).astype(np.uint8)
+                return np.repeat(rgb, 3, axis=2)
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "base":
+                        frames = [black] * 4 + [grid(i, f) for f in range(6)]
+                    else:
+                        b = base_of(i)
+                        frames = [black] * 3 + [grid(b, f) for f in range(6)]
+                    out.append(
+                        (
+                            (10_000_000 + i) if which != "base" else i,
+                            len(frames),
+                            codecs.avi_encode(np.stack(frames)),
+                        )
+                    )
+                yield pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
+
+        return ids.mapInPandas(run, "video_id long, n_frames long, content binary")
+
+    corpus = gen("base", n_corpus, None)
+    batch = gen("drop", n_batch, lambda i: (i * 97) % n_corpus)
+
+    root = tempfile.mkdtemp(prefix="dwh_video_hot_guard_smoke_")
+    t = time.perf_counter()
+    frames = video_dhash_frames(corpus)
+    frames.write.parquet(root + "/index")
+    index = spark.read.parquet(root + "/index")
+    video_block_df(index).write.parquet(root + "/stats")
+    build_s = time.perf_counter() - t
+    stats = spark.read.parquet(root + "/stats")
+    n_rows = index.count()
+
+    batch_frames = video_dhash_frames(batch)
+    batch_frames.write.parquet(root + "/batch")
+    batch_frames = spark.read.parquet(root + "/batch")
+
+    t = time.perf_counter()
+    capped_pairs = {
+        (r["batch_id"], r["index_id"], r["offset"])
+        for r in video_offset_vote_probe(
+            index, batch_frames, max_hamming=3, min_frames=3,
+            max_block_freq=500, block_df=stats,
+        )
+        .select("batch_id", "index_id", "offset")
+        .collect()
+    }
+    capped_s = time.perf_counter() - t
+    want = {
+        (10_000_000 + i, (i * 97) % n_corpus, 1) for i in range(n_batch)
+    }
+    assert want <= capped_pairs, f"missing {sorted(want - capped_pairs)[:5]}"
+    n_extra = len(capped_pairs - want)
+
+    t = time.perf_counter()
+    n_uncapped = (
+        video_offset_vote_probe(
+            index, batch_frames, max_hamming=3, min_frames=3
+        )
+        .count()
+    )
+    uncapped_s = time.perf_counter() - t
+
+    print(
+        f"video hot-guard smoke ({n_corpus} black-padded videos = "
+        f"{n_rows} frame rows, {n_batch}-video head-drop batch): "
+        f"index + block-stats build ONCE {build_s:.1f}s; CAPPED probe "
+        f"{capped_s:.1f}s ({n_batch}/{n_batch} planted found at "
+        f"offset 1 + {n_extra} extras, dhash=0 buckets never form); "
+        f"UNCAPPED probe {uncapped_s:.1f}s ({n_uncapped} vote groups "
+        f"— 3 same-offset black votes pair every batch video with the "
+        f"whole corpus). Guard asymmetry "
+        f"{uncapped_s / max(capped_s, 1e-9):.1f}x"
+    )
+    spark.stop()
+
+
+
 if __name__ == "__main__":
     if CASE == "append_log":
         append_log_soak()
@@ -1920,6 +2052,8 @@ if __name__ == "__main__":
         video_snippet_smoke()
     elif CASE == "audio_hot_guard":
         audio_hot_guard_smoke()
+    elif CASE == "video_hot_guard":
+        video_hot_guard_smoke()
     elif CASE is not None:
         raise SystemExit(
             f"unknown case {CASE!r} "
