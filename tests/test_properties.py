@@ -868,3 +868,64 @@ def test_subfingerprint_trim_offset_invariant(seed, n_win, head_k, gain):
     assert len(got) == max(0, n_win - 32)
     for p, word in got.items():
         assert word == base[p + head_k], (p, head_k, gain)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_win=st.integers(40, 120),
+    k=st.integers(1, 6),
+)
+@settings(max_examples=30, deadline=None)
+def test_subfp_trim_and_gain_invariance(seed, n_win, k):
+    """The Haitsma-Kalker core properties, pinned over RANDOM clips
+    (not md5-seeded fixtures): (a) a head-trim of k whole windows
+    shifts every surviving subfingerprint to its base twin at
+    relative offset exactly k; (b) non-clipping exact gain preserves
+    every word; (c) the whole-clip fingerprint is gain-invariant
+    too. These are the invariants every offset query's planted-match
+    expectations rest on."""
+    import numpy as np
+
+    from dwh_spark.multimodal.audio_fp import energy_fp56, subfingerprints
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-1024, 1024, size=n_win * 64, dtype=np.int64).astype(np.int16)
+    base = dict(subfingerprints(s))
+    trimmed = dict(subfingerprints(s[k * 64:]))
+    for pos, w in trimmed.items():
+        assert base[pos + k] == w
+    gained = (s.astype(np.int64) * 2).astype(np.int16)
+    assert dict(subfingerprints(gained)) == base
+    assert energy_fp56(gained) == energy_fp56(s)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_sil=st.integers(33, 64),
+)
+@settings(max_examples=30, deadline=None)
+def test_silence_emits_low_entropy_words(seed, n_sil):
+    """Every position whose 32-bit span lies inside a silent run
+    emits word 0 (zero transitions — always under the low-entropy
+    cut), and the boundary family keeps transitions below real
+    content's: the structural premise of the stateless guard."""
+    import numpy as np
+
+    from dwh_spark.multimodal.audio_fp import subfingerprints
+
+    rng = np.random.default_rng(seed)
+    content = rng.integers(-1024, 1024, size=50 * 64, dtype=np.int64).astype(
+        np.int16
+    )
+    s = np.concatenate([np.zeros(n_sil * 64, np.int16), content])
+    words = dict(subfingerprints(s))
+
+    def transitions(w: int) -> int:
+        return bin((w ^ (w >> 1)) & 0x7FFFFFFF).count("1")
+
+    # spans fully inside the silent run: bits p..p+31 all zero needs
+    # p + 31 <= n_sil - 2 (bit i compares windows i, i+1)
+    for p in range(0, n_sil - 32):
+        assert words[p] == 0 and transitions(words[p]) == 0
+    # the pure boundary word (one set bit) has exactly one transition
+    assert transitions(1 << 31) == 1
