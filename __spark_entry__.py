@@ -40,75 +40,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # LONGEST-UNCHECKED greens, (4) queries touched this round but already
 # verified LAST round trail as overflow — if the ~50-slot window cuts
 # anything, it cuts re-verification of a recent-fresh verdict, never
-# a stale one. Round 13's stale cohort is the ledger-exact 76 queries
-# whose latest verdict is <= round 9 (newest committed artifact is
-# r12, so r9 == newest-3; union of CORRECTNESS_r1..r12): the 26
-# r8-verdict queries the r12 window cut (VERDICT r12 item 2 names
-# them: the marketplace batch/stream state family, TPC-H
-# q11/q12/q16/q21/q22, imgs_real_pixel_stats, nation_trade_triangles,
-# the CDC merge, point_lookup_composite, semi_anti_customers, and the
-# five r8 streaming queries) go FIRST, then the 50 r9-verdict queries
-# oldest-first (alphabetical within the uniform-age cohort). New
-# round-13 queries (never checked) lead, per priority (1). 76 stale +
-# new > the ~50 budget: the r9 tail spills to round 14 by design
-# (ordering keeps the spill at the cohort's youngest end). Exact list
-# matches tests/test_entry_contract.py's recomputation; regenerate
-# with scripts/rotate_check_first.py.
+# a stale one. Round 14's stale cohort is the ledger-exact 86 queries
+# whose latest verdict is <= round 10 (newest committed artifact is
+# r13, so r10 == newest-3; union of CORRECTNESS_r1..r13): the 36
+# r9-verdict queries (two rounds past the window, VERDICT r13 item 1
+# names them) go FIRST, then the 50 r10-verdict queries oldest-first
+# (alphabetical within the uniform-age cohort). New round-14 queries
+# (never checked) lead, per priority (1). 86 stale + new > the ~50
+# budget: the r10 tail spills to round 15 by design (ordering keeps
+# the spill at the cohort's youngest end). Exact list matches
+# tests/test_entry_contract.py's recomputation; regenerate with
+# scripts/rotate_check_first.py.
 _CHECK_FIRST = [
-    # -- new round-13 queries: no driver verdict yet
-    "av_audio_fp_offset_capped_ingest",   # hot-word cap: silence-padded corpus
-    "av_video_phash_offset_capped_ingest",  # hot-block cap: black-frame corpus
-    "av_audio_corpus_build",            # audio corpus capstone w/ offset screen
-    "av_video_corpus_build",            # video corpus capstone w/ offset screen
-    "av_audio_corpus_ingest_triage",    # audio daily-delta triage vs stored indexes
-    "av_video_corpus_ingest_triage",    # video daily-delta triage vs stored indexes
-    "av_video_phash_offset_banded_near_dups",  # time-banded offset contract
-    "av_audio_fp_offset_entropy_ingest",  # stateless low-entropy guard (stream form)
-    "imgs_phash_capped_ingest",           # hot-block cap on the shared simhash probe
-    "streaming_audio_offset_entropy_ingest",  # stream fold + stateless guard e2e
-    # -- stale: latest driver verdict is round 8 (all 26 lead)
-    "imgs_real_pixel_stats",
-    "marketplace_audit_counts",
-    "marketplace_bids_surviving",
-    "marketplace_ft_state",
-    "marketplace_listed_value",
-    "marketplace_nfts_state",
-    "marketplace_offers_surviving",
-    "marketplace_stream_bids_surviving",
-    "marketplace_stream_nfts_state",
-    "marketplace_stream_offers_surviving",
-    "marketplace_stream_users_state",
-    "marketplace_users_state",
-    "nation_trade_triangles",
-    "orders_incremental_cdc_merge",
-    "point_lookup_composite",
-    "q11_important_stock",
-    "q12_shipmode_priority_counts",
-    "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "semi_anti_customers",
-    "streaming_click_purchase_join",
-    "streaming_click_purchase_left_join",
-    "streaming_daily_rollup",
-    "streaming_dedup_exactly_once",
-    "streaming_dim_enrichment",
-    # -- stale: latest driver verdict is round 9 (50; the tail
-    # -- past the ~50-slot window spills to round 14 by design)
-    "av_audio_adpcm_decode_stats",
-    "av_audio_g711_decode_stats",
-    "av_video_frame_digests",
-    "av_video_mjpeg_frame_stats",
-    "av_video_real_frame_stats",
-    "docs_chunk_windows",
-    "docs_decontaminate",
-    "docs_dup_clusters",
-    "docs_dup_clusters_distributed",
-    "docs_duplicated_ngram_spans",
-    "docs_exact_dedup",
-    "docs_fingerprint_clusters",
-    "docs_jaccard_pairs",
-    "docs_lang_temperature_mixture",
+    # -- new round-14 queries: no driver verdict yet (added as built)
+    # -- stale: latest driver verdict is round 9 (all 36 lead)
     "docs_langid_confusion",
     "docs_minhash_incremental_ingest",
     "docs_minhash_lsh_audit",
@@ -145,6 +90,58 @@ _CHECK_FIRST = [
     "orders_window_function_battery",
     "streaming_latest_state",
     "streaming_minhash_ingest",
+    # -- stale: latest driver verdict is round 10 (50; the tail
+    # -- past the ~50-slot window spills to round 15 by design)
+    "av_audio_flac_decode_stats",
+    "docs_bigram_lm_scores",
+    "docs_containment_near_dups",
+    "docs_corpus_ingest_delta",
+    "docs_dedup_detector_agreement",
+    "docs_heavy_hitters_mg",
+    "docs_jaccard_hashed_shingles",
+    "docs_leakage_safe_split",
+    "docs_length_histogram",
+    "docs_levenshtein_sample_pairs",
+    "docs_pack_sequences",
+    "docs_pii_scrub_stats",
+    "docs_repetition_scores",
+    "docs_source_quota_cap",
+    "docs_top_terms",
+    "docs_train_test_split",
+    "docs_weighted_sample_stats",
+    "emb_dup_clusters",
+    "emb_int8_quantization",
+    "emb_ivf_inertia",
+    "emb_ivf_probe_topk",
+    "emb_pq_adc_topk",
+    "emb_semantic_incremental_ingest",
+    "events_column_profile",
+    "events_compaction_roundtrip",
+    "events_hourly_daily_rollup",
+    "events_kmv_distinct_users",
+    "events_mrl_quantile_audit",
+    "events_partition_pruned_rollup",
+    "events_rank_battery",
+    "events_retention_cohorts",
+    "events_rolling_7d_actives",
+    "events_salted_hot_join",
+    "events_salted_rollup",
+    "events_scd2_intervals",
+    "events_state_as_of",
+    "events_value_quantiles",
+    "events_zorder_keys",
+    "flagship_owned_orders",
+    "imgs_decode_resize_bytes",
+    "imgs_dedup_new",
+    "imgs_format_bytes",
+    "imgs_jpeg_pixel_stats",
+    "imgs_keep_latest",
+    "imgs_point_read_fallback",
+    "imgs_resize_fanout_stats",
+    "imgs_webp_pixel_stats",
+    "metadata_fetch_stage",
+    "metadata_refresh_schedule",
+    "streaming_semantic_ingest",
 ]
 
 
