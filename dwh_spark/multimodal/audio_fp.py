@@ -255,6 +255,16 @@ def append_with_df(
     compaction window (stale df between compactions only ever
     UNDER-counts, so a ``df <= cap`` filter errs toward keeping
     words — recall-safe)."""
+    if "df" in batch_subfps.columns:
+        # e.g. re-appending a slice of the stored table: the join
+        # below would yield an ambiguous df column and fail with an
+        # opaque AnalysisException — fail the contract loudly instead
+        # (mirrors _cap_index_words' ValueError; ADVICE r13)
+        raise ValueError(
+            "append_with_df expects a PLAIN (audio_id, pos, sub32) "
+            "batch — the batch already carries a df column; drop it "
+            "(the merged df is recomputed here)"
+        )
     bc = batch_subfps.groupBy("sub32").agg(F.count("*").alias("__bn"))
     prior = (
         index_with_df.join(F.broadcast(bc.select("sub32")), "sub32")

@@ -337,11 +337,16 @@ def _blocked_frame_matches(
         # BESIDE the block key bounds each bucket to ~3 bands of
         # frames instead of the whole frame corpus per value. Band
         # width = max_offset, so |f_a - f_b| <= max_offset implies the
-        # bands differ by at most 1; the B side (the broadcast/batch
-        # side — 3x a bounded batch, never 3x the corpus) explodes to
-        # its band and both neighbors, the join adds band equality as
-        # an EQUI key, and the exact |offset| <= max_offset filter
-        # runs post-join. Full recall for in-band offsets; pairs
+        # bands differ by at most 1; the B side explodes to its band
+        # and both neighbors, the join adds band equality as an EQUI
+        # key, and the exact |offset| <= max_offset filter runs
+        # post-join. The 3x explode lands on WHICHEVER frame set is
+        # passed as B: a bounded batch in the probe form
+        # (video_offset_vote_probe), but the FULL corpus frame table
+        # in the self-join pairs form (video_offset_pairs_from_frames
+        # with max_offset) — still linear in corpus frames at ~24 B a
+        # row, not a scale-killer, but a real 3x there (VERDICT r13
+        # What's-wrong #3). Full recall for in-band offsets; pairs
         # drifted further than max_offset are out of contract.
         band = max(int(max_offset), 1)
         a = a.withColumn("band", F.floor(F.col("f_a") / band))

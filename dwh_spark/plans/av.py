@@ -1824,10 +1824,11 @@ def av_video_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# live persisted per-frame index for the capped offset query: the
-# index frame feeds BOTH the block-stats build and the probe — without
-# the persist the AVI corpus would be decoded twice (same rotation
-# discipline as plans/images.py:_IMGS_CORPUS_CACHE)
+# live persisted fingerprint frames for the capped queries: each
+# frame feeds BOTH the stats build and the probe — without the
+# persist the fixture corpus would be decoded twice (same rotation
+# discipline as plans/images.py:_IMGS_CORPUS_CACHE, including its
+# pop-BEFORE-persist ordering)
 _AV_CAPPED_CACHE: list = []
 
 
@@ -1979,11 +1980,16 @@ def av_audio_fp_offset_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_id")
         .repartition(32)
     )
-    index = attach_subfp_df(
-        audio_subfingerprint_frame(
-            _audio_silence_offset_fixture(docs, base=True, variants=False)
-        )
-    )
+    # the subfp frame feeds attach_subfp_df's groupBy AND its join —
+    # persist so the WAV corpus is decoded once, not twice (ADVICE
+    # r13; same rotation discipline as the video twin above)
+    while _AV_CAPPED_CACHE:
+        _AV_CAPPED_CACHE.pop().unpersist()
+    subfps = audio_subfingerprint_frame(
+        _audio_silence_offset_fixture(docs, base=True, variants=False)
+    ).persist()
+    _AV_CAPPED_CACHE.append(subfps)
+    index = attach_subfp_df(subfps)
     batch = _audio_silence_offset_fixture(docs, base=False, variants=True)
     matches = audio_offset_incremental_ingest(
         index, batch, min_matches=5, max_word_freq=8
@@ -2173,11 +2179,11 @@ def av_video_phash_offset_capped_ingest(
         .select("doc_id")
         .repartition(32)
     )
+    while _AV_CAPPED_CACHE:
+        _AV_CAPPED_CACHE.pop().unpersist()
     index = video_dhash_frames(
         _video_black_offset_fixture(docs, base=True, variants=False)
     ).persist()
-    while _AV_CAPPED_CACHE:
-        _AV_CAPPED_CACHE.pop().unpersist()
     _AV_CAPPED_CACHE.append(index)
     stats = video_block_df(index)
     batch = _video_black_offset_fixture(docs, base=False, variants=True)
@@ -2530,9 +2536,9 @@ def av_audio_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(32)
     )
-    feats = _audio_feature_frame(_audio_corpus_fixture(docs)).persist()
     while _AV_CORPUS_CACHE:
         _AV_CORPUS_CACHE.pop().unpersist()
+    feats = _audio_feature_frame(_audio_corpus_fixture(docs)).persist()
     _AV_CORPUS_CACHE.append(feats)
 
     qual = feats.filter(F.col("ok") & (F.col("n_lv") > 1))
@@ -2713,14 +2719,14 @@ def av_audio_corpus_ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id")
         .repartition(32)
     )
+    while _AV_CORPUS_CACHE:
+        _AV_CORPUS_CACHE.pop().unpersist()
     corpus_feats = _audio_feature_frame(
         _audio_corpus_fixture(docs, base=True, variants=False)
     ).persist()
     batch_feats = _audio_feature_frame(
         _audio_corpus_fixture(docs, base=False, variants=True, novel=True)
     ).persist()
-    while _AV_CORPUS_CACHE:
-        _AV_CORPUS_CACHE.pop().unpersist()
     _AV_CORPUS_CACHE.extend([corpus_feats, batch_feats])
 
     qual = batch_feats.filter(F.col("ok") & (F.col("n_lv") > 1))
@@ -3084,9 +3090,9 @@ def av_video_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(32)
     )
-    feats = _video_feature_frame(_video_corpus_fixture(docs)).persist()
     while _AV_CORPUS_CACHE:
         _AV_CORPUS_CACHE.pop().unpersist()
+    feats = _video_feature_frame(_video_corpus_fixture(docs)).persist()
     _AV_CORPUS_CACHE.append(feats)
 
     qual = feats.filter(F.col("ok") & (F.col("contrast") > 0))
@@ -3255,14 +3261,14 @@ def av_video_corpus_ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id")
         .repartition(32)
     )
+    while _AV_CORPUS_CACHE:
+        _AV_CORPUS_CACHE.pop().unpersist()
     corpus_feats = _video_feature_frame(
         _video_corpus_fixture(docs, base=True, variants=False)
     ).persist()
     batch_feats = _video_feature_frame(
         _video_corpus_fixture(docs, base=False, variants=True, novel=True)
     ).persist()
-    while _AV_CORPUS_CACHE:
-        _AV_CORPUS_CACHE.pop().unpersist()
     _AV_CORPUS_CACHE.extend([corpus_feats, batch_feats])
 
     qual = batch_feats.filter(F.col("ok") & (F.col("contrast") > 0))

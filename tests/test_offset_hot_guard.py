@@ -518,6 +518,20 @@ def test_append_with_df_equals_rebuild(spark):
     assert a == b
 
 
+def test_append_with_df_rejects_df_batch(spark):
+    """Re-appending a slice of the STORED table (already carrying df)
+    must fail the contract loudly, not with an ambiguous-column
+    AnalysisException deep in the join (ADVICE r13)."""
+    import pytest
+
+    from dwh_spark.multimodal.audio_fp import append_with_df
+
+    index, _ = _audio_frames(spark)
+    stored = attach_subfp_df(index)
+    with pytest.raises(ValueError, match="PLAIN"):
+        append_with_df(stored, stored.limit(3))
+
+
 def test_merge_block_df_equals_rebuild(spark):
     from dwh_spark.multimodal.perceptual import merge_block_df
 
