@@ -52,7 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_contract.py's recomputation; regenerate with
 # scripts/rotate_check_first.py.
 _CHECK_FIRST = [
-    # -- new round-14 queries: no driver verdict yet (added as built)
+    # -- new round-14 queries: no driver verdict yet
+    "av_audio_offset_forget_probe",     # H-K table forget + df decrement + ghost probe
+    "av_video_offset_forget_probe",     # frame-index forget + stats shrink + capped probe
+    "docs_posting_forget_reprobe",      # posting-index forget, df load-bearing under cap
     # -- stale: latest driver verdict is round 9 (all 36 lead)
     "docs_langid_confusion",
     "docs_minhash_incremental_ingest",

@@ -2564,3 +2564,81 @@ def docs_containment_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     return containment_incremental(
         corpus, frags, threshold=0.9, max_doc_freq=25, posting_index=index
     )
+
+
+@query(
+    "docs_posting_forget_reprobe",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    surv AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 3),
+    sdf AS (SELECT shingle, count(*) AS df FROM surv GROUP BY 1),
+    sizes AS (SELECT doc_id, count(*) AS n_c FROM surv GROUP BY 1),
+    batch AS (
+      SELECT doc_id + 1000000 AS new_id, doc_id AS src FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 10 = 7
+    ),
+    bsh AS (
+      SELECT b.new_id, s.shingle FROM batch b JOIN sh s ON s.doc_id = b.src
+    ),
+    bsizes AS (SELECT new_id, count(*) AS n_n FROM bsh GROUP BY 1),
+    common AS (
+      SELECT n.new_id, x.doc_id AS corpus_id, count(*) AS n_common
+      FROM bsh n
+      JOIN surv x ON x.shingle = n.shingle
+      JOIN sdf d ON d.shingle = n.shingle AND d.df <= 50
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT c.new_id, c.corpus_id,
+           round(CAST(n_common AS DOUBLE) / bs.n_n, 6) AS cont_new_in_corpus,
+           round(CAST(n_common AS DOUBLE) / sz.n_c, 6) AS cont_corpus_in_new
+    FROM common c
+    JOIN bsizes bs ON bs.new_id = c.new_id
+    JOIN sizes sz ON sz.doc_id = c.corpus_id
+    WHERE greatest(round(CAST(n_common AS DOUBLE) / bs.n_n, 6),
+                   round(CAST(n_common AS DOUBLE) / sz.n_c, 6)) >= 0.9
+    """,
+)
+def docs_posting_forget_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN for the containment POSTING index
+    (VERDICT r13 next #2, docs binding): build the with-df posting
+    index over the full corpus, FORGET the %10==3 docs
+    (operators/forget.py:forget_posting_index — the forgotten docs'
+    own postings decrement the stored per-shingle df exactly, pinned
+    equal to rebuild-minus-deleted), then run the CAPPED incremental
+    probe (max_doc_freq=50 on the forget-maintained df column — the
+    df is LOAD-BEARING here: a mis-decremented df caps a different
+    shingle set than the oracle's survivor-derived df) with a
+    re-arrival batch: the forgotten docs come back verbatim
+    (new_id = doc_id + 1,000,000) alongside verbatim re-arrivals of
+    KEPT %10==7 docs (+2,000,000). The kept re-arrivals hit their
+    originals at containment 1.0; the forgotten re-arrivals hit ONLY
+    whatever OTHER surviving docs genuinely contain them — one
+    leftover posting of a forgotten doc would surface as a
+    (new_id, forgotten_id) row the survivor-corpus oracle cannot
+    have."""
+    from dwh_spark.operators.dedup import (
+        containment_incremental,
+        containment_posting_index,
+    )
+    from dwh_spark.operators.forget import forget_posting_index
+
+    docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    corpus = docs.select("doc_id", "text")
+    stored = containment_posting_index(corpus, with_df=True)
+    fids = docs.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("corpus_id")
+    )
+    kept = forget_posting_index(stored, fids)
+    batch = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return containment_incremental(
+        corpus, batch, threshold=0.9, max_doc_freq=50, posting_index=kept
+    )

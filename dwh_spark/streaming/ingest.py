@@ -367,29 +367,52 @@ class ParquetAppendLog:
             *(os.path.join(self.root, s) for s in man["segments"])
         )
 
-    def compact(self, spark: SparkSession) -> None:
+    def compact(self, spark: SparkSession, transform=None) -> None:
         """Offline OPTIMIZE: merge all active segments into one.
         Readers are correct at every instant — the merged segment
         becomes visible only via the atomic manifest swap, and the
         merged-away dirs are GC'd afterwards (a crash between swap and
         GC leaves harmless unreferenced dirs, removed on the next
-        compact)."""
+        compact).
+
+        ``transform`` (DataFrame -> DataFrame) makes compaction the
+        HISTORY-REWRITE point the append-only contract otherwise
+        forbids: the merged segment is written as ``transform(state)``
+        — e.g. a forgotten-id anti-join (operators/forget.py, the
+        right-to-be-forgotten durability step) or a hot-value cap
+        (drop over-cap words once their accumulated df crosses the
+        threshold; streaming/phash_ingest.py's cap composition).
+        Atomicity is unchanged: readers see the pre- or post-transform
+        state, never a mix. With a transform, even a single segment is
+        rewritten (the rewrite IS the point); without one, a single
+        segment is already compact."""
         import shutil
 
         man = self._read_manifest()
-        if not man or len(man["segments"]) < 2:
+        if not man or not man["segments"] or (
+            len(man["segments"]) < 2 and transform is None
+        ):
             self._gc()
             return
         ranges = [self._range(man, s) for s in man["segments"]]
         lo = min(r[0] for r in ranges)
         hi = max(r[1] for r in ranges)
-        merged = f"cmp{lo:010d}_{hi:010d}n{len(man['segments'])}"
-        self._write_segment(self.current(spark), merged)
+        # the generation counter keeps every rewrite's dir name fresh:
+        # a transform-compact of a single already-compacted segment
+        # would otherwise derive ITS OWN name and lazily read the dir
+        # it is overwriting
+        gen = man.get("gen", 0) + 1
+        merged = f"cmp{lo:010d}_{hi:010d}g{gen}"
+        state = self.current(spark)
+        if transform is not None:
+            state = transform(state)
+        self._write_segment(state, merged)
         self._write_manifest(
             {
                 "segments": [merged],
                 "ranges": {merged: [lo, hi]},
                 "last_committed": man["last_committed"],
+                "gen": gen,
             }
         )
         self._gc()

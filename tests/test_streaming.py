@@ -798,7 +798,7 @@ def test_append_log_compacted_segment_ages_out(spark, tmp_path):
         log.append(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x"), b)
     log.compact(spark)  # cmp covering [0,3]
     man = log._read_manifest()
-    assert man["segments"] == ["cmp0000000000_0000000003n4"]
+    assert man["segments"] == ["cmp0000000000_0000000003g1"]
     assert man["ranges"][man["segments"][0]] == [0, 3]
     for b in range(4, 6):
         log.append(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x"), b)
