@@ -1693,7 +1693,10 @@ def imgs_phash_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     at its contrast gate before any join — both routes stated. The
     oracle re-derives every dHash, splits the SAME 14-bit blocks,
     computes the SAME per-(block, value) df over the index, and
-    applies the SAME df <= 8 cap before its brute-force join."""
+    applies the SAME df <= 8 cap before its brute-force join. The
+    cap constant follows the operators/caps.py:calibrate_cap recipe
+    (margin x natural q99 of the stats df; see
+    av_audio_fp_cap_calibration) — run cap_report before enabling."""
     from dwh_spark.multimodal.perceptual import (
         dhash_frame,
         perceptual_incremental_ingest,
