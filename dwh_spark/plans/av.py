@@ -4079,3 +4079,55 @@ def av_audio_fp_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("long").alias("v"),
     )
     return report.unionByName(dropped)
+
+
+def _audio_jingle_offset_fixture(docs, base: bool, variants: bool):
+    """Fixture for the STREAMING df-cap composition: every %5==0 doc's
+    clip leads with a SHARED 40-window JINGLE (seed 'jgl:{w}' — no
+    doc_id in the seed, so all jingled clips emit the same 8
+    fully-jingle subfingerprint words at positions 0..7) followed by
+    57 windows of per-doc content (seed 'cap2:{d}:{w}'); other docs
+    are content-only. The jingle is HIGH-ENTROPY — it passes the
+    stateless transition guard by design; only the accumulated-df cap
+    can catch it. For doc_id%10==3 (never jingled: %5!=0) a
+    HEAD-TRIMMED content copy (8 windows cut, id +3,000,000) plants
+    the genuine-match class that must SURVIVE the cap."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal.audio import wav_encode
+
+        j = _np.arange(64, dtype=_np.int64)
+
+        def win(seed: str) -> "_np.ndarray":
+            a = int(_hashlib.md5(seed.encode()).hexdigest()[:4], 16) % 2048
+            return (a + j * 13) % 2048 - 1024
+
+        jingle = _np.concatenate(
+            [win(f"jgl:{w}") for w in range(40)]
+        ).astype(_np.int16)
+
+        def content(d: int, skip: int, n: int) -> "_np.ndarray":
+            return _np.concatenate(
+                [win(f"cap2:{d}:{w}") for w in range(skip, skip + n)]
+            ).astype(_np.int16)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if base:
+                    c = content(d, 0, 57)
+                    s = _np.concatenate([jingle, c]) if d % 5 == 0 else c
+                    rows.append((d, wav_encode(s.astype(_np.int16), 1000)))
+                if variants and d % 10 == 3:
+                    rows.append(
+                        (d + 3000000, wav_encode(content(d, 8, 49), 1000))
+                    )
+            yield _pd.DataFrame(rows, columns=["audio_id", "content"])
+
+    return docs.mapInPandas(gen, "audio_id long, content binary")

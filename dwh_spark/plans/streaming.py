@@ -1415,3 +1415,194 @@ def streaming_audio_offset_entropy_ingest(
         min_word_transitions=4,
     )
     return read_audio_offset_ingest_results(spark, out_dir)
+
+
+_AUDIO_OFFSET_CAP_COMPACTION_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS jing,
+             0 AS skip_head, 57 AS n_con
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 0, 8, 49 FROM documents
+      WHERE doc_id % 10 = 3
+    ),
+    bt AS (
+      SELECT audio_id, ntile(3) OVER (ORDER BY audio_id) AS b FROM ids
+    ),
+    jwin AS (
+      SELECT w.w,
+             sum((((('0x' || substr(md5('jgl:' || CAST(w.w AS VARCHAR)),
+                                    1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024)
+                  * ((('0x' || substr(md5('jgl:' || CAST(w.w AS VARCHAR)),
+                                    1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024))) AS e
+      FROM (SELECT unnest(range(0, 40)) AS w) w,
+           (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1
+    ),
+    con AS (
+      SELECT i.audio_id, i.jing * 40 + w.w AS w,
+             sum((((('0x' || substr(md5('cap2:' || CAST(i.base AS VARCHAR)
+                                     || ':' || CAST(i.skip_head + w.w AS VARCHAR)),
+                                    1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024)
+                  * ((('0x' || substr(md5('cap2:' || CAST(i.base AS VARCHAR)
+                                     || ':' || CAST(i.skip_head + w.w AS VARCHAR)),
+                                    1, 4))::BIGINT
+                     % 2048 + t.j * 13) % 2048 - 1024))) AS e
+      FROM ids i,
+           (SELECT unnest(range(0, 57)) AS w) w,
+           (SELECT unnest(range(0, 64)) AS j) t
+      WHERE w.w < i.n_con
+      GROUP BY 1, 2
+    ),
+    energies AS (
+      SELECT audio_id, w, e FROM con
+      UNION ALL
+      SELECT i.audio_id, j.w, j.e FROM ids i JOIN jwin j ON i.jing = 1
+    ),
+    bits AS (
+      SELECT a.audio_id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM energies a
+      JOIN energies b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 65)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2
+      HAVING count(*) = 32
+    ),
+    wb AS (
+      SELECT s.audio_id, s.p, s.word, bt.b
+      FROM sub s JOIN bt ON bt.audio_id = s.audio_id
+      WHERE bit_count(xor(s.word, s.word >> 1) & 2147483647) >= 4
+    ),
+    hot1 AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS df FROM wb WHERE b = 1 GROUP BY 1
+      ) WHERE df > 16
+    ),
+    idx2 AS (
+      SELECT word, count(*) AS df FROM wb
+      WHERE b = 2 AND word NOT IN (SELECT word FROM hot1)
+      GROUP BY 1
+    ),
+    hot2 AS (
+      SELECT word FROM (
+        SELECT word, sum(df) AS df FROM (
+          SELECT word, count(*) AS df FROM wb WHERE b = 1 GROUP BY 1
+          UNION ALL
+          SELECT word, df FROM idx2
+        ) GROUP BY 1
+      ) WHERE df > 16
+    ),
+    offset_pairs AS (
+      SELECT x.audio_id AS id_a, n.audio_id AS id_b
+      FROM wb x JOIN wb n
+        ON n.word = x.word AND x.audio_id < n.audio_id
+      WHERE n.b = 1
+         OR (n.b = 2 AND n.word NOT IN (SELECT word FROM hot1))
+         OR (n.b = 3 AND n.word NOT IN (SELECT word FROM hot2))
+      GROUP BY x.audio_id, n.audio_id, (x.p - n.p)
+      HAVING count(*) >= 5
+    ),
+    partners AS (SELECT DISTINCT id_a, id_b FROM offset_pairs)
+    SELECT id_b AS audio_id, count(*) AS n_earlier_odups
+    FROM partners GROUP BY 1
+    """
+
+
+@query(
+    "streaming_audio_offset_cap_compaction",
+    oracle=_AUDIO_OFFSET_CAP_COMPACTION_ORACLE,
+)
+def streaming_audio_offset_cap_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING df-cap, composed with the fold via the compaction
+    seam (VERDICT r13 next #4, closing the documented guard
+    composition): a shared 40-window JINGLE leads every %5==0 clip —
+    HIGH-ENTROPY, so the stateless transition guard passes it by
+    design, and corpus-hot, so only accumulated statistics can catch
+    it. streaming/phash_ingest.py:run_audio_offset_cap_ingest keeps
+    per-word df as its own append log of per-batch partials
+    (WordDfCapMaintenance — the append_with_df merge discipline,
+    never a corpus rescan): the jingle words accumulate df across the
+    FIRST batch, cross the cap (df > 16; ~37 jingled clips land in
+    batch 1 at every sf), and from batch 2 on are anti-joined
+    BROADCAST off every probe/append — batch-1 clips pair with each
+    other through the jingle (the stated warm-up: df must accumulate
+    before the cap can see it), later batches DON'T, while the
+    planted head-trim copies keep flagging their earlier base through
+    content words. Mid-run, ``ParquetAppendLog.compact(transform=
+    anti-join hot)`` rewrites the stored rows away (compact_every=2 —
+    output-invariant by design, pinned by
+    tests/test_cap_compaction.py; the per-batch hot filter does the
+    correctness work, compaction shrinks state). The cap is
+    CUMULATIVE and the fixture exercises exactly that: the
+    jingle-to-content boundary words form nested families (a shared
+    31-bit prefix plus k per-doc bits — df ~ jingled/2^k), so the
+    k=1 family crosses the cap with the jingle after batch 1 while
+    the k=2 family only crosses after batch 2 — a second wave of hot
+    values the batch-1-only rule would miss. The oracle re-derives
+    every word, reproduces the 3-way ntile batch split, recomputes
+    hot-after-batch-1 AND hot-after-batch-2 with the SAME
+    accumulate-then-freeze discipline (batch-2 postings of an
+    already-hot word never count — filtered rows are never indexed),
+    and allows a word match per the later side's batch: always in
+    batch 1, not-hot1 in batch 2, not-hot2 in batch 3."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.plans.av import _audio_jingle_offset_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_audio_offset_ingest_results,
+        run_audio_offset_cap_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    audio = _audio_jingle_offset_fixture(docs, base=True, variants=True)
+
+    root = tempfile.mkdtemp(prefix="dwh_audio_offset_cap_compaction_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(audio.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_audio_offset_cap_ingest(
+        stream,
+        index_store,
+        stats_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        min_matches=5,
+        min_word_transitions=4,
+        max_word_freq=16,
+        compact_every=2,
+    )
+    return read_audio_offset_ingest_results(spark, out_dir)

@@ -436,3 +436,176 @@ def run_video_offset_ingest(
 def read_video_offset_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """All drained (video_id, n_earlier_ovdups) rows across batches."""
     return _read_results(spark, out_dir, ["video_id", "n_earlier_ovdups"])
+
+
+class WordDfCapMaintenance:
+    """The STREAMING form of the df-cap, composed with the fold via
+    the compaction seam (VERDICT r13 next #4): the stateless entropy
+    guard cannot catch a corpus-hot but HIGH-ENTROPY word (a shared
+    jingle / title card — structurally indistinguishable from
+    content), and an append-only stream state cannot keep a stored df
+    column fresh without per-batch corpus aggregates. This class
+    keeps the per-word df as its OWN tiny append log of per-batch
+    (sub32, df) partials — the ``append_with_df`` merge discipline,
+    never a corpus rescan:
+
+    - :meth:`record` (after each index append): one groupBy over the
+      just-appended O(batch) segment, appended to the stats log under
+      the same batch id.
+    - :meth:`hot_words` (at each batch start): merge the partials
+      (sum over the stats log — input is per-batch aggregates, not
+      postings) and keep words with accumulated df > cap. The fold
+      anti-joins this BROADCAST set off the batch's rows BEFORE its
+      three consumers, so from the first batch AFTER a word crosses
+      the cap it stops matching, stops indexing, and stops growing.
+    - :meth:`compact` (every ``compact_every`` batches): rewrite the
+      index minus the hot words (``ParquetAppendLog.compact`` with
+      the anti-join transform — the history-rewrite point) and
+      re-aggregate the stats log. Correctness does NOT depend on the
+      cadence — the per-batch hot filter already keeps hot words out
+      of every probe/append — compaction only shrinks stored state,
+      so its O(state) rewrite can be amortized as slowly as wanted.
+
+    Semantics, stated: a hot word's df FREEZES once it stops being
+    indexed (over the cap is over the cap — re-admission would need a
+    stats rebuild); rows the hot word contributed BEFORE it crossed
+    the cap stay in the index until the next compaction but cannot
+    match (the probe side is filtered); a crash between the index
+    append and :meth:`record` under-counts df for that batch forever
+    — the recall-safe direction (a word stays under the cap longer,
+    matches more). The batch/ingest form keeps the stored in-index df
+    column (multimodal/audio_fp.py:attach_subfp_df); this is the form
+    an append-only stream can run."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_store: ParquetAppendLog,
+        stats_store: ParquetAppendLog,
+        max_word_freq: int,
+        compact_every: int | None = None,
+        value_col: str = "sub32",
+    ) -> None:
+        self.spark = spark
+        self.index_store = index_store
+        self.stats_store = stats_store
+        self.max_word_freq = max_word_freq
+        self.compact_every = compact_every
+        self.value_col = value_col
+
+    def _merged_stats(self) -> DataFrame | None:
+        cur = self.stats_store.current(self.spark)
+        if cur is None:
+            return None
+        return cur.groupBy(self.value_col).agg(F.sum("df").alias("df"))
+
+    def hot_words(self) -> DataFrame | None:
+        """(value_col) rows over the cap — broadcastable by
+        construction (at most total_postings / cap values)."""
+        stats = self._merged_stats()
+        if stats is None:
+            return None
+        return stats.filter(F.col("df") > self.max_word_freq).select(self.value_col)
+
+    def filter_batch(self, batch_rows: DataFrame) -> DataFrame:
+        hot = self.hot_words()
+        if hot is None:
+            return batch_rows
+        return batch_rows.join(F.broadcast(hot), self.value_col, "left_anti")
+
+    def record(self, batch_id: int) -> None:
+        lc = self.stats_store.last_committed()
+        if lc is not None and batch_id <= lc:
+            return  # replay guard, same discipline as the fold's
+        seg = self.spark.read.parquet(self.index_store.segment_dir(batch_id))
+        counts = seg.groupBy(self.value_col).agg(F.count("*").alias("df"))
+        self.stats_store.append(counts, batch_id)
+
+    def compact(self) -> None:
+        hot = self.hot_words()
+        vc = self.value_col
+        if hot is not None:
+            self.index_store.compact(
+                self.spark,
+                transform=lambda df: df.join(F.broadcast(hot), vc, "left_anti"),
+            )
+        else:
+            self.index_store.compact(self.spark)
+        self.stats_store.compact(
+            self.spark,
+            transform=lambda df: df.groupBy(vc).agg(F.sum("df").alias("df")),
+        )
+
+    def after_batch(self, batch_id: int) -> None:
+        """The fold's maintenance hook: record this batch's partials,
+        then compact on the cadence."""
+        self.record(batch_id)
+        if self.compact_every is not None and (
+            (batch_id + 1) % self.compact_every == 0
+        ):
+            self.compact()
+
+
+def run_audio_offset_cap_ingest(
+    stream: DataFrame,
+    index_store: ParquetAppendLog,
+    stats_store: ParquetAppendLog,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_matches: int = 5,
+    min_word_transitions: int = 4,
+    max_word_freq: int = 16,
+    compact_every: int | None = 2,
+) -> None:
+    """The audio OFFSET fold with BOTH guards composed — the stateless
+    entropy skip (drops silence/constant-tone words a priori) and the
+    accumulated df-cap via :class:`WordDfCapMaintenance` (drops
+    corpus-hot words once their streamed df crosses the cap — the
+    shared-jingle class the entropy guard passes by design). The hot
+    filter wraps ``fp_fn``, so from the first batch after a word goes
+    hot it never reaches the within-join, the probe, or the store;
+    compaction then rewrites the already-stored rows away. The guard
+    trade across the family, stated once: batches BEFORE a word
+    crosses the cap pair through it (df must accumulate before the
+    cap can see it) — the batch/ingest form with its build-time df
+    column has no such warm-up."""
+    from dwh_spark.multimodal.audio_fp import (
+        audio_offset_pairs_from_subfps,
+        audio_offset_vote_probe,
+        audio_subfingerprint_frame,
+        drop_low_entropy_words,
+    )
+
+    spark = stream.sparkSession
+    cap = WordDfCapMaintenance(
+        spark, index_store, stats_store, max_word_freq, compact_every
+    )
+
+    def fp_fn(df: DataFrame) -> DataFrame:
+        return cap.filter_batch(
+            drop_low_entropy_words(
+                audio_subfingerprint_frame(df), min_word_transitions
+            )
+        )
+
+    def within(batch_subfps: DataFrame) -> DataFrame:
+        return (
+            audio_offset_pairs_from_subfps(batch_subfps, min_matches=min_matches)
+            .select("id_a", "id_b")
+            .distinct()
+            .select(F.col("id_b").alias("audio_id"))
+        )
+
+    def cross(prior: DataFrame, batch_subfps: DataFrame) -> DataFrame:
+        return (
+            audio_offset_vote_probe(prior, batch_subfps, min_matches=min_matches)
+            .select("batch_id", "index_id")
+            .distinct()
+            .select(F.col("batch_id").alias("audio_id"))
+        )
+
+    _run_indexed_ingest(
+        stream, index_store, out_dir, checkpoint_dir,
+        fp_fn, within, cross,
+        "audio_id", "n_earlier_odups", cap.after_batch,
+    )
