@@ -4003,17 +4003,19 @@ _AV_CAP_CALIBRATION_ORACLE = """
     SELECT 'cap' AS metric, CAST(0 AS BIGINT) AS k,
            CAST(cap AS BIGINT) AS v FROM capv
     UNION ALL
-    SELECT 'n_values', 0, n FROM nn
+    SELECT 'n_values', 0, CAST(n AS BIGINT) FROM nn
     UNION ALL
     SELECT 'n_values_dropped', 0,
-           (SELECT count(*) FROM stats, capv WHERE df > cap)
+           (SELECT CAST(count(*) AS BIGINT) FROM stats, capv WHERE df > cap)
     UNION ALL
-    SELECT 'n_postings', 0, (SELECT sum(df) FROM stats)
+    SELECT 'n_postings', 0, (SELECT CAST(sum(df) AS BIGINT) FROM stats)
     UNION ALL
     SELECT 'n_postings_dropped', 0,
-           (SELECT coalesce(sum(df), 0) FROM stats, capv WHERE df > cap)
+           (SELECT CAST(coalesce(sum(df), 0) AS BIGINT)
+            FROM stats, capv WHERE df > cap)
     UNION ALL
-    SELECT 'dropped_word', word, df FROM stats, capv WHERE df > cap
+    SELECT 'dropped_word', word, CAST(df AS BIGINT)
+    FROM stats, capv WHERE df > cap
     """
 
 

@@ -2126,6 +2126,130 @@ def video_hot_guard_smoke(n_corpus: int = 10_000, n_batch: int = 200) -> None:
     spark.stop()
 
 
+def forget_smoke(n_corpus: int = 100_000, n_forget: int = 1_000) -> None:
+    """The post-delete probe smoke (VERDICT r13 next #2 done-criteria):
+    forget 1,000 clips from a 100k-clip (2.5M-row) with-df H-K lookup
+    table via operators/forget.py:forget_subfp_index — two broadcast
+    joins plus an aggregate over the FORGOTTEN rows only — vs
+    rebuilding with attach_subfp_df over corpus-minus-forgotten (the
+    corpus-wide groupBy + join). Checksums (rows, sum(df)) asserted
+    equal. Then the probe contract at scale: every forgotten clip's
+    ghost subfingerprints probed back hit EXACTLY their surviving
+    head-trim copy (planted for each forgotten id) and NEVER the
+    forgotten id itself."""
+    import tempfile
+
+    from dwh_spark.multimodal.audio_fp import (
+        attach_subfp_df,
+        audio_offset_vote_probe,
+        audio_subfingerprint_frame,
+    )
+    from dwh_spark.operators.forget import forget_subfp_index
+
+    spark = get_spark("forget-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(which: str, n: int):
+        ids = spark.range(n).repartition(64)
+
+        def run(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            from dwh_spark.multimodal.audio import wav_encode
+
+            j = np.arange(64, dtype=np.int64)
+
+            def clip(d: int) -> "np.ndarray":
+                wins = []
+                for w in range(57):
+                    a = (
+                        int(hashlib.md5(f"fg:{d}:{w}".encode()).hexdigest()[:4], 16)
+                        % 2048
+                    )
+                    wins.append((a + j * 13) % 2048 - 1024)
+                return np.concatenate(wins).astype(np.int16)
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "base":
+                        out.append((i, wav_encode(clip(i), 1000)))
+                        if i % 100 == 0:
+                            # surviving head-trim copy of a to-be-
+                            # forgotten base
+                            out.append(
+                                (10_000_000 + i,
+                                 wav_encode(clip(i)[8 * 64:], 1000))
+                            )
+                    elif i % 100 == 0:  # ghost re-probe of the base
+                        out.append((i, wav_encode(clip(i), 1000)))
+                yield pd.DataFrame(out, columns=["audio_id", "content"])
+
+        return ids.mapInPandas(run, "audio_id long, content binary")
+
+    root = tempfile.mkdtemp(prefix="dwh_forget_smoke_")
+    plain = audio_subfingerprint_frame(gen("base", n_corpus))
+    plain.write.parquet(root + "/plain")
+    plain = spark.read.parquet(root + "/plain")
+    attach_subfp_df(plain).write.parquet(root + "/stored")
+    stored = spark.read.parquet(root + "/stored")
+    n_rows = stored.count()
+
+    fids = spark.range(0, n_corpus, 100).select(F.col("id").alias("audio_id"))
+    assert fids.count() == n_forget
+
+    t = time.perf_counter()
+    forget_subfp_index(stored, fids).write.parquet(root + "/forgotten")
+    forget_s = time.perf_counter() - t
+    kept = spark.read.parquet(root + "/forgotten")
+
+    t = time.perf_counter()
+    attach_subfp_df(
+        plain.join(F.broadcast(fids), "audio_id", "left_anti")
+    ).write.parquet(root + "/rebuilt")
+    rebuild_s = time.perf_counter() - t
+    rebuilt = spark.read.parquet(root + "/rebuilt")
+
+    def checksum(df):
+        r = df.agg(
+            F.count("*").alias("n"), F.sum("df").alias("s")
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    ck, cr = checksum(kept), checksum(rebuilt)
+    assert ck == cr, (ck, cr)
+
+    ghosts = audio_subfingerprint_frame(gen("ghost", n_corpus))
+    t = time.perf_counter()
+    hits = audio_offset_vote_probe(
+        kept, ghosts, min_matches=5, max_word_freq=8
+    ).select("batch_id", "index_id").distinct().collect()
+    probe_s = time.perf_counter() - t
+    on_forgotten = [h for h in hits if h["index_id"] % 100 == 0
+                    and h["index_id"] < 10_000_000]
+    on_copies = [h for h in hits if h["index_id"] == h["batch_id"] + 10_000_000]
+    assert not on_forgotten, f"{len(on_forgotten)} leftover index hits"
+    assert len(on_copies) == n_forget, (len(on_copies), n_forget)
+    assert len(hits) == len(on_copies), [h for h in hits if h not in on_copies][:5]
+
+    print(
+        f"forget smoke ({n_corpus} clips = {n_rows} stored with-df "
+        f"rows, {n_forget} forgotten): forget_subfp_index "
+        f"{forget_s:.1f}s (broadcast semi/anti + decrement over the "
+        f"forgotten rows only) vs rebuild-minus-deleted "
+        f"{rebuild_s:.1f}s = {forget_s / max(rebuild_s, 1e-9):.2f}x; "
+        f"checksums equal ({ck[0]} rows, sum df {ck[1]}); ghost "
+        f"re-probe of all {n_forget} forgotten clips ({probe_s:.1f}s): "
+        f"0 hits on forgotten ids, {len(on_copies)}/{n_forget} hit "
+        f"exactly their surviving head-trim copy"
+    )
+    spark.stop()
+
+
 
 if __name__ == "__main__":
     if CASE == "append_log":
@@ -2154,6 +2278,8 @@ if __name__ == "__main__":
         video_hot_guard_smoke()
     elif CASE == "df_maintenance":
         df_maintenance_smoke()
+    elif CASE == "forget":
+        forget_smoke()
     elif CASE is not None:
         raise SystemExit(
             f"unknown case {CASE!r} "
