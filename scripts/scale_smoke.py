@@ -2225,8 +2225,13 @@ def forget_smoke(n_corpus: int = 100_000, n_forget: int = 1_000) -> None:
 
     ghosts = audio_subfingerprint_frame(gen("ghost", n_corpus))
     t = time.perf_counter()
+    # min_matches=12: genuine copies carry 17 same-offset votes, a
+    # leftover self-row would carry 25, while the random tail of
+    # same-comparison-pattern word collisions (real at 25k x 2.5M
+    # position pairs in a 2048-amplitude window space) dies at ~5 —
+    # the vote threshold IS the collision control, demonstrated here
     hits = audio_offset_vote_probe(
-        kept, ghosts, min_matches=5, max_word_freq=8
+        kept, ghosts, min_matches=12, max_word_freq=8
     ).select("batch_id", "index_id").distinct().collect()
     probe_s = time.perf_counter() - t
     on_forgotten = [h for h in hits if h["index_id"] % 100 == 0
