@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     "docs_posting_forget_reprobe",      # posting-index forget, df load-bearing under cap
     "av_audio_fp_cap_calibration",      # executable cap calibration + coverage report
     "streaming_audio_offset_cap_compaction",  # df-cap composed with the fold via compaction
+    "emb_semantic_forget_reprobe",      # IVF-cell forget, centroid semantics stated
     # -- stale: latest driver verdict is round 9 (all 36 lead)
     "docs_langid_confusion",
     "docs_minhash_incremental_ingest",

@@ -1048,3 +1048,92 @@ def emb_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+@query(
+    "emb_semantic_forget_reprobe",
+    oracle=f"""
+    WITH allv AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb,
+             {_NORM2.format(v='embedding')} AS c_norm2
+      FROM allv
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+    ),
+    ccell AS (
+      SELECT v.vec_id, v.embedding, v.norm2, s.centroid_id AS cell
+      FROM allv v CROSS JOIN seeds s
+      WHERE v.vec_id % 10 <> 3
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({_DOT.format(a='v.embedding', b='s.c_emb')}
+                         / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) DESC,
+                   s.centroid_id) = 1
+    ),
+    batch AS (
+      SELECT vec_id + 1000000 AS vec_id, embedding, norm2 FROM allv
+      WHERE vec_id % 10 = 3
+      UNION ALL
+      SELECT vec_id + 2000000, embedding, norm2 FROM allv
+      WHERE vec_id % 10 = 7
+    ),
+    ncell AS (
+      SELECT v.vec_id, v.embedding, v.norm2, s.centroid_id AS cell
+      FROM batch v CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({_DOT.format(a='v.embedding', b='s.c_emb')}
+                         / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) DESC,
+                   s.centroid_id) = 1
+    )
+    SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+           round({_DOT.format(a='n.embedding', b='c.embedding')}
+                 / (sqrt(n.norm2) * sqrt(c.norm2)), 6) AS cosine
+    FROM ncell n JOIN ccell c USING (cell)
+    WHERE round({_DOT.format(a='n.embedding', b='c.embedding')}
+                / (sqrt(n.norm2) * sqrt(c.norm2)), 6) >= 0.1
+    """,
+)
+def emb_semantic_forget_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN for the stored IVF index (VERDICT r13
+    next #2, embedding binding — completes the deletion path across
+    every stored index family: H-K lookup table, per-frame index,
+    posting/band indexes, block-stats tables, and now the semantic
+    cells): the (vec_id, embedding, norm2, cell) index is built over
+    the FULL corpus with md5-smallest-8 seed centroids, the %10==3
+    vectors are forgotten via operators/forget.py:forget_rows (one
+    broadcast anti-join — at 100 TB with cell-partitioned storage the
+    rewrite touches only the forgotten vectors' cells), and a
+    re-arrival batch probes the survivors: forgotten vectors come
+    back verbatim (+1,000,000) beside kept %10==7 re-arrivals
+    (+2,000,000). Kept re-arrivals find their original at cosine 1.0;
+    forgotten re-arrivals find only whatever OTHER surviving vectors
+    genuinely sit above threshold in their cell — one leftover index
+    row would surface as a (new_id, forgotten_id) pair the
+    survivor-corpus oracle cannot have. Centroid semantics, stated:
+    the centroids are a TRAINED aggregate, not per-item rows — they
+    keep reflecting forgotten data until the next retrain (the
+    train-at-compaction seam), which affects cell BOUNDARIES only,
+    never resurfaces a forgotten row."""
+    from dwh_spark.operators.forget import forget_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+    )
+    cells = assign_cells(emb, seeds)
+    fids = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    kept = forget_rows(cells, fids, key="vec_id")
+    batch = (
+        emb.filter(F.col("vec_id") % 10 == 3)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 7).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return semantic_incremental_near_dups(kept, batch, seeds, threshold=0.1)
