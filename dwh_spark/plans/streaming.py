@@ -1606,3 +1606,148 @@ def streaming_audio_offset_cap_compaction(
         compact_every=2,
     )
     return read_audio_offset_ingest_results(spark, out_dir)
+
+
+_AUDIO_OFFSET_FORGET_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS audio_id, doc_id AS base, 0 AS skip_head, 57 AS n_win
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 8, 49 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0, 49 FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    bt AS (
+      SELECT audio_id, ntile(3) OVER (ORDER BY audio_id) AS b FROM ids
+    ),
+    seeds AS (
+      SELECT i.audio_id, w.w,
+             ('0x' || substr(md5('off:' || CAST(i.base AS VARCHAR) || ':'
+                              || CAST(i.skip_head + w.w AS VARCHAR)), 1, 4))::BIGINT
+               % 2048 AS a
+      FROM ids i, (SELECT unnest(range(0, 57)) AS w) w
+      WHERE w.w < i.n_win
+    ),
+    sq AS (
+      SELECT s.audio_id, s.w,
+             sum((((s.a + t.j * 13) % 2048 - 1024)
+                  * ((s.a + t.j * 13) % 2048 - 1024))) AS e
+      FROM seeds s, (SELECT unnest(range(0, 64)) AS j) t
+      GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT a.audio_id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS b
+      FROM sq a JOIN sq b ON b.audio_id = a.audio_id AND b.w = a.w + 1
+    ),
+    sub AS (
+      SELECT b.audio_id, p.p,
+             CAST(sum(CASE WHEN b.b = 1
+                           THEN (1::BIGINT << (b.w - p.p)) ELSE 0 END)
+                  AS BIGINT) AS word
+      FROM bits b
+      JOIN (SELECT unnest(range(0, 25)) AS p) p
+        ON b.w >= p.p AND b.w < p.p + 32
+      GROUP BY 1, 2
+      HAVING count(*) = 32
+    ),
+    wb AS (
+      SELECT s.audio_id, s.p, s.word, bt.b
+      FROM sub s JOIN bt ON bt.audio_id = s.audio_id
+    ),
+    offset_pairs AS (
+      SELECT x.audio_id AS id_a, n.audio_id AS id_b
+      FROM wb x JOIN wb n
+        ON n.word = x.word AND x.audio_id < n.audio_id
+      WHERE NOT (x.audio_id % 20 = 3 AND x.audio_id < 1000000
+                 AND x.b <= 2 AND n.b = 3)
+      GROUP BY x.audio_id, n.audio_id, (x.p - n.p)
+      HAVING count(*) >= 5
+    ),
+    partners AS (SELECT DISTINCT id_a, id_b FROM offset_pairs)
+    SELECT id_b AS audio_id, count(*) AS n_earlier_odups
+    FROM partners GROUP BY 1
+    """
+
+
+@query(
+    "streaming_audio_offset_forget_ingest",
+    oracle=_AUDIO_OFFSET_FORGET_INGEST_ORACLE,
+)
+def streaming_audio_offset_forget_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MID-STREAM right-to-be-forgotten (the forget path composed with
+    a LIVE fold): the offset-tolerant audio ingest runs over the
+    trim-copy corpus, and BETWEEN batches 2 and 3 the maintenance
+    hook rewrites the stored lookup table minus the %20==3 base clips
+    (``ParquetAppendLog.compact(transform=forget_rows)`` — the atomic
+    history-rewrite point; readers see pre- or post-forget state,
+    never a mix, and the replay guard is untouched). Batch 3 carries
+    every planted copy: copies of FORGOTTEN bases that arrived before
+    the forget find nothing; copies of kept bases still flag them;
+    and a %20==3 base that only ARRIVES in batch 3 indexes normally
+    and is found by its copy — the forget is a point-in-time history
+    rewrite, not a standing exclusion (a deployment wanting a
+    standing ban keeps the forget set as an ingest filter; both
+    semantics stated). The oracle re-derives every word, reproduces
+    the ntile batch split, and excludes exactly the
+    (forgotten-base-seen-before-batch-3, batch-3-partner) pairs."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.forget import forget_rows
+    from dwh_spark.plans.av import _audio_offset_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_audio_offset_ingest_results,
+        run_audio_offset_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    audio = _audio_offset_fixture(docs, base=True, variants=True)
+    fids = docs.filter(F.col("doc_id") % 20 == 3).select(
+        F.col("doc_id").alias("audio_id")
+    )
+
+    root = tempfile.mkdtemp(prefix="dwh_audio_offset_forget_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+
+    def maint(batch_id: int) -> None:
+        # the GDPR request lands after the second batch commits
+        if batch_id == 1:
+            index_store.compact(
+                spark,
+                transform=lambda df: forget_rows(df, fids, "audio_id"),
+            )
+
+    stream = (
+        spark.readStream.schema(audio.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_audio_offset_ingest(
+        stream,
+        index_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        min_matches=5,
+        maintenance=maint,
+    )
+    return read_audio_offset_ingest_results(spark, out_dir)
