@@ -160,3 +160,78 @@ def test_output_invariant_to_compaction_cadence(spark, tmp_path):
     jingle_words = {w for p, w in subfingerprints(_JINGLE) if p <= 7}
     state = index_store.current(spark)
     assert state.filter(F.col("sub32").isin(*jingle_words)).count() > 0
+
+
+def test_auto_cap_self_calibrates(spark, tmp_path):
+    """max_word_freq='auto': the cap is read off the stats log with
+    calibrate_cap at every hot-set evaluation — with 12 jingled clips
+    per batch the natural band (md5-distinct content, df ~1-2) puts
+    the auto cap at margin x q99 ~= 8, the jingle words land at df=12
+    after batch 1 and are capped from batch 2 on, with NO hand-set
+    threshold anywhere."""
+    root = str(tmp_path / "auto")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    # 200 content windows per clip: the ~20 degenerate values (8
+    # all-jingle words + the boundary family) must be < 1% of distinct
+    # words for q99 to sit in the NATURAL band — the calibration
+    # assumption, which real value spaces satisfy by orders of
+    # magnitude
+    clips = {
+        i: wav_encode(
+            np.concatenate([_JINGLE, _content(i, n=200)]).astype(np.int16),
+            1000,
+        )
+        for i in range(1, 37)
+    }
+    clips[99] = wav_encode(_content(1, skip=3, n=37), 1000)  # genuine copy
+    batches = [list(range(1, 13)), list(range(13, 25)), list(range(25, 37)) + [99]]
+    for i, ids in enumerate(batches):
+        spark.createDataFrame(
+            [(k, bytearray(clips[k])) for k in ids],
+            "audio_id long, content binary",
+        ).coalesce(1).write.parquet(os.path.join(root, f"stage{i}"))
+        part = next(
+            f
+            for f in os.listdir(os.path.join(root, f"stage{i}"))
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        os.rename(os.path.join(root, f"stage{i}", part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema("audio_id long, content binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_audio_offset_cap_ingest(
+        stream,
+        index_store,
+        stats_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        min_matches=5,
+        min_word_transitions=4,
+        max_word_freq="auto",
+        compact_every=2,
+    )
+    out = {
+        r["audio_id"]: r["n_earlier_odups"]
+        for r in read_audio_offset_ingest_results(spark, out_dir).collect()
+    }
+    # batch 1: no stats yet — jingle all-pairs (clip k has k-1 earlier)
+    assert out[2] == 1 and out[12] == 11
+    # batches 2-3: the 12-df all-jingle words sit over the auto cap —
+    # an UNCAPPED jingle would give every later clip >= 12 earlier
+    # partners; what remains is the thin tail of boundary-family words
+    # still under the cap (df ~ jingled/2^k — the cumulative-crossing
+    # class), worth a couple of sporadic pairs at most
+    assert all(out.get(k, 0) < 5 for k in range(13, 37)), {
+        k: v for k, v in out.items() if 13 <= k <= 36
+    }
+    assert sum(out.get(k, 0) for k in range(13, 37)) <= 12
+    # ...and the genuine copy still flags base 1
+    assert out.get(99) == 1
