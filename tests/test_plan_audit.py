@@ -61,6 +61,7 @@ _ALLOW_BNLJ = {
     "docs_semantic_dedup_skew_split",  # same centroid broadcast + MG hot-cell IN list
     "emb_semantic_trained_prune", # same centroid broadcast (train + assignment)
     "emb_semantic_incremental_ingest",  # same centroid broadcast (both assignments)
+    "emb_semantic_forget_reprobe",      # same centroid broadcast (post-forget probe)
     "docs_corpus_build",          # semantic stage: clamped <=65536-row centroid broadcast
     "docs_hybrid_rrf_retrieval",  # one-row BM25 stats + single query-vector broadcast
     "emb_semantic_decontaminate", # small eval set broadcast, train scanned once
