@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "streaming_audio_offset_cap_compaction",  # df-cap composed with the fold via compaction
     "emb_semantic_forget_reprobe",      # IVF-cell forget, centroid semantics stated
     "streaming_audio_offset_forget_ingest",  # mid-stream forget via compact(transform)
+    "streaming_video_offset_cap_compaction",  # video df-cap composed with the fold
     # -- stale: latest driver verdict is round 9 (all 36 lead)
     "docs_langid_confusion",
     "docs_minhash_incremental_ingest",

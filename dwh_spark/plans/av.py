@@ -4133,3 +4133,63 @@ def _audio_jingle_offset_fixture(docs, base: bool, variants: bool):
             yield _pd.DataFrame(rows, columns=["audio_id", "content"])
 
     return docs.mapInPandas(gen, "audio_id long, content binary")
+
+
+def _video_title_offset_fixture(docs, base: bool, variants: bool):
+    """Fixture for the VIDEO streaming df-cap composition: every
+    %5==0 doc's video leads with a SHARED 3-frame TITLE CARD (seed
+    'vttl:{f}:{r}:{c}' — no doc_id, so every titled video emits the
+    same three dHashes at frames 0..2), followed by 5 per-doc content
+    frames (seed 'vcnt:{d}:{f}:...'); other docs are content-only.
+    The title card is HIGH-DETAIL — it passes the stateless popcount
+    guard by design; only accumulated block statistics can catch it
+    (the visual jingle). For doc_id%10==3 (never titled: %5!=0) a
+    HEAD-DROPPED content copy (1 frame cut, id +3,000,000) plants the
+    genuine-match class that must survive the cap."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(seed: str) -> "_np.ndarray":
+            g = _np.empty((8, 8), _np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            _hashlib.md5(f"{seed}:{r}:{c}".encode()).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            rgb = _np.where(g[:, :, None] == 1, 200, 50).astype(_np.uint8)
+            return _np.repeat(rgb, 3, axis=2)
+
+        title = [grid(f"vttl:{f}") for f in range(3)]
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                content = [grid(f"vcnt:{d}:{f}") for f in range(5)]
+                if base:
+                    frames = (title if d % 5 == 0 else []) + content
+                    out.append(
+                        (d, len(frames), codecs.avi_encode(_np.stack(frames)))
+                    )
+                if variants and d % 10 == 3:
+                    frames = content[1:]
+                    out.append(
+                        (
+                            d + 3000000,
+                            len(frames),
+                            codecs.avi_encode(_np.stack(frames)),
+                        )
+                    )
+            yield _pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
+
+    return docs.mapInPandas(gen, "video_id long, n_frames long, content binary")

@@ -1751,3 +1751,176 @@ def streaming_audio_offset_forget_ingest(
         maintenance=maint,
     )
     return read_audio_offset_ingest_results(spark, out_dir)
+
+
+_VIDEO_OFFSET_CAP_COMPACTION_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS titled,
+             0 AS drop_head
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 0, 1 FROM documents
+      WHERE doc_id % 10 = 3 AND doc_id % 2 = 1
+    ),
+    bt AS (
+      SELECT video_id, ntile(3) OVER (ORDER BY video_id) AS b FROM ids
+    ),
+    grid AS (
+      SELECT r.r, c.c
+      FROM (SELECT unnest(range(0, 8)) AS r) r,
+           (SELECT unnest(range(0, 8)) AS c) c
+    ),
+    cells AS (
+      SELECT i.video_id, i.titled * 3 + f.f - i.drop_head AS f, g.r, g.c,
+             (('0x' || substr(md5('vcnt:' || CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT % 2) AS b
+      FROM ids i, (SELECT unnest(range(0, 5)) AS f) f, grid g
+      WHERE f.f >= i.drop_head
+      UNION ALL
+      SELECT i.video_id, f.f, g.r, g.c,
+             (('0x' || substr(md5('vttl:' || CAST(f.f AS VARCHAR) || ':'
+                                  || g.r || ':' || g.c), 1, 1))::INT % 2) AS b
+      FROM ids i, (SELECT unnest(range(0, 3)) AS f) f, grid g
+      WHERE i.titled = 1
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    ),
+    wb AS (
+      SELECT h.video_id, bt.b, h.f, h.h, k.i,
+             CAST((h.h >> (k.i * 14)) & 16383 AS BIGINT) AS val
+      FROM hashes h
+      JOIN bt ON bt.video_id = h.video_id,
+           (SELECT unnest(range(0, 4)) AS i) k
+      WHERE bit_count(h.h) >= 4
+    ),
+    hot2 AS (
+      SELECT i, val FROM (
+        SELECT i, val, count(*) AS df
+        FROM wb WHERE b = 1 GROUP BY 1, 2
+      ) WHERE df > 12
+    ),
+    hot3 AS (
+      SELECT i, val FROM (
+        SELECT i, val, count(*) AS df
+        FROM wb WHERE b <= 2 GROUP BY 1, 2
+      ) WHERE df > 12
+    ),
+    cand AS (
+      SELECT DISTINCT x.video_id AS id_x, n.video_id AS id_n,
+                      x.f AS f_x, n.f AS f_n, x.h AS h_x, n.h AS h_n
+      FROM wb x JOIN wb n
+        ON n.i = x.i AND n.val = x.val AND x.video_id < n.video_id
+      WHERE (n.b = 1
+             OR (n.b = 2 AND NOT EXISTS (SELECT 1 FROM hot2
+                  WHERE hot2.i = x.i AND hot2.val = x.val))
+             OR (n.b = 3 AND NOT EXISTS (SELECT 1 FROM hot3
+                  WHERE hot3.i = x.i AND hot3.val = x.val)))
+        AND bit_count(xor(x.h, n.h)) <= 3
+    ),
+    votes AS (
+      SELECT id_x, id_n
+      FROM cand
+      GROUP BY id_x, id_n, (f_x - f_n)
+      HAVING count(*) >= 3
+    ),
+    partners AS (SELECT DISTINCT id_x, id_n FROM votes)
+    SELECT id_n AS video_id, count(*) AS n_earlier_ovdups
+    FROM partners GROUP BY 1
+    """
+
+
+@query(
+    "streaming_video_offset_cap_compaction",
+    oracle=_VIDEO_OFFSET_CAP_COMPACTION_ORACLE,
+)
+def streaming_video_offset_cap_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The VIDEO form of the streaming df-cap composition (completes
+    the matrix: both offset folds now carry entropy guard + df-cap;
+    audio = streaming_audio_offset_cap_compaction): every %5==0 video
+    leads with a shared 3-frame TITLE CARD — high-detail, so the
+    stateless popcount guard passes it by design, and corpus-hot, so
+    only accumulated block statistics can catch it.
+    streaming/phash_ingest.py:run_video_offset_cap_ingest keeps the
+    bounded (i, val, df) stats table as its own append log of
+    per-batch partials (merge_block_df's union-and-resum — every
+    input <= n_blocks x 2^14 rows); at each batch the merged stats
+    feed block_df/max_block_freq into BOTH the within-batch vote and
+    the cross probe, so the title-card block values (df ~ 37 titled
+    clips after batch 1, cap 16) stop pairing from batch 2 on —
+    batch-1 titled videos pair with each other (the stated warm-up),
+    later ones don't, while head-dropped content copies keep flagging
+    their earlier base at offset 1. The video/audio asymmetry is
+    stated on the class: degenerate video frames are single 16-byte
+    rows (damage lives in the JOIN, not storage), so compaction here
+    only re-aggregates the tiny stats log — no history rewrite
+    needed. The oracle re-derives every dHash, reproduces the ntile
+    split, applies the SAME popcount filter, recomputes
+    hot-after-batch-1 and hot-after-batch-2 (df never freezes — all
+    indexed frames count), and admits a frame pair per the later
+    side's batch."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.plans.av import _video_title_offset_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_video_offset_ingest_results,
+        run_video_offset_cap_ingest,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)  # half corpus (odd: keeps %10==3 copies and %5==0 i.e. %10==5 titled)
+        .select("doc_id")
+        .repartition(32)
+    )
+    vids = _video_title_offset_fixture(docs, base=True, variants=True)
+
+    root = tempfile.mkdtemp(prefix="dwh_video_offset_cap_compaction_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = vids.withColumn("__slice", F.ntile(3).over(Window.orderBy("video_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(vids.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_video_offset_cap_ingest(
+        stream,
+        index_store,
+        stats_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        max_hamming=3,
+        min_frames=3,
+        min_frame_bits=4,
+        max_block_freq=12,
+        compact_every=2,
+    )
+    return read_video_offset_ingest_results(spark, out_dir)

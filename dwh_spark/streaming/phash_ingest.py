@@ -637,3 +637,149 @@ def run_audio_offset_cap_ingest(
         fp_fn, within, cross,
         "audio_id", "n_earlier_odups", cap.after_batch,
     )
+
+
+class BlockDfCapMaintenance:
+    """The VIDEO form of the streaming df-cap composition — the
+    bounded (i, val, df) block-stats table as its own append log of
+    per-batch partials (``merge_block_df``'s union-and-resum
+    discipline; every input is <= n_blocks x 2^block_bits rows). The
+    asymmetry with the audio form, stated: an audio clip's degenerate
+    positions each cost a STORED ROW (so the word cap also rewrites
+    history at compaction), while a degenerate video frame is ONE
+    16-byte row whose damage is entirely in the JOIN — so here the
+    accumulated stats feed the probes' ``block_df``/``max_block_freq``
+    guard per batch (the hot (i, val) set anti-joined broadcast off
+    the streamed side inside the shared blocked join), and compaction
+    only re-aggregates the tiny stats log; the frame rows stay.
+    Unlike the audio word stats, the per-batch partials here count
+    ALL indexed frames (nothing is row-filtered by the cap), so df
+    never freezes — the hot set is exactly "cumulative df > cap at
+    this batch's start"."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_store: ParquetAppendLog,
+        stats_store: ParquetAppendLog,
+        max_block_freq: int,
+        n_blocks: int = 4,
+        compact_every: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.index_store = index_store
+        self.stats_store = stats_store
+        self.max_block_freq = max_block_freq
+        self.n_blocks = n_blocks
+        self.compact_every = compact_every
+
+    def merged_stats(self) -> DataFrame | None:
+        cur = self.stats_store.current(self.spark)
+        if cur is None:
+            return None
+        return cur.groupBy("i", "val").agg(F.sum("df").alias("df"))
+
+    def record(self, batch_id: int) -> None:
+        from dwh_spark.multimodal.perceptual import video_block_df
+
+        lc = self.stats_store.last_committed()
+        if lc is not None and batch_id <= lc:
+            return
+        seg = self.spark.read.parquet(self.index_store.segment_dir(batch_id))
+        self.stats_store.append(
+            video_block_df(seg, n_blocks=self.n_blocks), batch_id
+        )
+
+    def after_batch(self, batch_id: int) -> None:
+        self.record(batch_id)
+        if self.compact_every is not None and (
+            (batch_id + 1) % self.compact_every == 0
+        ):
+            self.index_store.compact(self.spark)
+            self.stats_store.compact(
+                self.spark,
+                transform=lambda df: df.groupBy("i", "val").agg(
+                    F.sum("df").alias("df")
+                ),
+            )
+
+
+def run_video_offset_cap_ingest(
+    stream: DataFrame,
+    index_store: ParquetAppendLog,
+    stats_store: ParquetAppendLog,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    min_frames: int = 3,
+    min_frame_bits: int | None = 4,
+    max_block_freq: int = 16,
+    compact_every: int | None = 2,
+) -> None:
+    """The video OFFSET fold with BOTH guards composed — the
+    stateless low-detail skip (black/flat frames never enter the
+    fold) and the accumulated block-df cap via
+    :class:`BlockDfCapMaintenance` (a corpus-hot but DETAILED frame —
+    a shared title card, the visual jingle — passes the popcount
+    guard by design and is only catchable by statistics). At each
+    batch the merged stats feed ``block_df``/``max_block_freq`` into
+    both the within-batch pairs vote and the cross probe, so from the
+    first batch after a block value crosses the cap it stops pairing
+    frames; the warm-up trade is the same as the audio form (batch-1
+    title cards pair before the stats exist)."""
+    from dwh_spark.multimodal.perceptual import (
+        drop_low_detail_frames,
+        video_dhash_frames,
+        video_offset_pairs_from_frames,
+        video_offset_vote_probe,
+    )
+
+    spark = stream.sparkSession
+    cap = BlockDfCapMaintenance(
+        spark, index_store, stats_store, max_block_freq, n_blocks, compact_every
+    )
+
+    if min_frame_bits is None:
+        fp_fn = video_dhash_frames
+    else:
+        def fp_fn(df: DataFrame) -> DataFrame:
+            return drop_low_detail_frames(video_dhash_frames(df), min_frame_bits)
+
+    def _guard_kwargs() -> dict:
+        stats = cap.merged_stats()
+        if stats is None:
+            return {}
+        return {"block_df": stats, "max_block_freq": max_block_freq}
+
+    def within(batch_frames: DataFrame) -> DataFrame:
+        return (
+            video_offset_pairs_from_frames(
+                batch_frames, max_hamming=max_hamming, n_blocks=n_blocks,
+                **_guard_kwargs(),
+            )
+            .groupBy("id_a", "id_b", (F.col("f_a") - F.col("f_b")).alias("offset"))
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_frames)
+            .select("id_a", "id_b")
+            .distinct()  # a pair can qualify at >1 offset — count PARTNERS
+            .select(F.col("id_b").alias("video_id"))
+        )
+
+    def cross(prior: DataFrame, batch_frames: DataFrame) -> DataFrame:
+        return (
+            video_offset_vote_probe(
+                prior, batch_frames,
+                max_hamming=max_hamming, n_blocks=n_blocks,
+                min_frames=min_frames, **_guard_kwargs(),
+            )
+            .select("batch_id", "index_id")
+            .distinct()
+            .select(F.col("batch_id").alias("video_id"))
+        )
+
+    _run_indexed_ingest(
+        stream, index_store, out_dir, checkpoint_dir,
+        fp_fn, within, cross, "video_id", "n_earlier_ovdups",
+        cap.after_batch,
+    )
