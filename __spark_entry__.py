@@ -40,72 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # LONGEST-UNCHECKED greens, (4) queries touched this round but already
 # verified LAST round trail as overflow — if the ~50-slot window cuts
 # anything, it cuts re-verification of a recent-fresh verdict, never
-# a stale one. Round 14's stale cohort is the ledger-exact 86 queries
-# whose latest verdict is <= round 10 (newest committed artifact is
-# r13, so r10 == newest-3; union of CORRECTNESS_r1..r13): the 36
-# r9-verdict queries (two rounds past the window, VERDICT r13 item 1
-# names them) go FIRST, then the 50 r10-verdict queries oldest-first
-# (alphabetical within the uniform-age cohort). New round-14 queries
-# (never checked) lead, per priority (1). 86 stale + new > the ~50
-# budget: the r10 tail spills to round 15 by design (ordering keeps
+# a stale one. Round 15's stale cohort is the ledger-exact 94 queries
+# whose latest verdict is <= round 11 (newest committed artifact is
+# r14, so r11 == newest-3; union of CORRECTNESS_r1..r14): the 44
+# r10-verdict queries (two rounds past the window, VERDICT r14 item 1
+# names them) go FIRST, then the 50 r11-verdict queries oldest-first
+# (alphabetical within the uniform-age cohort). New round-15 queries
+# (never checked) lead, per priority (1). 94 stale + new > the ~50
+# budget: the r11 tail spills to round 16 by design (ordering keeps
 # the spill at the cohort's youngest end). Exact list matches
 # tests/test_entry_contract.py's recomputation; regenerate with
 # scripts/rotate_check_first.py.
 _CHECK_FIRST = [
-    # -- new round-14 queries: no driver verdict yet
-    "av_audio_offset_forget_probe",     # H-K table forget + df decrement + ghost probe
-    "av_video_offset_forget_probe",     # frame-index forget + stats shrink + capped probe
-    "docs_posting_forget_reprobe",      # posting-index forget, df load-bearing under cap
-    "av_audio_fp_cap_calibration",      # executable cap calibration + coverage report
-    "streaming_audio_offset_cap_compaction",  # df-cap composed with the fold via compaction
-    "emb_semantic_forget_reprobe",      # IVF-cell forget, centroid semantics stated
-    "streaming_audio_offset_forget_ingest",  # mid-stream forget via compact(transform)
-    "streaming_video_offset_cap_compaction",  # video df-cap composed with the fold
-    # -- stale: latest driver verdict is round 9 (all 36 lead)
-    "docs_langid_confusion",
-    "docs_minhash_incremental_ingest",
-    "docs_minhash_lsh_audit",
-    "docs_minhash_near_dups",
-    "docs_pack_training_order",
-    "docs_quality_composite_filter",
-    "docs_quality_scores",
-    "docs_semantic_dedup_skew_split",
-    "docs_simhash_near_dups",
-    "docs_tfidf_knn_communities",
-    "emb_cosine_near_dups",
-    "emb_cosine_topk",
-    "emb_ivf_cells",
-    "emb_label_stats",
-    "emb_lsh_topk",
-    "emb_semantic_trained_prune",
-    "emb_trained_recall_audit",
-    "events_daily_rollup",
-    "events_gap_fill_locf",
-    "events_latest_state",
-    "events_retention_rates",
-    "events_value_histogram_quantiles",
-    "imgs_gif_pixel_stats",
-    "imgs_jpeg_reencode_stats",
-    "imgs_tiff_pixel_stats",
-    "orders_bloom_prejoin_prune",
-    "orders_constraint_checks",
-    "orders_incremental_join_view",
-    "orders_jdbc_roundtrip",
-    "orders_multiformat_roundtrip",
-    "orders_pivot_unpivot_roundtrip",
-    "orders_schema_evolution_read",
-    "orders_set_ops_battery",
-    "orders_window_function_battery",
-    "streaming_latest_state",
-    "streaming_minhash_ingest",
-    # -- stale: latest driver verdict is round 10 (50; the tail
-    # -- past the ~50-slot window spills to round 15 by design)
-    "av_audio_flac_decode_stats",
-    "docs_bigram_lm_scores",
-    "docs_containment_near_dups",
-    "docs_corpus_ingest_delta",
-    "docs_dedup_detector_agreement",
-    "docs_heavy_hitters_mg",
+    # -- new round-15 queries: no driver verdict yet (added as work lands)
+    # -- stale: latest driver verdict is round 10 (all 44 lead; two
+    # -- rounds past the window)
     "docs_jaccard_hashed_shingles",
     "docs_leakage_safe_split",
     "docs_length_histogram",
@@ -150,6 +99,58 @@ _CHECK_FIRST = [
     "metadata_fetch_stage",
     "metadata_refresh_schedule",
     "streaming_semantic_ingest",
+    # -- stale: latest driver verdict is round 11 (50; the tail past
+    # -- the ~50-slot window spills to round 16 by design)
+    "agg_all_orders",
+    "av_audio_fp_incremental_ingest",
+    "av_audio_fp_near_dups",
+    "av_video_phash_incremental_ingest",
+    "av_video_phash_near_dups",
+    "av_wav_roundtrip_stats",
+    "bucketed_cust_order_rollup",
+    "cube_orders_status_priority",
+    "datetime_function_battery",
+    "docs_collection_fn_battery",
+    "docs_corpus_ingest_contained",
+    "docs_corpus_snapshot_diff",
+    "docs_cross_source_dup_matrix",
+    "docs_hybrid_rrf_retrieval",
+    "docs_quality_weighted_sample",
+    "docs_semantic_dedup",
+    "emb_semantic_decontaminate",
+    "events_activity_bitmaps",
+    "events_cms_user_counts",
+    "events_mg_salted_hot_join",
+    "events_session_concurrency",
+    "events_snapshot_diff",
+    "events_stalest_topk",
+    "events_value_robust_stats",
+    "flagship_nft_offers_nested",
+    "imgs_phash_incremental_ingest",
+    "imgs_phash_near_dups",
+    "marketplace_multicoin_totals",
+    "marketplace_stream_ft_state",
+    "metadata_scd1_merge",
+    "metadata_task_priority_order",
+    "metadata_validate",
+    "nation_trade_pagerank",
+    "orders_daily_moving_stats",
+    "orders_unpivot_measures",
+    "pagination_page3",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_parts_suppliers_semi",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "streaming_audio_fp_ingest",
+    "streaming_phash_ingest",
+    "streaming_video_phash_ingest",
 ]
 
 
