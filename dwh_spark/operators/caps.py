@@ -38,23 +38,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def df_quantile(stats: DataFrame, quantile: float, df_col: str = "df") -> int:
-    """Exact discrete quantile of the df distribution — computed from
-    the (df, count) HISTOGRAM, never a sort or window over the stats
-    rows: the groupBy combines map-side and the histogram is bounded
-    by the number of DISTINCT df counts (heavy-tailed: tens to a few
-    thousand rows even for a billion-value table), so the driver-side
-    cumulative walk is over a tiny frame. Not percentile_approx —
-    the cap boundary must be exact and reproducible across engines
-    (the DuckDB oracles re-derive the same ceil-rank rule)."""
-    if not 0 < quantile <= 1:
-        raise ValueError(f"quantile must be in (0, 1] (got {quantile})")
+class CapCalibrationError(ValueError):
+    """The stats distribution violates the calibration assumption
+    (natural band ≪ degenerate band AND degenerate values < 1-q of
+    distinct values) — an auto-derived cap would land IN the
+    degenerate band and silently stop capping. Raised loudly instead
+    (the ``append_with_df`` loud-contract discipline)."""
+
+
+def _df_histogram(stats: DataFrame, df_col: str) -> list[tuple[int, int]]:
+    """The bounded (df, count) histogram, sorted by df — the single
+    collect both the quantile walk and the band-gap guard run over
+    (bounded by the number of DISTINCT df counts: tens to a few
+    thousand rows even for a billion-value table)."""
     hist = sorted(
-        (r[0], r[1])
+        (int(r[0]), int(r[1]))
         for r in stats.groupBy(df_col).agg(F.count("*").alias("c")).collect()
     )
     if not hist:
         raise ValueError("empty stats table")
+    return hist
+
+
+def _hist_quantile(hist: list[tuple[int, int]], quantile: float) -> int:
+    if not 0 < quantile <= 1:
+        raise ValueError(f"quantile must be in (0, 1] (got {quantile})")
     n = sum(c for _, c in hist)
     k = math.ceil(quantile * n)
     cum = 0
@@ -65,18 +73,85 @@ def df_quantile(stats: DataFrame, quantile: float, df_col: str = "df") -> int:
     return int(hist[-1][0])
 
 
+def df_quantile(stats: DataFrame, quantile: float, df_col: str = "df") -> int:
+    """Exact discrete quantile of the df distribution — computed from
+    the (df, count) HISTOGRAM, never a sort or window over the stats
+    rows: the groupBy combines map-side and the histogram is bounded
+    by the number of DISTINCT df counts (heavy-tailed: tens to a few
+    thousand rows even for a billion-value table), so the driver-side
+    cumulative walk is over a tiny frame. Not percentile_approx —
+    the cap boundary must be exact and reproducible across engines
+    (the DuckDB oracles re-derive the same ceil-rank rule)."""
+    return _hist_quantile(_df_histogram(stats, df_col), quantile)
+
+
+def band_split(
+    hist: list[tuple[int, int]], gap_ratio: float = 8.0
+) -> int | None:
+    """Locate the natural/degenerate band boundary in a sorted
+    (df, count) histogram: the largest multiplicative gap between
+    consecutive OBSERVED df values. Returns the top-of-natural df if
+    that gap is >= ``gap_ratio`` (the "orders of magnitude above"
+    premise, made checkable), else None — a smooth/uniform
+    distribution has no degenerate band to guard against."""
+    best_ratio, best_top = 0.0, None
+    for (lo, _), (hi, _) in zip(hist, hist[1:]):
+        ratio = hi / max(lo, 1)
+        if ratio > best_ratio:
+            best_ratio, best_top = ratio, lo
+    if best_ratio >= gap_ratio:
+        return best_top
+    return None
+
+
 def calibrate_cap(
     stats: DataFrame,
     quantile: float = 0.99,
     margin: int = 4,
     df_col: str = "df",
+    gap_ratio: float = 8.0,
+    check: bool = True,
 ) -> int:
     """The production cap recipe: ``margin x`` the q-th discrete
     quantile of per-value df. Returns a plain int (the cap is scalar
     config for the capped probes' ``max_word_freq``/``max_block_freq``
     — computing it costs one bounded aggregate at index build /
-    compaction time, amortized over every probe)."""
-    return df_quantile(stats, quantile, df_col) * int(margin)
+    compaction time, amortized over every probe).
+
+    GUARDED (VERDICT r14 What's-wrong #2): the recipe assumes the
+    degenerate tail holds < 1-q of DISTINCT values — safe in a 2^32
+    word space, violable in a small block space (2^14, often only
+    thousands of observed values), where q then lands INSIDE the
+    degenerate band, the cap floats above everything, and hot buckets
+    are silently re-admitted (the exact cost explosion the cap
+    exists to stop). With ``check=True`` (default) the bands are
+    located via :func:`band_split` — the largest multiplicative gap
+    between consecutive observed dfs, degenerate iff >= ``gap_ratio``
+    — and a quantile landing ABOVE the split raises
+    :class:`CapCalibrationError` loudly instead of returning a
+    no-op cap. A distribution with no >= ``gap_ratio`` gap has no
+    degenerate band and always calibrates. ``check=False`` is the
+    stated escape hatch for a deployment that has read its
+    :func:`cap_report` and wants the raw recipe anyway."""
+    hist = _df_histogram(stats, df_col)
+    v_q = _hist_quantile(hist, quantile)
+    if check:
+        natural_top = band_split(hist, gap_ratio)
+        if natural_top is not None and v_q > natural_top:
+            n = sum(c for _, c in hist)
+            n_degen = sum(c for v, c in hist if v > natural_top)
+            raise CapCalibrationError(
+                f"q{quantile:g} of per-value df is {v_q}, INSIDE the "
+                f"degenerate band (natural band tops at df={natural_top}, "
+                f"next observed df is >= {gap_ratio:g}x above): "
+                f"{n_degen}/{n} distinct values ({n_degen / n:.1%}) are "
+                f"degenerate, which exceeds 1-q={1 - quantile:g} — the "
+                f"auto cap would be {v_q * int(margin)} and cap nothing. "
+                f"Set the cap manually from cap_report, lower the "
+                f"quantile below {1 - n_degen / n:.3f}, or pass "
+                f"check=False after reading the report."
+            )
+    return v_q * int(margin)
 
 
 def cap_report(stats: DataFrame, cap: int, df_col: str = "df") -> DataFrame:

@@ -104,7 +104,15 @@ def forget_with_df(
     (bounded by the forgotten content, never corpus-sized) broadcast
     back onto the kept side. Equals a full rebuild over
     corpus-minus-forgotten (pinned by tests). Two broadcast hash
-    joins, zero index shuffles."""
+    joins, zero index shuffles.
+
+    Zero-df rows cannot survive in the normalized layout — df lives ON
+    the index rows, so a value whose every posting is forgotten has no
+    kept row left to carry a stale df — but the trailing
+    ``df > 0`` filter enforces the invariant anyway (mirroring
+    :func:`shrink_stats`) so a denormalized caller, where one id's
+    rows carry another id's value, can never ship a df<=0 row into a
+    ``df <= cap`` guard."""
     if df_col not in index.columns:
         raise ValueError(
             f"forget_with_df needs a stored '{df_col}' column — use "
@@ -118,6 +126,7 @@ def forget_with_df(
         kept.join(F.broadcast(dec), value_col, "left")
         .withColumn(df_col, F.col(df_col) - F.coalesce(F.col("__dn"), F.lit(0)))
         .drop("__dn")
+        .filter(F.col(df_col) > 0)
     )
 
 

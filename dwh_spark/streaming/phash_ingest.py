@@ -498,7 +498,13 @@ class WordDfCapMaintenance:
         stated: early batches see few postings, so the natural
         quantile is low and the auto cap conservative (more values
         capped than at steady state); the quantile/margin knobs are
-        the recorded calibration rule, not new tuning surface. And
+        the recorded calibration rule, not new tuning surface.
+        GUARDED: ``calibrate_cap`` raises ``CapCalibrationError``
+        when the quantile lands inside a detected degenerate band
+        (degenerate values > 1-q of distinct values — realistic in a
+        small block space), so a degenerate-heavy stream fails loudly
+        at the next hot-set evaluation instead of silently admitting
+        its hot buckets. And
         because a hot word's df FREEZES, a rising auto cap can
         re-admit it — it then resumes accumulating and re-crosses
         within a batch of postings (bounded oscillation, never a

@@ -6,7 +6,13 @@ degenerate values, and the coverage report is exact."""
 import pytest
 from pyspark.sql import functions as F
 
-from dwh_spark.operators.caps import calibrate_cap, cap_report, df_quantile
+from dwh_spark.operators.caps import (
+    CapCalibrationError,
+    band_split,
+    calibrate_cap,
+    cap_report,
+    df_quantile,
+)
 
 
 def _stats(spark, rows):
@@ -68,6 +74,59 @@ def test_quantile_is_discrete_ceil_rank(spark):
         df_quantile(stats, 0.0)
     with pytest.raises(ValueError, match="empty"):
         df_quantile(stats.filter(F.lit(False)), 0.5)
+
+
+def test_degenerate_majority_trips_the_guard(spark):
+    """VERDICT r14 What's-wrong #2: when degenerate values exceed 1-q
+    of DISTINCT values (realistic in a small block space), q99 lands
+    INSIDE the degenerate band and the raw recipe returns a cap above
+    everything — the guard detects the band gap and raises loudly
+    instead of silently capping nothing."""
+    rows = [(v, 1 + v % 3) for v in range(100)]  # natural 1..3
+    rows += [(10000 + v, 5000 + v) for v in range(30)]  # 23% degenerate
+    stats = _stats(spark, rows)
+    with pytest.raises(CapCalibrationError, match="degenerate band"):
+        calibrate_cap(stats, quantile=0.99, margin=4)
+    # the stated escape hatch returns the (documented-bad) raw recipe
+    assert calibrate_cap(stats, quantile=0.99, margin=4, check=False) > 5000
+    # and a quantile below the degenerate fraction calibrates fine
+    assert calibrate_cap(stats, quantile=0.75, margin=4) == 12
+
+
+def test_degenerate_majority_block_space_trips(spark):
+    """The 2^14 block-space shape with a too-heavy degenerate tail:
+    1000 natural values (df 40-250) + 120 black/letterbox values at
+    ~30000 (10.7% of distinct > 1%) — q99 lands at ~30000."""
+    rows = [(v, 40 + (v * 7) % 211) for v in range(1000)]
+    rows += [(20000 + v, 30000 + v) for v in range(120)]
+    with pytest.raises(CapCalibrationError, match="cap nothing"):
+        calibrate_cap(_stats(spark, rows), quantile=0.99, margin=4)
+
+
+def test_auto_mode_propagates_the_guard(spark):
+    """max_word_freq='auto' re-derives the cap at every hot-set
+    evaluation — on a degenerate-majority stats table it must fail
+    loudly, not silently stop capping."""
+    from dwh_spark.streaming.phash_ingest import WordDfCapMaintenance
+
+    rows = [(v, 1) for v in range(50)] + [(1000 + v, 900) for v in range(10)]
+    stats = _stats(spark, rows).withColumnRenamed("val", "sub32")
+    maint = WordDfCapMaintenance(spark, None, None, max_word_freq="auto")
+    with pytest.raises(CapCalibrationError):
+        maint.current_cap(stats)
+
+
+def test_band_split_geometric_ladder_has_no_gap(spark):
+    """A boundary-word FAMILY (df ~ n/2^k, the jingle/silence tree
+    shape) fills the space between natural and degenerate with a
+    geometric ladder of ~2x steps — no >= gap_ratio gap exists, so the
+    guard stays out of the way and the quantile rule alone decides
+    (the auto-cap streaming fixtures depend on this)."""
+    hist = [(1, 960), (2, 30), (3, 10), (6, 1), (12, 1), (24, 1), (48, 1)]
+    assert band_split(hist) is None
+    # the calibration-query shape: ladder TOPPED by a 16x silence word
+    hist_gap = hist + [(768, 1)]
+    assert band_split(hist_gap) == 48
 
 
 def test_block_space_calibration(spark):

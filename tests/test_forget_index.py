@@ -96,6 +96,25 @@ def test_forget_probe_semantics(spark):
     assert (2, 3) in survivors
 
 
+def test_forget_with_df_every_holder_of_a_value(spark):
+    """Forgetting EVERY holder of a value (clips 1-3 share the content
+    words; 1 and 4 share the silent run) leaves no df<=0 row — in the
+    normalized layout the value's rows vanish with its holders, and the
+    defensive ``df > 0`` filter guarantees the invariant regardless.
+    Still equals the rebuild."""
+    plain = _subfp_index(spark)
+    stored = attach_subfp_df(plain).localCheckpoint()
+    got = forget_subfp_index(stored, [1, 2, 3])
+    assert got.filter(F.col("df") <= 0).count() == 0
+    rebuilt = attach_subfp_df(plain.filter(F.col("audio_id") == 4))
+    cols = ["audio_id", "pos", "sub32", "df"]
+    assert {tuple(r) for r in got.select(cols).collect()} == {
+        tuple(r) for r in rebuilt.select(cols).collect()
+    }
+    # the content words 101..108 had holders {1,2,3} only: fully gone
+    assert got.filter(F.col("sub32").between(101, 108)).count() == 0
+
+
 def test_forget_with_df_requires_df(spark):
     plain = _subfp_index(spark)
     with pytest.raises(ValueError, match="forget_rows"):
