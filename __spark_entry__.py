@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_contract.py's recomputation; regenerate with
 # scripts/rotate_check_first.py.
 _CHECK_FIRST = [
-    # -- new round-15 queries: no driver verdict yet (added as work lands)
+    # -- new round-15 queries: no driver verdict yet
+    "emb_semantic_retrain_compaction",  # executable centroid retrain at the compaction seam
     # -- stale: latest driver verdict is round 10 (all 44 lead; two
     # -- rounds past the window)
     "docs_jaccard_hashed_shingles",

@@ -1,0 +1,151 @@
+"""Centroid retrain at the compaction seam (streaming/emb_ingest.py:
+retrain_cells_at_compaction — VERDICT r14 What's-missing #4 made
+executable): the post-retrain stored index is pinned EQUAL to a fresh
+train+assign build over corpus-minus-forgotten; nothing forgotten
+survives the rewrite; and a probe demonstrates the cell boundary
+actually MOVING — a pair the pre-retrain assignment separates lands
+in one cell after the retrain.
+
+Fixture geometry (2-dim unit vectors by angle, simulated offline to
+pin the boundary): cluster A at 0-6 deg, cluster B at 84-90 deg, a
+to-be-forgotten DRAG set at 40-46 deg that pulls the day-0 low
+centroid to ~25 deg, and an indexed mate at 55 deg. Day-0 boundary
+sits at ~52.9 deg; after forgetting the drag set the retrained low
+centroid returns to ~17 deg and the boundary moves to ~52.2 deg — a
+probe at 52.5 deg therefore lands LOW (away from its 55-deg mate,
+cosine 0.999) before the retrain and HIGH (with it) after."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_spark.operators.forget import ids_frame
+from dwh_spark.operators.similarity import (
+    assign_cells,
+    cell_probe,
+    train_semantic_cells,
+)
+from dwh_spark.streaming.emb_ingest import retrain_cells_at_compaction
+from dwh_spark.streaming.ingest import ParquetAppendLog
+
+_ANGLES = {
+    1: 0.0, 2: 2.0, 3: 4.0, 4: 6.0,            # cluster A
+    50: 40.0, 51: 42.0, 52: 44.0, 53: 46.0,    # drag set (forgotten)
+    101: 90.0, 102: 88.0, 103: 86.0, 104: 84.0,  # cluster B
+    60: 55.0, 61: 40.0,                         # mid vectors
+}
+_FORGET = [50, 51, 52, 53]
+
+
+def _vec(deg: float) -> list[float]:
+    r = math.radians(deg)
+    return [math.cos(r), math.sin(r)]
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(i, _vec(a)) for i, a in _ANGLES.items()],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _built_store(spark, tmp_path) -> ParquetAppendLog:
+    """Day-0 index: trained over the FULL corpus (drag set included),
+    appended as batch 0 — the state a semantic ingest would hold."""
+    corpus = _corpus(spark)
+    cents, n = train_semantic_cells(corpus, rows_per_cell=1000, min_cells=2)
+    assert n == 2
+    store = ParquetAppendLog(str(tmp_path / "index"), write_partitions=1)
+    store.append(assign_cells(corpus, cents), 0)
+    return store
+
+
+def test_retrain_equals_fresh_build_and_forgets(spark, tmp_path):
+    store = _built_store(spark, tmp_path)
+    cents, n = retrain_cells_at_compaction(
+        spark,
+        store,
+        ids_frame(spark, _FORGET, "vec_id"),
+        rows_per_cell=1000,
+        min_cells=2,
+    )
+    assert n == 2
+    state = store.current(spark)
+    assert state.filter(F.col("vec_id").isin(*_FORGET)).count() == 0
+    survivors = _corpus(spark).filter(~F.col("vec_id").isin(*_FORGET))
+    fresh_cents, _ = train_semantic_cells(
+        survivors, rows_per_cell=1000, min_cells=2
+    )
+    rebuilt = assign_cells(survivors, fresh_cents)
+    cols = ["vec_id", "embedding", "norm2", "cell"]
+    assert {tuple(map(repr, r)) for r in state.select(cols).collect()} == {
+        tuple(map(repr, r)) for r in rebuilt.select(cols).collect()
+    }
+    # the returned centroids match the rebuild's training exactly
+    assert {tuple(map(repr, r)) for r in cents.collect()} == {
+        tuple(map(repr, r)) for r in fresh_cents.collect()
+    }
+
+
+def test_probe_sees_the_boundary_move(spark, tmp_path):
+    """The same probe vector (52.5 deg), probed at threshold 0.995:
+    against the day-0 assignment it lands in the LOW cell away from
+    its 55-deg mate (cosine 0.999) -> zero hits; against the
+    retrained index the boundary has moved below it -> the mate is
+    found. This is the recall the retrain buys back (and the exact
+    'centroids keep reflecting forgotten data until retrain' effect
+    the forget docstrings state)."""
+    corpus = _corpus(spark)
+    day0_cents, _ = train_semantic_cells(corpus, rows_per_cell=1000, min_cells=2)
+    day0_cents = day0_cents.localCheckpoint()
+    store = ParquetAppendLog(str(tmp_path / "index"), write_partitions=1)
+    store.append(assign_cells(corpus, day0_cents), 0)
+    probe = spark.createDataFrame(
+        [(1060, _vec(52.5))], "vec_id long, embedding array<float>"
+    )
+
+    def hits(state, cents):
+        return {
+            r["corpus_id"]
+            for r in cell_probe(
+                state, assign_cells(probe, cents), 0.995
+            ).collect()
+        }
+
+    # pre-retrain (even after a logical forget, centroids still
+    # reflect the drag set): the mate is in the other cell
+    from dwh_spark.operators.forget import forget_rows
+
+    kept = forget_rows(store.current(spark), _FORGET, key="vec_id")
+    assert hits(kept, day0_cents) == set()
+    new_cents, _ = retrain_cells_at_compaction(
+        spark,
+        store,
+        ids_frame(spark, _FORGET, "vec_id"),
+        rows_per_cell=1000,
+        min_cells=2,
+    )
+    assert hits(store.current(spark), new_cents) == {60}
+
+
+def test_retrain_empty_store_raises(spark, tmp_path):
+    store = ParquetAppendLog(str(tmp_path / "empty"), write_partitions=1)
+    with pytest.raises(ValueError, match="empty"):
+        retrain_cells_at_compaction(spark, store)
+
+
+def test_retrain_without_forget_is_pure_recluster(spark, tmp_path):
+    """No forget set: the compaction rewrite keeps every row and only
+    re-derives cells from survivors==corpus — equal to the fresh
+    build over the full corpus."""
+    store = _built_store(spark, tmp_path)
+    retrain_cells_at_compaction(spark, store, rows_per_cell=1000, min_cells=2)
+    state = store.current(spark)
+    corpus = _corpus(spark)
+    fresh_cents, _ = train_semantic_cells(corpus, rows_per_cell=1000, min_cells=2)
+    rebuilt = assign_cells(corpus, fresh_cents)
+    cols = ["vec_id", "embedding", "norm2", "cell"]
+    assert {tuple(map(repr, r)) for r in state.select(cols).collect()} == {
+        tuple(map(repr, r)) for r in rebuilt.select(cols).collect()
+    }
