@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # -- new round-15 queries: no driver verdict yet
     "emb_semantic_retrain_compaction",  # executable centroid retrain at the compaction seam
+    "pipeline_mixed_ingest_ledger",     # cross-modality capstone: mixed delta, one routed ledger
     # -- stale: latest driver verdict is round 10 (all 44 lead; two
     # -- rounds past the window)
     "docs_jaccard_hashed_shingles",

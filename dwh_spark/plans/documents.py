@@ -1010,9 +1010,7 @@ def docs_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_corpus_ingest_delta",
-    oracle=f"""
+_DOCS_DELTA_ORACLE = f"""
     WITH {_SHINGLES_CTE},
     corpus_kept AS (
       SELECT doc_id, text FROM documents
@@ -1079,8 +1077,10 @@ def docs_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT decision, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM triaged GROUP BY 1
-    """,
-)
+    """
+
+
+@query("docs_corpus_ingest_delta", oracle=_DOCS_DELTA_ORACLE)
 def docs_corpus_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DAILY-DELTA triage of the corpus build — what actually runs
     per ingest once the standing corpus exists, composing the

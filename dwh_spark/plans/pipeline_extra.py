@@ -1665,3 +1665,133 @@ def orders_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_pairs"),
         F.sum("psum").cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The CROSS-MODALITY capstone (VERDICT r14 next #6): one mixed daily
+# delta — docs + images + audio + video — through the four modality
+# triages off ONE shared manifest, emitting a single routed ledger.
+# ---------------------------------------------------------------------------
+
+# Global id discipline for the shared manifest: each modality's local
+# id space (doc_id / image_id / audio_id / video_id, all < 1e7 even
+# with the +6,000,000 variant offsets) maps into a disjoint 1e8-wide
+# global band. The oracle applies the IDENTICAL arithmetic, so a
+# misrouted item or band overlap shows up as an id_sum mismatch.
+_MIXED_OFFSETS = {"doc": 100_000_000, "image": 200_000_000,
+                  "audio": 300_000_000, "video": 400_000_000}
+
+
+def _mixed_ledger_oracle() -> str:
+    from dwh_spark.plans.av import (
+        _AV_AUDIO_TRIAGE_ORACLE,
+        _AV_VIDEO_TRIAGE_ORACLE,
+    )
+    from dwh_spark.plans.documents import _DOCS_DELTA_ORACLE
+    from dwh_spark.plans.images import _IMGS_TRIAGE_ORACLE
+
+    o = _MIXED_OFFSETS
+    return f"""
+    SELECT 'doc' AS modality, decision, n_docs AS n_items,
+           CAST({o['doc']}::BIGINT * n_docs + id_sum AS BIGINT) AS id_sum
+    FROM ( {_DOCS_DELTA_ORACLE} )
+    UNION ALL
+    SELECT 'image', decision, count(*),
+           CAST(sum(image_id + {o['image']}) AS BIGINT)
+    FROM ( {_IMGS_TRIAGE_ORACLE} ) GROUP BY 2
+    UNION ALL
+    SELECT 'audio', decision, count(*),
+           CAST(sum(audio_id + {o['audio']}) AS BIGINT)
+    FROM ( {_AV_AUDIO_TRIAGE_ORACLE} ) GROUP BY 2
+    UNION ALL
+    SELECT 'video', decision, count(*),
+           CAST(sum(video_id + {o['video']}) AS BIGINT)
+    FROM ( {_AV_VIDEO_TRIAGE_ORACLE} ) GROUP BY 2
+    """
+
+
+def mixed_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared manifest: every item of the mixed daily delta as
+    (global_id, modality, decision), each modality routed by ITS
+    triage (operators/dedup.py:corpus_ingest_triage for docs; the
+    imgs/audio/video triage pipelines for the binary modalities).
+    Each modality's per-item frame is localCheckpoint-ed as soon as
+    it is built: the AV triages share a persist-rotation cache
+    (plans/av.py:_AV_CORPUS_CACHE), so audio's decode pass must be
+    consumed before video's construction rotates it out — and the
+    checkpoint also means the expensive decodes feed the ledger
+    exactly once. Global ids are local ids shifted into disjoint
+    1e8 bands (``_MIXED_OFFSETS``) — the cross-family id discipline
+    a real mixed-corpus ingest needs pinned before anything joins
+    across modalities."""
+    from dwh_spark.functions import text as T
+    from dwh_spark.operators import dedup as D
+    from dwh_spark.plans.av import (
+        av_audio_corpus_ingest_triage,
+        av_video_corpus_ingest_triage,
+    )
+    from dwh_spark.plans.images import imgs_corpus_ingest_triage
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus_kept = docs.filter(F.col("doc_id") % 10 != 7).filter(
+        T.quality_score(F.col("text")) >= 0.5
+    )
+    doc_items = D.corpus_ingest_triage(
+        corpus_kept, new_docs, T.quality_score
+    ).select(F.col("doc_id").alias("item_id"), "decision")
+    parts = []
+    for modality, items in (
+        ("doc", doc_items),
+        ("image", imgs_corpus_ingest_triage(spark, sf_dir)),
+        ("audio", av_audio_corpus_ingest_triage(spark, sf_dir)),
+        ("video", av_video_corpus_ingest_triage(spark, sf_dir)),
+    ):
+        local = items.columns[0]
+        parts.append(
+            items.select(
+                (F.col(local) + F.lit(_MIXED_OFFSETS[modality])).alias(
+                    "global_id"
+                ),
+                F.lit(modality).alias("modality"),
+                "decision",
+            ).localCheckpoint()
+        )
+    manifest = parts[0]
+    for p in parts[1:]:
+        manifest = manifest.unionByName(p)
+    return manifest
+
+
+@query("pipeline_mixed_ingest_ledger", oracle=_mixed_ledger_oracle())
+def pipeline_mixed_ingest_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MIXED-CORPUS CAPSTONE: one daily delta carrying all four
+    modalities — documents, images, audio clips, videos — routed
+    through each modality's triage off one shared manifest
+    (:func:`mixed_ingest_manifest`), emitting a single routed ledger:
+    (modality, decision, n_items, id_sum) with id_sum in the GLOBAL
+    id space. This is the composition a real 100 TB training-data
+    ingest runs nightly: modality routing first, then the per-modality
+    decision ladders (quality gate -> exact-dup -> near-dup ->
+    offset-dup -> kept, each arm probing that modality's STORED
+    index), with every item accounted for exactly once under a
+    collision-free global id (tests/test_mixed_ledger.py pins
+    distinctness; the oracle pins membership per (modality, decision)
+    by id_sum).
+
+    Composes the four proven triages without re-deriving them — their
+    probe discipline (batch broadcast into streamed stored indexes,
+    cheapest-arm-first over shrinking inputs, O(batch + collisions)
+    per modality) is documented and plan-audited on each; the
+    capstone adds the manifest union and the one global groupBy, both
+    O(delta). The oracle is the four modality oracles under the same
+    global-id arithmetic — a first-principles re-derivation of every
+    routing decision in SQL."""
+    return (
+        mixed_ingest_manifest(spark, sf_dir)
+        .groupBy("modality", "decision")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("global_id").alias("id_sum"),
+        )
+    )
