@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     # -- new round-15 queries: no driver verdict yet
     "emb_semantic_retrain_compaction",  # executable centroid retrain at the compaction seam
     "pipeline_mixed_ingest_ledger",     # cross-modality capstone: mixed delta, one routed ledger
+    "streaming_semantic_retrain_ingest",  # mid-stream forget + centroid retrain in a live fold
     # -- stale: latest driver verdict is round 10 (all 44 lead; two
     # -- rounds past the window)
     "docs_jaccard_hashed_shingles",

@@ -1924,3 +1924,155 @@ def streaming_video_offset_cap_compaction(
         compact_every=2,
     )
     return read_video_offset_ingest_results(spark, out_dir)
+
+
+def _semantic_retrain_ingest_oracle() -> str:
+    from dwh_spark.plans.embeddings import _DOT, _NORM2, trained_prune_ctes
+
+    dot_ab = _DOT.format(a="a.embedding", b="p.embedding")
+    dot_seed = _DOT.format(a="v.embedding", b="s.c_emb")
+    dot_new = _DOT.format(a="v.embedding", b="t.c_emb")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    sliced AS (
+      SELECT vec_id, embedding, norm2,
+             ntile(3) OVER (ORDER BY vec_id) AS b
+      FROM base
+    ),
+    seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb, norm2 AS c_norm2
+      FROM sliced WHERE b = 1
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+    ),
+    cells12 AS (
+      SELECT v.vec_id, v.embedding, v.norm2, s.centroid_id AS cell
+      FROM (SELECT * FROM sliced WHERE b <= 2) v CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({dot_seed} / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) DESC,
+                   s.centroid_id) = 1
+    ),
+    p12 AS (
+      SELECT p.vec_id, count(*) AS n
+      FROM cells12 a JOIN cells12 p ON a.cell = p.cell AND a.vec_id < p.vec_id
+      WHERE round({dot_ab} / (sqrt(a.norm2) * sqrt(p.norm2)), 6) >= 0.1
+      GROUP BY 1
+    ),
+    surv AS (
+      SELECT vec_id, embedding, norm2 FROM sliced
+      WHERE b <= 2 AND vec_id % 10 != 3
+    ),
+    {trained_prune_ctes('surv', rows_per_cell=64, threshold=0.3, prefix='new')},
+    b3a AS (
+      SELECT v.vec_id, v.embedding, v.norm2, t.centroid_id AS cell
+      FROM (SELECT * FROM sliced WHERE b = 3) v CROSS JOIN new_t_norm t
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({dot_new} / (sqrt(v.norm2) * sqrt(t.c_norm2)), 6) DESC,
+                   t.centroid_id) = 1
+    ),
+    all3 AS (
+      SELECT vec_id, embedding, norm2, cell FROM new_cells
+      UNION ALL
+      SELECT vec_id, embedding, norm2, cell FROM b3a
+    ),
+    p3 AS (
+      SELECT p.vec_id, count(*) AS n
+      FROM all3 a JOIN b3a p ON a.cell = p.cell AND a.vec_id < p.vec_id
+      WHERE round({dot_ab} / (sqrt(a.norm2) * sqrt(p.norm2)), 6) >= 0.1
+      GROUP BY 1
+    )
+    SELECT vec_id, n AS n_earlier_sem_dups
+    FROM (SELECT * FROM p12 UNION ALL SELECT * FROM p3)
+    """
+
+
+@query(
+    "streaming_semantic_retrain_ingest",
+    oracle=_semantic_retrain_ingest_oracle(),
+)
+def streaming_semantic_retrain_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-STREAM CENTROID RETRAIN during a live semantic fold — the
+    streaming binding of retrain_cells_at_compaction, composing the
+    round-14 mid-stream forget with the round-15 executable retrain
+    the way streaming_audio_offset_forget_ingest composed forget with
+    the H-K fold: vectors arrive in vec_id order across 3
+    micro-batches; batches 1-2 fold against the day-0 centroids
+    (md5-smallest-8 seeds of the first slice); then — WHILE THE
+    STREAM IS LIVE, in the maintenance window after batch 2's commit
+    — the %10==3 vectors are forgotten AND the centroids are
+    RETRAINED on the survivors (train_semantic_cells, one exact-mean
+    Lloyd step, rows_per_cell=64), the store rewritten in one
+    compact(transform=...) pass; batch 3 folds against the RETRAINED
+    index with the NEW centroids (run_semantic_ingest re-reads its
+    centroid provider at each batch start). Batch 3's near-dup counts
+    therefore (a) never see a forgotten vector and (b) pair within
+    retrained boundaries — both modeled exactly by the oracle, which
+    re-derives the day-0 assignment for batches 1-2 and the full
+    retrained training for batch 3 in SQL.
+
+    100 TB: the retrain trains on the survivor frame inside the
+    compaction the store was due anyway; the fold's per-batch cost is
+    unchanged (assign against broadcast centroids, probe stored cells,
+    append O(batch))."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.emb_ingest import (
+        read_semantic_ingest_results,
+        retrain_cells_at_compaction,
+        run_semantic_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="dwh_sem_retrain_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = emb.withColumn("__slice", F.ntile(3).over(Window.orderBy("vec_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    seeds = (
+        spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
+        .select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+    )
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    holder = {"cents": seeds}
+    fids = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    def maintenance(batch_id: int) -> None:
+        # after the SECOND batch commits (file-source ids 0,1,2):
+        # forget + retrain + rewrite, mid-stream
+        if batch_id == 1:
+            holder["cents"], _ = retrain_cells_at_compaction(
+                spark, index_store, fids, rows_per_cell=64
+            )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_semantic_ingest(
+        stream,
+        lambda: holder["cents"],
+        index_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        maintenance=maintenance,
+    )
+    return read_semantic_ingest_results(spark, out_dir)

@@ -40,7 +40,7 @@ from dwh_spark.streaming.ingest import ParquetAppendLog
 
 def run_semantic_ingest(
     stream: DataFrame,
-    centroids: DataFrame,
+    centroids,
     index_store: ParquetAppendLog,
     out_dir: str,
     checkpoint_dir: str,
@@ -50,7 +50,10 @@ def run_semantic_ingest(
     """Drain the id-ordered vector stream, flagging each vector's
     earlier within-cell semantic near-dup partners. ``stream`` needs
     (vec_id, embedding); ``centroids`` is the fixed (vec_id,
-    embedding) centroid frame. ``maintenance`` is the same
+    embedding) centroid frame — or a ZERO-ARG CALLABLE returning one,
+    re-read at each batch start, so a mid-stream
+    :func:`retrain_cells_at_compaction` (run from ``maintenance``)
+    takes effect from the next fold on. ``maintenance`` is the same
     housekeeping seam as the MinHash ingest (compact/expire on the
     index store after each batch commit)."""
     spark = stream.sparkSession
@@ -60,11 +63,12 @@ def run_semantic_ingest(
         lc = index_store.last_committed()
         if lc is not None and batch_id <= lc:
             return
+        cents = centroids() if callable(centroids) else centroids
         # assignment feeds three consumers (within-batch probe both
         # sides + the index probe + the store append): persist so the
         # centroid cross-score runs once per batch
         batch_cells = assign_cells(
-            batch_df.select("vec_id", "embedding"), centroids
+            batch_df.select("vec_id", "embedding"), cents
         ).persist()
         prior = index_store.current(spark)
         flagged = cell_probe(batch_cells, batch_cells, threshold).filter(
