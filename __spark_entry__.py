@@ -56,6 +56,7 @@ _CHECK_FIRST = [
     "emb_semantic_retrain_compaction",  # executable centroid retrain at the compaction seam
     "pipeline_mixed_ingest_ledger",     # cross-modality capstone: mixed delta, one routed ledger
     "streaming_semantic_retrain_ingest",  # mid-stream forget + centroid retrain in a live fold
+    "emb_retrain_drift_trigger",        # WHEN to retrain: inertia-based decision arithmetic
     # -- stale: latest driver verdict is round 10 (all 44 lead; two
     # -- rounds past the window)
     "docs_jaccard_hashed_shingles",

@@ -810,6 +810,45 @@ def kmeans_iterate(
     return current.select("centroid_id", F.col("c_emb").alias("embedding"))
 
 
+def cell_inertia(
+    cells: DataFrame,
+    centroids: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Assignment-fit summary of an IVF index: the mean cosine of
+    every indexed vector to ITS assigned cell's centroid — one
+    broadcast join + one exact-decimal aggregate (6-dp cosines summed
+    as DECIMAL(18,6): order-independent, bit-reproducible by a DuckDB
+    oracle). This is the RETRAIN TRIGGER's measurement: evaluated on
+    the stale centroids it quantifies how much forgets/appends have
+    drifted the assignment; evaluated on freshly retrained centroids
+    it quantifies what a retrain buys — compare the two at compaction
+    candidacy and retrain when the gap clears a bound
+    (plans/embeddings.py:emb_retrain_drift_trigger pins the
+    arithmetic). Returns one row: (n_vectors, mean_cos)."""
+    c = with_norm(centroids, vec).select(
+        F.col(key).alias("cell"),
+        F.col(vec).alias("c_emb"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    scored = cells.join(F.broadcast(c), "cell").withColumn(
+        "cos_c",
+        F.round(
+            F.expr(_dot_expr(vec, "c_emb"))
+            / (F.sqrt("norm2") * F.sqrt("c_norm2")),
+            6,
+        ),
+    )
+    return scored.agg(
+        F.count("*").alias("n_vectors"),
+        (
+            F.sum(F.col("cos_c").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_cos"),
+    )
+
+
 def cell_probe(
     index_cells: DataFrame,
     probe_cells: DataFrame,

@@ -1237,3 +1237,109 @@ def emb_semantic_retrain_compaction(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("vec_id").alias("id_sum"),
         )
     )
+
+
+def _inertia_sql(cells: str, cents: str) -> str:
+    """Mean 6-dp cosine of each indexed vector to its assigned cell's
+    centroid, summed as DECIMAL(18,6) — bit-identical to
+    operators/similarity.py:cell_inertia."""
+    dot = _DOT.format(a="x.embedding", b="t.c_emb")
+    return f"""
+      SELECT count(*) AS n_vectors,
+             CAST(sum(CAST(round({dot} / (sqrt(x.norm2) * sqrt(t.c_norm2)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_cos
+      FROM {cells} x JOIN {cents} t ON t.centroid_id = x.cell
+    """
+
+
+@query(
+    "emb_retrain_drift_trigger",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    {trained_prune_ctes('base', rows_per_cell=64, threshold=0.3, prefix='old')},
+    sbase AS (
+      SELECT vec_id, embedding, norm2 FROM base WHERE vec_id % 5 != 2
+    ),
+    {trained_prune_ctes('sbase', rows_per_cell=64, threshold=0.3, prefix='new')},
+    stale_cells AS (SELECT * FROM old_cells WHERE vec_id % 5 != 2),
+    b AS ({_inertia_sql('old_cells', 'old_t_norm')}),
+    s AS ({_inertia_sql('stale_cells', 'old_t_norm')}),
+    r AS ({_inertia_sql('new_cells', 'new_t_norm')})
+    SELECT 'baseline' AS metric, n_vectors, mean_cos AS v FROM b
+    UNION ALL
+    SELECT 'stale', n_vectors, mean_cos FROM s
+    UNION ALL
+    SELECT 'retrained', n_vectors, mean_cos FROM r
+    UNION ALL
+    SELECT 'retrain_due', 0,
+           CASE WHEN (SELECT mean_cos FROM r) > (SELECT mean_cos FROM s)
+                THEN 1.0 ELSE 0.0 END
+    """,
+)
+def emb_retrain_drift_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN to retrain, made executable — the decision arithmetic that
+    closes the IVF maintenance loop (calibrate -> guard -> forget ->
+    TRIGGER -> retrain): at compaction candidacy, compare the
+    assignment fit (operators/similarity.py:cell_inertia — mean 6-dp
+    cosine of each indexed vector to its assigned centroid, summed as
+    exact decimals) in three states: 'baseline' (the full day-0 index
+    on its own trained centroids), 'stale' (the survivors of a 20%
+    forget, vec_id % 5 == 2, still on the day-0 centroids — the state
+    the forget family leaves behind), and 'retrained' (survivors on
+    centroids retrained from them, the state
+    retrain_cells_at_compaction would produce). 'retrain_due' is the
+    trigger: 1.0 iff the retrained fit beats the stale fit — the
+    measured benefit a deployment weighs against the rewrite cost,
+    instead of retraining on a timer. The oracle re-derives both
+    trainings and all three inertias in SQL.
+
+    100 TB: each inertia is one broadcast centroid join + one exact
+    decimal aggregate over the index (no shuffle); the trigger's only
+    real cost is the candidate retrain, which is the work you were
+    deciding whether to keep anyway — evaluate it on the
+    train_fraction sample when the survivor frame is large."""
+    from dwh_spark.operators.similarity import cell_inertia, train_semantic_cells
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old_cents, _ = train_semantic_cells(emb, rows_per_cell=64)
+    old_cents = old_cents.localCheckpoint()
+    old_cells = assign_cells(emb, old_cents).persist()
+    kept_vecs = emb.filter(F.col("vec_id") % 5 != 2)
+    new_cents, _ = train_semantic_cells(kept_vecs, rows_per_cell=64)
+    new_cents = new_cents.localCheckpoint()
+
+    def tag(name: str, inertia: DataFrame) -> DataFrame:
+        return inertia.select(
+            F.lit(name).alias("metric"), "n_vectors", F.col("mean_cos").alias("v")
+        )
+
+    metrics = (
+        tag("baseline", cell_inertia(old_cells, old_cents))
+        .unionByName(
+            tag(
+                "stale",
+                cell_inertia(
+                    old_cells.filter(F.col("vec_id") % 5 != 2), old_cents
+                ),
+            )
+        )
+        .unionByName(
+            tag("retrained", cell_inertia(assign_cells(kept_vecs, new_cents), new_cents))
+        )
+        .localCheckpoint()
+    )
+    old_cells.unpersist()
+    due = metrics.groupBy().agg(
+        F.lit("retrain_due").alias("metric"),
+        F.lit(0).cast("long").alias("n_vectors"),
+        (
+            F.max(F.when(F.col("metric") == "retrained", F.col("v")))
+            > F.max(F.when(F.col("metric") == "stale", F.col("v")))
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    return metrics.unionByName(due)

@@ -661,16 +661,26 @@ class BlockDfCapMaintenance:
     Unlike the audio word stats, the per-batch partials here count
     ALL indexed frames (nothing is row-filtered by the cap), so df
     never freezes — the hot set is exactly "cumulative df > cap at
-    this batch's start"."""
+    this batch's start".
+
+    ``max_block_freq`` is an int, or ``"auto"`` to self-calibrate
+    from the merged stats at every evaluation — with the
+    degenerate-majority GUARD active: the 2^14 block space is exactly
+    where degenerate values (black/letterbox blocks) can exceed 1-q
+    of distinct values, so a mis-shaped distribution raises
+    ``CapCalibrationError`` loudly instead of floating the cap above
+    everything (operators/caps.py:calibrate_cap)."""
 
     def __init__(
         self,
         spark: SparkSession,
         index_store: ParquetAppendLog,
         stats_store: ParquetAppendLog,
-        max_block_freq: int,
+        max_block_freq: int | str,
         n_blocks: int = 4,
         compact_every: int | None = None,
+        quantile: float = 0.99,
+        margin: int = 4,
     ) -> None:
         self.spark = spark
         self.index_store = index_store
@@ -678,6 +688,15 @@ class BlockDfCapMaintenance:
         self.max_block_freq = max_block_freq
         self.n_blocks = n_blocks
         self.compact_every = compact_every
+        self.quantile = quantile
+        self.margin = margin
+
+    def current_cap(self, stats: DataFrame) -> int:
+        if self.max_block_freq == "auto":
+            from dwh_spark.operators.caps import calibrate_cap
+
+            return calibrate_cap(stats, self.quantile, self.margin)
+        return int(self.max_block_freq)
 
     def merged_stats(self) -> DataFrame | None:
         cur = self.stats_store.current(self.spark)
@@ -720,7 +739,7 @@ def run_video_offset_cap_ingest(
     n_blocks: int = 4,
     min_frames: int = 3,
     min_frame_bits: int | None = 4,
-    max_block_freq: int = 16,
+    max_block_freq: int | str = 16,
     compact_every: int | None = 2,
 ) -> None:
     """The video OFFSET fold with BOTH guards composed — the
@@ -756,7 +775,7 @@ def run_video_offset_cap_ingest(
         stats = cap.merged_stats()
         if stats is None:
             return {}
-        return {"block_df": stats, "max_block_freq": max_block_freq}
+        return {"block_df": stats, "max_block_freq": cap.current_cap(stats)}
 
     def within(batch_frames: DataFrame) -> DataFrame:
         return (

@@ -116,6 +116,34 @@ def test_auto_mode_propagates_the_guard(spark):
         maint.current_cap(stats)
 
 
+def test_video_auto_mode_propagates_the_guard(spark):
+    """The video binding's 'auto' mode (BlockDfCapMaintenance) — the
+    2^14 block space is where the degenerate-majority hazard is
+    realistic: healthy stats calibrate, a degenerate-heavy table
+    raises."""
+    from dwh_spark.streaming.phash_ingest import BlockDfCapMaintenance
+
+    maint = BlockDfCapMaintenance(spark, None, None, max_block_freq="auto")
+    healthy = spark.createDataFrame(
+        [(i % 4, 100 + i, 40 + (i * 7) % 211) for i in range(2000)]
+        + [(0, 0, 60000)],
+        "i long, val long, df long",
+    )
+    cap = maint.current_cap(healthy)
+    assert 250 <= cap <= 1200
+    degen = spark.createDataFrame(
+        [(i % 4, 100 + i, 40 + i % 7) for i in range(100)]
+        + [(0, 50000 + i, 30000 + i) for i in range(40)],
+        "i long, val long, df long",
+    )
+    with pytest.raises(CapCalibrationError):
+        maint.current_cap(degen)
+    # the int form never consults the stats distribution
+    assert BlockDfCapMaintenance(
+        spark, None, None, max_block_freq=16
+    ).current_cap(degen) == 16
+
+
 def test_band_split_geometric_ladder_has_no_gap(spark):
     """A boundary-word FAMILY (df ~ n/2^k, the jingle/silence tree
     shape) fills the space between natural and degenerate with a

@@ -129,6 +129,25 @@ def test_probe_sees_the_boundary_move(spark, tmp_path):
     assert hits(store.current(spark), new_cents) == {60}
 
 
+def test_drift_trigger_fires_on_the_moved_boundary(spark, tmp_path):
+    """cell_inertia as the retrain trigger: on the drag-set geometry
+    the survivors fit the retrained centroids strictly better than
+    the stale day-0 ones — the case where retrain_due = 1 (the
+    registry query's synthetic corpus shows the opposite, equally
+    correct outcome: no benefit, skip the rewrite)."""
+    from dwh_spark.operators.similarity import cell_inertia
+
+    corpus = _corpus(spark)
+    day0, _ = train_semantic_cells(corpus, rows_per_cell=1000, min_cells=2)
+    day0 = day0.localCheckpoint()
+    survivors = corpus.filter(~F.col("vec_id").isin(*_FORGET))
+    new_c, _ = train_semantic_cells(survivors, rows_per_cell=1000, min_cells=2)
+    stale = cell_inertia(assign_cells(survivors, day0), day0).collect()[0]
+    fresh = cell_inertia(assign_cells(survivors, new_c), new_c).collect()[0]
+    assert stale["n_vectors"] == fresh["n_vectors"] == 10
+    assert fresh["mean_cos"] > stale["mean_cos"]
+
+
 def test_retrain_empty_store_raises(spark, tmp_path):
     store = ParquetAppendLog(str(tmp_path / "empty"), write_partitions=1)
     with pytest.raises(ValueError, match="empty"):
