@@ -109,3 +109,91 @@ def per_group_cap(
         .filter(F.col("__rank") <= cap)
         .drop("__rank")
     )
+
+
+def waterfill_allocation(
+    totals: DataFrame,
+    budget_fraction: float,
+    key: str = "source",
+    avail: str = "available_tokens",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted WATER-FILLING token-budget allocation — the mixture
+    planner of an LLM data pipeline ("sample source s proportional to
+    weight w_s inside a total token budget B; a source without enough
+    data is taken whole and its unused share re-flows to the rest,
+    still by weight"). The exact closed form, not an iterative loop:
+    sort sources by demand ratio a_s/w_s ascending; walking the
+    prefix, the candidate water level after fully taking the first k
+    sources is t_k = (B - sum_{i<=k} a_i) / (W - sum_{i<=k} w_i); the
+    FIRST source whose ratio exceeds the level before it fixes the
+    final level, and every allocation is min(a_s, w_s * level)
+    (sources with ratio <= level are the saturated ones). No
+    crossing ⇔ B >= total available ⇔ everyone is taken whole.
+
+    ``totals`` is the per-source frame (key, avail, weight) — source
+    cardinality, not corpus cardinality, so the single-partition
+    windows used for the cumulative walk are over a bounded frame
+    (even a web-scale crawl has countable sources); the corpus-sized
+    work is the one groupBy that BUILT the totals. ``B = floor(
+    budget_fraction * sum(avail))`` is derived inside the frame, so
+    the same call scales with the corpus. All level arithmetic is
+    single-division double over exact BIGINT sums — bit-reproducible
+    by a DuckDB oracle (docs_token_budget_waterfill).
+
+    Returns (key, weight, avail, allocated_tokens, sampling_rate,
+    saturated) — feed ``sampling_rate`` to a hash-uniform row/token
+    sampler per source (``weighted_sample``'s discipline) to realize
+    the plan."""
+    from pyspark.sql.window import Window
+
+    ratio = (F.col(avail).cast("double") / F.col(weight)).alias("__ratio")
+    scored = totals.select(key, weight, avail, ratio)
+    all_w = Window.partitionBy()
+    walk = Window.partitionBy().orderBy("__ratio", key)
+    excl = walk.rowsBetween(Window.unboundedPreceding, -1)
+    scored = (
+        scored.withColumn(
+            "__B",
+            F.floor(F.lit(budget_fraction) * F.sum(avail).over(all_w)).cast(
+                "long"
+            ),
+        )
+        .withColumn("__W", F.sum(weight).over(all_w))
+        .withColumn("__rn", F.row_number().over(walk))
+        .withColumn("__cum_a", F.coalesce(F.sum(avail).over(excl), F.lit(0)))
+        .withColumn("__cum_w", F.coalesce(F.sum(weight).over(excl), F.lit(0)))
+        .withColumn(
+            "__t_prev",
+            (F.col("__B") - F.col("__cum_a")).cast("double")
+            / (F.col("__W") - F.col("__cum_w")),
+        )
+        .withColumn("__crossing", F.col("__ratio") > F.col("__t_prev"))
+        .withColumn(
+            "__level",
+            F.min(
+                F.when(
+                    F.col("__crossing"), F.struct("__rn", "__t_prev")
+                )
+            )
+            .over(all_w)
+            .getField("__t_prev"),
+        )
+    )
+    allocated = F.when(
+        F.col("__level").isNull() | (F.col("__ratio") <= F.col("__level")),
+        F.col(avail).cast("double"),
+    ).otherwise(F.col(weight) * F.col("__level"))
+    return scored.select(
+        key,
+        weight,
+        avail,
+        F.round(allocated, 6).alias("allocated_tokens"),
+        F.round(allocated / F.col(avail), 6).alias("sampling_rate"),
+        (
+            F.col("__level").isNull()
+            | (F.col("__ratio") <= F.col("__level"))
+        )
+        .cast("long")
+        .alias("saturated"),
+    )

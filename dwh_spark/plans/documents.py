@@ -2642,3 +2642,83 @@ def docs_posting_forget_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_incremental(
         corpus, batch, threshold=0.9, max_doc_freq=50, posting_index=kept
     )
+
+
+_WFILL_ORD = "CAST(available_tokens AS DOUBLE) / w, source"
+
+
+@query(
+    "docs_token_budget_waterfill",
+    oracle=f"""
+    WITH totals AS (
+      SELECT source,
+             CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY 1
+    ),
+    scored AS (
+      SELECT source, w, available_tokens,
+             CAST(available_tokens AS DOUBLE) / w AS ratio,
+             CAST(floor(CAST(0.6 AS DOUBLE) * sum(available_tokens) OVER ())
+                  AS BIGINT) AS B,
+             sum(w) OVER () AS tw,
+             row_number() OVER (ORDER BY {_WFILL_ORD}) AS rn,
+             coalesce(sum(available_tokens) OVER (ORDER BY {_WFILL_ORD}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_a,
+             coalesce(sum(w) OVER (ORDER BY {_WFILL_ORD}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_w
+      FROM totals
+    ),
+    t AS (
+      SELECT *, CAST(B - cum_a AS DOUBLE) / (tw - cum_w) AS t_prev FROM scored
+    ),
+    lvl AS (
+      SELECT t_prev AS level FROM t WHERE ratio > t_prev ORDER BY rn LIMIT 1
+    )
+    SELECT source, w, available_tokens,
+           round(CASE WHEN (SELECT level FROM lvl) IS NULL
+                        OR ratio <= (SELECT level FROM lvl)
+                      THEN CAST(available_tokens AS DOUBLE)
+                      ELSE w * (SELECT level FROM lvl) END, 6)
+             AS allocated_tokens,
+           round(CASE WHEN (SELECT level FROM lvl) IS NULL
+                        OR ratio <= (SELECT level FROM lvl)
+                      THEN CAST(available_tokens AS DOUBLE)
+                      ELSE w * (SELECT level FROM lvl) END
+                 / available_tokens, 6) AS sampling_rate,
+           CAST(CASE WHEN (SELECT level FROM lvl) IS NULL
+                       OR ratio <= (SELECT level FROM lvl)
+                     THEN 1 ELSE 0 END AS BIGINT) AS saturated
+    FROM t
+    """,
+)
+def docs_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget MIXTURE PLANNING via exact weighted water-filling
+    (operators/sampling.py:waterfill_allocation) — the allocation
+    step between quota capping (docs_source_quota_cap) and sampling
+    (docs_weighted_sample_stats): given per-source target weights
+    (here w = source index % 4 + 1, a deterministic stand-in for a
+    configured mixture) and a total budget of 60% of the corpus's
+    tokens, take each source proportional to weight, take a source
+    WHOLE when it lacks the data, and re-flow its unused share to the
+    rest — the closed-form level computation, not an iterative loop.
+    One source saturates at both sf0.01 and sf0.1 by construction
+    (the lowest-ratio weight-4 source), so the re-flow arm is
+    exercised. The oracle re-derives the totals, the cumulative walk,
+    the crossing level, and every allocation in SQL.
+
+    100 TB: the only corpus-sized work is the per-source token
+    groupBy (map-side combine); the water-filling walk runs on the
+    bounded source frame (single-partition windows over source
+    cardinality, stated in the operator docstring)."""
+    from dwh_spark.operators.sampling import waterfill_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(
+        F.sum(T.n_tokens(F.col("text"))).cast("long").alias("available_tokens")
+    ).withColumn(
+        "w",
+        (F.substring("source", 4, 8).cast("int") % 4 + 1).cast("long"),
+    )
+    return waterfill_allocation(totals, budget_fraction=0.6)
