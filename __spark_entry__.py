@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     "streaming_semantic_retrain_ingest",  # mid-stream forget + centroid retrain in a live fold
     "emb_retrain_drift_trigger",        # WHEN to retrain: inertia-based decision arithmetic
     "docs_token_budget_waterfill",      # mixture planning: exact weighted water-filling
+    "docs_mixture_realized",            # the plan executed: rates -> per-doc md5 draws
     # -- stale: latest driver verdict is round 10 (all 44 lead; two
     # -- rounds past the window)
     "docs_jaccard_hashed_shingles",

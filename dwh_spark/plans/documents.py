@@ -2647,10 +2647,8 @@ def docs_posting_forget_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WFILL_ORD = "CAST(available_tokens AS DOUBLE) / w, source"
 
 
-@query(
-    "docs_token_budget_waterfill",
-    oracle=f"""
-    WITH totals AS (
+_WFILL_CTES = f"""
+    totals AS (
       SELECT source,
              CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT)
@@ -2675,22 +2673,33 @@ _WFILL_ORD = "CAST(available_tokens AS DOUBLE) / w, source"
     ),
     lvl AS (
       SELECT t_prev AS level FROM t WHERE ratio > t_prev ORDER BY rn LIMIT 1
-    )
-    SELECT source, w, available_tokens,
-           round(CASE WHEN (SELECT level FROM lvl) IS NULL
-                        OR ratio <= (SELECT level FROM lvl)
-                      THEN CAST(available_tokens AS DOUBLE)
-                      ELSE w * (SELECT level FROM lvl) END, 6)
-             AS allocated_tokens,
-           round(CASE WHEN (SELECT level FROM lvl) IS NULL
-                        OR ratio <= (SELECT level FROM lvl)
-                      THEN CAST(available_tokens AS DOUBLE)
-                      ELSE w * (SELECT level FROM lvl) END
-                 / available_tokens, 6) AS sampling_rate,
-           CAST(CASE WHEN (SELECT level FROM lvl) IS NULL
-                       OR ratio <= (SELECT level FROM lvl)
-                     THEN 1 ELSE 0 END AS BIGINT) AS saturated
-    FROM t
+    ),
+    rates AS (
+      SELECT source, w, available_tokens,
+             round(CASE WHEN (SELECT level FROM lvl) IS NULL
+                          OR ratio <= (SELECT level FROM lvl)
+                        THEN CAST(available_tokens AS DOUBLE)
+                        ELSE w * (SELECT level FROM lvl) END, 6)
+               AS allocated_tokens,
+             round(CASE WHEN (SELECT level FROM lvl) IS NULL
+                          OR ratio <= (SELECT level FROM lvl)
+                        THEN CAST(available_tokens AS DOUBLE)
+                        ELSE w * (SELECT level FROM lvl) END
+                   / available_tokens, 6) AS sampling_rate,
+             CAST(CASE WHEN (SELECT level FROM lvl) IS NULL
+                         OR ratio <= (SELECT level FROM lvl)
+                       THEN 1 ELSE 0 END AS BIGINT) AS saturated
+      FROM t
+    )"""
+
+
+@query(
+    "docs_token_budget_waterfill",
+    oracle=f"""
+    WITH {_WFILL_CTES}
+    SELECT source, w, available_tokens, allocated_tokens, sampling_rate,
+           saturated
+    FROM rates
     """,
 )
 def docs_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2722,3 +2731,61 @@ def docs_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.substring("source", 4, 8).cast("int") % 4 + 1).cast("long"),
     )
     return waterfill_allocation(totals, budget_fraction=0.6)
+
+
+@query(
+    "docs_mixture_realized",
+    oracle=f"""
+    WITH {_WFILL_CTES},
+    joined AS (
+      SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS nt,
+             r.sampling_rate
+      FROM documents d JOIN rates r USING (source)
+    ),
+    sampled AS (
+      SELECT * FROM joined
+      WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000)
+            < CAST(round(sampling_rate * 1000000, 0) AS BIGINT)
+    )
+    SELECT source, sampling_rate,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS kept_tokens
+    FROM sampled GROUP BY 1, 2
+    """,
+)
+def docs_mixture_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan REALIZED — the composition that closes the
+    allocation story: the water-filling rates
+    (docs_token_budget_waterfill) joined back onto the corpus and
+    executed as a deterministic per-document Bernoulli draw
+    (operators/sampling.py:weighted_sample — md5-uniform over 1e6
+    buckets, membership a pure function of doc_id so any engine and
+    any re-run keeps the same documents), emitting what the sampled
+    mixture actually contains per source. A saturated source keeps
+    everything (rate 1.0); the rest land near rate x available — the
+    realized-vs-planned gap is ordinary Bernoulli noise a production
+    run monitors. The oracle replays the whole chain: totals, level,
+    rates, draws, and the kept-token sums.
+
+    100 TB: the draw is a map-side filter (zero shuffles) behind one
+    broadcast join of the bounded rates frame; the groupBy is the
+    only shuffle and runs on the sampled remainder."""
+    from dwh_spark.operators.sampling import waterfill_allocation, weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(
+        F.sum(T.n_tokens(F.col("text"))).cast("long").alias("available_tokens")
+    ).withColumn(
+        "w",
+        (F.substring("source", 4, 8).cast("int") % 4 + 1).cast("long"),
+    )
+    rates = waterfill_allocation(totals, budget_fraction=0.6).select(
+        "source", "sampling_rate"
+    )
+    joined = docs.join(F.broadcast(rates), "source")
+    kept = weighted_sample(joined, key="doc_id", weight=F.col("sampling_rate"))
+    return kept.groupBy("source", "sampling_rate").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.n_tokens(F.col("text"))).cast("long").alias("kept_tokens"),
+    )
