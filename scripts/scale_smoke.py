@@ -2256,6 +2256,95 @@ def forget_smoke(n_corpus: int = 100_000, n_forget: int = 1_000) -> None:
 
 
 
+def retrain_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> None:
+    """Retrain-at-compaction at scale (the r15 executable-retrain
+    done-criteria, scale edition): a 200k-vector IVF index in a real
+    ParquetAppendLog — forget 1k vectors, evaluate the inertia
+    TRIGGER (one broadcast centroid join over the stale survivors),
+    then retrain_cells_at_compaction on the 100 TB path
+    (train_fraction=0.05: seeds + the Lloyd step run on a 10k hash
+    sample, never the full survivor frame) with the one-pass
+    compact(transform=...) rewrite. Verifies: store row count ==
+    survivors, ZERO forgotten rows survive the rewrite, and a ghost
+    re-probe of 200 forgotten vectors finds only their planted
+    near-dup family mates, never themselves."""
+    import tempfile
+
+    from dwh_spark.operators.forget import forget_rows
+    from dwh_spark.operators.similarity import assign_cells, cell_inertia, cell_probe
+    from dwh_spark.streaming.emb_ingest import retrain_cells_at_compaction
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    spark = get_spark("retrain-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    src_df = spark.range(n_corpus).select(
+        F.col("id").alias("vec_id"), F.pmod(F.col("id"), F.lit(997)).alias("fam")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            (F.pmod(F.xxhash64("fam", i), F.lit(2000)) / 1000.0 - 1.0)
+            + (F.pmod(F.xxhash64("vec_id", i, F.lit(5)), F.lit(100)) / 50000.0)
+        ).cast("float"),
+    )
+    vecs = src_df.select("vec_id", emb.alias("embedding")).persist()
+    day0 = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(256)
+        .localCheckpoint()
+    )
+    store = ParquetAppendLog(
+        tempfile.mkdtemp(prefix="dwh_retrain_smoke_") + "/index"
+    )
+    t = time.perf_counter()
+    store.append(assign_cells(vecs, day0), 0)
+    build_s = time.perf_counter() - t
+
+    # forget every vec_id % 200 == 7 (= n_corpus/200 = 1k at 200k);
+    # each keeps 1000+ same-fam near-dup mates (fam = id % 997)
+    fids = vecs.filter(F.col("vec_id") % 200 == 7).select("vec_id")
+
+    t = time.perf_counter()
+    stale = forget_rows(store.current(spark), fids, key="vec_id")
+    stale_fit = cell_inertia(stale, day0).collect()[0]
+    trigger_s = time.perf_counter() - t
+
+    t = time.perf_counter()
+    cents, n_cells = retrain_cells_at_compaction(
+        spark, store, fids, rows_per_cell=800, train_fraction=0.05
+    )
+    retrain_s = time.perf_counter() - t
+
+    state = store.current(spark).persist()
+    n_state = state.count()
+    n_ghost_rows = state.join(F.broadcast(fids), "vec_id", "left_semi").count()
+    new_fit = cell_inertia(state, cents).collect()[0]
+    ghosts = (
+        vecs.join(F.broadcast(fids), "vec_id", "left_semi")
+        .limit(200)
+        .select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    hits = cell_probe(state, assign_cells(ghosts, cents), threshold=0.999)
+    n_self = hits.filter(F.col("new_id") - 10_000_000 == F.col("corpus_id")).count()
+    n_mates = hits.select("new_id").distinct().count()
+    print(
+        f"retrain smoke ({n_corpus} vectors, {n_cells} cells, forget "
+        f"{n_corpus // 200}): index build {build_s:.1f}s; trigger eval "
+        f"{trigger_s:.1f}s (stale fit {stale_fit['mean_cos']:.4f} over "
+        f"{stale_fit['n_vectors']}); retrain+rewrite {retrain_s:.1f}s on a "
+        f"5% training sample (post fit {new_fit['mean_cos']:.4f} over "
+        f"{new_fit['n_vectors']}); store rows {n_state} "
+        f"(expect {n_corpus - n_corpus // 200}), ghost rows {n_ghost_rows} "
+        f"(expect 0); ghost re-probe: {n_mates}/200 found their surviving "
+        f"family mates, {n_self} self-hits (expect 0)"
+    )
+    assert n_state == n_corpus - n_corpus // 200
+    assert n_ghost_rows == 0
+    assert n_self == 0
+    assert n_mates == 200
+    spark.stop()
+
+
 if __name__ == "__main__":
     if CASE == "append_log":
         append_log_soak()
@@ -2285,6 +2374,8 @@ if __name__ == "__main__":
         df_maintenance_smoke()
     elif CASE == "forget":
         forget_smoke()
+    elif CASE == "retrain":
+        retrain_smoke()
     elif CASE is not None:
         raise SystemExit(
             f"unknown case {CASE!r} "
