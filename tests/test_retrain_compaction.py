@@ -148,6 +148,23 @@ def test_drift_trigger_fires_on_the_moved_boundary(spark, tmp_path):
     assert fresh["mean_cos"] > stale["mean_cos"]
 
 
+def test_retrain_is_idempotent_under_replay(spark, tmp_path):
+    """Crash semantics: if the maintenance window re-fires after the
+    compact committed (replayed batch, crash between compact and the
+    next fold), the second retrain sees a store where the forgotten
+    ids are already gone, trains on the identical survivor set, and
+    rewrites to the identical state — running it twice equals running
+    it once."""
+    store = _built_store(spark, tmp_path)
+    fids = ids_frame(spark, _FORGET, "vec_id")
+    retrain_cells_at_compaction(spark, store, fids, rows_per_cell=1000, min_cells=2)
+    cols = ["vec_id", "embedding", "norm2", "cell"]
+    first = {tuple(map(repr, r)) for r in store.current(spark).select(cols).collect()}
+    retrain_cells_at_compaction(spark, store, fids, rows_per_cell=1000, min_cells=2)
+    second = {tuple(map(repr, r)) for r in store.current(spark).select(cols).collect()}
+    assert first == second
+
+
 def test_retrain_empty_store_raises(spark, tmp_path):
     store = ParquetAppendLog(str(tmp_path / "empty"), write_partitions=1)
     with pytest.raises(ValueError, match="empty"):
