@@ -59,6 +59,7 @@ _CHECK_FIRST = [
     "emb_retrain_drift_trigger",        # WHEN to retrain: inertia-based decision arithmetic
     "docs_token_budget_waterfill",      # mixture planning: exact weighted water-filling
     "docs_mixture_realized",            # the plan executed: rates -> per-doc md5 draws
+    "emb_pq_forget_recode",             # PQ forget-compliance: codebook rebuild + store re-encode
     # -- stale: latest driver verdict is round 10 (all 44 lead; two
     # -- rounds past the window)
     "docs_jaccard_hashed_shingles",

@@ -1099,15 +1099,20 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame, vec: str = "embedding",
 
 
 def pq_adc_topk(vectors: DataFrame, queries: DataFrame, codebook: DataFrame,
-                k: int = 5, vec: str = "embedding", key: str = "vec_id") -> DataFrame:
+                k: int = 5, vec: str = "embedding", key: str = "vec_id",
+                codes: DataFrame | None = None) -> DataFrame:
     """Asymmetric-distance top-k: queries never touch stored vectors,
     only their codes. The ADC lookup table (query × sub × code part
     scores, Q·PQ_SUBS·|codes| rows) broadcasts to the code scan; the
     per-(query, vec) score is an exact DECIMAL sum of the PQ_SUBS
     rounded parts, so partition order cannot drift it. The final
     per-query top-k is the same bounded window the exact tier uses
-    (queries are few by contract)."""
-    codes = pq_encode(vectors, codebook, vec=vec, key=key)
+    (queries are few by contract). Pass ``codes`` (a STORED
+    (key, sub, code) table) to scan a maintained code index instead
+    of re-encoding ``vectors`` — the production shape, where encode
+    ran once at build/compaction (``vectors`` is then unused)."""
+    if codes is None:
+        codes = pq_encode(vectors, codebook, vec=vec, key=key)
     lut = (
         pq_subvectors(
             queries.select(F.col(key).alias("query_id"), F.col(vec)), vec=vec, out="q_sub"

@@ -1343,3 +1343,99 @@ def emb_retrain_drift_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
     )
     return metrics.unionByName(due)
+
+
+@query(
+    "emb_pq_forget_recode",
+    oracle=f"""
+    WITH subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+    surv AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 3
+    ),
+    sd AS (
+      SELECT vec_id, embedding FROM surv
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+    ),
+    cb AS (
+      SELECT sd.vec_id AS code, s.sub,
+             list_slice(sd.embedding, s.sub * 16 + 1, s.sub * 16 + 16) AS c_sub
+      FROM sd CROSS JOIN subs s
+    ),
+    venc AS (
+      SELECT v.vec_id, cb.sub, cb.code,
+             row_number() OVER (PARTITION BY v.vec_id, cb.sub ORDER BY
+               round({_DOT.format(a='list_slice(v.embedding, cb.sub * 16 + 1, cb.sub * 16 + 16)', b='cb.c_sub')}, 6) DESC,
+               cb.code) AS rn
+      FROM surv v CROSS JOIN cb
+    ),
+    codes AS (SELECT vec_id, sub, code FROM venc WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.sub, cb.code,
+             round({_DOT.format(a='list_slice(q.embedding, cb.sub * 16 + 1, cb.sub * 16 + 16)', b='cb.c_sub')}, 6) AS part
+      FROM embeddings q CROSS JOIN cb
+      WHERE q.vec_id IN ({_IDS})
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id,
+             round(CAST(sum(CAST(l.part AS DECIMAL(12,6))) AS DOUBLE), 6) AS adc_score
+      FROM codes c JOIN lut l USING (sub, code)
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, adc_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_score DESC, vec_id) AS rnk
+      FROM adc
+    )
+    SELECT query_id, vec_id, adc_score, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def emb_pq_forget_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ FORGET-COMPLIANCE via codebook rebuild at the compaction
+    seam — the sharper twin of emb_semantic_retrain_compaction: a PQ
+    codebook carries its seed vectors' subvector slices VERBATIM, and
+    at both sf0.01 and sf0.1 the day-0 md5-smallest-8 seed set
+    contains %10==3 ids by construction — so after the forget the old
+    trained artifact still holds a forgotten vector byte-for-byte
+    (the leak tests/test_retrain_compaction.py pins). The stored
+    (vec_id, sub, code) table is rebuilt in one
+    compact(transform=...) pass by
+    streaming/emb_ingest.py:pq_recode_at_compaction (survivor-seeded
+    codebook + full re-encode: the codes table is fully derivable, so
+    the rewrite IS the re-encode); the query then runs the
+    production-shaped ADC probe — pq_adc_topk over the STORED codes
+    (codes=..., no re-encode) with the rebuilt codebook — and the
+    oracle re-derives seeds, codebook, codes, LUT, and the top-5 in
+    SQL. No forgotten id can appear in any top-5 (the oracle's corpus
+    is survivors-only; query id 3 itself is a forgotten re-arrival
+    probing from outside the store).
+
+    100 TB: the re-encode is one broadcast codebook join + one
+    map-side-combinable max per (vector, subspace); the ADC scan
+    reads 4 bytes/vector."""
+    from dwh_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+    from dwh_spark.streaming.emb_ingest import pq_recode_at_compaction
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    day0_seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(8)
+    )
+    store = ParquetAppendLog(
+        os.path.join(tempfile.mkdtemp(prefix="dwh_pq_recode_"), "codes"),
+        write_partitions=1,
+    )
+    store.append(pq_encode(emb, pq_codebook(day0_seeds)), 0)
+    survivors = emb.filter(F.col("vec_id") % 10 != 3)
+    new_cb = pq_recode_at_compaction(spark, store, survivors)
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return pq_adc_topk(
+        survivors, queries, new_cb, k=5, codes=store.current(spark)
+    )

@@ -180,6 +180,47 @@ def retrain_cells_at_compaction(
     return centroids, n_cells
 
 
+def pq_recode_at_compaction(
+    spark: SparkSession,
+    codes_store: ParquetAppendLog,
+    survivor_vectors: DataFrame,
+    n_codes: int = 8,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """The PQ twin of :func:`retrain_cells_at_compaction` — and the
+    sharper forget case: a PQ codebook is not a blended aggregate
+    like an IVF centroid, it carries its seed vectors' subvector
+    slices VERBATIM, so a forgotten vector that seeded the codebook
+    survives in the trained artifact byte-for-byte until the codebook
+    is rebuilt (tests/test_retrain_compaction.py pins the leak and
+    its removal). Re-derives the codebook from the SURVIVORS
+    (md5-smallest ``n_codes``, the same deterministic seed rule as
+    the IVF family) and rewrites the stored (key, sub, code) table in
+    one ``compact(transform=...)`` pass — the codes table is fully
+    derivable from (survivors, codebook), so the rewrite is a
+    re-encode, and the anti-join forget of the codes rows rides the
+    same swap. ``survivor_vectors`` is the post-forget corpus frame
+    (PQ codes don't carry the raw vectors, so the re-encode reads the
+    corpus table — one broadcast codebook join, single shuffle on
+    ``key``). Returns the new codebook for subsequent ADC probes."""
+    from dwh_spark.operators.similarity import pq_codebook, pq_encode
+
+    seeds = (
+        survivor_vectors.select(key, vec)
+        .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
+        .limit(n_codes)
+    )
+    codebook = pq_codebook(seeds, vec=vec, key=key).localCheckpoint()
+    codes_store.compact(
+        spark,
+        transform=lambda _state: pq_encode(
+            survivor_vectors, codebook, vec=vec, key=key
+        ),
+    )
+    return codebook
+
+
 def read_semantic_ingest_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """All drained (vec_id, n_earlier_sem_dups) rows across batches."""
     return spark.read.option("basePath", out_dir).parquet(

@@ -171,6 +171,51 @@ def test_retrain_empty_store_raises(spark, tmp_path):
         retrain_cells_at_compaction(spark, store)
 
 
+def test_pq_codebook_leak_and_recode(spark, tmp_path):
+    """The PQ forget case is sharper than IVF: the codebook carries
+    its seed vectors' subvector slices VERBATIM. Forget a vector that
+    seeded the day-0 codebook: the old trained artifact still holds
+    its slices byte-for-byte (the leak, pinned), and
+    pq_recode_at_compaction removes it — survivor-seeded codebook,
+    store rewritten, pinned equal to a fresh encode over survivors."""
+    import hashlib
+
+    from dwh_spark.operators.similarity import pq_codebook, pq_encode
+    from dwh_spark.streaming.emb_ingest import pq_recode_at_compaction
+
+    ids = list(range(1, 21))
+    vec = lambda i: [float((i * 31 + d * 7) % 97) / 97.0 for d in range(64)]  # noqa: E731
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vec_id long, embedding array<float>"
+    )
+    md5_order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    fid = md5_order[0]  # the forgotten vector IS a day-0 seed
+    day0_seeds = (
+        corpus.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(8)
+    )
+    cb0 = pq_codebook(day0_seeds)
+    leaked = cb0.filter(F.col("code") == fid).orderBy("sub").collect()
+    assert [r["c_sub"] for r in leaked] == [
+        [pytest.approx(x) for x in vec(fid)[s * 16 : s * 16 + 16]]
+        for s in range(4)
+    ]
+    store = ParquetAppendLog(str(tmp_path / "codes"), write_partitions=1)
+    store.append(pq_encode(corpus, cb0), 0)
+    survivors = corpus.filter(F.col("vec_id") != fid)
+    new_cb = pq_recode_at_compaction(spark, store, survivors)
+    assert new_cb.filter(F.col("code") == fid).count() == 0
+    assert set(md5_order[1:9]) == {
+        r["code"] for r in new_cb.select("code").distinct().collect()
+    }
+    state = store.current(spark)
+    assert state.filter(F.col("vec_id") == fid).count() == 0
+    rebuilt = pq_encode(survivors, new_cb)
+    cols = ["vec_id", "sub", "code"]
+    assert {tuple(r) for r in state.select(cols).collect()} == {
+        tuple(r) for r in rebuilt.select(cols).collect()
+    }
+
+
 def test_retrain_without_forget_is_pure_recluster(spark, tmp_path):
     """No forget set: the compaction rewrite keeps every row and only
     re-derives cells from survivors==corpus — equal to the fresh
