@@ -46,9 +46,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # r10-verdict queries (two rounds past the window, VERDICT r14 item 1
 # names them) go FIRST, then the 50 r11-verdict queries oldest-first
 # (alphabetical within the uniform-age cohort). New round-15 queries
-# (never checked) lead, per priority (1). 94 stale + new > the ~50
-# budget: the r11 tail spills to round 16 by design (ordering keeps
-# the spill at the cohort's youngest end). Exact list matches
+# (never checked) lead, per priority (1) — seven of them this round,
+# so 7 + 94 stale > the ~50 budget: the whole r11 cohort and the
+# youngest one or two r10 entries spill to round 16 by design
+# (ordering keeps every spill at the stale set's youngest end). Exact list matches
 # tests/test_entry_contract.py's recomputation; regenerate with
 # scripts/rotate_check_first.py.
 _CHECK_FIRST = [

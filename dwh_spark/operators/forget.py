@@ -45,6 +45,14 @@ Scale: every op here is a broadcast hash join against the forget set
 (GDPR-sized: thousands, not billions — for a mass delete, rebuild) plus
 at most one aggregate over the FORGOTTEN items' own rows. Nothing
 shuffles the index.
+
+TRAINED artifacts (IVF centroids, PQ codebooks) keep reflecting
+forgotten data after the row forget — centroids as blended means, PQ
+codebooks as verbatim seed slices. Their rebuild is executable at the
+same compaction seam: ``streaming/emb_ingest.py:
+retrain_cells_at_compaction`` / ``pq_recode_at_compaction``, with the
+inertia TRIGGER (``operators/similarity.py:cell_inertia``) deciding
+when the rewrite is worth it.
 """
 
 from __future__ import annotations
