@@ -159,6 +159,16 @@ _CHECK_FIRST = [
     "streaming_audio_fp_ingest",
     "streaming_phash_ingest",
     "streaming_video_phash_ingest",
+    # -- code-touched this round but verified r14 (trailing overflow,
+    # -- policy priority 4): forget_with_df gained the df>0 filter,
+    # -- calibrate_cap gained the band guard, and the video cap fold
+    # -- reads current_cap(). (emb_pq_adc_topk and
+    # -- docs_corpus_ingest_delta were also code-touched but are
+    # -- already in the stale r10 cohort above.)
+    "av_audio_offset_forget_probe",
+    "docs_posting_forget_reprobe",
+    "av_audio_fp_cap_calibration",
+    "streaming_video_offset_cap_compaction",
 ]
 
 
