@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/rotate_check_first.py.
 _CHECK_FIRST = [
     # -- new round-15 queries: no driver verdict yet
+    "pipeline_unified_erasure_ledger",  # unified erasure capstone: one GDPR manifest, every index family
     "emb_semantic_retrain_compaction",  # executable centroid retrain at the compaction seam
     "pipeline_mixed_ingest_ledger",     # cross-modality capstone: mixed delta, one routed ledger
     "streaming_semantic_retrain_ingest",  # mid-stream forget + centroid retrain in a live fold

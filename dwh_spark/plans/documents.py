@@ -2566,9 +2566,11 @@ def docs_containment_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "docs_posting_forget_reprobe",
-    oracle=f"""
+# Factored as a module constant so the unified-erasure capstone
+# (plans/pipeline_extra.py:pipeline_unified_erasure_ledger) can embed
+# the identical derivation as a subquery — the same reuse discipline
+# as _DOCS_DELTA_ORACLE in the mixed-ingest capstone.
+_DOCS_FORGET_ORACLE = f"""
     WITH {_SHINGLES_CTE},
     surv AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 3),
     sdf AS (SELECT shingle, count(*) AS df FROM surv GROUP BY 1),
@@ -2599,8 +2601,10 @@ def docs_containment_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     JOIN sizes sz ON sz.doc_id = c.corpus_id
     WHERE greatest(round(CAST(n_common AS DOUBLE) / bs.n_n, 6),
                    round(CAST(n_common AS DOUBLE) / sz.n_c, 6)) >= 0.9
-    """,
-)
+    """
+
+
+@query("docs_posting_forget_reprobe", oracle=_DOCS_FORGET_ORACLE)
 def docs_posting_forget_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT-TO-BE-FORGOTTEN for the containment POSTING index
     (VERDICT r13 next #2, docs binding): build the with-df posting

@@ -1054,9 +1054,10 @@ def emb_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_semantic_forget_reprobe",
-    oracle=f"""
+# Factored as a module constant so the unified-erasure capstone
+# (plans/pipeline_extra.py:pipeline_unified_erasure_ledger) can embed
+# the identical derivation as a subquery.
+_EMB_FORGET_ORACLE = f"""
     WITH allv AS (
       SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
       FROM embeddings
@@ -1097,8 +1098,10 @@ def emb_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ncell n JOIN ccell c USING (cell)
     WHERE round({_DOT.format(a='n.embedding', b='c.embedding')}
                 / (sqrt(n.norm2) * sqrt(c.norm2)), 6) >= 0.1
-    """,
-)
+    """
+
+
+@query("emb_semantic_forget_reprobe", oracle=_EMB_FORGET_ORACLE)
 def emb_semantic_forget_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT-TO-BE-FORGOTTEN for the stored IVF index (VERDICT r13
     next #2, embedding binding — completes the deletion path across

@@ -1795,3 +1795,219 @@ def pipeline_mixed_ingest_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("global_id").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The UNIFIED ERASURE capstone — the deletion-side twin of
+# pipeline_mixed_ingest_ledger. Round 14 gave every stored index
+# family its forget binding (operators/forget.py) and round 15 made
+# the IVF retrain executable; this query runs ONE erasure manifest
+# (the %10==3 ids of every modality) through all four families —
+# containment posting index (docs), IVF cells (embeddings), H-K
+# subfingerprint lookup table (audio), per-frame dHash index + block
+# stats (video) — and emits one per-(family, arm) verification
+# ledger. The ledger pins, per family: the surviving match structure
+# (n_rows / id_sum / score_sum, ids in disjoint global bands) AND an
+# explicit ghost counter (n_ghost_hits: surviving rows whose partner
+# is a forgotten base id) that must be zero everywhere — one leftover
+# posting, cell row, word row, or frame row in ANY family surfaces
+# as a nonzero count plus an id_sum the survivor-corpus oracle
+# cannot produce.
+# ---------------------------------------------------------------------------
+
+# Global band discipline for erasure ledgers: doc/audio/video reuse
+# the mixed-ingest bands; embeddings get their own disjoint band.
+_ERASURE_OFFSETS = {
+    "doc": _MIXED_OFFSETS["doc"],
+    "emb": 500_000_000,
+    "audio": _MIXED_OFFSETS["audio"],
+    "video": _MIXED_OFFSETS["video"],
+}
+
+# A forgotten BASE id is a raw corpus id (< the +1e6 variant band)
+# with the %10==3 erasure mark — uniform across all four fixtures.
+_GHOST_SQL = "({id} % 10 = 3 AND {id} < 1000000)"
+
+
+def _erasure_ledger_oracle() -> str:
+    from dwh_spark.plans.av import (
+        _AV_AUDIO_FORGET_ORACLE,
+        _AV_VIDEO_FORGET_ORACLE,
+    )
+    from dwh_spark.plans.documents import _DOCS_FORGET_ORACLE
+    from dwh_spark.plans.embeddings import _EMB_FORGET_ORACLE
+
+    o = _ERASURE_OFFSETS
+    g = _GHOST_SQL
+    rearrival_arm = (
+        "CASE WHEN new_id < 2000000 THEN 'forgot_rearrival' "
+        "ELSE 'kept_rearrival' END"
+    )
+    return f"""
+    SELECT 'doc' AS family, {rearrival_arm} AS arm,
+           count(*) AS n_rows,
+           CAST(sum(new_id + {o['doc']} + corpus_id + {o['doc']}) AS BIGINT)
+               AS id_sum,
+           CAST(sum(CAST(round(cont_new_in_corpus * 1000000) AS BIGINT)
+                    + CAST(round(cont_corpus_in_new * 1000000) AS BIGINT))
+                AS BIGINT) AS score_sum,
+           CAST(sum(CASE WHEN {g.format(id='corpus_id')} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ghost_hits
+    FROM ( {_DOCS_FORGET_ORACLE} ) GROUP BY 2
+    UNION ALL
+    SELECT 'emb', {rearrival_arm},
+           count(*),
+           CAST(sum(new_id + {o['emb']} + corpus_id + {o['emb']}) AS BIGINT),
+           CAST(sum(CAST(round(cosine * 1000000) AS BIGINT)) AS BIGINT),
+           CAST(sum(CASE WHEN {g.format(id='corpus_id')} THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM ( {_EMB_FORGET_ORACLE} ) GROUP BY 2
+    UNION ALL
+    SELECT 'audio', arm,
+           count(*),
+           CAST(sum(id_a + {o['audio']} + id_b + {o['audio']}) AS BIGINT),
+           CAST(sum(n_matches) AS BIGINT),
+           CAST(sum(CASE WHEN {g.format(id='id_b')}
+                         OR (arm = 'pairs' AND {g.format(id='id_a')})
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM ( {_AV_AUDIO_FORGET_ORACLE} ) GROUP BY 2
+    UNION ALL
+    SELECT 'video', arm,
+           count(*),
+           CAST(sum(id_a + {o['video']} + id_b + {o['video']}) AS BIGINT),
+           CAST(sum(n_frames_matched * 1000 + total_hamming) AS BIGINT),
+           CAST(sum(CASE WHEN {g.format(id='id_b')}
+                         OR (arm = 'pairs' AND {g.format(id='id_a')})
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM ( {_AV_VIDEO_FORGET_ORACLE} ) GROUP BY 2
+    """
+
+
+def _ghost_col(col: str) -> F.Column:
+    return (F.col(col) % 10 == 3) & (F.col(col) < 1000000)
+
+
+def _rearrival_arm() -> F.Column:
+    return F.when(
+        F.col("new_id") < 2000000, "forgot_rearrival"
+    ).otherwise("kept_rearrival")
+
+
+@query("pipeline_unified_erasure_ledger", oracle=_erasure_ledger_oracle())
+def pipeline_unified_erasure_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE UNIFIED ERASURE CAPSTONE: one GDPR manifest (every
+    modality's %10==3 base ids), every stored index family, one
+    verification ledger. Each family runs its proven forget path —
+    docs: forget_posting_index then the capped containment reprobe
+    with the forget-maintained df LOAD-BEARING; embeddings:
+    forget_rows on the IVF cells then the cell-local re-arrival
+    probe; audio: forget_subfp_index (exact df decrement) then the
+    pairs vote + ghost re-probe; video: forget_frame_index +
+    shrink_block_df then the capped offset vote + ghost re-probe —
+    and the capstone reduces each to (family, arm, n_rows, id_sum,
+    score_sum, n_ghost_hits) with ids mapped into disjoint global
+    bands (``_ERASURE_OFFSETS``, the same discipline the ingest
+    capstone pins on arrival). n_ghost_hits counts surviving rows
+    whose partner id is a forgotten base — the oracle, which knows
+    only the survivor corpus, pins it to zero in every family while
+    the surviving near-dup structure (trimmed copies still pairing
+    with each other, kept re-arrivals at containment/cosine 1.0)
+    stays intact.
+
+    At 100 TB this is the compliance job a real lake runs: one
+    manifest fans out to per-family broadcast anti-joins (never a
+    corpus rescan — forget costs are O(forgotten + index), stated at
+    operators/forget.py:44-47), and the ledger is the auditor's
+    artifact proving both deletion (zero ghosts) and non-collateral
+    (survivors untouched). Each family's tiny aggregate is
+    localCheckpoint-ed before the next family builds — the AV
+    probes share the persist-rotation cache (plans/av.py:
+    _AV_CAPPED_CACHE), so audio's decode pass must be consumed
+    before video's construction rotates it out, exactly the
+    discipline mixed_ingest_manifest documents."""
+    from dwh_spark.plans.av import (
+        av_audio_offset_forget_probe,
+        av_video_offset_forget_probe,
+    )
+    from dwh_spark.plans.documents import docs_posting_forget_reprobe
+    from dwh_spark.plans.embeddings import emb_semantic_forget_reprobe
+
+    o = _ERASURE_OFFSETS
+    docs_led = (
+        docs_posting_forget_reprobe(spark, sf_dir)
+        .groupBy(_rearrival_arm().alias("arm"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.col("new_id") + o["doc"] + F.col("corpus_id") + o["doc"]
+            ).cast("long").alias("id_sum"),
+            F.sum(
+                F.round(F.col("cont_new_in_corpus") * 1000000).cast("long")
+                + F.round(F.col("cont_corpus_in_new") * 1000000).cast("long")
+            ).cast("long").alias("score_sum"),
+            F.sum(_ghost_col("corpus_id").cast("long")).alias("n_ghost_hits"),
+        )
+        .select(F.lit("doc").alias("family"), "*")
+        .localCheckpoint()
+    )
+    emb_led = (
+        emb_semantic_forget_reprobe(spark, sf_dir)
+        .groupBy(_rearrival_arm().alias("arm"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.col("new_id") + o["emb"] + F.col("corpus_id") + o["emb"]
+            ).cast("long").alias("id_sum"),
+            F.sum(F.round(F.col("cosine") * 1000000).cast("long"))
+            .cast("long").alias("score_sum"),
+            F.sum(_ghost_col("corpus_id").cast("long")).alias("n_ghost_hits"),
+        )
+        .select(F.lit("emb").alias("family"), "*")
+        .localCheckpoint()
+    )
+    audio_led = (
+        av_audio_offset_forget_probe(spark, sf_dir)
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.col("id_a") + o["audio"] + F.col("id_b") + o["audio"]
+            ).cast("long").alias("id_sum"),
+            F.sum("n_matches").cast("long").alias("score_sum"),
+            F.sum(
+                (
+                    _ghost_col("id_b")
+                    | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
+                ).cast("long")
+            ).alias("n_ghost_hits"),
+        )
+        .select(F.lit("audio").alias("family"), "*")
+        .localCheckpoint()
+    )
+    video_led = (
+        av_video_offset_forget_probe(spark, sf_dir)
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.col("id_a") + o["video"] + F.col("id_b") + o["video"]
+            ).cast("long").alias("id_sum"),
+            F.sum(
+                F.col("n_frames_matched") * 1000 + F.col("total_hamming")
+            ).cast("long").alias("score_sum"),
+            F.sum(
+                (
+                    _ghost_col("id_b")
+                    | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
+                ).cast("long")
+            ).alias("n_ghost_hits"),
+        )
+        .select(F.lit("video").alias("family"), "*")
+        .localCheckpoint()
+    )
+    out = docs_led
+    for part in (emb_led, audio_led, video_led):
+        out = out.unionByName(part)
+    return out
