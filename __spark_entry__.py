@@ -55,6 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # -- new round-15 queries: no driver verdict yet
     "pipeline_unified_erasure_ledger",  # unified erasure capstone: one GDPR manifest, every index family
+    "streaming_minhash_forget_ingest",  # mid-stream forget, docs binding (two-store rewrite)
+    "streaming_phash_forget_ingest",    # mid-stream forget, image binding
+    "streaming_video_offset_forget_ingest",  # mid-stream forget, video binding
     "emb_semantic_retrain_compaction",  # executable centroid retrain at the compaction seam
     "pipeline_mixed_ingest_ledger",     # cross-modality capstone: mixed delta, one routed ledger
     "streaming_semantic_retrain_ingest",  # mid-stream forget + centroid retrain in a live fold

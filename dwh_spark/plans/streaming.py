@@ -678,6 +678,166 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ingest_results(spark, out_dir)
 
 
+_MINHASH_FORGET_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id, doc_id AS src FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 20 = 3
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 20 = 7
+    ),
+    bt AS (
+      SELECT doc_id, ntile(3) OVER (ORDER BY doc_id) AS b FROM ids
+    ),
+    docs AS (
+      SELECT i.doc_id, string_split(d.text, ' ') AS s
+      FROM ids i JOIN documents d ON d.doc_id = i.src
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                   for i in range(1, len(s) - 1)])) AS shingle
+      FROM docs WHERE len(s) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seeds.seed,
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN bt ba ON ba.doc_id = a.doc_id
+      JOIN bt bb ON bb.doc_id = b.doc_id
+      WHERE NOT (a.doc_id % 20 = 3 AND a.doc_id < 1000000
+                 AND ba.b <= 2 AND bb.b = 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      GROUP BY c.id_a, c.id_b, sa.n_sh, sb.n_sh
+      HAVING CAST(count(*) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - count(*)) >= 0.7
+    )
+    SELECT id_b AS doc_id, count(*) AS n_earlier_dups
+    FROM verified GROUP BY 1
+    """
+
+
+@query(
+    "streaming_minhash_forget_ingest",
+    oracle=_MINHASH_FORGET_INGEST_ORACLE,
+)
+def streaming_minhash_forget_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MID-STREAM right-to-be-forgotten, DOCS binding — the TWO-STORE
+    case the audio/video twins don't exercise: the minhash fold keeps
+    band rows AND the raw doc texts (for Jaccard verification) as
+    separate append logs, so a GDPR erasure must rewrite BOTH.
+    Between batches 2 and 3 the maintenance hook compacts the band
+    store minus the %20==3 docs (operators/forget.py:
+    forget_band_index) and then the doc store (forget_rows) — in that
+    order, the leak-safe one: the two compactions are not jointly
+    atomic, and a reader between them sees bands-gone-texts-present,
+    where no candidate can form and no forgotten text can surface;
+    the reverse order would leave live bands pointing at erased
+    texts. The documents fixture plants no organic cross-batch
+    near-dups of the %20==3 cohort, so the stream carries VERBATIM
+    RE-ARRIVALS ordered last (+1,000,000 copies of the forgotten
+    %20==3 docs, +2,000,000 copies of kept %20==7 docs — the
+    reprobe-fixture discipline of docs_posting_forget_reprobe): the
+    forgotten originals' copies find NOTHING, kept originals' copies
+    flag them at Jaccard 1.0, and a %20==3 doc first arriving in
+    batch 3 indexes normally and IS found by its copy (point-in-time
+    rewrite, not a standing exclusion — semantics stated at the
+    audio twin). The oracle reruns the full minhash/banding/Jaccard
+    chain over the union and excludes exactly the
+    (forgotten-seen-before-batch-3, batch-3-partner) candidate
+    pairs."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.forget import forget_band_index, forget_rows
+    from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fids = base.filter(F.col("doc_id") % 20 == 3).select("doc_id")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 20 == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") % 20 == 7).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="dwh_mh_forget_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
+    docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+
+    def maint(batch_id: int) -> None:
+        # the GDPR request lands after the second batch commits;
+        # bands first (leak-safe order, see docstring)
+        if batch_id == 1:
+            bands_store.compact(
+                spark, transform=lambda df: forget_band_index(df, fids)
+            )
+            docs_store.compact(
+                spark, transform=lambda df: forget_rows(df, fids, "doc_id")
+            )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_minhash_ingest(
+        stream,
+        bands_store,
+        docs_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        maintenance=maint,
+    )
+    return read_ingest_results(spark, out_dir)
+
+
 def _semantic_ingest_oracle() -> str:
     from dwh_spark.plans.embeddings import _DOT, _NORM2
 
@@ -870,6 +1030,133 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(input_dir)
     )
     run_phash_ingest(stream, index_store, out_dir, os.path.join(root, "ckpt"))
+    return read_phash_ingest_results(spark, out_dir)
+
+
+_PHASH_FORGET_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS image_id, doc_id AS base, 0 AS edit FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 4
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 6
+    ),
+    bt AS (
+      SELECT image_id, ntile(3) OVER (ORDER BY image_id) AS b FROM ids
+    ),
+    cells AS (
+      SELECT i.image_id, g.r, g.c,
+             ((('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.image_id,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.image_id = b1.image_id
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1
+    )
+    SELECT h1.image_id, count(*) AS n_earlier_pdups
+    FROM hashes h1
+    JOIN hashes h2 ON h2.image_id < h1.image_id
+    JOIN bt t1 ON t1.image_id = h1.image_id
+    JOIN bt t2 ON t2.image_id = h2.image_id
+    WHERE bit_count(xor(h1.h, h2.h)) <= 3
+      AND NOT (h2.image_id % 20 = 4 AND h2.image_id < 1000000
+               AND t2.b <= 2 AND t1.b = 3)
+    GROUP BY 1
+    """
+
+
+@query(
+    "streaming_phash_forget_ingest",
+    oracle=_PHASH_FORGET_INGEST_ORACLE,
+)
+def streaming_phash_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-STREAM right-to-be-forgotten, IMAGE binding — with the
+    docs, audio, and video twins this closes the mid-stream forget
+    matrix: every streaming fold family (minhash band index, dHash
+    fingerprint index, H-K lookup table, per-frame offset index,
+    semantic IVF cells) now composes with the compaction-seam
+    history rewrite. The perceptual fixture already plants the
+    cross-batch structure the proof needs — the +1,000,000 BMP
+    re-encodes of %10==4 bases and +2,000,000 one-cell-edit GIFs of
+    %10==6 bases all arrive in batch 3 behind their originals — so
+    forgetting the %20==4 bases between batches 2 and 3
+    (``ParquetAppendLog.compact(transform=forget_rows)``) means:
+    their batch-3 re-encodes find NOTHING; the kept %10==4 cohort's
+    re-encodes and every %10==6 edit copy still flag their
+    originals; and a %20==4 base first arriving in batch 3 indexes
+    post-forget and IS found (point-in-time rewrite, not a standing
+    exclusion — semantics stated at the audio twin). The oracle
+    re-derives every dHash, reproduces the ntile split, and excludes
+    exactly the (forgotten-base-seen-before-batch-3, batch-3-partner)
+    pairs."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.forget import forget_rows
+    from dwh_spark.plans.images import _phash_fixture_images
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_phash_ingest_results,
+        run_phash_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    images = _phash_fixture_images(docs, base=True, variants=True)
+    fids = docs.filter(F.col("doc_id") % 20 == 4).select(
+        F.col("doc_id").alias("image_id")
+    )
+
+    root = tempfile.mkdtemp(prefix="dwh_phash_forget_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = images.withColumn("__slice", F.ntile(3).over(Window.orderBy("image_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+
+    def maint(batch_id: int) -> None:
+        # the GDPR request lands after the second batch commits
+        if batch_id == 1:
+            index_store.compact(
+                spark,
+                transform=lambda df: forget_rows(df, fids, "image_id"),
+            )
+
+    stream = (
+        spark.readStream.schema(images.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_phash_ingest(
+        stream,
+        index_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        maintenance=maint,
+    )
     return read_phash_ingest_results(spark, out_dir)
 
 
@@ -1751,6 +2038,147 @@ def streaming_audio_offset_forget_ingest(
         maintenance=maint,
     )
     return read_audio_offset_ingest_results(spark, out_dir)
+
+
+_VIDEO_OFFSET_FORGET_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS video_id, doc_id AS base, 0 AS drop_head, 0 AS edit
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 1, 0 FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1, 1 FROM documents WHERE doc_id % 10 = 7
+    ),
+    bt AS (
+      SELECT video_id, ntile(3) OVER (ORDER BY video_id) AS b FROM ids
+    ),
+    cells AS (
+      SELECT i.video_id, f.f - i.drop_head AS f, g.r, g.c,
+             ((('0x' || substr(md5('voff:' || CAST(i.base AS VARCHAR) || ':'
+                                  || CAST(f.f AS VARCHAR) || ':' || g.r
+                                  || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND f.f = 2 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT unnest(range(0, 5)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+      WHERE f.f >= i.drop_head
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.f,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    ),
+    hb AS (
+      SELECT h.video_id, h.f, h.h, bt.b
+      FROM hashes h JOIN bt ON bt.video_id = h.video_id
+    ),
+    offset_pairs AS (
+      SELECT a.video_id AS id_a, b.video_id AS id_b
+      FROM hb a JOIN hb b ON a.video_id < b.video_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+        AND NOT (a.video_id % 20 = 3 AND a.video_id < 1000000
+                 AND a.b <= 2 AND b.b = 3)
+      GROUP BY a.video_id, b.video_id, (b.f - a.f)
+      HAVING count(*) >= 3
+    ),
+    partners AS (SELECT DISTINCT id_a, id_b FROM offset_pairs)
+    SELECT id_b AS video_id, count(*) AS n_earlier_ovdups
+    FROM partners GROUP BY 1
+    """
+
+
+@query(
+    "streaming_video_offset_forget_ingest",
+    oracle=_VIDEO_OFFSET_FORGET_INGEST_ORACLE,
+)
+def streaming_video_offset_forget_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MID-STREAM right-to-be-forgotten, VIDEO binding — completes the
+    mid-stream forget matrix for the offset family (audio =
+    streaming_audio_offset_forget_ingest, embeddings =
+    streaming_semantic_retrain_ingest): the offset-tolerant video
+    fold runs over the head-drop/edit corpus, and BETWEEN batches 2
+    and 3 the maintenance hook rewrites the stored per-frame index
+    minus the %20==3 base videos
+    (``ParquetAppendLog.compact(transform=forget_frame_index)`` — the
+    same atomic history-rewrite point; readers see pre- or post-forget
+    state, never a mix, and the high-water replay guard is untouched).
+    Batch 3 carries every planted copy: head-dropped copies of
+    FORGOTTEN bases that arrived before the forget find nothing;
+    copies of kept bases still flag them; and a %20==3 base that only
+    ARRIVES in batch 3 indexes normally and is found by its copy —
+    point-in-time history rewrite, not a standing exclusion (both
+    semantics stated at the audio twin). The oracle re-derives every
+    dHash from doc_id arithmetic, reproduces the ntile batch split,
+    and excludes exactly the (forgotten-base-seen-before-batch-3,
+    batch-3-partner) pairs."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.operators.forget import forget_frame_index
+    from dwh_spark.plans.av import _video_offset_fixture
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.phash_ingest import (
+        read_video_offset_ingest_results,
+        run_video_offset_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    vids = _video_offset_fixture(docs, base=True, variants=True)
+    fids = docs.filter(F.col("doc_id") % 20 == 3).select(
+        F.col("doc_id").alias("video_id")
+    )
+
+    root = tempfile.mkdtemp(prefix="dwh_video_offset_forget_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = vids.withColumn("__slice", F.ntile(3).over(Window.orderBy("video_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+
+    def maint(batch_id: int) -> None:
+        # the GDPR request lands after the second batch commits
+        if batch_id == 1:
+            index_store.compact(
+                spark,
+                transform=lambda df: forget_frame_index(df, fids),
+            )
+
+    stream = (
+        spark.readStream.schema(vids.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_video_offset_ingest(
+        stream,
+        index_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        min_frames=3,
+        maintenance=maint,
+    )
+    return read_video_offset_ingest_results(spark, out_dir)
 
 
 _VIDEO_OFFSET_CAP_COMPACTION_ORACLE = """
