@@ -1372,7 +1372,11 @@ def docs_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     bucket-bounded operators the single-detector queries certify
     (LSH bands / pigeonhole blocks / inverted index), unioned and
     compared with ONE extra pair-keyed aggregate — agreement costs
-    nothing beyond the detectors themselves."""
+    nothing beyond the detectors themselves. The tagged pair set is
+    localCheckpoint-ed before the pair-keyed aggregate: the output
+    DAG references it twice (per_pair derives from it AND joins back
+    to it), so without the checkpoint every detector runs twice per
+    execution — the 2x cost the r15 bench drift traced here."""
     docs = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
     mh = D.minhash_near_duplicates(docs, threshold=0.7).select("id_a", "id_b")
     sim = D.simhash_near_duplicates_rotated(
@@ -1384,6 +1388,7 @@ def docs_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(sim.withColumn("detector", F.lit("simhash")))
         .unionByName(ct.withColumn("detector", F.lit("containment")))
         .distinct()
+        .localCheckpoint()
     )
     per_pair = tagged.groupBy("id_a", "id_b").agg(
         F.max(F.when(F.col("detector") == "minhash", 1).otherwise(0)).alias("in_mh"),
