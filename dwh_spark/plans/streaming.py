@@ -838,6 +838,156 @@ def streaming_minhash_forget_ingest(
     return read_ingest_results(spark, out_dir)
 
 
+_MINHASH_TTL_INGEST_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id, doc_id AS src FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 20 = 5
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 20 = 9
+    ),
+    bt AS (
+      SELECT doc_id, ntile(3) OVER (ORDER BY doc_id) AS b FROM ids
+    ),
+    docs AS (
+      SELECT i.doc_id, string_split(d.text, ' ') AS s
+      FROM ids i JOIN documents d ON d.doc_id = i.src
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                   for i in range(1, len(s) - 1)])) AS shingle
+      FROM docs WHERE len(s) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 288230376151711744 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seeds.seed,
+             min((h1 + seeds.seed * h2) & 1152921504606846975) AS minhash
+      FROM hashed, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN bt ba ON ba.doc_id = a.doc_id
+      JOIN bt bb ON bb.doc_id = b.doc_id
+      WHERE NOT (ba.b = 1 AND bb.b = 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      GROUP BY c.id_a, c.id_b, sa.n_sh, sb.n_sh
+      HAVING CAST(count(*) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - count(*)) >= 0.7
+    )
+    SELECT id_b AS doc_id, count(*) AS n_earlier_dups
+    FROM verified GROUP BY 1
+    """
+
+
+@query(
+    "streaming_minhash_ttl_ingest",
+    oracle=_MINHASH_TTL_INGEST_ORACLE,
+)
+def streaming_minhash_ttl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION/TTL on a live fold — the time-based twin of the
+    mid-stream forget family, promoting ``ParquetAppendLog.expire``
+    (the sliding-horizon retention bound for grow-forever state,
+    previously only unit-tested) to a driver-gated query: after
+    batch 2 commits, BOTH minhash stores age out their batch-1
+    segments (``expire(keep_from=1)`` on the band index and the doc
+    texts — manifest-atomic segment drops, no data rewrite, and
+    ``last_committed`` stays put so the replay guard keeps rejecting
+    already-folded batches even after their data ages). Batch 3 then
+    probes only the surviving horizon: verbatim re-arrivals ordered
+    last (+1,000,000 copies of %20==5 docs, +2,000,000 of %20==9)
+    make the trade concrete — a copy whose original sits in the aged
+    batch 1 finds NOTHING (the sliding-horizon under-detection a
+    deployment accepts by choosing retention: "near-dup only against
+    the last N ingest days"), while a copy of a batch-2/3 original
+    still flags it at Jaccard 1.0. Unlike the forget family the
+    horizon drops EVERY batch-1 doc, so the oracle's exclusion
+    carries no id cohort: exactly the (batch-1-earlier,
+    batch-3-later) candidate pairs disappear; probes emitted in
+    batches 1-2 keep their full earlier corpus (emitted before
+    expiry). Expiry cost is O(manifest) — segment dirs drop out of
+    the manifest and are GC'd; at 100 TB this is the partition-drop
+    retention every table format ships, composed here with a live
+    fold under the replay guard."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 20 == 5).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") % 20 == 9).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="dwh_mh_ttl_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
+    docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+
+    def maint(batch_id: int) -> None:
+        # the retention horizon advances after the second batch commits
+        if batch_id == 1:
+            bands_store.expire(keep_from=1)
+            docs_store.expire(keep_from=1)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_minhash_ingest(
+        stream,
+        bands_store,
+        docs_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        maintenance=maint,
+    )
+    return read_ingest_results(spark, out_dir)
+
+
 def _semantic_ingest_oracle() -> str:
     from dwh_spark.plans.embeddings import _DOT, _NORM2
 

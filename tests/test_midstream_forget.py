@@ -1,12 +1,13 @@
-"""Non-vacuity pins for the mid-stream forget queries.
+"""Non-vacuity pins for the mid-stream history-rewrite queries
+(forget AND retention/TTL).
 
-Each streaming forget query's oracle excludes exactly the
-(forgotten-seen-before-batch-3, batch-3-partner) pairs. Oracle parity
-proves Spark == oracle; these tests prove the exclusion BITES — the
-forget oracle differs from the same chain without the exclusion — so
-a future fixture change can't silently turn any of the four bindings
-into a no-op that parity would still wave through. Pure DuckDB, no
-Spark session.
+Each such query's oracle excludes exactly the (rewritten-away-earlier,
+batch-3-partner) pairs — an id cohort for the forget family, the whole
+batch-1 horizon for TTL. Oracle parity proves Spark == oracle; these
+tests prove the exclusion BITES — the rewrite oracle differs from the
+same chain without the exclusion — so a future fixture change can't
+silently turn any binding into a no-op that parity would still wave
+through. Pure DuckDB, no Spark session.
 """
 
 import glob
@@ -18,6 +19,7 @@ import pytest
 from dwh_spark.plans.streaming import (
     _AUDIO_OFFSET_FORGET_INGEST_ORACLE,
     _MINHASH_FORGET_INGEST_ORACLE,
+    _MINHASH_TTL_INGEST_ORACLE,
     _PHASH_FORGET_INGEST_ORACLE,
     _VIDEO_OFFSET_FORGET_INGEST_ORACLE,
 )
@@ -47,6 +49,10 @@ _CASES = {
         _VIDEO_OFFSET_FORGET_INGEST_ORACLE,
         """AND NOT (a.video_id % 20 = 3 AND a.video_id < 1000000
                  AND a.b <= 2 AND b.b = 3)""",
+    ),
+    "minhash_ttl": (
+        _MINHASH_TTL_INGEST_ORACLE,
+        "WHERE NOT (ba.b = 1 AND bb.b = 3)",
     ),
 }
 
