@@ -1729,3 +1729,210 @@ def imgs_phash_capped_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches.select(
         "batch_id", "index_id", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# RIGHT-TO-BE-FORGOTTEN for the image dHash index (round 15): the
+# image binding of the batch forget family — operators/forget.py's
+# forget_rows + shrink_simhash_block_df had unit tests but no
+# oracle-gated probe query; this closes the asymmetry and lets the
+# unified erasure capstone carry an 'image' family row.
+# ---------------------------------------------------------------------------
+
+
+def _imgs_forget_fixture(docs, base: bool, variants: bool):
+    """Fixture for the right-to-be-forgotten image query: per doc a
+    REAL 8x8 two-tone PNG with md5-seeded cells (seed prefix 'ifg:'
+    decorrelates from every other image fixture); for doc_id%10==3 a
+    TRIO — the base plus a pixel-identical 2x-upscaled BMP re-encode
+    (id +3,000,000, hamming 0) AND a one-cell-edited PNG
+    (id +1,000,000, hamming <= 2) — so after the base is forgotten
+    its two copies still pair with EACH OTHER (re-encode vs edit is
+    the same <= 2-bit hamming) while nothing matches the forgotten
+    base itself."""
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from dwh_spark.multimodal import codecs
+
+        def grid(b: int, flip: bool) -> "_np.ndarray":
+            g = _np.empty((8, 8), _np.uint8)
+            for r in range(8):
+                for c in range(8):
+                    g[r, c] = (
+                        int(
+                            _hashlib.md5(
+                                f"ifg:{b}:{r}:{c}".encode()
+                            ).hexdigest()[0],
+                            16,
+                        )
+                        % 2
+                    )
+            if flip:
+                g[b % 8, (b // 8) % 8] ^= 1
+            rgb = _np.where(g[:, :, None] == 1, 200, 50).astype(_np.uint8)
+            return _np.repeat(rgb, 3, axis=2)
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base_img = grid(d, flip=False)
+                if base:
+                    out.append((d, codecs.png_encode(base_img)))
+                if variants and d % 10 == 3:
+                    up2 = base_img.repeat(2, axis=0).repeat(2, axis=1)
+                    out.append((d + 3000000, codecs.bmp_encode(up2)))
+                    out.append((d + 1000000, codecs.png_encode(grid(d, flip=True))))
+            yield _pd.DataFrame(out, columns=["image_id", "content"])
+
+    return docs.mapInPandas(gen, "image_id long, content binary").withColumn(
+        "format", sniff_format(F.col("content"))
+    )
+
+
+_IMGS_FORGET_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS image_id, doc_id AS base, 0 AS edit, 0 AS is_ghost
+      FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id + 3000000, doc_id, 0, 0 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1, 0 FROM documents
+      WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, doc_id, 0, 1 FROM documents WHERE doc_id % 10 = 3
+    ),
+    cells AS (
+      SELECT i.image_id, i.is_ghost, g.r, g.c,
+             ((('0x' || substr(md5('ifg:' || CAST(i.base AS VARCHAR) || ':'
+                                  || g.r || ':' || g.c), 1, 1))::INT
+               + CASE WHEN i.edit = 1 AND g.r = i.base % 8
+                       AND g.c = (i.base // 8) % 8 THEN 1 ELSE 0 END)
+              % 2) AS b
+      FROM ids i,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.image_id, b1.is_ghost,
+             CAST(sum(CASE WHEN b2.b = 1 AND b1.b = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.image_id = b1.image_id
+                   AND b2.is_ghost = b1.is_ghost
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+    )
+    SELECT 'pairs' AS arm, a.image_id AS id_a, b.image_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b
+      ON a.image_id < b.image_id AND a.is_ghost = 0 AND b.is_ghost = 0
+     AND bit_count(xor(a.h, b.h)) <= 3
+    UNION ALL
+    SELECT 'ghost_probe', g.image_id, x.image_id,
+           CAST(bit_count(xor(g.h, x.h)) AS BIGINT)
+    FROM hashes g JOIN hashes x
+      ON g.is_ghost = 1 AND x.is_ghost = 0
+     AND bit_count(xor(g.h, x.h)) <= 3
+    """
+
+
+@query("imgs_phash_forget_probe", oracle=_IMGS_FORGET_ORACLE)
+def imgs_phash_forget_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN for the image dHash index — the image
+    binding of the batch forget family (audio H-K table, video frame
+    index, docs posting index, IVF cells all gained theirs in r14;
+    the image operators forget_rows + shrink_simhash_block_df were
+    unit-pinned equal to rebuild but had no oracle-gated probe).
+    Build the (image_id, dhash) index and its bounded (i, val, df)
+    block-stats over the full corpus (every doc; %10==3 docs have a
+    pixel-identical re-encode AND a one-cell-edit copy), FORGET the
+    %10==3 base images (one broadcast anti-join) and SHRINK the
+    stats by the forgotten images' own block partials, then run two
+    oracle-enforced arms with the SHRUNK stats on the guard path
+    (cap 500 — the 2^14-space calibration, non-binding on this
+    md5-uniform corpus exactly like the video twin):
+
+    - 'pairs': the pigeonhole blocked join over the SURVIVING index —
+      the forgotten base pairs with nothing, while its re-encode and
+      edit copies still pair with each other at hamming <= 2;
+    - 'ghost_probe': the forgotten images' own fingerprints probed
+      back against the post-forget index (the re-ingest scenario) —
+      they hit ONLY the surviving copies (hamming 0 / <= 2), never
+      the forgotten id; one leftover index row would add a row the
+      survivor-corpus oracle cannot have.
+
+    One decode pass feeds the stats build, the forget split (semi +
+    anti), both arms (persist-rotation discipline, pop-before-persist).
+    Durability note as the twins: the same anti-join runs as
+    ``ParquetAppendLog.compact(transform=...)``."""
+    from dwh_spark.multimodal.perceptual import DHASH_BITS, dhash_frame
+    from dwh_spark.operators.dedup import (
+        simhash_block_df,
+        simhash_blocked_pairs,
+        simhash_blocked_probe,
+    )
+    from dwh_spark.operators.forget import forget_rows, shrink_simhash_block_df
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32)
+    )
+    while _IMGS_CORPUS_CACHE:
+        _IMGS_CORPUS_CACHE.pop().unpersist()
+    sh = (
+        dhash_frame(_imgs_forget_fixture(docs, base=True, variants=True))
+        .select("image_id", F.col("dhash").alias("simhash"))
+        .persist()
+    )
+    _IMGS_CORPUS_CACHE.append(sh)
+    n_blocks = 4
+    block_bits = DHASH_BITS // n_blocks
+    stats = simhash_block_df(sh, n_blocks=n_blocks, block_bits=block_bits)
+    fids = docs.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("image_id")
+    )
+    dead = sh.join(F.broadcast(fids), "image_id", "left_semi")
+    kept = forget_rows(sh, fids, key="image_id")
+    shrunk = shrink_simhash_block_df(
+        stats, dead, n_blocks=n_blocks, block_bits=block_bits
+    )
+    pairs = simhash_blocked_pairs(
+        kept,
+        key="image_id",
+        n_blocks=n_blocks,
+        block_bits=block_bits,
+        max_hamming=3,
+        max_block_freq=500,
+        block_df=shrunk,
+    ).select(
+        F.lit("pairs").alias("arm"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+    ghost = simhash_blocked_probe(
+        kept,
+        dead,
+        key="image_id",
+        n_blocks=n_blocks,
+        block_bits=block_bits,
+        max_hamming=3,
+        max_block_freq=500,
+        block_df=shrunk,
+    ).select(
+        F.lit("ghost_probe").alias("arm"),
+        F.col("batch_id").alias("id_a"),
+        F.col("index_id").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+    return pairs.unionByName(ghost)

@@ -1802,10 +1802,11 @@ def pipeline_mixed_ingest_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline_mixed_ingest_ledger. Round 14 gave every stored index
 # family its forget binding (operators/forget.py) and round 15 made
 # the IVF retrain executable; this query runs ONE erasure manifest
-# (the %10==3 ids of every modality) through all four families —
-# containment posting index (docs), IVF cells (embeddings), H-K
-# subfingerprint lookup table (audio), per-frame dHash index + block
-# stats (video) — and emits one per-(family, arm) verification
+# (the %10==3 ids of every modality) through all five families —
+# containment posting index (docs), IVF cells (embeddings), dHash
+# index + simhash block stats (image), H-K subfingerprint lookup
+# table (audio), per-frame dHash index + block stats (video) — and
+# emits one per-(family, arm) verification
 # ledger. The ledger pins, per family: the surviving match structure
 # (n_rows / id_sum / score_sum, ids in disjoint global bands) AND an
 # explicit ghost counter (n_ghost_hits: surviving rows whose partner
@@ -1820,6 +1821,7 @@ def pipeline_mixed_ingest_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ERASURE_OFFSETS = {
     "doc": _MIXED_OFFSETS["doc"],
     "emb": 500_000_000,
+    "image": _MIXED_OFFSETS["image"],
     "audio": _MIXED_OFFSETS["audio"],
     "video": _MIXED_OFFSETS["video"],
 }
@@ -1836,6 +1838,7 @@ def _erasure_ledger_oracle() -> str:
     )
     from dwh_spark.plans.documents import _DOCS_FORGET_ORACLE
     from dwh_spark.plans.embeddings import _EMB_FORGET_ORACLE
+    from dwh_spark.plans.images import _IMGS_FORGET_ORACLE
 
     o = _ERASURE_OFFSETS
     g = _GHOST_SQL
@@ -1862,6 +1865,15 @@ def _erasure_ledger_oracle() -> str:
            CAST(sum(CASE WHEN {g.format(id='corpus_id')} THEN 1 ELSE 0 END)
                 AS BIGINT)
     FROM ( {_EMB_FORGET_ORACLE} ) GROUP BY 2
+    UNION ALL
+    SELECT 'image', arm,
+           count(*),
+           CAST(sum(id_a + {o['image']} + id_b + {o['image']}) AS BIGINT),
+           CAST(sum(hamming) AS BIGINT),
+           CAST(sum(CASE WHEN {g.format(id='id_b')}
+                         OR (arm = 'pairs' AND {g.format(id='id_a')})
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM ( {_IMGS_FORGET_ORACLE} ) GROUP BY 2
     UNION ALL
     SELECT 'audio', arm,
            count(*),
@@ -1903,7 +1915,9 @@ def pipeline_unified_erasure_ledger(
     docs: forget_posting_index then the capped containment reprobe
     with the forget-maintained df LOAD-BEARING; embeddings:
     forget_rows on the IVF cells then the cell-local re-arrival
-    probe; audio: forget_subfp_index (exact df decrement) then the
+    probe; image: forget_rows on the dHash index +
+    shrink_simhash_block_df then the blocked pairs + ghost re-probe;
+    audio: forget_subfp_index (exact df decrement) then the
     pairs vote + ghost re-probe; video: forget_frame_index +
     shrink_block_df then the capped offset vote + ghost re-probe —
     and the capstone reduces each to (family, arm, n_rows, id_sum,
@@ -1933,6 +1947,7 @@ def pipeline_unified_erasure_ledger(
     )
     from dwh_spark.plans.documents import docs_posting_forget_reprobe
     from dwh_spark.plans.embeddings import emb_semantic_forget_reprobe
+    from dwh_spark.plans.images import imgs_phash_forget_probe
 
     o = _ERASURE_OFFSETS
     docs_led = (
@@ -1965,6 +1980,25 @@ def pipeline_unified_erasure_ledger(
             F.sum(_ghost_col("corpus_id").cast("long")).alias("n_ghost_hits"),
         )
         .select(F.lit("emb").alias("family"), "*")
+        .localCheckpoint()
+    )
+    image_led = (
+        imgs_phash_forget_probe(spark, sf_dir)
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.col("id_a") + o["image"] + F.col("id_b") + o["image"]
+            ).cast("long").alias("id_sum"),
+            F.sum("hamming").cast("long").alias("score_sum"),
+            F.sum(
+                (
+                    _ghost_col("id_b")
+                    | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
+                ).cast("long")
+            ).alias("n_ghost_hits"),
+        )
+        .select(F.lit("image").alias("family"), "*")
         .localCheckpoint()
     )
     audio_led = (
@@ -2008,6 +2042,6 @@ def pipeline_unified_erasure_ledger(
         .localCheckpoint()
     )
     out = docs_led
-    for part in (emb_led, audio_led, video_led):
+    for part in (emb_led, image_led, audio_led, video_led):
         out = out.unionByName(part)
     return out

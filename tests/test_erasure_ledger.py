@@ -35,6 +35,7 @@ def test_every_family_reports_and_no_ghosts(spark):
         by_fam.setdefault(r["family"], set()).add(r["arm"])
     assert by_fam["doc"] == {"forgot_rearrival", "kept_rearrival"}
     assert by_fam["emb"] == {"forgot_rearrival", "kept_rearrival"}
+    assert by_fam["image"] == {"pairs", "ghost_probe"}
     assert by_fam["audio"] == {"pairs", "ghost_probe"}
     assert by_fam["video"] == {"pairs", "ghost_probe"}
     # non-collateral: every arm still carries surviving matches (kept
