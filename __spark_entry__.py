@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "streaming_video_offset_forget_ingest",  # mid-stream forget, video binding
     "streaming_minhash_ttl_ingest",     # retention/TTL horizon on a live fold
     "imgs_phash_forget_probe",          # image binding of the batch forget family
+    "streaming_minhash_ttl_compact_ingest",  # the compact+expire straddle over-approximation
     "emb_semantic_retrain_compaction",  # executable centroid retrain at the compaction seam
     "pipeline_mixed_ingest_ledger",     # cross-modality capstone: mixed delta, one routed ledger
     "streaming_semantic_retrain_ingest",  # mid-stream forget + centroid retrain in a live fold

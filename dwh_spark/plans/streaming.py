@@ -988,6 +988,106 @@ def streaming_minhash_ttl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ingest_results(spark, out_dir)
 
 
+# The compact+expire STRADDLE: merging batches 0-1 before the horizon
+# advances leaves one segment covering [0,1]; expire(keep_from=1)
+# keeps it WHOLE (its max is inside the horizon), so batch-0 data
+# remains visible — the documented bounded over-approximation
+# (streaming/ingest.py:ParquetAppendLog.expire). The oracle is
+# therefore EXACTLY the TTL chain with its exclusion removed — the
+# derivation below makes that relationship executable, and the
+# module-level assert keeps the two oracles from drifting apart.
+_TTL_EXCLUSION = "WHERE NOT (ba.b = 1 AND bb.b = 3)"
+assert _TTL_EXCLUSION in _MINHASH_TTL_INGEST_ORACLE
+_MINHASH_TTL_COMPACT_INGEST_ORACLE = _MINHASH_TTL_INGEST_ORACLE.replace(
+    _TTL_EXCLUSION, ""
+)
+
+
+@query(
+    "streaming_minhash_ttl_compact_ingest",
+    oracle=_MINHASH_TTL_COMPACT_INGEST_ORACLE,
+)
+def streaming_minhash_ttl_compact_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The compact+expire STRADDLE made driver-gated — the one stated
+    retention trade ``expire``'s docstring leaves as prose: under
+    "compact, then advance the horizon", a merged segment covering
+    [0, 1] straddles ``keep_from=1`` and is kept WHOLE, so batch-0
+    data stays visible to batch 3 — retention becomes a bounded
+    over-approximation until the merged range ages out entirely.
+    Identical fixture and maintenance window as
+    ``streaming_minhash_ttl_ingest``, with one change: both stores
+    COMPACT before the horizon advances. The oracle is the TTL chain
+    with its exclusion removed (derived by construction in source, a
+    module assert pinning the relationship): every batch-1 partner
+    the plain TTL query dropped comes back — tests/
+    test_midstream_forget.py pins the two queries' oracles apart, so
+    the straddle is provably behavioral, not a copy of either
+    neighbor. The bound is the point: under "expire every batch,
+    compact every K" each merged range spans <= K+horizon batches, so
+    the over-approximation is K batches of extra visibility, never
+    grow-forever (stated at ingest.py:expire)."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 20 == 5).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") % 20 == 9).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="dwh_mh_ttl_cmp_ingest_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
+    docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+
+    def maint(batch_id: int) -> None:
+        # OPTIMIZE runs first, then the horizon advances: the merged
+        # [0,1] segment straddles keep_from=1 and survives whole
+        if batch_id == 1:
+            bands_store.compact(spark)
+            docs_store.compact(spark)
+            bands_store.expire(keep_from=1)
+            docs_store.expire(keep_from=1)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_minhash_ingest(
+        stream,
+        bands_store,
+        docs_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        maintenance=maint,
+    )
+    return read_ingest_results(spark, out_dir)
+
+
 def _semantic_ingest_oracle() -> str:
     from dwh_spark.plans.embeddings import _DOT, _NORM2
 

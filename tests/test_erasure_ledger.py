@@ -44,6 +44,48 @@ def test_every_family_reports_and_no_ghosts(spark):
     assert all(r["n_rows"] > 0 for r in rows), rows
 
 
+def test_ghost_counter_detects_a_leaked_row(spark):
+    """The ledger's value rests on 'one leftover index row would
+    surface as a nonzero ghost counter' — prove the detector fires,
+    not just that it reports zeros on correct forgets: run the image
+    family's arm with an INCOMPLETE forget (one marked id left in the
+    index) and assert the same ghost expression the ledger uses goes
+    positive on exactly that id."""
+    from pyspark.sql import functions as F
+
+    from dwh_spark.multimodal.perceptual import DHASH_BITS, dhash_frame
+    from dwh_spark.operators.dedup import simhash_blocked_probe
+    from dwh_spark.operators.forget import forget_rows
+    from dwh_spark.plans.images import _imgs_forget_fixture
+    from dwh_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    sh = (
+        dhash_frame(_imgs_forget_fixture(docs, base=True, variants=True))
+        .select("image_id", F.col("dhash").alias("simhash"))
+        .localCheckpoint()
+    )
+    marked = docs.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("image_id")
+    )
+    leaked = marked.orderBy("image_id").limit(1)
+    fids = marked.join(leaked, "image_id", "left_anti")  # forget all but one
+    dead = sh.join(F.broadcast(marked), "image_id", "left_semi")
+    kept = forget_rows(sh, fids, key="image_id")
+    ghost = simhash_blocked_probe(
+        kept, dead, key="image_id",
+        n_blocks=4, block_bits=DHASH_BITS // 4, max_hamming=3,
+    )
+    # the ledger's ghost expression: a surviving partner that is a
+    # forgotten-marked base id
+    hits = ghost.filter(
+        (F.col("index_id") % 10 == 3) & (F.col("index_id") < 1000000)
+    )
+    leaked_id = leaked.collect()[0]["image_id"]
+    got = {r["index_id"] for r in hits.select("index_id").distinct().collect()}
+    assert got == {leaked_id}, got
+
+
 def test_global_id_bands_disjoint(spark):
     # id_sum per row is a sum of 2*n_rows global ids from ONE band;
     # its mean must land strictly inside [off, off + 1e8) — a

@@ -65,6 +65,30 @@ def _con():
     return con
 
 
+def test_ttl_compact_straddle_is_behavioral():
+    """The compact+expire straddle query's oracle is the TTL chain
+    minus its exclusion (derived by construction in plans/streaming).
+    Pin the three-way relationship: straddle == plain chain (the
+    merged [0,1] segment keeps batch-0 visible), and straddle !=
+    plain TTL (the horizon DID drop batch-0 when segments were not
+    merged) — so the query is provably behavioral, not a copy of
+    either neighbor."""
+    from dwh_spark.plans.streaming import (
+        _MINHASH_TTL_COMPACT_INGEST_ORACLE,
+        _TTL_EXCLUSION,
+    )
+
+    ttl_sql, exclusion = _CASES["minhash_ttl"]
+    assert _TTL_EXCLUSION == exclusion
+    assert _MINHASH_TTL_COMPACT_INGEST_ORACLE == ttl_sql.replace(exclusion, "")
+    con = _con()
+    diff = con.execute(
+        f"SELECT count(*) FROM (({_MINHASH_TTL_COMPACT_INGEST_ORACLE}) "
+        f"EXCEPT ({ttl_sql}))"
+    ).fetchone()[0]
+    assert diff > 0, "straddle and TTL oracles coincide — nothing straddles"
+
+
 @pytest.mark.parametrize("family", sorted(_CASES))
 def test_forget_exclusion_bites(family):
     forget_sql, exclusion = _CASES[family]
