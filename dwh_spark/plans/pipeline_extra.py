@@ -1787,6 +1787,7 @@ def pipeline_mixed_ingest_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(delta). The oracle is the four modality oracles under the same
     global-id arithmetic — a first-principles re-derivation of every
     routing decision in SQL."""
+    _assert_band_discipline(spark, sf_dir)
     return (
         mixed_ingest_manifest(spark, sf_dir)
         .groupBy("modality", "decision")
@@ -1829,6 +1830,32 @@ _ERASURE_OFFSETS = {
 # A forgotten BASE id is a raw corpus id (< the +1e6 variant band)
 # with the %10==3 erasure mark — uniform across all four fixtures.
 _GHOST_SQL = "({id} % 10 = 3 AND {id} < 1000000)"
+
+# The band discipline _GHOST_SQL and the re-arrival arm split encode:
+# raw corpus ids stay below the first variant band. Guarded at
+# runtime (ADVICE r15): every modality fixture derives from
+# documents.doc_id / embeddings.vec_id, so two max() aggregates
+# (parquet footer-stat cheap) cover all five families — at a scale
+# factor where raw ids reach 1e6, variant bands would collide with
+# organic ids and ghost accounting would silently miscount.
+_RAW_ID_BAND = 1_000_000
+
+
+def _assert_band_discipline(spark: SparkSession, sf_dir: str) -> None:
+    from dwh_spark.sources.catalog import load_table
+
+    for table, col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        hi = load_table(spark, sf_dir, table).agg(
+            F.max(F.col(col)).alias("hi")
+        ).collect()[0]["hi"]
+        if hi is not None and hi >= _RAW_ID_BAND:
+            raise AssertionError(
+                f"{table}.{col} max {hi} >= {_RAW_ID_BAND}: raw corpus ids "
+                f"collide with the +1e6 variant bands that _GHOST_SQL and "
+                f"the re-arrival arm split hard-code — regenerate the "
+                f"fixture bands (and _ERASURE_OFFSETS) with a wider stride "
+                f"before trusting any ghost/arm accounting at this SF"
+            )
 
 
 def _erasure_ledger_oracle() -> str:
@@ -1949,6 +1976,7 @@ def pipeline_unified_erasure_ledger(
     from dwh_spark.plans.embeddings import emb_semantic_forget_reprobe
     from dwh_spark.plans.images import imgs_phash_forget_probe
 
+    _assert_band_discipline(spark, sf_dir)
     o = _ERASURE_OFFSETS
     docs_led = (
         docs_posting_forget_reprobe(spark, sf_dir)

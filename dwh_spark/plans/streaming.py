@@ -758,10 +758,16 @@ def streaming_minhash_forget_ingest(
     store minus the %20==3 docs (operators/forget.py:
     forget_band_index) and then the doc store (forget_rows) — in that
     order, the leak-safe one: the two compactions are not jointly
-    atomic, and a reader between them sees bands-gone-texts-present,
-    where no candidate can form and no forgotten text can surface;
-    the reverse order would leave live bands pointing at erased
-    texts. The documents fixture plants no organic cross-batch
+    atomic, and a CONCURRENT reader between them would see
+    bands-gone-texts-present, where no candidate can form and no
+    forgotten text can surface; the reverse order would leave live
+    bands pointing at erased texts. (Stated scope, ADVICE r15: in
+    this driver both compactions run sequentially inside one
+    maintenance callback with no reader between them, so the gate
+    verifies the END state — the ordering is the production
+    discipline being demonstrated, pinned here so a deployment
+    copying this hook inherits the right order, not a property this
+    query can observe.) The documents fixture plants no organic cross-batch
     near-dups of the %20==3 cohort, so the stream carries VERBATIM
     RE-ARRIVALS ordered last (+1,000,000 copies of the forgotten
     %20==3 docs, +2,000,000 copies of kept %20==7 docs — the
@@ -997,7 +1003,16 @@ def streaming_minhash_ttl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derivation below makes that relationship executable, and the
 # module-level assert keeps the two oracles from drifting apart.
 _TTL_EXCLUSION = "WHERE NOT (ba.b = 1 AND bb.b = 3)"
-assert _TTL_EXCLUSION in _MINHASH_TTL_INGEST_ORACLE
+# Explicit raise, not a bare assert: the derivation pin must survive
+# `python -O` (ADVICE r15) — if the exclusion text drifts, replace()
+# would silently no-op and the straddle oracle would collapse into an
+# exact copy of the TTL oracle.
+if _TTL_EXCLUSION not in _MINHASH_TTL_INGEST_ORACLE:
+    raise AssertionError(
+        "_TTL_EXCLUSION drifted out of _MINHASH_TTL_INGEST_ORACLE — the "
+        "straddle oracle below is DERIVED by removing it; re-align the "
+        "exclusion text before the two oracles silently converge"
+    )
 _MINHASH_TTL_COMPACT_INGEST_ORACLE = _MINHASH_TTL_INGEST_ORACLE.replace(
     _TTL_EXCLUSION, ""
 )

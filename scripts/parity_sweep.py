@@ -1,14 +1,36 @@
-"""One-off mirror of the driver's correctness gate at its own scale factor.
+"""Full-registry mirror of the driver's correctness gate, recorded as a
+per-round artifact.
 
 Runs every registered query against its DuckDB oracle at sf0.01 (the
-driver compares at sf0.01; the repo's pytest gate runs at sf0.001), and
-prints per-query PASS/FAIL. Usage:
+driver compares at sf0.01; the repo's pytest gate runs at sf0.001),
+prints per-query PASS/FAIL, and writes ``PARITY_r{N}.json`` at the repo
+root — one row per query, ``{"status": "PASS"|"ROWS-ONLY"|"FAIL",
+"secs": ..., "err": ...}``.
 
-    python scripts/parity_sweep.py [sf_dir]
+The artifact is a VERDICT SOURCE for the rotation policy (VERDICT r15
+What's-wrong #1): the driver's CORRECTNESS gate samples only ~50
+queries per round, so at 258 registered queries a 3-round staleness
+bound is unreachable from driver rows alone. The committed per-round
+full-registry sweep is strictly stronger evidence, and
+``tests/test_entry_contract.py::test_rotation_covers_stalest_verdicts``
+and ``scripts/rotate_check_first.py`` both union green PARITY rows into
+the ledger. FAIL rows are recorded but never count as a verdict.
+
+Usage:
+
+    python scripts/parity_sweep.py [sf_dir] [--round N]
+
+The round defaults to (newest committed CORRECTNESS round) + 1 — the
+sweep runs DURING a round, before the driver writes that round's
+CORRECTNESS artifact.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 import sys
 import time
 import traceback
@@ -21,9 +43,31 @@ import dwh_spark.plans.all  # noqa: F401
 from dwh_spark.plans.registry import ORACLES, QUERIES
 from tests.oracle_harness import compare, duckdb_connection
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def infer_round(root: str = ROOT) -> int:
+    """Newest committed CORRECTNESS round + 1 (the driver writes r{N}
+    AFTER the builder's round-N session, so a sweep run mid-round
+    belongs to the round in progress)."""
+    newest = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is not None:
+            newest = max(newest, int(m.group(1)))
+    return newest + 1
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    rnd = None
+    if "--round" in argv:
+        i = argv.index("--round")
+        rnd = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if rnd is None:
+        rnd = infer_round()
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("parity-sweep")
@@ -33,9 +77,11 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb_connection(sf_dir)
+    record: dict[str, dict] = {}
     failures = []
     for name in sorted(QUERIES):
         t0 = time.time()
+        err = None
         try:
             df = QUERIES[name](spark, sf_dir)
             if name in ORACLES:
@@ -45,11 +91,20 @@ def main() -> int:
                 assert df.count() >= 0
                 status = "ROWS-ONLY"
         except Exception as exc:  # noqa: BLE001
-            status = f"FAIL: {exc}"
+            status = "FAIL"
+            err = f"{type(exc).__name__}: {exc}"[:500]
             failures.append(name)
             traceback.print_exc(limit=3)
-        print(f"{name:45s} {time.time() - t0:6.2f}s  {status}", flush=True)
+        secs = time.time() - t0
+        record[name] = {"status": status, "secs": round(secs, 2), "err": err}
+        print(f"{name:45s} {secs:6.2f}s  {status}{': ' + err if err else ''}", flush=True)
+    out = os.path.join(ROOT, f"PARITY_r{rnd:02d}.json")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh, indent=0, sort_keys=True)
+    os.replace(tmp, out)
     print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} green; failures: {failures}")
+    print(f"wrote {out}")
     return 1 if failures else 0
 
 

@@ -5,9 +5,13 @@ entry file's ordering is evidence policy: never-checked queries lead,
 this round's code-touched queries re-verify next, then the
 longest-unchecked greens backfill (tests/test_entry_contract.py
 enforces the stale cohort's presence). This script recomputes the
-ledger exactly as the test does and prints the two mechanical
-sections — run it at the START of a round, after the driver has
-committed the previous round's CORRECTNESS artifact:
+ledger exactly as the test does — the union of the driver's
+``CORRECTNESS_r*.json`` rows and the committed full-registry sweep's
+green ``PARITY_r*.json`` rows (scripts/parity_sweep.py) — and prints
+the mechanical sections grouped by verdict round, OLDEST COHORT FIRST
+(alphabetical within a cohort), which is the paste order. Run it at
+the START of a round, after the driver has committed the previous
+round's CORRECTNESS artifact:
 
     python scripts/rotate_check_first.py
 
@@ -22,6 +26,7 @@ import json
 import os
 import re
 import sys
+from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,11 +34,16 @@ import dwh_spark.plans.all  # noqa: F401,E402
 from dwh_spark.plans.registry import QUERIES  # noqa: E402
 
 
-def main() -> None:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def verdict_ledger(root: str) -> tuple[dict[str, int], list[int]]:
+    """name -> latest verdict round, over driver CORRECTNESS rows (any
+    row) plus green full-registry PARITY sweep rows. Mirrors
+    tests/test_entry_contract.py::test_rotation_covers_stalest_verdicts."""
     latest: dict[str, int] = {}
     rounds: list[int] = []
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        + glob.glob(os.path.join(root, "PARITY_r*.json"))
+    ):
         m = re.search(r"_r(\d+)\.json$", path)
         if m is None:
             continue
@@ -43,24 +53,41 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             continue
         r = int(m.group(1))
+        is_parity = os.path.basename(path).startswith("PARITY_")
         rounds.append(r)
-        for q in rec:
+        for q, row in rec.items():
+            if is_parity and (
+                not isinstance(row, dict)
+                or row.get("status") not in ("PASS", "ROWS-ONLY")
+            ):
+                continue
             latest[q] = max(latest.get(q, 0), r)
+    return latest, rounds
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest, rounds = verdict_ledger(root)
     if not rounds:
-        print("# no CORRECTNESS artifacts found")
+        print("# no CORRECTNESS/PARITY artifacts found")
         return
     newest = max(rounds)
     never = sorted(q for q in QUERIES if q not in latest)
-    stale = sorted(
-        q for q, r in latest.items() if r <= newest - 3 and q in QUERIES
-    )
+    stale_by_round: dict[int, list[str]] = defaultdict(list)
+    for q, r in latest.items():
+        if r <= newest - 3 and q in QUERIES:
+            stale_by_round[r].append(q)
+    n_stale = sum(len(v) for v in stale_by_round.values())
     print(f"# newest committed artifact: r{newest}; registry: {len(QUERIES)}")
     print(f"# never-checked ({len(never)}):")
     for q in never:
         print(f'    "{q}",')
-    print(f"# stale (latest verdict <= r{newest - 3}; {len(stale)}):")
-    for q in stale:
-        print(f'    "{q}",')
+    print(f"# stale (latest verdict <= r{newest - 3}; {n_stale} total):")
+    for r in sorted(stale_by_round):
+        cohort = sorted(stale_by_round[r])
+        print(f"    # -- latest verdict r{r} ({len(cohort)}):")
+        for q in cohort:
+            print(f'    "{q}",')
     checked_unregistered = sorted(set(latest) - set(QUERIES))
     if checked_unregistered:
         print(f"# WARNING checked-but-unregistered: {checked_unregistered}")

@@ -144,6 +144,30 @@ def test_video_auto_mode_propagates_the_guard(spark):
     ).current_cap(degen) == 16
 
 
+def test_three_band_histogram_trips_the_guard(spark):
+    """VERDICT r15 What's-wrong #2: THREE bands — natural (df 1-3),
+    popular-natural (df 200), degenerate (df 80000). The largest gap
+    is the UPPER one (200 -> 80000, 400x), so a largest-gap split puts
+    the boundary at 200 and a q99 landing at 200 calibrates silently
+    even though 3.5% of distinct values sit in the middle band. The
+    lowest-qualifying-gap split pins the natural top at 3 and raises."""
+    rows = [(v, 1 + v % 3) for v in range(960)]  # natural 1..3
+    rows += [(10000 + v, 200) for v in range(35)]  # popular band (3.5%)
+    rows += [(20000 + v, 80000) for v in range(5)]  # degenerate band
+    stats = _stats(spark, rows)
+    # n=1000, k=ceil(0.99*1000)=990 -> cum natural 960, +popular 995:
+    # q99 lands AT 200, inside the suspect middle band
+    assert df_quantile(stats, 0.99) == 200
+    hist = [(1, 320), (2, 320), (3, 320), (200, 35), (80000, 5)]
+    assert band_split(hist) == 3  # lowest >= 8x gap, not the largest
+    with pytest.raises(CapCalibrationError, match="degenerate band"):
+        calibrate_cap(stats, quantile=0.99, margin=4)
+    # the escape hatch still returns the raw recipe for adjudication
+    assert calibrate_cap(stats, quantile=0.99, margin=4, check=False) == 800
+    # and a quantile inside the natural band calibrates fine
+    assert calibrate_cap(stats, quantile=0.95, margin=4) == 12
+
+
 def test_band_split_geometric_ladder_has_no_gap(spark):
     """A boundary-word FAMILY (df ~ n/2^k, the jingle/silence tree
     shape) fills the space between natural and degenerate with a

@@ -41,9 +41,19 @@ def test_queries_and_oracles_align():
 
 def test_rotation_covers_stalest_verdicts():
     """The rotation policy as an invariant: any query whose LATEST
-    driver verdict (union of committed CORRECTNESS_r*.json) is >= 3
-    rounds behind the newest committed round must sit in _CHECK_FIRST,
-    or it can age out of the driver's ~50-slot window indefinitely."""
+    verdict is >= 3 rounds behind the newest committed round must sit
+    in _CHECK_FIRST, or it can age out of re-verification indefinitely.
+
+    Verdict sources (VERDICT r15 What's-wrong #1 — the driver's ~50-slot
+    CORRECTNESS window alone can never satisfy a 3-round bound over a
+    258-query registry, so the bound is made achievable by evidence,
+    not by weakening):
+    - ``CORRECTNESS_r*.json`` — the driver's sampled gate (any row
+      counts: red rows are surfaced by the driver itself);
+    - ``PARITY_r*.json`` — the committed full-registry sf0.01 sweep
+      (``scripts/parity_sweep.py``); only green rows (PASS/ROWS-ONLY)
+      count as a verdict.
+    """
     import glob
     import json
     import re
@@ -51,7 +61,10 @@ def test_rotation_covers_stalest_verdicts():
     root = os.path.dirname(os.path.dirname(__file__))
     latest: dict[str, int] = {}
     rounds = []
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        + glob.glob(os.path.join(root, "PARITY_r*.json"))
+    ):
         m = re.search(r"_r(\d+)\.json$", path)
         if m is None:  # glob-matched but oddly named (CORRECTNESS_rX.json)
             continue
@@ -61,8 +74,14 @@ def test_rotation_covers_stalest_verdicts():
         except (OSError, json.JSONDecodeError):
             continue
         r = int(m.group(1))
+        is_parity = os.path.basename(path).startswith("PARITY_")
         rounds.append(r)
-        for q in rec:
+        for q, row in rec.items():
+            if is_parity and (
+                not isinstance(row, dict)
+                or row.get("status") not in ("PASS", "ROWS-ONLY")
+            ):
+                continue  # a FAIL sweep row is not a verdict
             latest[q] = max(latest.get(q, 0), r)
     if not rounds:
         return  # fresh clone without driver artifacts

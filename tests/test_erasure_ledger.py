@@ -96,3 +96,26 @@ def test_global_id_bands_disjoint(spark):
         off = _ERASURE_OFFSETS[r["family"]]
         mean_gid = r["id_sum"] / (2 * r["n_rows"])
         assert off <= mean_gid < off + 100_000_000, r
+
+
+def test_band_discipline_guard_fires_on_big_raw_ids(spark, tmp_path):
+    """ADVICE r15: _GHOST_SQL and the re-arrival arm split hard-code
+    raw ids < 1e6. The runtime guard must raise loudly on a fixture
+    whose raw ids reach the variant band, and pass on the real one."""
+    import shutil
+
+    import pytest
+
+    from dwh_spark.plans.pipeline_extra import _assert_band_discipline
+
+    _assert_band_discipline(spark, "/root/testdata/sf0.001")  # real: fine
+
+    bad = tmp_path / "sfbad"
+    bad.mkdir()
+    for name in ("documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{name}.parquet", bad / f"{name}.parquet")
+    spark.createDataFrame(
+        [(1_000_000, "collides")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(bad / "documents.parquet"))
+    with pytest.raises(AssertionError, match="variant band"):
+        _assert_band_discipline(spark, str(bad))
