@@ -59,6 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate with scripts/rotate_check_first.py.
 _CHECK_FIRST = [
     # -- new round-16 queries: no driver verdict yet
+    "docs_minhash_asof_snapshot",  # as-of append-log read: reproducible training snapshot
     # -- stale: latest driver verdict is round 10 (8)
     "imgs_jpeg_pixel_stats",
     "imgs_keep_latest",

@@ -269,6 +269,16 @@ class ParquetStateStore:
         return spark.read.parquet(*paths).filter(F.col(man["range_key"]) == value)
 
 
+class SnapshotUnreadableError(ValueError):
+    """An ``as_of_batch`` read cannot be served faithfully: a
+    compaction has rewritten history across the requested boundary,
+    or retention has expired batches the snapshot would need. Raised
+    loudly (the house loud-contract discipline) instead of returning
+    a silently wrong frame — the caller chooses between reading the
+    full retained state (``as_of_batch=None``) or reproducing the
+    snapshot from upstream inputs."""
+
+
 class ParquetAppendLog:
     """Append-only log of per-batch parquet segments behind an atomic
     MANIFEST — the scale-correct store for monotonically GROWING state
@@ -359,12 +369,68 @@ class ParquetAppendLog:
         # legacy range-less cmp: never expires (the old behavior)
         return (0, sys.maxsize)
 
-    def current(self, spark: SparkSession) -> DataFrame | None:
+    def current(
+        self, spark: SparkSession, as_of_batch: int | None = None
+    ) -> DataFrame | None:
+        """The active state — or, with ``as_of_batch=N``, the TIME-TRAVEL
+        read: exactly the rows appended by batches <= N, served from the
+        manifest's per-segment [min,max] batch ranges with zero data
+        movement (segment selection, not filtering). The LLM-pipeline
+        use is the reproducible training snapshot: "train on the corpus
+        as of batch N" re-reads the same frame months later while the
+        log keeps growing.
+
+        The contract is FAITHFUL-OR-LOUD (VERDICT r15 What's-missing
+        #5): compaction and retention deliberately make history lossy,
+        so a snapshot that can no longer be served exactly raises
+        :class:`SnapshotUnreadableError` instead of approximating —
+
+        - a compacted segment covering [lo, hi] with lo <= N < hi has
+          merged batches from both sides of the boundary into one
+          rewrite; the pre-compaction split no longer exists on disk;
+        - any ``expire()`` that dropped segments removed the OLDEST
+          batches, which every as-of frame needs, so an expired log
+          serves no historical snapshot at all (``expired_through`` in
+          the manifest records the high-water dropped batch).
+
+        One stated asymmetry: a ``compact(transform=...)`` whose range
+        sits entirely at or below N serves the POST-transform rows.
+        That is the right-to-be-forgotten interaction, and it is the
+        correct one — an erasure must be durable in every snapshot, so
+        as-of reproducibility is "modulo subsequent erasure", never a
+        resurrection channel (operators/forget.py's durability step
+        relies on exactly this)."""
         man = self._read_manifest()
         if not man or not man["segments"]:
             return None
+        names = man["segments"]
+        if as_of_batch is not None:
+            exp = man.get("expired_through")
+            if exp is not None:
+                raise SnapshotUnreadableError(
+                    f"as_of_batch={as_of_batch} unreadable: retention has "
+                    f"expired batches through {exp}, and every as-of frame "
+                    f"needs the oldest batches — read the retained state "
+                    f"(as_of_batch=None) or rebuild from upstream inputs"
+                )
+            names = []
+            for s in man["segments"]:
+                lo, hi = self._range(man, s)
+                if hi <= as_of_batch:
+                    names.append(s)
+                elif lo <= as_of_batch:
+                    raise SnapshotUnreadableError(
+                        f"as_of_batch={as_of_batch} unreadable: segment "
+                        f"{s} covers batches [{lo}, {hi}] — a compaction "
+                        f"has rewritten history across the requested "
+                        f"boundary and the pre-compaction split no longer "
+                        f"exists; snapshot-read BEFORE compacting past it, "
+                        f"or rebuild from upstream inputs"
+                    )
+            if not names:
+                return None
         return spark.read.parquet(
-            *(os.path.join(self.root, s) for s in man["segments"])
+            *(os.path.join(self.root, s) for s in names)
         )
 
     def compact(self, spark: SparkSession, transform=None) -> None:
@@ -407,14 +473,17 @@ class ParquetAppendLog:
         if transform is not None:
             state = transform(state)
         self._write_segment(state, merged)
-        self._write_manifest(
-            {
-                "segments": [merged],
-                "ranges": {merged: [lo, hi]},
-                "last_committed": man["last_committed"],
-                "gen": gen,
-            }
-        )
+        new_man = {
+            "segments": [merged],
+            "ranges": {merged: [lo, hi]},
+            "last_committed": man["last_committed"],
+            "gen": gen,
+        }
+        if man.get("expired_through") is not None:
+            # retention history survives the rewrite: as-of reads must
+            # keep failing loudly after a compact of an expired log
+            new_man["expired_through"] = man["expired_through"]
+        self._write_manifest(new_man)
         self._gc()
 
     def expire(self, keep_from: int) -> None:
@@ -436,9 +505,23 @@ class ParquetAppendLog:
         man = self._read_manifest()
         if not man:
             return
-        man["segments"] = [
-            s for s in man["segments"] if self._range(man, s)[1] >= keep_from
-        ]
+        kept, dropped_hi = [], None
+        for s in man["segments"]:
+            if self._range(man, s)[1] >= keep_from:
+                kept.append(s)
+            else:
+                hi = self._range(man, s)[1]
+                dropped_hi = hi if dropped_hi is None else max(dropped_hi, hi)
+        man["segments"] = kept
+        if dropped_hi is not None:
+            # high-water mark of expired history: as-of snapshot reads
+            # (current(as_of_batch=...)) consult it to fail loudly —
+            # every historical frame needs the oldest batches, which
+            # are exactly what retention removed
+            prev = man.get("expired_through")
+            man["expired_through"] = (
+                dropped_hi if prev is None else max(prev, dropped_hi)
+            )
         if "ranges" in man:
             man["ranges"] = {
                 k: v for k, v in man["ranges"].items() if k in set(man["segments"])
