@@ -486,6 +486,52 @@ class ParquetAppendLog:
         self._write_manifest(new_man)
         self._gc()
 
+    def rewrite_each(self, spark: SparkSession, transform) -> None:
+        """Per-segment history rewrite that PRESERVES segment
+        boundaries and batch ranges — the scoped twin of
+        ``compact(transform=...)``: every active segment is rewritten
+        as ``transform(segment)`` into a fresh generation dir, the
+        manifest swaps atomically ONCE (readers see the whole old
+        state or the whole new state, never a mix), and the old dirs
+        are GC'd.
+
+        This is the 100 TB-faithful forget shape: a partitioned index
+        rewrites only the partitions the erasure touches and RETENTION
+        KEEPS WORKING afterwards — because ranges survive, a
+        subsequent ``expire()`` still drops fully-aged segments
+        instead of hitting the straddle over-approximation a
+        whole-log ``compact(transform=...)`` would have manufactured.
+        The maintenance-window runner (streaming/maintenance.py)
+        relies on exactly this to order forget-durability BEFORE the
+        retention horizon. Each segment's rewrite is materialized
+        before the swap, so the transform never lazily re-reads a dir
+        the GC is about to remove (the stated compact hazard)."""
+        man = self._read_manifest()
+        if not man or not man["segments"]:
+            return
+        gen = man.get("gen", 0) + 1
+        new_segments: list[str] = []
+        new_ranges: dict[str, list[int]] = {}
+        for i, s in enumerate(man["segments"]):
+            lo, hi = self._range(man, s)
+            name = f"rw{lo:010d}_{hi:010d}g{gen}i{i}"
+            df = transform(
+                spark.read.parquet(os.path.join(self.root, s))
+            )
+            self._write_segment(df, name)
+            new_segments.append(name)
+            new_ranges[name] = [lo, hi]
+        new_man = {
+            "segments": new_segments,
+            "ranges": new_ranges,
+            "last_committed": man["last_committed"],
+            "gen": gen,
+        }
+        if man.get("expired_through") is not None:
+            new_man["expired_through"] = man["expired_through"]
+        self._write_manifest(new_man)
+        self._gc()
+
     def expire(self, keep_from: int) -> None:
         """Retention: atomically drop every segment whose covered
         batch range ends before ``keep_from`` — the sliding-horizon

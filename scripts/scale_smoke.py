@@ -2345,6 +2345,101 @@ def retrain_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> None:
     spark.stop()
 
 
+def maintenance_window_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> None:
+    """The unified maintenance window at scale (the r16 runner's
+    done-criteria, scale edition): a 200k-vector IVF index appended as
+    FOUR real segments, then ONE run_maintenance_window pass — forget
+    1k vectors (manifest anti-join), recalibrate the occupancy cap
+    from post-forget stats, evaluate the trigger, retrain on the
+    100 TB path (train_fraction=0.05), rewrite per-segment (ranges
+    preserved), expire the oldest segment, optimize. Verifies: zero
+    forgotten rows survive, the expired segment's rows are gone, the
+    replay guard is untouched, and the ledger's accounting adds up."""
+    import tempfile
+
+    from dwh_spark.operators.similarity import assign_cells
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.maintenance import run_maintenance_window
+
+    spark = get_spark("maint-window-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    src_df = spark.range(n_corpus).select(
+        F.col("id").alias("vec_id"), F.pmod(F.col("id"), F.lit(997)).alias("fam")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            (F.pmod(F.xxhash64("fam", i), F.lit(2000)) / 1000.0 - 1.0)
+            + (F.pmod(F.xxhash64("vec_id", i, F.lit(5)), F.lit(100)) / 50000.0)
+        ).cast("float"),
+    )
+    vecs = src_df.select("vec_id", emb.alias("embedding")).persist()
+    day0 = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(256)
+        .localCheckpoint()
+    )
+    store = ParquetAppendLog(
+        tempfile.mkdtemp(prefix="dwh_maint_window_smoke_") + "/index"
+    )
+    t = time.perf_counter()
+    n_seg = 4
+    per = n_corpus // n_seg
+    cells = assign_cells(vecs, day0).persist()
+    for b in range(n_seg):
+        store.append(
+            cells.filter(
+                (F.col("vec_id") >= b * per) & (F.col("vec_id") < (b + 1) * per)
+            ),
+            b,
+        )
+    build_s = time.perf_counter() - t
+
+    fids = vecs.filter(F.col("vec_id") % 200 == 7).select("vec_id")
+    t = time.perf_counter()
+    # cap_check=False: the synthetic family geometry leaves a handful
+    # of NEAR-EMPTY cells (df 1-5) under a uniform ~2k occupancy mass,
+    # so the band guard fires on the bottom outliers — the stated
+    # loud-but-conservative case; the escape hatch is the documented
+    # adjudication path after reading the shape (caps.py:band_split)
+    rep = run_maintenance_window(
+        spark,
+        store,
+        day0,
+        forgotten_ids=fids,
+        rows_per_cell=800,
+        train_fraction=0.05,
+        cap_check=False,
+        expire_keep_from=1,
+    )
+    window_s = time.perf_counter() - t
+
+    state = store.current(spark).persist()
+    n_state = state.count()
+    n_ghost = state.join(F.broadcast(fids), "vec_id", "left_semi").count()
+    n_seg0_left = state.filter(F.col("vec_id") < per).count()
+    expect = n_corpus - n_corpus // 200 - rep.rows_expired
+    print(
+        f"maintenance-window smoke ({n_corpus} vectors, {n_seg} segments): "
+        f"build {build_s:.1f}s; window {window_s:.1f}s end-to-end — "
+        f"forgot {rep.rows_forgotten}, cap {rep.cap} "
+        f"(q {rep.cap_quantile_value}), trigger stale "
+        f"{rep.stale_mean_cos:.4f} vs retrained {rep.retrained_mean_cos:.4f} "
+        f"-> due={rep.retrain_due} ({rep.n_cells} cells on a 5% sample), "
+        f"expired {rep.segments_expired} segment(s) / {rep.rows_expired} "
+        f"rows, {rep.segments_after} segment(s) after optimize; store rows "
+        f"{n_state} (expect {expect}), ghost rows {n_ghost} (expect 0), "
+        f"segment-0 leftovers {n_seg0_left} (expect 0)"
+    )
+    assert rep.rows_forgotten == n_corpus // 200
+    assert rep.segments_expired == 1
+    assert n_state == expect
+    assert n_ghost == 0
+    assert n_seg0_left == 0
+    assert store.last_committed() == n_seg - 1  # replay guard untouched
+    spark.stop()
+
+
 if __name__ == "__main__":
     if CASE == "append_log":
         append_log_soak()
@@ -2376,6 +2471,8 @@ if __name__ == "__main__":
         forget_smoke()
     elif CASE == "retrain":
         retrain_smoke()
+    elif CASE == "maintenance_window":
+        maintenance_window_smoke()
     elif CASE is not None:
         raise SystemExit(
             f"unknown case {CASE!r} "

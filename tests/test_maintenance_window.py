@@ -1,0 +1,158 @@
+"""The unified maintenance window (streaming/maintenance.py — VERDICT
+r15 What's-missing #4): ordering contracts, cadence invariance, the
+skip path, the guard propagation, and the scoped rewrite that makes
+forget-before-expire possible."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_spark.operators.similarity import assign_cells, train_semantic_cells
+from dwh_spark.streaming.ingest import ParquetAppendLog
+from dwh_spark.streaming.maintenance import run_maintenance_window
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+    )
+
+
+def _build_store(spark, tmp_path, name, cents, emb, n_segments=3):
+    from pyspark.sql.window import Window
+
+    sliced = assign_cells(emb, cents).withColumn(
+        "__slice", F.ntile(n_segments).over(Window.orderBy("vec_id"))
+    )
+    store = ParquetAppendLog(str(tmp_path / name), write_partitions=1)
+    for i in range(1, n_segments + 1):
+        store.append(sliced.filter(F.col("__slice") == i).drop("__slice"), i - 1)
+    return store
+
+
+def _state(spark, store):
+    return sorted(
+        (r["vec_id"], r["cell"]) for r in store.current(spark).collect()
+    )
+
+
+def test_rewrite_each_preserves_ranges_and_expire_still_drops(spark, tmp_path):
+    """The scoped rewrite keeps segment boundaries and batch ranges —
+    unlike compact(transform), retention keeps working afterwards
+    (the contract the window's forget-before-expire ordering needs)."""
+    log = ParquetAppendLog(str(tmp_path / "log"), write_partitions=1)
+    for b in range(3):
+        log.append(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x"), b)
+    log.rewrite_each(spark, lambda df: df.filter(F.col("x") % 10 != 5))
+    man = log._read_manifest()
+    assert len(man["segments"]) == 3
+    assert sorted(tuple(v) for v in man["ranges"].values()) == [
+        (0, 0), (1, 1), (2, 2),
+    ]
+    assert log.current(spark).count() == 27  # one x%10==5 row per segment
+    log.expire(keep_from=1)  # NOT a straddle: seg0's range survived intact
+    assert log.current(spark).count() == 18
+    assert log.last_committed() == 2  # replay guard untouched
+
+
+def test_window_erasure_durable_regardless_of_retention(spark, tmp_path):
+    """Forget-before-expire: a manifest id living ONLY in the segment
+    that is about to age out is still counted as FORGOTTEN (the
+    auditor's erasure claim cannot depend on retention timing), and
+    nothing forgotten survives anywhere."""
+    emb = _emb(spark)
+    cents, _ = train_semantic_cells(emb, rows_per_cell=64)
+    cents = cents.localCheckpoint()
+    store = _build_store(spark, tmp_path, "idx", cents, emb)
+    # ids strictly inside segment 0 (the first ntile slice is the
+    # smallest vec_ids; grab two of them) plus one retained id
+    seg0_ids = [r["vec_id"] for r in spark.read.parquet(
+        store.segment_dir(0)).select("vec_id").orderBy("vec_id").limit(2).collect()]
+    all_ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    fids = spark.createDataFrame(
+        [(i,) for i in seg0_ids + [all_ids[-1]]], "vec_id long"
+    )
+    rep = run_maintenance_window(
+        spark, store, cents, forgotten_ids=fids,
+        rows_per_cell=64, expire_keep_from=1,
+    )
+    assert rep.rows_forgotten == 3  # the expiring ones count as erased
+    assert rep.segments_expired == 1
+    survivors = {r["vec_id"] for r in store.current(spark).select("vec_id").collect()}
+    assert not survivors & set(seg0_ids + [all_ids[-1]])
+
+
+def test_window_cadence_invariance(spark, tmp_path):
+    """Two half-windows (forget A, then forget B) land in the same
+    final state as one window forgetting A ∪ B — the scheduled-runner
+    guarantee: how a deployment batches its manifests must not change
+    what the store converges to (both paths end on a retrain over the
+    same survivor set)."""
+    emb = _emb(spark)
+    cents, _ = train_semantic_cells(emb, rows_per_cell=64)
+    cents = cents.localCheckpoint()
+    a = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    b = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    ab = a.unionByName(b)
+
+    split = _build_store(spark, tmp_path, "split", cents, emb)
+    rep1 = run_maintenance_window(spark, split, cents, forgotten_ids=a,
+                                  rows_per_cell=64)
+    # the FINAL window of each cadence retrains on schedule
+    # (force_retrain — the trigger is a cost knob that may delay
+    # convergence by one window; forcing the last one makes the
+    # invariance exact): both paths train on corpus-minus-(A∪B)
+    rep2 = run_maintenance_window(spark, split, rep1.centroids,
+                                  forgotten_ids=b, rows_per_cell=64,
+                                  force_retrain=True)
+
+    union = _build_store(spark, tmp_path, "union", cents, emb)
+    rep_u = run_maintenance_window(spark, union, cents, forgotten_ids=ab,
+                                   rows_per_cell=64, force_retrain=True)
+    assert rep2.retrain_due and rep_u.retrain_due
+    assert rep2.n_survivors == rep_u.n_survivors
+    assert _state(spark, split) == _state(spark, union)
+
+
+def test_window_skip_path_leaves_assignment_untouched(spark, tmp_path):
+    """Empty manifest → the candidate retrain reproduces the incumbent
+    training exactly, the trigger reads equal fit, and the
+    retrain-or-skip verdict is SKIP (strict >): the rewrite applies no
+    re-assignment and the state is unchanged."""
+    emb = _emb(spark)
+    cents, _ = train_semantic_cells(emb, rows_per_cell=64)
+    cents = cents.localCheckpoint()
+    store = _build_store(spark, tmp_path, "idx", cents, emb)
+    before = _state(spark, store)
+    rep = run_maintenance_window(spark, store, cents, rows_per_cell=64)
+    assert rep.rows_forgotten == 0
+    assert not rep.retrain_due
+    assert rep.stale_mean_cos == rep.retrained_mean_cos
+    assert _state(spark, store) == before
+    assert rep.centroids is cents  # incumbent handed back on skip
+
+
+def test_window_propagates_cap_calibration_error(spark, tmp_path):
+    """Phase 2 recalibrates from post-forget occupancy with the
+    band-split guard live: a degenerate-majority occupancy
+    distribution must fail the whole window loudly BEFORE any state
+    is rewritten (operators/caps.py loud-contract discipline)."""
+    from dwh_spark.operators.caps import CapCalibrationError
+
+    rows = [(i, [float(i % 7)] * 4, 1.0, i) for i in range(50)]
+    rows += [(1000 + i, [float(i % 7)] * 4, 1.0, 5000 + (i % 2))
+             for i in range(1800)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, norm2 double, cell long"
+    )
+    store = ParquetAppendLog(str(tmp_path / "degen"), write_partitions=1)
+    store.append(df, 0)
+    cents = df.limit(4).select("vec_id", "embedding")
+    before = _state(spark, store)
+    with pytest.raises(CapCalibrationError):
+        run_maintenance_window(spark, store, cents)
+    assert _state(spark, store) == before  # nothing rewritten
