@@ -144,12 +144,44 @@ class ParquetStateStore:
             name = os.path.basename(fh.read().strip())
         return int(name[1:]) if name.startswith("v") else None
 
-    def current(self, spark: SparkSession) -> DataFrame | None:
+    def current(
+        self, spark: SparkSession, as_of_batch: int | None = None
+    ) -> DataFrame | None:
+        """The CURRENT state — or, with ``as_of_batch=N``, the
+        TIME-TRAVEL read: the newest committed snapshot at or before
+        batch N (each snapshot is a COMPLETE state, so "state as of
+        batch N" is exactly the last snapshot a fold committed by
+        then). Snapshot dirs are never GC'd, so history stays
+        readable for free — Delta's time travel, one file deep.
+        Faithful-or-loud (the append-log contract,
+        :class:`SnapshotUnreadableError`): only snapshots the pointer
+        has committed count (a crash-window dir newer than CURRENT
+        may be half-written and is never served), and an ``N`` before
+        the first committed snapshot raises instead of returning the
+        wrong era."""
         if not os.path.exists(self._pointer):
             return None
-        with open(self._pointer) as fh:
-            version_dir = fh.read().strip()
-        return spark.read.parquet(version_dir)
+        if as_of_batch is None:
+            with open(self._pointer) as fh:
+                version_dir = fh.read().strip()
+            return spark.read.parquet(version_dir)
+        committed = self.last_committed()
+        candidates = sorted(
+            int(name[1:])
+            for name in os.listdir(self.root)
+            if name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) <= min(as_of_batch, committed)
+        )
+        if not candidates:
+            raise SnapshotUnreadableError(
+                f"as_of_batch={as_of_batch} unreadable: no committed "
+                f"snapshot at or before batch {as_of_batch} "
+                f"(earliest committed state is newer, or the store is "
+                f"empty) — read the current state (as_of_batch=None) or "
+                f"rebuild from upstream inputs"
+            )
+        return spark.read.parquet(self.version_dir(candidates[-1]))
 
     def write_snapshot(self, df: DataFrame, batch_id: int) -> str:
         """Write the snapshot dir (+ manifest) WITHOUT flipping the

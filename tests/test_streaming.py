@@ -1085,3 +1085,30 @@ def test_append_log_asof_raises_after_expire(spark, tmp_path):
     log.compact(spark)
     with pytest.raises(SnapshotUnreadableError, match="expired"):
         log.current(spark, as_of_batch=2)
+
+
+def test_state_store_asof_reads_committed_history(spark, tmp_path):
+    """ParquetStateStore time travel: each snapshot is a complete
+    state and dirs are never GC'd, so as_of_batch=N serves the newest
+    committed snapshot <= N; uncommitted (unflipped) dirs are never
+    served; N before the first commit raises loudly."""
+    import pytest
+
+    from dwh_spark.streaming.ingest import (
+        ParquetStateStore,
+        SnapshotUnreadableError,
+    )
+
+    store = ParquetStateStore(str(tmp_path / "state"), write_partitions=1)
+    store.commit(spark.range(10).withColumnRenamed("id", "x"), 1)
+    store.commit(spark.range(20).withColumnRenamed("id", "x"), 3)
+    assert store.current(spark, as_of_batch=1).count() == 10
+    assert store.current(spark, as_of_batch=2).count() == 10  # newest <= 2
+    assert store.current(spark, as_of_batch=3).count() == 20
+    # crash window: batch 5's snapshot written but never flipped —
+    # must not be served even for as_of 5
+    store.write_snapshot(spark.range(99).withColumnRenamed("id", "x"), 5)
+    assert store.current(spark, as_of_batch=5).count() == 20
+    assert store.current(spark).count() == 20
+    with pytest.raises(SnapshotUnreadableError, match="no committed"):
+        store.current(spark, as_of_batch=0)
