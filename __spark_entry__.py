@@ -61,6 +61,7 @@ _CHECK_FIRST = [
     # -- new round-16 queries: no driver verdict yet
     "docs_minhash_asof_snapshot",  # as-of append-log read: reproducible training snapshot
     "emb_maintenance_window_ledger",  # unified maintenance window: one runner, six phases, one ledger
+    "streaming_semantic_window_ingest",  # the window run mid-stream from a live fold's maintenance seam
     # -- stale: latest driver verdict is round 10 (8)
     "imgs_jpeg_pixel_stats",
     "imgs_keep_latest",

@@ -2933,3 +2933,198 @@ def streaming_semantic_retrain_ingest(spark: SparkSession, sf_dir: str) -> DataF
         maintenance=maintenance,
     )
     return read_semantic_ingest_results(spark, out_dir)
+
+
+def _semantic_window_ingest_oracle() -> str:
+    from dwh_spark.plans.embeddings import (
+        _DOT,
+        _NORM2,
+        _inertia_sql,
+        trained_prune_ctes,
+    )
+
+    dot_ab = _DOT.format(a="a.embedding", b="p.embedding")
+    dot_seed = _DOT.format(a="v.embedding", b="s.c_emb")
+    dot_new = _DOT.format(a="v.embedding", b="t.c_emb")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    sliced AS (
+      SELECT vec_id, embedding, norm2,
+             ntile(3) OVER (ORDER BY vec_id) AS b
+      FROM base
+    ),
+    seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb, norm2 AS c_norm2
+      FROM sliced WHERE b = 1
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+    ),
+    cells12 AS (
+      SELECT v.vec_id, v.embedding, v.norm2, v.b, s.centroid_id AS cell
+      FROM (SELECT * FROM sliced WHERE b <= 2) v CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({dot_seed} / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) DESC,
+                   s.centroid_id) = 1
+    ),
+    p12 AS (
+      SELECT p.vec_id, count(*) AS n
+      FROM cells12 a JOIN cells12 p ON a.cell = p.cell AND a.vec_id < p.vec_id
+      WHERE round({dot_ab} / (sqrt(a.norm2) * sqrt(p.norm2)), 6) >= 0.1
+      GROUP BY 1
+    ),
+    surv AS (
+      SELECT vec_id, embedding, norm2 FROM sliced
+      WHERE b <= 2 AND vec_id % 10 != 3
+    ),
+    {trained_prune_ctes('surv', rows_per_cell=64, threshold=0.3, prefix='new')},
+    stale_cells AS (
+      SELECT vec_id, embedding, norm2, cell FROM cells12 WHERE vec_id % 10 != 3
+    ),
+    si AS ({_inertia_sql('stale_cells', 'seeds')}),
+    ri AS ({_inertia_sql('new_cells', 'new_t_norm')}),
+    dec AS (
+      SELECT CASE WHEN (SELECT mean_cos FROM ri) > (SELECT mean_cos FROM si)
+                  THEN 1 ELSE 0 END AS due
+    ),
+    retained AS (
+      SELECT n.vec_id, n.embedding, n.norm2, n.cell
+      FROM new_cells n JOIN sliced s USING (vec_id)
+      WHERE s.b = 2 AND (SELECT due FROM dec) = 1
+      UNION ALL
+      SELECT c.vec_id, c.embedding, c.norm2, c.cell
+      FROM cells12 c
+      WHERE c.b = 2 AND c.vec_id % 10 != 3 AND (SELECT due FROM dec) = 0
+    ),
+    b3a AS (
+      SELECT v.vec_id, v.embedding, v.norm2, t.centroid_id AS cell
+      FROM (SELECT * FROM sliced WHERE b = 3) v CROSS JOIN new_t_norm t
+      WHERE (SELECT due FROM dec) = 1
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({dot_new} / (sqrt(v.norm2) * sqrt(t.c_norm2)), 6) DESC,
+                   t.centroid_id) = 1
+      UNION ALL
+      SELECT v.vec_id, v.embedding, v.norm2, s.centroid_id AS cell
+      FROM (SELECT * FROM sliced WHERE b = 3) v CROSS JOIN seeds s
+      WHERE (SELECT due FROM dec) = 0
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round({dot_seed} / (sqrt(v.norm2) * sqrt(s.c_norm2)), 6) DESC,
+                   s.centroid_id) = 1
+    ),
+    all3 AS (
+      SELECT vec_id, embedding, norm2, cell FROM retained
+      UNION ALL
+      SELECT vec_id, embedding, norm2, cell FROM b3a
+    ),
+    p3 AS (
+      SELECT p.vec_id, count(*) AS n
+      FROM all3 a JOIN b3a p ON a.cell = p.cell AND a.vec_id < p.vec_id
+      WHERE round({dot_ab} / (sqrt(a.norm2) * sqrt(p.norm2)), 6) >= 0.1
+      GROUP BY 1
+    )
+    SELECT vec_id, n AS n_earlier_sem_dups
+    FROM (SELECT * FROM p12 UNION ALL SELECT * FROM p3)
+    """
+
+
+@query(
+    "streaming_semantic_window_ingest",
+    oracle=_semantic_window_ingest_oracle(),
+)
+def streaming_semantic_window_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MAINTENANCE WINDOW RUN MID-STREAM — the production
+    deployment shape of streaming/maintenance.py:run_maintenance_window
+    (the batch capstone is emb_maintenance_window_ledger; this is the
+    same runner invoked from a LIVE fold's maintenance seam, the way a
+    deployment actually schedules it between micro-batches): vectors
+    arrive in vec_id order across 3 micro-batches; batches 1-2 fold
+    against the day-0 seed centroids; after batch 2's commit the FULL
+    window runs — forget the %10==3 cohort (per-segment rewrite,
+    ranges preserved), recalibrate the occupancy cap from post-forget
+    stats, evaluate the measured-benefit trigger, retrain-or-skip,
+    EXPIRE batch 1's index segment (keep_from=1 — the horizon the
+    range-preserving rewrite makes possible mid-stream), optimize —
+    and batch 3 folds against the windowed index with the
+    POST-WINDOW centroids (the fold re-reads its centroid provider).
+
+    Batch 3's near-dup counts therefore (a) never see a forgotten
+    vector, (b) never see an EXPIRED batch-1 partner (the sliding
+    horizon composed with erasure, erasure first), and (c) pair
+    within whichever boundaries the trigger chose — the oracle
+    re-derives the whole decision in SQL (both inertias off the
+    exact-decimal chain, the due CASE) and composes the final state
+    through the SAME verdict via UNION arms gated on the due flag,
+    so a fold that retrained when the trigger said skip (or ignored
+    the horizon, or resurrected a forgotten row) hash-mismatches.
+
+    100 TB: the window costs what its phases cost (stated at the
+    runner) and runs in the maintenance seam the fold already owns;
+    per-batch fold cost is unchanged."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.emb_ingest import (
+        read_semantic_ingest_results,
+        run_semantic_ingest,
+    )
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.maintenance import run_maintenance_window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="dwh_sem_window_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = emb.withColumn("__slice", F.ntile(3).over(Window.orderBy("vec_id")))
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    seeds = (
+        spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
+        .select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .localCheckpoint()
+    )
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    out_dir = os.path.join(root, "out")
+    holder = {"cents": seeds}
+    fids = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    def maintenance(batch_id: int) -> None:
+        # after the SECOND batch commits (file-source ids 0,1,2): the
+        # full window, mid-stream — erasure durable, cap recalibrated,
+        # trigger decides, horizon advances past batch 1's segment
+        if batch_id == 1:
+            rep = run_maintenance_window(
+                spark,
+                index_store,
+                seeds,
+                forgotten_ids=fids,
+                rows_per_cell=64,
+                expire_keep_from=1,
+            )
+            holder["cents"] = rep.centroids
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_semantic_ingest(
+        stream,
+        lambda: holder["cents"],
+        index_store,
+        out_dir,
+        os.path.join(root, "ckpt"),
+        maintenance=maintenance,
+    )
+    return read_semantic_ingest_results(spark, out_dir)

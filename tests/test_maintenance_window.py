@@ -156,3 +156,31 @@ def test_window_propagates_cap_calibration_error(spark, tmp_path):
     with pytest.raises(CapCalibrationError):
         run_maintenance_window(spark, store, cents)
     assert _state(spark, store) == before  # nothing rewritten
+
+
+def test_window_ingest_oracle_nonvacuous():
+    """The mid-stream window query's oracle must differ from the
+    retrain-only chain at sf0.001 — the expire-horizon arm has to
+    BITE (some batch-3 probe keeps a batch-1 partner in the
+    retrain-only world and loses it under the window's horizon), so a
+    fixture drift can't silently reduce the binding to its neighbor."""
+    import glob
+
+    import duckdb
+
+    import dwh_spark.plans.all  # noqa: F401  (populates the registry)
+    from dwh_spark.plans.registry import ORACLES
+
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(SF, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    window_sql = ORACLES["streaming_semantic_window_ingest"]
+    retrain_sql = ORACLES["streaming_semantic_retrain_ingest"]
+    diff = con.execute(
+        f"SELECT count(*) FROM (({retrain_sql}) EXCEPT ({window_sql}))"
+    ).fetchone()[0]
+    assert diff > 0, (
+        "window and retrain-only oracles coincide at sf0.001 — the "
+        "expired batch-1 segment contributed no cross-batch partner"
+    )
