@@ -201,12 +201,16 @@ def run_maintenance_window(
     if expire_keep_from is not None:
         man = index_store._read_manifest()
         before_segments = list(man["segments"])
-        n_before = index_store.current(spark).count()
         index_store.expire(expire_keep_from)
         man = index_store._read_manifest()
         segments_expired = len(before_segments) - len(man["segments"])
-        cur = index_store.current(spark)
-        rows_expired = n_before - (cur.count() if cur is not None else 0)
+        if segments_expired:
+            # the post-rewrite store holds exactly the survivor rows,
+            # so one post-expire count suffices (no pre-expire count)
+            cur = index_store.current(spark)
+            rows_expired = n_survivors - (
+                cur.count() if cur is not None else 0
+            )
 
     # -- phase 6: OPTIMIZE the retained segments
     if optimize:
