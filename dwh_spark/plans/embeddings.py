@@ -1515,6 +1515,13 @@ def emb_pq_forget_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 7, 'post_cell', cell, count(*), CAST(sum(vec_id) AS DOUBLE)
     FROM retained GROUP BY 3
+    UNION ALL
+    SELECT 8, 'hot_cells', 0,
+           (SELECT count(*)
+            FROM (SELECT cell, count(*) AS df FROM retained GROUP BY 1)
+            WHERE df > (SELECT CAST(v * 4 AS BIGINT) FROM qv)),
+           (SELECT CAST(coalesce(max(df), 0) AS DOUBLE)
+            FROM (SELECT count(*) AS df FROM retained GROUP BY cell))
     """,
 )
 def emb_maintenance_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,7 +1549,11 @@ def emb_maintenance_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame
     quantile, both trigger inertias, the retrain verdict + n_cells,
     segments/rows expired, then the post-window per-cell state
     (k=cell, n=rows, v=id_sum) that pins the final assignment
-    exactly. The oracle re-derives EVERY phase in SQL: both
+    exactly, plus the cap's CONSUMER input — over-cap (mega) cell
+    count and max occupancy on the POST-window boundaries, the
+    is_hot set the next era's prune/probe routes through the
+    block-split path (semantic_prune_skew_split). The oracle
+    re-derives EVERY phase in SQL: both
     trainings (two prefixed trained-pipeline CTE chains), both
     exact-decimal inertias, the ceil-rank occupancy quantile, the
     retrain CASE — and the final state through the SAME decision
@@ -1595,6 +1606,7 @@ def emb_maintenance_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame
             (4, "trigger_retrained", 0, rep.n_survivors, rep.retrained_mean_cos),
             (5, "retrain", 0, int(rep.retrain_due), float(rep.n_cells)),
             (6, "expire", 0, rep.segments_expired, float(rep.rows_expired)),
+            (8, "hot_cells", 0, len(rep.hot_cells), float(rep.max_occupancy)),
         ],
         "phase_no int, phase string, k long, n long, v double",
     )

@@ -81,6 +81,8 @@ class WindowReport:
     forgotten_id_sum: int
     cap: int
     cap_quantile_value: int
+    hot_cells: list[int]
+    max_occupancy: int
     n_survivors: int
     stale_mean_cos: float
     retrained_mean_cos: float
@@ -153,7 +155,9 @@ def run_maintenance_window(
         rows_forgotten, forgotten_id_sum = 0, 0
 
     # -- phase 2: recalibrate the occupancy cap from POST-forget stats
-    occ = survivors.groupBy("cell").agg(F.count("*").alias("df"))
+    occ = (
+        survivors.groupBy("cell").agg(F.count("*").alias("df")).localCheckpoint()
+    )
     cap_q_value = df_quantile(occ, cap_quantile)
     cap = calibrate_cap(
         occ, quantile=cap_quantile, margin=cap_margin, check=cap_check
@@ -215,12 +219,30 @@ def run_maintenance_window(
     # -- phase 6: OPTIMIZE the retained segments
     if optimize:
         index_store.compact(spark)
+    # -- the cap's CONSUMER input, computed on the POST-WINDOW state
+    # -- (the boundaries the next era actually probes): the over-cap
+    # -- (mega) cells the prune/probe routes through the block-split
+    # -- path (operators/similarity.py:semantic_prune_skew_split's
+    # -- is_hot set); bounded by construction — only cells above
+    # -- margin x q. One bounded aggregate over the live store.
+    final = index_store.current(spark)
+    final_occ = (
+        final.groupBy("cell").agg(F.count("*").alias("df")).collect()
+        if final is not None
+        else []
+    )
+    max_occupancy = max((int(r["df"]) for r in final_occ), default=0)
+    hot_cells = sorted(
+        int(r["cell"]) for r in final_occ if int(r["df"]) > cap
+    )
     man = index_store._read_manifest()
     return WindowReport(
         rows_forgotten=rows_forgotten,
         forgotten_id_sum=forgotten_id_sum,
         cap=cap,
         cap_quantile_value=cap_q_value,
+        hot_cells=hot_cells,
+        max_occupancy=max_occupancy,
         n_survivors=n_survivors,
         stale_mean_cos=float(stale["mean_cos"]),
         retrained_mean_cos=float(retrained["mean_cos"]),

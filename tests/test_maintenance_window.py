@@ -184,3 +184,48 @@ def test_window_ingest_oracle_nonvacuous():
         "window and retrain-only oracles coincide at sf0.001 — the "
         "expired batch-1 segment contributed no cross-batch partner"
     )
+
+
+def test_window_reports_hot_cells_on_post_window_boundaries(spark, tmp_path):
+    """The recalibrated cap's CONSUMER input: a planted mega-vector
+    (400 identical copies, all landing in one cell) must come back in
+    hot_cells — computed on the POST-window state, bounded, and ready
+    to feed semantic_prune_skew_split's is_hot routing. The incumbent
+    is trained on the data itself, so the empty-manifest window takes
+    the skip path (candidate == incumbent) and the boundaries are the
+    ones we can reason about."""
+    import math
+
+    rows = []
+    # ~600 naturals spread over distinct directions: occupancy stays
+    # in the low single digits across the ~150 trained cells
+    for i in range(600):
+        e = [
+            math.cos(i * 0.37),
+            math.sin(i * 0.37),
+            math.cos(i * 0.11 + 1.0),
+            math.sin(i * 0.11 + 1.0),
+        ]
+        rows.append((i, e))
+    # the mega-vector: 400 verbatim copies, one cell by construction
+    for j in range(400):
+        rows.append((10_000 + j, [5.0, 5.0, 5.0, 5.0]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, _ = train_semantic_cells(vecs, rows_per_cell=4)
+    cents = cents.localCheckpoint()
+    store = ParquetAppendLog(str(tmp_path / "mega"), write_partitions=1)
+    store.append(assign_cells(vecs, cents), 0)
+    mega_cells = {
+        r["cell"]
+        for r in store.current(spark)
+        .filter(F.col("vec_id") >= 10_000)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert len(mega_cells) == 1  # verbatim copies share one cell
+    rep = run_maintenance_window(spark, store, cents, rows_per_cell=4)
+    assert not rep.retrain_due  # candidate reproduces the incumbent
+    assert rep.cap < 400  # q99 pinned by the ~150 natural cells
+    assert rep.hot_cells == sorted(mega_cells)
+    assert rep.max_occupancy >= 400
