@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "docs_minhash_asof_snapshot",  # as-of append-log read: reproducible training snapshot
     "emb_maintenance_window_ledger",  # unified maintenance window: one runner, six phases, one ledger
     "streaming_semantic_window_ingest",  # the window run mid-stream from a live fold's maintenance seam
+    "av_audio_window_ledger",  # the window's fingerprint-family binding: native cap, exact stats shrink
     # -- stale: latest driver verdict is round 10 (8)
     "imgs_jpeg_pixel_stats",
     "imgs_keep_latest",

@@ -3950,8 +3950,11 @@ def av_video_offset_forget_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.unionByName(probe)
 
 
-_AV_CAP_CALIBRATION_ORACLE = """
-    WITH ids AS (
+# The silence-padded corpus's full subfingerprint derivation in SQL —
+# every H-K word re-derived arithmetically from the fixture recipe
+# (_audio_silence_offset_fixture, base only). Shared by the cap
+# calibration oracle and the maintenance-window ledger oracle.
+_AV_SILENCE_SUBFP_CTES = """ids AS (
       SELECT doc_id AS audio_id, doc_id AS base, 48 AS n_sil, 57 AS n_con
       FROM documents
     ),
@@ -3991,7 +3994,10 @@ _AV_CAP_CALIBRATION_ORACLE = """
         ON b.w >= p.p AND b.w < p.p + 32
       GROUP BY 1, 2
       HAVING count(*) = 32
-    ),
+    )"""
+
+_AV_CAP_CALIBRATION_ORACLE = f"""
+    WITH {_AV_SILENCE_SUBFP_CTES},
     stats AS (SELECT word, count(*) AS df FROM sub GROUP BY 1),
     nn AS (SELECT count(*) AS n FROM stats),
     hist AS (SELECT df, count(*) AS c FROM stats GROUP BY 1),
@@ -4193,3 +4199,134 @@ def _video_title_offset_fixture(docs, base: bool, variants: bool):
             yield _pd.DataFrame(out, columns=["video_id", "n_frames", "content"])
 
     return docs.mapInPandas(gen, "video_id long, n_frames long, content binary")
+
+
+_AV_WINDOW_LEDGER_ORACLE = f"""
+    WITH {_AV_SILENCE_SUBFP_CTES},
+    bt AS (
+      SELECT audio_id, ntile(3) OVER (ORDER BY audio_id) AS b FROM ids
+    ),
+    surv AS (
+      SELECT s.audio_id, s.p, s.word, bt.b
+      FROM sub s JOIN bt USING (audio_id)
+      WHERE s.audio_id % 10 != 3
+    ),
+    stats_pf AS (SELECT word, count(*) AS df FROM surv GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM stats_pf),
+    hist AS (SELECT df, count(*) AS c FROM stats_pf GROUP BY 1),
+    cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cum FROM hist),
+    qv AS (
+      SELECT min(df) AS v FROM cum, nn WHERE cum >= ceil(0.99 * nn.n)
+    ),
+    post AS (SELECT audio_id, word FROM surv WHERE b >= 2),
+    stats_post AS (SELECT word, count(*) AS df FROM post GROUP BY 1)
+    SELECT 1 AS phase_no, 'forget' AS phase, CAST(0 AS BIGINT) AS k,
+           (SELECT count(*) FROM sub WHERE audio_id % 10 = 3) AS n,
+           CAST((SELECT coalesce(sum(audio_id), 0) FROM sub
+                 WHERE audio_id % 10 = 3) AS DOUBLE) AS v
+    UNION ALL
+    SELECT 2, 'recalibrate', 0,
+           (SELECT CAST(v * 4 AS BIGINT) FROM qv),
+           (SELECT CAST(v AS DOUBLE) FROM qv)
+    UNION ALL
+    SELECT 3, 'expire', 0, CAST(1 AS BIGINT),
+           (SELECT CAST(count(*) AS DOUBLE) FROM surv WHERE b = 1)
+    UNION ALL
+    SELECT 4, 'hot_words', 0,
+           (SELECT count(*) FROM stats_post, qv WHERE df > v * 4),
+           (SELECT CAST(max(df) AS DOUBLE) FROM stats_post)
+    UNION ALL
+    SELECT 5, 'post', 0,
+           (SELECT count(*) FROM post),
+           (SELECT CAST(count(*) AS DOUBLE) FROM stats_post)
+    """
+
+
+@query("av_audio_window_ledger", oracle=_AV_WINDOW_LEDGER_ORACLE)
+def av_audio_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MAINTENANCE WINDOW, FINGERPRINT-FAMILY BINDING
+    (streaming/maintenance.py:run_fp_maintenance_window — the second
+    binding of the window contract; the IVF binding is
+    emb_maintenance_window_ledger): the H-K lookup table of the
+    silence-padded corpus (the av_audio_fp_cap_calibration fixture)
+    is appended as three id-ordered segments with its per-batch
+    word-df partials log, then ONE window pass runs — forget the
+    %10==3 clips (per-segment index rewrite + exact stats shrink by
+    the forgotten rows' own partials), recalibrate the word cap from
+    the POST-forget stats (this family's cap is NATIVE — it is what
+    gates every capped probe), EXPIRE batch 1's index segment with
+    the stats shrunk by the expired partials (an unshrunk stats log
+    would over-count df and cap words too eagerly), optimize, and
+    report the cap's consumer input (the post-window hot-word set,
+    exactly what WordDfCapMaintenance.hot_words broadcasts into the
+    fold). No trained artifact in this family, so the trigger/retrain
+    phases are structurally absent — stated at the runner.
+
+    Output is the window LEDGER (phase_no, phase, k, n, v): postings
+    forgotten + clip-id posting sum, cap + its quantile,
+    segments/postings expired, hot-word count + max df on the
+    POST-window stats, and the post-state posting/word counts. The
+    oracle re-derives every H-K word arithmetically from the fixture
+    recipe (the shared _AV_SILENCE_SUBFP_CTES chain) and applies the
+    same ntile batch split, survivor filter, ceil-rank quantile and
+    horizon arithmetic in SQL — a stats shrink that drifted from
+    rebuild-over-retained, or a cap read off the wrong era's stats,
+    hash-mismatches.
+
+    100 TB: one decode pass builds the fixture index; the window
+    costs one broadcast anti-join, O(forgotten)+O(expired) partial
+    aggregates, two bounded stats merges, and the compaction the
+    store was due anyway."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.multimodal.audio_fp import audio_subfingerprint_frame
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.maintenance import run_fp_maintenance_window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    subs = audio_subfingerprint_frame(
+        _audio_silence_offset_fixture(docs, base=True, variants=False)
+    )
+    bt = (
+        subs.select("audio_id")
+        .distinct()
+        .withColumn("b", F.ntile(3).over(Window.orderBy("audio_id")))
+    )
+    # one decode pass feeds three segment writes + three stats appends
+    while _AV_CAPPED_CACHE:
+        _AV_CAPPED_CACHE.pop().unpersist()
+    sliced = subs.join(bt, "audio_id").persist()
+    _AV_CAPPED_CACHE.append(sliced)
+
+    root = tempfile.mkdtemp(prefix="dwh_av_window_")
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
+    for i in range(1, 4):
+        seg = sliced.filter(F.col("b") == i).select("audio_id", "pos", "sub32")
+        index_store.append(seg, i - 1)
+        stats_store.append(
+            seg.groupBy("sub32").agg(F.count("*").alias("df")), i - 1
+        )
+    fids = (
+        sliced.select("audio_id").distinct().filter(F.col("audio_id") % 10 == 3)
+    )
+    rep = run_fp_maintenance_window(
+        spark,
+        index_store,
+        stats_store,
+        forgotten_ids=fids,
+        expire_keep_from=1,
+    )
+    return spark.createDataFrame(
+        [
+            (1, "forget", 0, rep.rows_forgotten, float(rep.forgotten_key_sum)),
+            (2, "recalibrate", 0, rep.cap, float(rep.cap_quantile_value)),
+            (3, "expire", 0, rep.segments_expired, float(rep.rows_expired)),
+            (4, "hot_words", 0, len(rep.hot_words), float(rep.max_df)),
+            (5, "post", 0, rep.n_postings_after, float(rep.n_words_after)),
+        ],
+        "phase_no int, phase string, k long, n long, v double",
+    )

@@ -253,3 +253,168 @@ def run_maintenance_window(
         segments_after=len(man["segments"]) if man else 0,
         centroids=cand_centroids if retrain_due else old_centroids,
     )
+
+
+@dataclass
+class FpWindowReport:
+    """The fingerprint-family window's ledger (see
+    :func:`run_fp_maintenance_window`): scalar facts only, same
+    auditor's-artifact discipline as :class:`WindowReport`."""
+
+    rows_forgotten: int
+    forgotten_key_sum: int
+    cap: int
+    cap_quantile_value: int
+    n_words: int
+    segments_expired: int
+    rows_expired: int
+    hot_words: list[int]
+    max_df: int
+    n_postings_after: int
+    n_words_after: int
+    segments_after: int
+
+
+def run_fp_maintenance_window(
+    spark: SparkSession,
+    index_store: ParquetAppendLog,
+    stats_store: ParquetAppendLog,
+    *,
+    forgotten_ids: DataFrame | None = None,
+    key: str = "audio_id",
+    value_col: str = "sub32",
+    cap_quantile: float = 0.99,
+    cap_margin: int = 4,
+    cap_check: bool = True,
+    expire_keep_from: int | None = None,
+    optimize: bool = True,
+) -> FpWindowReport:
+    """The maintenance window for the FINGERPRINT family — the second
+    binding of the window contract (the first is the IVF binding,
+    :func:`run_maintenance_window`): an H-K lookup table (or any
+    posting-shaped index ``(key, ..., value_col)``) plus its per-batch
+    word-df partials log (the ``WordDfCapMaintenance`` stats shape).
+    This family has no trained artifact, so the trigger/retrain phases
+    are structurally absent; cap calibration is NATIVE here — the cap
+    is what gates every capped probe.
+
+    Ordering contracts, same as the IVF window:
+
+    1. **Apply the forget manifest first**: every index segment is
+       rewritten minus the manifest keys (``rewrite_each`` — ranges
+       survive, retention keeps working), and the stats log is
+       compacted with the forgotten rows' OWN partials subtracted
+       (``operators/forget.py:shrink_stats`` — exact df, never a
+       corpus rescan; the removed partials are computed from the
+       pre-rewrite index, O(forgotten)).
+    2. **Recalibrate from POST-forget stats** (pre-expire — the cap
+       describes the surviving corpus, and ``CapCalibrationError``
+       fails the window loudly).
+    3. **Expire last**: fully-aged index segments drop O(manifest),
+       and the stats log shrinks by the EXPIRED segments' partials
+       (computed from the post-forget segments before the drop), so
+       stats == rebuild-over-retained stays exact — an unshrunk stats
+       log would over-count df and cap words too eagerly.
+    4. **Optimize**, then report the cap's consumer input: the
+       post-window over-cap (hot) words — exactly the broadcast
+       anti-join set ``WordDfCapMaintenance.hot_words`` serves the
+       fold.
+
+    Cost shape at 100 TB: one broadcast anti-join over the index, two
+    bounded stats merges, O(forgotten)+O(expired) partial aggregates,
+    and the compaction the store was due anyway."""
+    from dwh_spark.operators.forget import forget_rows, shrink_stats
+
+    state = index_store.current(spark)
+    if state is None:
+        raise ValueError("maintenance window on an empty index store")
+
+    def merged(stats: DataFrame) -> DataFrame:
+        return stats.groupBy(value_col).agg(F.sum("df").alias("df"))
+
+    # -- phase 1: forget, durable before anything else moves
+    rows_forgotten, forgotten_key_sum = 0, 0
+    if forgotten_ids is not None:
+        forgotten_ids = forgotten_ids.localCheckpoint()
+        removed = state.join(F.broadcast(forgotten_ids), key, "left_semi")
+        removed_partials = (
+            removed.groupBy(value_col).agg(F.count("*").alias("df")).localCheckpoint()
+        )
+        fstats = removed.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
+        ).collect()[0]
+        rows_forgotten = int(fstats["n"])
+        forgotten_key_sum = int(fstats["key_sum"])
+        index_store.rewrite_each(
+            spark, lambda seg: forget_rows(seg, forgotten_ids, key=key)
+        )
+        stats_store.compact(
+            spark,
+            transform=lambda s: shrink_stats(
+                merged(s), removed_partials, [value_col]
+            ),
+        )
+
+    # -- phase 2: recalibrate from the post-forget stats
+    stats_pf = merged(stats_store.current(spark)).localCheckpoint()
+    cap_q_value = df_quantile(stats_pf, cap_quantile)
+    cap = calibrate_cap(
+        stats_pf, quantile=cap_quantile, margin=cap_margin, check=cap_check
+    )
+    n_words = stats_pf.count()
+
+    # -- phase 3: retention horizon (stats shrink by the expired
+    # -- segments' partials, computed BEFORE the drop)
+    segments_expired, rows_expired = 0, 0
+    if expire_keep_from is not None:
+        man = index_store._read_manifest()
+        drop = [
+            s
+            for s in man["segments"]
+            if index_store._range(man, s)[1] < expire_keep_from
+        ]
+        if drop:
+            import os as _os
+
+            dropped = spark.read.parquet(
+                *(_os.path.join(index_store.root, s) for s in drop)
+            )
+            drop_partials = (
+                dropped.groupBy(value_col)
+                .agg(F.count("*").alias("df"))
+                .localCheckpoint()
+            )
+            rows_expired = int(dropped.count())
+            index_store.expire(expire_keep_from)
+            stats_store.compact(
+                spark,
+                transform=lambda s: shrink_stats(
+                    merged(s), drop_partials, [value_col]
+                ),
+            )
+        segments_expired = len(drop)
+
+    # -- phase 4: optimize, then the cap's consumer input
+    if optimize:
+        index_store.compact(spark)
+    stats_post = merged(stats_store.current(spark)).localCheckpoint()
+    hot_rows = stats_post.filter(F.col("df") > cap).collect()
+    max_df_row = stats_post.agg(F.max("df")).collect()[0][0]
+    n_words_after = stats_post.count()
+    cur = index_store.current(spark)
+    man = index_store._read_manifest()
+    return FpWindowReport(
+        rows_forgotten=rows_forgotten,
+        forgotten_key_sum=forgotten_key_sum,
+        cap=cap,
+        cap_quantile_value=cap_q_value,
+        n_words=n_words,
+        segments_expired=segments_expired,
+        rows_expired=rows_expired,
+        hot_words=sorted(int(r[value_col]) for r in hot_rows),
+        max_df=int(max_df_row) if max_df_row is not None else 0,
+        n_postings_after=int(cur.count()) if cur is not None else 0,
+        n_words_after=n_words_after,
+        segments_after=len(man["segments"]) if man else 0,
+    )

@@ -46,7 +46,7 @@ def test_rotation_covers_stalest_verdicts():
 
     Verdict sources (VERDICT r15 What's-wrong #1 — the driver's ~50-slot
     CORRECTNESS window alone can never satisfy a 3-round bound over a
-    258-query registry, so the bound is made achievable by evidence,
+    261-query registry (as of r16), so the bound is made achievable by evidence,
     not by weakening):
     - ``CORRECTNESS_r*.json`` — the driver's sampled gate (any row
       counts: red rows are surfaced by the driver itself);

@@ -229,3 +229,64 @@ def test_window_reports_hot_cells_on_post_window_boundaries(spark, tmp_path):
     assert rep.cap < 400  # q99 pinned by the ~150 natural cells
     assert rep.hot_cells == sorted(mega_cells)
     assert rep.max_occupancy >= 400
+
+
+def test_fp_window_stats_equal_rebuild(spark, tmp_path):
+    """The fingerprint-family window (run_fp_maintenance_window):
+    after forget + expire + optimize, the stats log must equal a
+    partials rebuild over the post-window index (the append_with_df /
+    shrink_stats exactness discipline), the index must hold exactly
+    the retained survivors, and the hot-word set must be the over-cap
+    rows of the post-window stats."""
+    from collections import Counter
+
+    from dwh_spark.streaming.maintenance import run_fp_maintenance_window
+
+    # 90 clips x 12 postings; word space mixes per-clip-unique words
+    # (natural, df=1) with a shared boilerplate word 999 (degenerate)
+    rows = []
+    for a in range(90):
+        for p in range(10):
+            rows.append((a, p, a * 100 + p))  # unique -> df 1
+        rows.append((a, 10, 999))  # shared word
+        rows.append((a, 11, 999))
+    subs = spark.createDataFrame(rows, "audio_id long, pos long, sub32 long")
+    index_store = ParquetAppendLog(str(tmp_path / "idx"), write_partitions=1)
+    stats_store = ParquetAppendLog(str(tmp_path / "st"), write_partitions=1)
+    for b in range(3):
+        seg = subs.filter((F.col("audio_id") >= b * 30) & (F.col("audio_id") < (b + 1) * 30))
+        index_store.append(seg, b)
+        stats_store.append(seg.groupBy("sub32").agg(F.count("*").alias("df")), b)
+    fids = spark.createDataFrame([(a,) for a in range(0, 90, 9)], "audio_id long")
+
+    rep = run_fp_maintenance_window(
+        spark, index_store, stats_store, forgotten_ids=fids, expire_keep_from=1
+    )
+    # q99 of (unique words df=1, one word at ~160) -> 1; cap 4
+    assert rep.cap == 4
+    assert rep.rows_forgotten == 10 * 12
+    assert rep.segments_expired == 1
+
+    retained = {
+        (r["audio_id"], r["pos"], r["sub32"])
+        for r in index_store.current(spark).collect()
+    }
+    expect = {
+        (a, p, w)
+        for a, p, w in rows
+        if a >= 30 and a % 9 != 0  # slices 2-3, survivors
+    }
+    assert retained == expect
+
+    stats = Counter()
+    for a, p, w in expect:
+        stats[w] += 1
+    got = {
+        r["sub32"]: r["df"]
+        for r in stats_store.current(spark)
+        .groupBy("sub32").agg(F.sum("df").alias("df")).collect()
+    }
+    assert got == dict(stats)  # stats == rebuild over retained
+    assert rep.hot_words == [999]
+    assert rep.max_df == stats[999]
+    assert rep.n_postings_after == len(expect)
