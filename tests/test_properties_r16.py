@@ -150,3 +150,121 @@ def test_append_log_lifecycle_matches_model(spark, tmp_path_factory, ops, probe_
                 assert got is None
             else:
                 assert _rows(got) == expect
+
+
+def _ceil_rank_q(counts: list[int], q: float) -> int:
+    import math
+
+    hist = sorted(Counter(counts).items())
+    k = math.ceil(q * len(counts))
+    cum = 0
+    for v, c in hist:
+        cum += c
+        if cum >= k:
+            return v
+    return hist[-1][0]
+
+
+_FP_CASES = st.tuples(
+    st.lists(  # postings: (clip, word) — clip ids 0..11, word ids 0..9
+        st.tuples(st.integers(0, 11), st.integers(0, 9)),
+        min_size=8,
+        max_size=40,
+    ),
+    st.sets(st.integers(0, 11), max_size=4),  # forget manifest
+    st.integers(0, 3),  # expire horizon
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_FP_CASES)
+def test_fp_window_matches_model(spark, tmp_path_factory, case):
+    """run_fp_maintenance_window against a pure-python model on random
+    posting tables: retained index, exact stats (== rebuild over
+    retained), the ceil-rank cap from POST-forget stats, and the
+    post-window hot set must all match; the calibration guard firing
+    is mirrored by the model's band check."""
+    from dwh_spark.operators.caps import CapCalibrationError, band_split
+    from dwh_spark.streaming.maintenance import run_fp_maintenance_window
+
+    postings, forget, keep_from = case
+    root = tmp_path_factory.mktemp("fpw")
+    index_store = ParquetAppendLog(str(root / "idx"), write_partitions=1)
+    stats_store = ParquetAppendLog(str(root / "st"), write_partitions=1)
+    # 3 batches by clip id band
+    batches = [
+        [(c, i, w) for i, (c, w) in enumerate(postings) if c % 3 == b]
+        for b in range(3)
+    ]
+    for b, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows or [(None, None, None)], "audio_id long, pos long, sub32 long"
+        )
+        if not rows:
+            df = df.filter(F.lit(False))
+        index_store.append(df, b)
+        stats_store.append(
+            df.groupBy("sub32").agg(F.count("*").alias("df")), b
+        )
+    fids = spark.createDataFrame(
+        [(c,) for c in sorted(forget)] or [(None,)], "audio_id long"
+    )
+    if not forget:
+        fids = fids.filter(F.lit(False))
+
+    # the model
+    surv = [(c, i, w) for b, rows in enumerate(batches) for c, i, w in rows
+            if c not in forget]
+    pf_counts = list(Counter(w for _, _, w in surv).values())
+    retained = [
+        (c, i, w)
+        for b, rows in enumerate(batches)
+        for c, i, w in rows
+        if c not in forget and b >= keep_from
+    ]
+    if not pf_counts:
+        # every posting forgotten: the post-forget stats merge is empty
+        # and the calibration raises its empty-stats ValueError loudly
+        with pytest.raises(ValueError):
+            run_fp_maintenance_window(
+                spark, index_store, stats_store,
+                forgotten_ids=fids, expire_keep_from=keep_from,
+            )
+        return
+    hist = sorted(Counter(pf_counts).items())
+    qv = _ceil_rank_q(pf_counts, 0.99)
+    guard_top = band_split(hist)
+    if guard_top is not None and qv > guard_top:
+        with pytest.raises(CapCalibrationError):
+            run_fp_maintenance_window(
+                spark, index_store, stats_store,
+                forgotten_ids=fids, expire_keep_from=keep_from,
+            )
+        return
+    rep = run_fp_maintenance_window(
+        spark, index_store, stats_store,
+        forgotten_ids=fids, expire_keep_from=keep_from,
+    )
+    assert rep.cap == 4 * qv
+    got_index = sorted(
+        (r["audio_id"], r["pos"], r["sub32"])
+        for r in (index_store.current(spark) or spark.createDataFrame(
+            [], "audio_id long, pos long, sub32 long")).collect()
+    ) if index_store.current(spark) is not None else []
+    assert got_index == sorted(retained)
+    model_stats = Counter(w for _, _, w in retained)
+    cur_stats = stats_store.current(spark)
+    got_stats = {
+        r["sub32"]: r["df"]
+        for r in cur_stats.groupBy("sub32").agg(F.sum("df").alias("df")).collect()
+        if r["df"] and r["df"] > 0
+    } if cur_stats is not None else {}
+    assert got_stats == dict(model_stats)
+    assert rep.hot_words == sorted(
+        w for w, c in model_stats.items() if c > rep.cap
+    )
+    assert rep.rows_forgotten == sum(
+        1 for c, _, _ in (
+            (c, i, w) for rows in batches for c, i, w in rows
+        ) if c in forget
+    )
