@@ -49,7 +49,15 @@ for subsequent ingest folds. ``plans/embeddings.py:
 emb_maintenance_window_ledger`` drives it end-to-end under a DuckDB
 oracle that re-derives every phase (both trainings, both inertias,
 the occupancy quantile, the retrain CASE and both resulting states)
-in SQL.
+in SQL; ``plans/streaming.py:streaming_semantic_window_ingest`` runs
+the same window mid-stream from a live fold's maintenance seam.
+
+Two bindings share the ordering contract: :func:`run_maintenance_window`
+(IVF cells — the trained-artifact family, where the trigger/retrain
+phases are real) and :func:`run_fp_maintenance_window` (H-K
+fingerprint postings + word-df partials — the capped-probe family,
+where calibration is native and the stats log must shrink EXACTLY at
+both forget and expire; ``plans/av.py:av_audio_window_ledger``).
 
 Reference parity: the reference has no maintenance loop — its state
 is rebuilt by replaying the chain (`x/indexer/indexer.go:173-197`
