@@ -402,7 +402,10 @@ class ParquetAppendLog:
         return (0, sys.maxsize)
 
     def current(
-        self, spark: SparkSession, as_of_batch: int | None = None
+        self,
+        spark: SparkSession,
+        as_of_batch: int | None = None,
+        since_batch: int | None = None,
     ) -> DataFrame | None:
         """The active state — or, with ``as_of_batch=N``, the TIME-TRAVEL
         read: exactly the rows appended by batches <= N, served from the
@@ -411,6 +414,14 @@ class ParquetAppendLog:
         use is the reproducible training snapshot: "train on the corpus
         as of batch N" re-reads the same frame months later while the
         log keeps growing.
+
+        ``since_batch=M`` additionally EXCLUDES batches <= M — the
+        incremental-snapshot read ("exactly what arrived since the last
+        training checkpoint"): rows appended by batches in (M, N].
+        Same faithful-or-loud contract; a compacted segment straddling
+        EITHER boundary raises. ``since_batch`` requires ``as_of_batch``
+        (an open-ended delta would silently change as the log grows —
+        pass ``as_of_batch=last_committed()`` to pin it).
 
         The contract is FAITHFUL-OR-LOUD (VERDICT r15 What's-missing
         #5): compaction and retention deliberately make history lossy,
@@ -435,19 +446,36 @@ class ParquetAppendLog:
         man = self._read_manifest()
         if not man or not man["segments"]:
             return None
+        if since_batch is not None and as_of_batch is None:
+            raise ValueError(
+                "since_batch requires as_of_batch — pin the delta's upper "
+                "bound (e.g. as_of_batch=last_committed()) so the read "
+                "stays reproducible as the log grows"
+            )
         names = man["segments"]
         if as_of_batch is not None:
             exp = man.get("expired_through")
-            if exp is not None:
+            if exp is not None and (since_batch is None or since_batch < exp):
                 raise SnapshotUnreadableError(
                     f"as_of_batch={as_of_batch} unreadable: retention has "
-                    f"expired batches through {exp}, and every as-of frame "
-                    f"needs the oldest batches — read the retained state "
-                    f"(as_of_batch=None) or rebuild from upstream inputs"
+                    f"expired batches through {exp}, which the requested "
+                    f"frame needs — read the retained state "
+                    f"(as_of_batch=None), raise since_batch past "
+                    f"{exp}, or rebuild from upstream inputs"
                 )
             names = []
             for s in man["segments"]:
                 lo, hi = self._range(man, s)
+                if since_batch is not None and hi <= since_batch:
+                    continue
+                if since_batch is not None and lo <= since_batch:
+                    raise SnapshotUnreadableError(
+                        f"since_batch={since_batch} unreadable: segment "
+                        f"{s} covers batches [{lo}, {hi}] — a compaction "
+                        f"has rewritten history across the lower boundary; "
+                        f"snapshot-read BEFORE compacting past it, or "
+                        f"rebuild from upstream inputs"
+                    )
                 if hi <= as_of_batch:
                     names.append(s)
                 elif lo <= as_of_batch:

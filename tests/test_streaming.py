@@ -1112,3 +1112,45 @@ def test_state_store_asof_reads_committed_history(spark, tmp_path):
     assert store.current(spark).count() == 20
     with pytest.raises(SnapshotUnreadableError, match="no committed"):
         store.current(spark, as_of_batch=0)
+
+
+def test_append_log_incremental_snapshot_reads(spark, tmp_path):
+    """current(as_of_batch=N, since_batch=M) serves exactly the rows
+    batches (M, N] appended — the incremental training-checkpoint
+    read — with the same faithful-or-loud contract on both
+    boundaries, and composes with retention: a delta strictly above
+    the expired horizon stays readable."""
+    import pytest
+
+    from dwh_spark.streaming.ingest import (
+        ParquetAppendLog,
+        SnapshotUnreadableError,
+    )
+
+    log = ParquetAppendLog(str(tmp_path / "log"), write_partitions=1)
+    for b in range(4):
+        log.append(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x"), b)
+    delta = sorted(
+        r["x"] for r in log.current(spark, as_of_batch=3, since_batch=1).collect()
+    )
+    assert delta == list(range(20, 40))
+    # empty delta window -> nothing to serve
+    assert log.current(spark, as_of_batch=1, since_batch=1) is None
+    # an unpinned delta is ambiguous by construction
+    with pytest.raises(ValueError, match="since_batch requires"):
+        log.current(spark, since_batch=1)
+    # retention composes: batches (0, 3] never need the expired batch 0
+    log.expire(keep_from=1)
+    assert sorted(
+        r["x"] for r in log.current(spark, as_of_batch=3, since_batch=0).collect()
+    ) == list(range(10, 40))
+    # ...but a delta reaching below the horizon is loud
+    with pytest.raises(SnapshotUnreadableError, match="expired"):
+        log.current(spark, as_of_batch=3, since_batch=-1)
+    # a compaction straddling the LOWER boundary is loud too
+    log2 = ParquetAppendLog(str(tmp_path / "log2"), write_partitions=1)
+    for b in range(3):
+        log2.append(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x"), b)
+    log2.compact(spark)
+    with pytest.raises(SnapshotUnreadableError, match="lower boundary"):
+        log2.current(spark, as_of_batch=2, since_batch=0)
