@@ -121,7 +121,8 @@ def calibrate_cap(
     df_col: str = "df",
     gap_ratio: float = 8.0,
     check: bool = True,
-) -> int:
+    return_quantile: bool = False,
+) -> int | tuple[int, int]:
     """The production cap recipe: ``margin x`` the q-th discrete
     quantile of per-value df. Returns a plain int (the cap is scalar
     config for the capped probes' ``max_word_freq``/``max_block_freq``
@@ -142,7 +143,10 @@ def calibrate_cap(
     no-op cap. A distribution with no >= ``gap_ratio`` gap has no
     degenerate band and always calibrates. ``check=False`` is the
     stated escape hatch for a deployment that has read its
-    :func:`cap_report` and wants the raw recipe anyway."""
+    :func:`cap_report` and wants the raw recipe anyway.
+    ``return_quantile=True`` returns ``(cap, v_q)`` so a ledger that
+    reports both pays ONE histogram aggregate instead of a separate
+    :func:`df_quantile` call."""
     hist = _df_histogram(stats, df_col)
     v_q = _hist_quantile(hist, quantile)
     if check:
@@ -161,7 +165,8 @@ def calibrate_cap(
                 f"quantile below {1 - n_degen / n:.3f}, or pass "
                 f"check=False after reading the report."
             )
-    return v_q * int(margin)
+    cap = v_q * int(margin)
+    return (cap, v_q) if return_quantile else cap
 
 
 def cap_report(stats: DataFrame, cap: int, df_col: str = "df") -> DataFrame:

@@ -4290,15 +4290,16 @@ def av_audio_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = audio_subfingerprint_frame(
         _audio_silence_offset_fixture(docs, base=True, variants=False)
     )
-    bt = (
-        subs.select("audio_id")
-        .distinct()
-        .withColumn("b", F.ntile(3).over(Window.orderBy("audio_id")))
+    # the batch split comes from the CHEAP id frame (audio_id == doc_id
+    # in the base-only fixture) — deriving it from subs would put the
+    # decode subtree on BOTH sides of the join and run it twice
+    bt = docs.select(F.col("doc_id").alias("audio_id")).withColumn(
+        "b", F.ntile(3).over(Window.orderBy("audio_id"))
     )
     # one decode pass feeds three segment writes + three stats appends
     while _AV_CAPPED_CACHE:
         _AV_CAPPED_CACHE.pop().unpersist()
-    sliced = subs.join(bt, "audio_id").persist()
+    sliced = subs.join(F.broadcast(bt), "audio_id").persist()
     _AV_CAPPED_CACHE.append(sliced)
 
     root = tempfile.mkdtemp(prefix="dwh_av_window_")

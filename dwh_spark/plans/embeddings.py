@@ -1578,8 +1578,14 @@ def emb_maintenance_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     old_cents, _ = train_semantic_cells(emb, rows_per_cell=64)
     old_cents = old_cents.localCheckpoint()
-    sliced = assign_cells(emb, old_cents).withColumn(
-        "__slice", F.ntile(3).over(Window.orderBy("vec_id"))
+    # one assignment + one global ntile, materialized ONCE: the three
+    # segment appends would otherwise re-execute the broadcast
+    # cross-score and the single-partition sort per append (the
+    # double-execution smell)
+    sliced = (
+        assign_cells(emb, old_cents)
+        .withColumn("__slice", F.ntile(3).over(Window.orderBy("vec_id")))
+        .localCheckpoint()
     )
     store = ParquetAppendLog(
         os.path.join(tempfile.mkdtemp(prefix="dwh_maint_win_"), "index"),

@@ -72,7 +72,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dwh_spark.operators.caps import calibrate_cap, df_quantile
+from dwh_spark.operators.caps import calibrate_cap
 from dwh_spark.streaming.ingest import ParquetAppendLog
 
 
@@ -162,28 +162,54 @@ def run_maintenance_window(
         survivors = state
         rows_forgotten, forgotten_id_sum = 0, 0
 
-    # -- phase 2: recalibrate the occupancy cap from POST-forget stats
-    occ = (
-        survivors.groupBy("cell").agg(F.count("*").alias("df")).localCheckpoint()
-    )
-    cap_q_value = df_quantile(occ, cap_quantile)
-    cap = calibrate_cap(
-        occ, quantile=cap_quantile, margin=cap_margin, check=cap_check
-    )
+    # Phases 2-3 run under the erasure-durability guard: if either
+    # fails (CapCalibrationError, a training error), the forget is
+    # applied on the way out — contract #1 says erasure lands FIRST,
+    # and a scheduler retrying a broken calibration must not delay it
+    # (tests pin the guard; the FP binding rewrites in phase 1 and
+    # needs no guard).
+    def _forget_only() -> None:
+        if forgotten_ids is not None:
+            index_store.rewrite_each(
+                spark, lambda seg: forget_rows(seg, forgotten_ids, key=key)
+            )
 
-    # -- phase 3: the retrain trigger — stale vs candidate fit
-    stale = cell_inertia(survivors, old_centroids).collect()[0]
-    cand_centroids, n_cells = train_semantic_cells(
-        survivors.select(key, "embedding"),
-        rows_per_cell=rows_per_cell,
-        n_iter=n_iter,
-        train_fraction=train_fraction,
-    )
-    cand_centroids = cand_centroids.localCheckpoint()
-    retrained = cell_inertia(
-        assign_cells(survivors.select(key, "embedding"), cand_centroids),
-        cand_centroids,
-    ).collect()[0]
+    try:
+        # -- phase 2: recalibrate the occupancy cap from POST-forget
+        # -- stats (one histogram: the quantile is reported alongside)
+        occ = (
+            survivors.groupBy("cell")
+            .agg(F.count("*").alias("df"))
+            .localCheckpoint()
+        )
+        cap, cap_q_value = calibrate_cap(
+            occ,
+            quantile=cap_quantile,
+            margin=cap_margin,
+            check=cap_check,
+            return_quantile=True,
+        )
+
+        # -- phase 3: the retrain trigger — stale vs candidate fit
+        stale = cell_inertia(survivors, old_centroids, key=key).collect()[0]
+        cand_centroids, n_cells = train_semantic_cells(
+            survivors.select(key, "embedding"),
+            rows_per_cell=rows_per_cell,
+            n_iter=n_iter,
+            train_fraction=train_fraction,
+            key=key,
+        )
+        cand_centroids = cand_centroids.localCheckpoint()
+        retrained = cell_inertia(
+            assign_cells(
+                survivors.select(key, "embedding"), cand_centroids, key=key
+            ),
+            cand_centroids,
+            key=key,
+        ).collect()[0]
+    except BaseException:
+        _forget_only()
+        raise
     n_survivors = int(stale["n_vectors"])
     # force_retrain is the scheduled-retrain deployment mode (and the
     # cadence-invariance lever: the trigger is a cost optimization
@@ -203,7 +229,9 @@ def run_maintenance_window(
             else seg
         )
         if retrain_due:
-            kept = assign_cells(kept.select(key, "embedding"), cand_centroids)
+            kept = assign_cells(
+                kept.select(key, "embedding"), cand_centroids, key=key
+            )
         return kept
 
     index_store.rewrite_each(spark, transform)
@@ -364,11 +392,15 @@ def run_fp_maintenance_window(
             ),
         )
 
-    # -- phase 2: recalibrate from the post-forget stats
+    # -- phase 2: recalibrate from the post-forget stats (one
+    # -- histogram aggregate: the quantile is reported alongside)
     stats_pf = merged(stats_store.current(spark)).localCheckpoint()
-    cap_q_value = df_quantile(stats_pf, cap_quantile)
-    cap = calibrate_cap(
-        stats_pf, quantile=cap_quantile, margin=cap_margin, check=cap_check
+    cap, cap_q_value = calibrate_cap(
+        stats_pf,
+        quantile=cap_quantile,
+        margin=cap_margin,
+        check=cap_check,
+        return_quantile=True,
     )
     n_words = stats_pf.count()
 

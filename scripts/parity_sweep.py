@@ -47,15 +47,27 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def infer_round(root: str = ROOT) -> int:
-    """Newest committed CORRECTNESS round + 1 (the driver writes r{N}
-    AFTER the builder's round-N session, so a sweep run mid-round
-    belongs to the round in progress)."""
-    newest = 0
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if m is not None:
-            newest = max(newest, int(m.group(1)))
-    return newest + 1
+    """``max(newest CORRECTNESS + 1, newest PARITY)``: the driver
+    writes CORRECTNESS_r{N} AFTER the builder's round-N session, so a
+    sweep run mid-round belongs to the round in progress, and a re-run
+    within the same round overwrites its own artifact (intended — the
+    artifact should describe HEAD). Considering existing PARITY rounds
+    keeps the clock from REWINDING if a prior round's sweep landed but
+    its driver artifact did not; for that aborted-round case pass
+    ``--round`` explicitly to start a fresh artifact instead of
+    refreshing the stranded one."""
+    newest_c, newest_p = 0, 0
+    for pattern, is_parity in (("CORRECTNESS_r*.json", False), ("PARITY_r*.json", True)):
+        for path in glob.glob(os.path.join(root, pattern)):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if m is None:
+                continue
+            r = int(m.group(1))
+            if is_parity:
+                newest_p = max(newest_p, r)
+            else:
+                newest_c = max(newest_c, r)
+    return max(newest_c + 1, newest_p)
 
 
 def main() -> int:

@@ -98,8 +98,8 @@ def main() -> None:
     # carries the formal staleness bound; the window stays maximally
     # informative by re-sampling the stalest driver rows) — a query
     # green in a PARITY sweep but never driver-checked still LEADS
-    never = sorted(q for q in QUERIES if q not in driver_ledger(root))
     drv = driver_ledger(root)
+    never = sorted(q for q in QUERIES if q not in drv)
     drv_by_round: dict[int, list[str]] = defaultdict(list)
     for q in QUERIES:
         if q in drv:

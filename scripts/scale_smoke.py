@@ -2300,9 +2300,10 @@ def retrain_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> None:
     store.append(assign_cells(vecs, day0), 0)
     build_s = time.perf_counter() - t
 
-    # forget every vec_id % 200 == 7 (= n_corpus/200 = 1k at 200k);
+    # forget n_forget ids, spread uniformly (vec_id % mod == 7);
     # each keeps 1000+ same-fam near-dup mates (fam = id % 997)
-    fids = vecs.filter(F.col("vec_id") % 200 == 7).select("vec_id")
+    forget_mod = n_corpus // n_forget
+    fids = vecs.filter(F.col("vec_id") % forget_mod == 7).select("vec_id")
 
     t = time.perf_counter()
     stale = forget_rows(store.current(spark), fids, key="vec_id")
@@ -2329,16 +2330,16 @@ def retrain_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> None:
     n_mates = hits.select("new_id").distinct().count()
     print(
         f"retrain smoke ({n_corpus} vectors, {n_cells} cells, forget "
-        f"{n_corpus // 200}): index build {build_s:.1f}s; trigger eval "
+        f"{n_corpus // forget_mod}): index build {build_s:.1f}s; trigger eval "
         f"{trigger_s:.1f}s (stale fit {stale_fit['mean_cos']:.4f} over "
         f"{stale_fit['n_vectors']}); retrain+rewrite {retrain_s:.1f}s on a "
         f"5% training sample (post fit {new_fit['mean_cos']:.4f} over "
         f"{new_fit['n_vectors']}); store rows {n_state} "
-        f"(expect {n_corpus - n_corpus // 200}), ghost rows {n_ghost_rows} "
+        f"(expect {n_corpus - n_corpus // forget_mod}), ghost rows {n_ghost_rows} "
         f"(expect 0); ghost re-probe: {n_mates}/200 found their surviving "
         f"family mates, {n_self} self-hits (expect 0)"
     )
-    assert n_state == n_corpus - n_corpus // 200
+    assert n_state == n_corpus - n_corpus // forget_mod
     assert n_ghost_rows == 0
     assert n_self == 0
     assert n_mates == 200
@@ -2395,7 +2396,8 @@ def maintenance_window_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> 
         )
     build_s = time.perf_counter() - t
 
-    fids = vecs.filter(F.col("vec_id") % 200 == 7).select("vec_id")
+    forget_mod = n_corpus // n_forget  # n_forget ids, spread uniformly
+    fids = vecs.filter(F.col("vec_id") % forget_mod == 7).select("vec_id")
     t = time.perf_counter()
     # cap_check=False: the synthetic family geometry leaves a handful
     # of NEAR-EMPTY cells (df 1-5) under a uniform ~2k occupancy mass,
@@ -2418,7 +2420,7 @@ def maintenance_window_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> 
     n_state = state.count()
     n_ghost = state.join(F.broadcast(fids), "vec_id", "left_semi").count()
     n_seg0_left = state.filter(F.col("vec_id") < per).count()
-    expect = n_corpus - n_corpus // 200 - rep.rows_expired
+    expect = n_corpus - n_corpus // forget_mod - rep.rows_expired
     print(
         f"maintenance-window smoke ({n_corpus} vectors, {n_seg} segments): "
         f"build {build_s:.1f}s; window {window_s:.1f}s end-to-end — "
@@ -2431,7 +2433,7 @@ def maintenance_window_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> 
         f"{n_state} (expect {expect}), ghost rows {n_ghost} (expect 0), "
         f"segment-0 leftovers {n_seg0_left} (expect 0)"
     )
-    assert rep.rows_forgotten == n_corpus // 200
+    assert rep.rows_forgotten == n_corpus // forget_mod
     assert rep.segments_expired == 1
     assert n_state == expect
     assert n_ghost == 0

@@ -290,3 +290,29 @@ def test_fp_window_stats_equal_rebuild(spark, tmp_path):
     assert rep.hot_words == [999]
     assert rep.max_df == stats[999]
     assert rep.n_postings_after == len(expect)
+
+
+def test_window_erasure_lands_even_when_calibration_fails(spark, tmp_path):
+    """Contract #1 under failure: a CapCalibrationError in phase 2
+    must not leave forgotten rows in the store — the runner applies
+    the forget-only rewrite on the way out, then re-raises, so a
+    scheduler retrying a broken calibration never delays erasure."""
+    from dwh_spark.operators.caps import CapCalibrationError
+
+    rows = [(i, [float(i % 7)] * 4, 1.0, i) for i in range(50)]
+    rows += [(1000 + i, [float(i % 7)] * 4, 1.0, 5000 + (i % 2))
+             for i in range(1800)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, norm2 double, cell long"
+    )
+    store = ParquetAppendLog(str(tmp_path / "degen"), write_partitions=1)
+    store.append(df, 0)
+    cents = df.limit(4).select("vec_id", "embedding")
+    fids = spark.createDataFrame([(3,), (1005,)], "vec_id long")
+    with pytest.raises(CapCalibrationError):
+        run_maintenance_window(spark, store, cents, forgotten_ids=fids)
+    survivors = {
+        r["vec_id"] for r in store.current(spark).select("vec_id").collect()
+    }
+    assert not survivors & {3, 1005}  # erased despite the failure
+    assert len(survivors) == 1848  # and nothing else touched
