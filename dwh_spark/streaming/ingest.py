@@ -166,6 +166,16 @@ class ParquetStateStore:
                 version_dir = fh.read().strip()
             return spark.read.parquet(version_dir)
         committed = self.last_committed()
+        if committed is None:
+            # CURRENT exists but is malformed (not a v-dir pointer):
+            # no snapshot is provably committed, so the loud contract
+            # applies — never min() against None (TypeError) or guess
+            raise SnapshotUnreadableError(
+                f"as_of_batch={as_of_batch} unreadable: the CURRENT "
+                f"pointer is malformed (no committed snapshot can be "
+                f"established) — repair the pointer or rebuild from "
+                f"upstream inputs"
+            )
         candidates = sorted(
             int(name[1:])
             for name in os.listdir(self.root)

@@ -126,17 +126,29 @@ def run_maintenance_window(
     operators (``calibrate_cap``, ``train_semantic_cells``,
     ``retrain_cells_at_compaction``, ``expire``).
 
-    Cost shape at 100 TB: the manifest anti-join is broadcast
-    (O(forgotten + index) — operators/forget.py); recalibration and
-    both inertias are one bounded aggregate each; the candidate
-    training runs on the survivor frame or its hash-sample; the one
-    per-segment rewrite is the compaction the store was due anyway;
-    expire is O(manifest)."""
+    Cost shape at 100 TB, stated honestly: ``survivors`` is a LAZY
+    frame (store scan + broadcast anti-join), and the window executes
+    it THREE times — (a) one shared per-cell pass computing occupancy
+    AND the stale inertia together (they aggregate the same frame, so
+    recalibration does not buy a scan of its own), (b) the candidate
+    training (or its ``train_fraction`` hash-sample), (c) the
+    candidate inertia on the retrained assignment — plus the
+    O(forgotten) semi-join count when a manifest is present. Each scan
+    is a broadcast join + bounded aggregate, amortized over the
+    maintenance cadence; materializing the survivor frame instead
+    (localCheckpoint) would write the whole store once, which is worse
+    at store ≫ window-cadence scale. The one per-segment rewrite is
+    the compaction the store was due anyway (and is SKIPPED entirely
+    when there is nothing to forget and the trigger said skip — an
+    identity rewrite of a 100 TB store is a full I/O pass for
+    nothing); expire is O(manifest)."""
     from dwh_spark.operators.forget import forget_rows
     from dwh_spark.operators.similarity import (
+        _dot_expr,
         assign_cells,
         cell_inertia,
         train_semantic_cells,
+        with_norm,
     )
 
     state = index_store.current(spark)
@@ -175,23 +187,74 @@ def run_maintenance_window(
             )
 
     try:
-        # -- phase 2: recalibrate the occupancy cap from POST-forget
-        # -- stats (one histogram: the quantile is reported alongside)
-        occ = (
-            survivors.groupBy("cell")
-            .agg(F.count("*").alias("df"))
+        # -- phases 2+3a SHARED PASS: per-cell occupancy (the cap's
+        # -- input) and the stale-inertia partials aggregate the SAME
+        # -- survivor frame, so one broadcast LEFT join + one groupBy
+        # -- computes both — the LEFT side keeps cells the centroid
+        # -- frame does not cover, making coverage CHECKABLE instead
+        # -- of silently dropping those rows from the trigger math
+        # -- (cell_inertia's inner join would under-count n_survivors
+        # -- for a caller whose centroids miss a stored cell).
+        c = with_norm(old_centroids, "embedding").select(
+            F.col(key).alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm2").alias("c_norm2"),
+        )
+        percell = (
+            survivors.join(F.broadcast(c), "cell", "left")
+            .withColumn(
+                # try_divide: a zero-norm (degenerate) row scores null
+                # instead of an ANSI divide-by-zero — phase 2 must get
+                # to adjudicate a degenerate distribution loudly
+                # (CapCalibrationError), not lose to a crash in the
+                # inertia partials sharing its scan
+                "cos_c",
+                F.round(
+                    F.try_divide(
+                        F.expr(_dot_expr("embedding", "c_emb")),
+                        F.sqrt("norm2") * F.sqrt("c_norm2"),
+                    ),
+                    6,
+                ),
+            )
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("df"),
+                F.count("c_emb").alias("n_scored"),
+                F.sum(F.col("cos_c").cast("decimal(18,6)")).alias("sum_cos"),
+            )
             .localCheckpoint()
         )
         cap, cap_q_value = calibrate_cap(
-            occ,
+            percell.select("cell", "df"),
             quantile=cap_quantile,
             margin=cap_margin,
             check=cap_check,
             return_quantile=True,
         )
+        cells_rows = percell.collect()  # bounded: one row per cell
+        n_survivors = sum(int(r["df"]) for r in cells_rows)
+        n_scored = sum(int(r["n_scored"]) for r in cells_rows)
+        if n_scored != n_survivors:
+            raise ValueError(
+                f"centroid frame does not cover the store: "
+                f"{n_survivors - n_scored} of {n_survivors} surviving "
+                f"rows sit in cells absent from old_centroids — the "
+                f"trigger inertias would be computed on a partial "
+                f"corpus; re-assign the store or pass covering centroids"
+            )
+        # exact-decimal partials re-sum to cell_inertia's exact total
+        # (decimal addition is associative), so the double mean is
+        # bit-identical to the former dedicated cell_inertia scan
+        stale_sum = sum(
+            (r["sum_cos"] for r in cells_rows if r["sum_cos"] is not None),
+            start=0,
+        )
+        stale_mean_cos = (
+            float(stale_sum) / n_scored if n_scored else float("nan")
+        )
 
-        # -- phase 3: the retrain trigger — stale vs candidate fit
-        stale = cell_inertia(survivors, old_centroids, key=key).collect()[0]
+        # -- phase 3b: the candidate side of the retrain trigger
         cand_centroids, n_cells = train_semantic_cells(
             survivors.select(key, "embedding"),
             rows_per_cell=rows_per_cell,
@@ -210,18 +273,20 @@ def run_maintenance_window(
     except BaseException:
         _forget_only()
         raise
-    n_survivors = int(stale["n_vectors"])
     # force_retrain is the scheduled-retrain deployment mode (and the
     # cadence-invariance lever: the trigger is a cost optimization
     # that may delay convergence by one window — forcing the final
     # window's retrain makes "two half-windows == one union window"
     # exact; tests/test_maintenance_window.py pins it)
     retrain_due = force_retrain or bool(
-        retrained["mean_cos"] > stale["mean_cos"]
+        retrained["mean_cos"] > stale_mean_cos
     )
 
-    # -- phase 4: ONE per-segment rewrite — forget always, re-assign
-    # -- iff the trigger fired; ranges survive so phase 5 still works
+    # -- phase 4: ONE per-segment rewrite — forget if a manifest is
+    # -- present, re-assign iff the trigger fired; ranges survive so
+    # -- phase 5 still works. With nothing to forget AND a skip
+    # -- verdict the rewrite would be the identity — at 100 TB a
+    # -- full-store I/O pass for nothing — so it is skipped outright.
     def transform(seg: DataFrame) -> DataFrame:
         kept = (
             forget_rows(seg, forgotten_ids, key=key)
@@ -234,7 +299,8 @@ def run_maintenance_window(
             )
         return kept
 
-    index_store.rewrite_each(spark, transform)
+    if forgotten_ids is not None or retrain_due:
+        index_store.rewrite_each(spark, transform)
 
     # -- phase 5: retention horizon LAST (erasure already durable)
     segments_expired, rows_expired = 0, 0
@@ -280,7 +346,7 @@ def run_maintenance_window(
         hot_cells=hot_cells,
         max_occupancy=max_occupancy,
         n_survivors=n_survivors,
-        stale_mean_cos=float(stale["mean_cos"]),
+        stale_mean_cos=stale_mean_cos,
         retrained_mean_cos=float(retrained["mean_cos"]),
         retrain_due=retrain_due,
         n_cells=int(n_cells),
@@ -364,6 +430,14 @@ def run_fp_maintenance_window(
     state = index_store.current(spark)
     if state is None:
         raise ValueError("maintenance window on an empty index store")
+    if stats_store.current(spark) is None:
+        # an index with no stats partials cannot calibrate (phase 2)
+        # and the phase-1 shrink would silently no-op while the index
+        # forgot rows — fail loudly before anything moves
+        raise ValueError(
+            "maintenance window with an empty stats store — append the "
+            "per-batch df partials alongside every index append"
+        )
 
     def merged(stats: DataFrame) -> DataFrame:
         return stats.groupBy(value_col).agg(F.sum("df").alias("df"))

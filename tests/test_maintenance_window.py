@@ -316,3 +316,57 @@ def test_window_erasure_lands_even_when_calibration_fails(spark, tmp_path):
     }
     assert not survivors & {3, 1005}  # erased despite the failure
     assert len(survivors) == 1848  # and nothing else touched
+
+
+def test_window_skip_path_skips_identity_rewrite(spark, tmp_path):
+    """ADVICE r16 (medium): nothing to forget + a skip verdict means
+    phase 4 has nothing to make durable — the runner must NOT run an
+    identity rewrite of every segment (at 100 TB, a full-store I/O
+    pass for nothing). Pinned structurally: the manifest's segment
+    dirs are byte-identical after the window (optimize=False so the
+    final compact doesn't mask the check)."""
+    emb = _emb(spark)
+    cents, _ = train_semantic_cells(emb, rows_per_cell=64)
+    cents = cents.localCheckpoint()
+    store = _build_store(spark, tmp_path, "idx", cents, emb)
+    segs_before = list(store._read_manifest()["segments"])
+    rep = run_maintenance_window(
+        spark, store, cents, rows_per_cell=64, optimize=False
+    )
+    assert rep.rows_forgotten == 0 and not rep.retrain_due
+    assert list(store._read_manifest()["segments"]) == segs_before
+
+
+def test_window_rejects_noncovering_centroids(spark, tmp_path):
+    """ADVICE r16: a centroid frame that misses a stored cell must
+    fail loudly — the inner-join inertia would otherwise compute the
+    trigger on a silently partial corpus (and n_survivors/rows_expired
+    would drift). The store is untouched on the way out (no manifest —
+    nothing to make durable)."""
+    emb = _emb(spark)
+    cents, _ = train_semantic_cells(emb, rows_per_cell=64)
+    cents = cents.localCheckpoint()
+    store = _build_store(spark, tmp_path, "idx", cents, emb)
+    a_cell = store.current(spark).select("cell").first()["cell"]
+    partial = cents.filter(F.col("vec_id") != a_cell)
+    before = _state(spark, store)
+    with pytest.raises(ValueError, match="does not cover"):
+        run_maintenance_window(spark, store, partial, rows_per_cell=64)
+    assert _state(spark, store) == before
+
+
+def test_fp_window_empty_stats_store_fails_loudly(spark, tmp_path):
+    """ADVICE r16: an index with no stats partials cannot calibrate
+    and the phase-1 shrink would silently no-op — the FP window must
+    raise the house loud-contract ValueError, not die on a None
+    AttributeError mid-phase."""
+    from dwh_spark.streaming.maintenance import run_fp_maintenance_window
+
+    subs = spark.createDataFrame(
+        [(1, 0, 42)], "audio_id long, pos long, sub32 long"
+    )
+    index_store = ParquetAppendLog(str(tmp_path / "idx"), write_partitions=1)
+    stats_store = ParquetAppendLog(str(tmp_path / "st"), write_partitions=1)
+    index_store.append(subs, 0)
+    with pytest.raises(ValueError, match="empty stats store"):
+        run_fp_maintenance_window(spark, index_store, stats_store)

@@ -1154,3 +1154,23 @@ def test_append_log_incremental_snapshot_reads(spark, tmp_path):
     log2.compact(spark)
     with pytest.raises(SnapshotUnreadableError, match="lower boundary"):
         log2.current(spark, as_of_batch=2, since_batch=0)
+
+
+def test_state_store_asof_malformed_pointer_fails_loudly(spark, tmp_path):
+    """ADVICE r16: a CURRENT pointer that exists but names a non-v dir
+    proves no snapshot committed — an as-of read must raise the
+    contract's SnapshotUnreadableError, not TypeError from
+    min(N, None)."""
+    import pytest
+
+    from dwh_spark.streaming.ingest import (
+        ParquetStateStore,
+        SnapshotUnreadableError,
+    )
+
+    store = ParquetStateStore(str(tmp_path / "state"), write_partitions=1)
+    store.commit(spark.range(10).withColumnRenamed("id", "x"), 1)
+    with open(store._pointer, "w") as fh:
+        fh.write(str(tmp_path / "state" / "garbage"))
+    with pytest.raises(SnapshotUnreadableError, match="malformed"):
+        store.current(spark, as_of_batch=1)
