@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # -- new round-17 queries: no driver verdict yet
     "docs_minhash_delta_snapshot",  # since_batch incremental read: train on the delta, decontaminate vs the checkpoint
+    "docs_containment_window_ledger",  # FP window's third binding: containment posting index, zero runner changes
     # -- latest driver verdict r11 (12)
     "q14_promo_revenue",
     "q15_top_supplier",
