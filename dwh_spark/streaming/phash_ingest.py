@@ -645,6 +645,101 @@ def run_audio_offset_cap_ingest(
     )
 
 
+def run_audio_offset_cap_window_ingest(
+    stream: DataFrame,
+    index_store: ParquetAppendLog,
+    stats_store: ParquetAppendLog,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_matches: int = 5,
+    min_word_transitions: int = 4,
+    max_word_freq: int = 16,
+    window_at: int = 1,
+    forgotten_ids: DataFrame | None = None,
+    expire_keep_from: int | None = None,
+):
+    """The audio OFFSET fold with the df-cap composed AND the FULL
+    fingerprint MAINTENANCE WINDOW run mid-stream from the fold's
+    maintenance seam (the FP twin of the IVF composition in
+    plans/streaming.py:streaming_semantic_window_ingest): per-batch
+    word-df partials are recorded exactly as
+    :func:`run_audio_offset_cap_ingest` does, and after batch
+    ``window_at`` commits, ``streaming/maintenance.py:
+    run_fp_maintenance_window`` sequences forget-durability →
+    recalibration-from-post-forget-stats → expire → optimize over
+    BOTH stores. The composition consequence, stated: the fold's
+    hot-word set is re-derived from the merged stats log at every
+    batch start, so after the window the set reflects the SHRUNK
+    stats (stats == rebuild-over-retained) — a word whose postings
+    the window forgot or expired is re-admitted for subsequent
+    batches (bounded oscillation, the documented cap semantics),
+    while subsequent probes can never match a forgotten or expired
+    partner (the index rewrite/horizon is durable before the next
+    batch folds). Returns the window's :class:`FpWindowReport`.
+
+    100 TB: per-batch fold cost is unchanged; the window costs what
+    its phases cost (stated at the runner) and runs between
+    micro-batches in the seam the fold already owns."""
+    from dwh_spark.multimodal.audio_fp import (
+        audio_offset_pairs_from_subfps,
+        audio_offset_vote_probe,
+        audio_subfingerprint_frame,
+        drop_low_entropy_words,
+    )
+    from dwh_spark.streaming.maintenance import run_fp_maintenance_window
+
+    spark = stream.sparkSession
+    cap = WordDfCapMaintenance(
+        spark, index_store, stats_store, max_word_freq, None
+    )
+    report_holder: list = []
+
+    def fp_fn(df: DataFrame) -> DataFrame:
+        return cap.filter_batch(
+            drop_low_entropy_words(
+                audio_subfingerprint_frame(df), min_word_transitions
+            )
+        )
+
+    def within(batch_subfps: DataFrame) -> DataFrame:
+        return (
+            audio_offset_pairs_from_subfps(batch_subfps, min_matches=min_matches)
+            .select("id_a", "id_b")
+            .distinct()
+            .select(F.col("id_b").alias("audio_id"))
+        )
+
+    def cross(prior: DataFrame, batch_subfps: DataFrame) -> DataFrame:
+        return (
+            audio_offset_vote_probe(prior, batch_subfps, min_matches=min_matches)
+            .select("batch_id", "index_id")
+            .distinct()
+            .select(F.col("batch_id").alias("audio_id"))
+        )
+
+    def maintenance(batch_id: int) -> None:
+        cap.record(batch_id)
+        if batch_id == window_at:
+            report_holder.append(
+                run_fp_maintenance_window(
+                    spark,
+                    index_store,
+                    stats_store,
+                    forgotten_ids=forgotten_ids,
+                    key="audio_id",
+                    value_col="sub32",
+                    expire_keep_from=expire_keep_from,
+                )
+            )
+
+    _run_indexed_ingest(
+        stream, index_store, out_dir, checkpoint_dir,
+        fp_fn, within, cross,
+        "audio_id", "n_earlier_odups", maintenance,
+    )
+    return report_holder[0] if report_holder else None
+
+
 class BlockDfCapMaintenance:
     """The VIDEO form of the streaming df-cap composition — the
     bounded (i, val, df) block-stats table as its own append log of

@@ -370,3 +370,36 @@ def test_fp_window_empty_stats_store_fails_loudly(spark, tmp_path):
     index_store.append(subs, 0)
     with pytest.raises(ValueError, match="empty stats store"):
         run_fp_maintenance_window(spark, index_store, stats_store)
+
+
+def test_fp_window_ingest_oracle_nonvacuous():
+    """The mid-stream FP window query's oracle must differ from its
+    cap-compaction neighbor at sf0.001 in BOTH directions: the window
+    removes partners (forget + the expired batch-1 segment) AND adds
+    partners (the post-window stats shrink re-admits the jingle for
+    batch 3), so a fixture drift can't silently reduce the binding to
+    either a pure-loss or a pure-copy of the neighbor."""
+    import glob
+
+    import duckdb
+
+    import dwh_spark.plans.all  # noqa: F401  (populates the registry)
+    from dwh_spark.plans.registry import ORACLES
+
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(SF, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    window_sql = ORACLES["streaming_audio_offset_window_ingest"]
+    cap_sql = ORACLES["streaming_audio_offset_cap_compaction"]
+    lost = con.execute(
+        f"SELECT count(*) FROM (({cap_sql}) EXCEPT ({window_sql}))"
+    ).fetchone()[0]
+    gained = con.execute(
+        f"SELECT count(*) FROM (({window_sql}) EXCEPT ({cap_sql}))"
+    ).fetchone()[0]
+    assert lost > 0, "window removed no partner row vs the cap neighbor"
+    assert gained > 0, (
+        "window added no partner row vs the cap neighbor — the jingle "
+        "re-admission arm is vacuous"
+    )
