@@ -2442,6 +2442,119 @@ def maintenance_window_smoke(n_corpus: int = 200_000, n_forget: int = 1_000) -> 
     spark.stop()
 
 
+def fp_window_smoke(n_postings: int = 1_000_000, n_forget: int = 1_000) -> None:
+    """The FINGERPRINT maintenance window at scale (VERDICT r16 next
+    #4): a 1M-posting H-K-shaped lookup table (25k clips x 40
+    postings; four planted corpus-hot words at df=n_clips — the
+    degenerate band) appended as FOUR real segments with their
+    per-batch word-df partials, then ONE run_fp_maintenance_window
+    pass — forget 1k clips (per-segment rewrite + exact partial
+    shrink), recalibrate from post-forget stats (check=True: the
+    planted band is above q99, the guard adjudicates it), expire the
+    oldest segment with the stats shrunk by its partials, optimize.
+    Verifies the window contract EXACTLY at scale: zero ghosts, zero
+    expired leftovers, replay guard untouched, and the shrunk stats
+    log equals a full rebuild over the post-window index — the
+    stats == rebuild-over-retained exactness the ledger queries pin
+    at sf, here at 1M postings."""
+    import tempfile
+
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.maintenance import run_fp_maintenance_window
+
+    spark = get_spark("fp-window-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_clips = n_postings // 40
+    postings = spark.range(n_postings).select(
+        (F.col("id") % n_clips).alias("audio_id"),
+        F.floor(F.col("id") / n_clips).alias("pos"),
+        F.when(
+            F.floor(F.col("id") / n_clips) < 4,
+            F.floor(F.col("id") / n_clips),  # 4 hot words
+        )
+        .otherwise(
+            F.pmod(F.xxhash64("id"), F.lit(2**31 - 1)) + 4
+        )
+        .alias("sub32"),
+    )
+    root = tempfile.mkdtemp(prefix="dwh_fp_window_smoke_")
+    index_store = ParquetAppendLog(root + "/index")
+    stats_store = ParquetAppendLog(root + "/stats")
+    t = time.perf_counter()
+    n_seg = 4
+    per = n_clips // n_seg
+    postings = postings.persist()
+    for b in range(n_seg):
+        seg = postings.filter(
+            (F.col("audio_id") >= b * per) & (F.col("audio_id") < (b + 1) * per)
+        )
+        index_store.append(seg, b)
+        stats_store.append(
+            seg.groupBy("sub32").agg(F.count("*").alias("df")), b
+        )
+    build_s = time.perf_counter() - t
+
+    forget_mod = n_clips // n_forget
+    fids = (
+        spark.range(n_clips)
+        .select(F.col("id").alias("audio_id"))
+        .filter(F.col("audio_id") % forget_mod == 7)
+    )
+    t = time.perf_counter()
+    rep = run_fp_maintenance_window(
+        spark,
+        index_store,
+        stats_store,
+        forgotten_ids=fids,
+        expire_keep_from=1,
+    )
+    window_s = time.perf_counter() - t
+
+    state = index_store.current(spark).persist()
+    n_state = state.count()
+    n_ghost = state.join(F.broadcast(fids), "audio_id", "left_semi").count()
+    n_seg0_left = state.filter(F.col("audio_id") < per).count()
+    # the exactness headline: shrunk stats == rebuild over retained
+    merged = (
+        stats_store.current(spark)
+        .groupBy("sub32")
+        .agg(F.sum("df").alias("df"))
+    )
+    rebuilt = state.groupBy("sub32").agg(F.count("*").alias("df"))
+    n_drift = (
+        merged.withColumnRenamed("df", "df_s")
+        .join(rebuilt.withColumnRenamed("df", "df_r"), "sub32", "full_outer")
+        .filter(
+            F.col("df_s").isNull()
+            | F.col("df_r").isNull()
+            | (F.col("df_s") != F.col("df_r"))
+        )
+        .count()
+    )
+    n_forgot = n_clips // forget_mod
+    expect = n_postings - 40 * n_forgot - rep.rows_expired
+    print(
+        f"fp-window smoke ({n_postings} postings, {n_clips} clips, "
+        f"{n_seg} segments): build {build_s:.1f}s; window {window_s:.1f}s "
+        f"end-to-end — forgot {rep.rows_forgotten} postings, cap {rep.cap} "
+        f"(q {rep.cap_quantile_value}), {len(rep.hot_words)} hot words "
+        f"(max df {rep.max_df}), expired {rep.segments_expired} segment(s) "
+        f"/ {rep.rows_expired} postings, {rep.segments_after} segment(s) "
+        f"after optimize; store rows {n_state} (expect {expect}), ghosts "
+        f"{n_ghost} (expect 0), segment-0 leftovers {n_seg0_left} "
+        f"(expect 0), stats-vs-rebuild drift rows {n_drift} (expect 0)"
+    )
+    assert rep.rows_forgotten == 40 * n_forgot
+    assert rep.segments_expired == 1
+    assert n_state == expect
+    assert n_ghost == 0
+    assert n_seg0_left == 0
+    assert n_drift == 0
+    assert len(rep.hot_words) == 4  # exactly the planted degenerate band
+    assert index_store.last_committed() == n_seg - 1
+    spark.stop()
+
+
 if __name__ == "__main__":
     if CASE == "append_log":
         append_log_soak()
@@ -2475,6 +2588,8 @@ if __name__ == "__main__":
         retrain_smoke()
     elif CASE == "maintenance_window":
         maintenance_window_smoke()
+    elif CASE == "fp_window":
+        fp_window_smoke()
     elif CASE is not None:
         raise SystemExit(
             f"unknown case {CASE!r} "
