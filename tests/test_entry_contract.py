@@ -95,3 +95,27 @@ def test_rotation_covers_stalest_verdicts():
         f"queries with driver verdicts from round <= {newest - 3} missing "
         f"from _CHECK_FIRST: {missing}"
     )
+
+
+def test_readme_registry_count_matches():
+    """VERDICT r16 What's-wrong #1: the README's registry-count prose
+    must not drift from len(QUERIES) — the figure is wrapped in
+    <!-- registry-count --> markers and pinned here; update the README
+    (and this stays green) whenever a query registers."""
+    import re
+
+    import dwh_spark.plans.all  # noqa: F401
+    from dwh_spark.plans.registry import QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(
+        r"<!-- registry-count -->(\d+) queries<!-- /registry-count -->",
+        readme,
+    )
+    assert m is not None, "README.md lost its registry-count marker"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries, registry has {len(QUERIES)} — "
+        "update the marker in README.md"
+    )
