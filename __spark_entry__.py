@@ -56,6 +56,7 @@ _CHECK_FIRST = [
     "docs_minhash_delta_snapshot",  # since_batch incremental read: train on the delta, decontaminate vs the checkpoint
     "docs_containment_window_ledger",  # FP window's third binding: containment posting index, zero runner changes
     "streaming_audio_offset_window_ingest",  # the FP window run mid-stream: forget+expire+re-admission observable in batch 3
+    "av_video_window_ledger",  # FP window's video binding: composite stats keys + derived block partials
     # -- latest driver verdict r11 (12)
     "q14_promo_revenue",
     "q15_top_supplier",

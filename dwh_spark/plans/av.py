@@ -4331,3 +4331,164 @@ def av_audio_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase_no int, phase string, k long, n long, v double",
     )
+
+
+_AV_VIDEO_WINDOW_LEDGER_ORACLE = """
+    WITH ids AS (SELECT doc_id AS video_id FROM documents),
+    bt AS (
+      SELECT video_id, ntile(3) OVER (ORDER BY video_id) AS b FROM ids
+    ),
+    cells AS (
+      SELECT i.video_id, f.f + 4 AS f, g.r, g.c,
+             (('0x' || substr(md5('vblk:' || CAST(i.video_id AS VARCHAR)
+                               || ':' || CAST(f.f AS VARCHAR) || ':' || g.r
+                               || ':' || g.c), 1, 1))::INT % 2) AS bbit
+      FROM ids i,
+           (SELECT unnest(range(0, 5)) AS f) f,
+           (SELECT r.r, c.c
+            FROM (SELECT unnest(range(0, 8)) AS r) r,
+                 (SELECT unnest(range(0, 8)) AS c) c) g
+    ),
+    hashes AS (
+      SELECT b1.video_id, b1.f,
+             CAST(sum(CASE WHEN b2.bbit = 1 AND b1.bbit = 0
+                           THEN (1::BIGINT << (b1.r * 7 + b1.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM cells b1
+      JOIN cells b2 ON b2.video_id = b1.video_id AND b2.f = b1.f
+                   AND b2.r = b1.r AND b2.c = b1.c + 1
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT i.video_id, f.f, 0 AS h
+      FROM ids i, (SELECT unnest(range(0, 4)) AS f) f
+    ),
+    frames AS (
+      SELECT h.video_id, h.f, h.h, bt.b
+      FROM hashes h JOIN bt USING (video_id)
+    ),
+    surv_f AS (SELECT * FROM frames WHERE video_id % 10 != 3),
+    surv_b AS (
+      SELECT s.video_id, s.b, bl.i,
+             CAST((s.h >> (bl.i * 14)) & 16383 AS BIGINT) AS val
+      FROM surv_f s, (SELECT unnest(range(0, 4)) AS i) bl
+    ),
+    stats_pf AS (SELECT i, val, count(*) AS df FROM surv_b GROUP BY 1, 2),
+    nn AS (SELECT count(*) AS n FROM stats_pf),
+    hist AS (SELECT df, count(*) AS c FROM stats_pf GROUP BY 1),
+    cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cum FROM hist),
+    qv AS (
+      SELECT min(df) AS v FROM cum, nn WHERE cum >= ceil(0.99 * nn.n)
+    ),
+    post_f AS (SELECT * FROM surv_f WHERE b >= 2),
+    stats_post AS (
+      SELECT i, val, count(*) AS df FROM surv_b WHERE b >= 2 GROUP BY 1, 2
+    )
+    SELECT 1 AS phase_no, 'forget' AS phase, CAST(0 AS BIGINT) AS k,
+           (SELECT count(*) FROM frames WHERE video_id % 10 = 3) AS n,
+           CAST((SELECT coalesce(sum(video_id), 0) FROM frames
+                 WHERE video_id % 10 = 3) AS DOUBLE) AS v
+    UNION ALL
+    SELECT 2, 'recalibrate', 0,
+           (SELECT CAST(v * 4 AS BIGINT) FROM qv),
+           (SELECT CAST(v AS DOUBLE) FROM qv)
+    UNION ALL
+    SELECT 3, 'expire', 0, CAST(1 AS BIGINT),
+           (SELECT CAST(count(*) AS DOUBLE) FROM surv_f WHERE b = 1)
+    UNION ALL
+    SELECT 4, 'hot_words', 0,
+           (SELECT count(*) FROM stats_post, qv WHERE df > v * 4),
+           (SELECT CAST(max(df) AS DOUBLE) FROM stats_post)
+    UNION ALL
+    SELECT 5, 'post', 0,
+           (SELECT count(*) FROM post_f),
+           (SELECT CAST(count(*) AS DOUBLE) FROM stats_post)
+    """
+
+
+@query("av_video_window_ledger", oracle=_AV_VIDEO_WINDOW_LEDGER_ORACLE)
+def av_video_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MAINTENANCE WINDOW'S FOURTH POSTING-FAMILY BINDING — the
+    VIDEO per-frame index (VERDICT r16 What's-missing #5, closing the
+    matrix): this family's stats are NOT a column count — the stored
+    artifact is the (video_id, frame_ix, dhash) frame table and its
+    stats log holds per-(block, value) counts DERIVED from the hashes
+    (multimodal/perceptual.py:video_block_df, the
+    ``BlockDfCapMaintenance.record`` shape) — so it exercises the
+    runner's generic seams: ``stats_keys=["i", "val"]`` (composite)
+    and ``partials_fn=video_block_df`` (derived partials). Zero
+    runner phase changes: forget the %10==3 videos (per-segment
+    rewrite + the forgotten frames' OWN block partials subtracted),
+    recalibrate the block cap from POST-forget stats (the 4 black
+    (i, 0) values are the degenerate band — df = 4 x survivors per
+    block vs the md5-content natural band), EXPIRE batch 0 with its
+    partials, optimize, report the post-window hot set — exactly the
+    ``max_block_freq`` guard the offset probes anti-join.
+
+    Output is the window LEDGER (phase_no, phase, k, n, v); the
+    oracle re-derives every frame dHash from the fixture's md5-grid
+    recipe, splits it into the SAME 14-bit blocks, and applies the
+    ntile batch split, survivor filter, ceil-rank q99, margin and
+    horizon arithmetic in SQL — a block-partial shrink that drifted
+    from rebuild-over-retained hash-mismatches.
+
+    100 TB: one decode pass (persisted) feeds all six appends; the
+    window costs one broadcast anti-join, O(forgotten)+O(expired)
+    derived-partial aggregates over bounded (<= 4 x 2^14-row)
+    frames, two bounded stats merges, and the compaction the store
+    was due anyway."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.multimodal.perceptual import (
+        video_block_df,
+        video_dhash_frames,
+    )
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.maintenance import run_fp_maintenance_window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    frames = video_dhash_frames(
+        _video_black_offset_fixture(docs, base=True, variants=False)
+    )
+    bt = docs.select(F.col("doc_id").alias("video_id")).withColumn(
+        "b", F.ntile(3).over(Window.orderBy("video_id"))
+    )
+    # one decode pass feeds three segment writes + three stats appends
+    while _AV_CAPPED_CACHE:
+        _AV_CAPPED_CACHE.pop().unpersist()
+    sliced = frames.join(F.broadcast(bt), "video_id").persist()
+    _AV_CAPPED_CACHE.append(sliced)
+
+    root = tempfile.mkdtemp(prefix="dwh_av_video_window_")
+    index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
+    stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
+    for i in range(1, 4):
+        seg = sliced.filter(F.col("b") == i).select(
+            "video_id", "frame_ix", "dhash"
+        )
+        index_store.append(seg, i - 1)
+        stats_store.append(video_block_df(seg), i - 1)
+    fids = bt.select("video_id").filter(F.col("video_id") % 10 == 3)
+    rep = run_fp_maintenance_window(
+        spark,
+        index_store,
+        stats_store,
+        forgotten_ids=fids,
+        key="video_id",
+        value_col="dhash",
+        stats_keys=["i", "val"],
+        partials_fn=video_block_df,
+        expire_keep_from=1,
+    )
+    return spark.createDataFrame(
+        [
+            (1, "forget", 0, rep.rows_forgotten, float(rep.forgotten_key_sum)),
+            (2, "recalibrate", 0, rep.cap, float(rep.cap_quantile_value)),
+            (3, "expire", 0, rep.segments_expired, float(rep.rows_expired)),
+            (4, "hot_words", 0, len(rep.hot_words), float(rep.max_df)),
+            (5, "post", 0, rep.n_postings_after, float(rep.n_words_after)),
+        ],
+        "phase_no int, phase string, k long, n long, v double",
+    )

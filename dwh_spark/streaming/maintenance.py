@@ -370,7 +370,7 @@ class FpWindowReport:
     n_words: int
     segments_expired: int
     rows_expired: int
-    hot_words: list[int]
+    hot_words: list[int] | list[tuple[int, ...]]
     max_df: int
     n_postings_after: int
     n_words_after: int
@@ -385,6 +385,8 @@ def run_fp_maintenance_window(
     forgotten_ids: DataFrame | None = None,
     key: str = "audio_id",
     value_col: str = "sub32",
+    stats_keys: list[str] | None = None,
+    partials_fn=None,
     cap_quantile: float = 0.99,
     cap_margin: int = 4,
     cap_check: bool = True,
@@ -422,10 +424,27 @@ def run_fp_maintenance_window(
        anti-join set ``WordDfCapMaintenance.hot_words`` serves the
        fold.
 
+    GENERIC over the family's stats shape (VERDICT r16 What's-missing
+    #5): ``stats_keys`` names the stats table's key columns (default
+    ``[value_col]`` — the H-K/containment single-key form), and
+    ``partials_fn(index_rows) -> (*stats_keys, df)`` derives a row
+    set's own partials (default: one groupBy over ``value_col``).
+    The VIDEO per-frame family binds with
+    ``stats_keys=["i", "val"], partials_fn=video_block_df`` — its
+    stats are per-(block, value) counts DERIVED from the dhash rows,
+    not a column count (``BlockDfCapMaintenance.record``'s shape).
+    ``hot_words`` reports single-key values as ints (unchanged) and
+    composite keys as tuples.
+
     Cost shape at 100 TB: one broadcast anti-join over the index, two
     bounded stats merges, O(forgotten)+O(expired) partial aggregates,
     and the compaction the store was due anyway."""
     from dwh_spark.operators.forget import forget_rows, shrink_stats
+
+    keys = list(stats_keys) if stats_keys is not None else [value_col]
+    if partials_fn is None:
+        def partials_fn(rows: DataFrame) -> DataFrame:
+            return rows.groupBy(*keys).agg(F.count("*").alias("df"))
 
     state = index_store.current(spark)
     if state is None:
@@ -440,16 +459,14 @@ def run_fp_maintenance_window(
         )
 
     def merged(stats: DataFrame) -> DataFrame:
-        return stats.groupBy(value_col).agg(F.sum("df").alias("df"))
+        return stats.groupBy(*keys).agg(F.sum("df").alias("df"))
 
     # -- phase 1: forget, durable before anything else moves
     rows_forgotten, forgotten_key_sum = 0, 0
     if forgotten_ids is not None:
         forgotten_ids = forgotten_ids.localCheckpoint()
         removed = state.join(F.broadcast(forgotten_ids), key, "left_semi")
-        removed_partials = (
-            removed.groupBy(value_col).agg(F.count("*").alias("df")).localCheckpoint()
-        )
+        removed_partials = partials_fn(removed).localCheckpoint()
         fstats = removed.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
@@ -462,7 +479,7 @@ def run_fp_maintenance_window(
         stats_store.compact(
             spark,
             transform=lambda s: shrink_stats(
-                merged(s), removed_partials, [value_col]
+                merged(s), removed_partials, keys
             ),
         )
 
@@ -494,17 +511,13 @@ def run_fp_maintenance_window(
             dropped = spark.read.parquet(
                 *(_os.path.join(index_store.root, s) for s in drop)
             )
-            drop_partials = (
-                dropped.groupBy(value_col)
-                .agg(F.count("*").alias("df"))
-                .localCheckpoint()
-            )
+            drop_partials = partials_fn(dropped).localCheckpoint()
             rows_expired = int(dropped.count())
             index_store.expire(expire_keep_from)
             stats_store.compact(
                 spark,
                 transform=lambda s: shrink_stats(
-                    merged(s), drop_partials, [value_col]
+                    merged(s), drop_partials, keys
                 ),
             )
         segments_expired = len(drop)
@@ -526,7 +539,11 @@ def run_fp_maintenance_window(
         n_words=n_words,
         segments_expired=segments_expired,
         rows_expired=rows_expired,
-        hot_words=sorted(int(r[value_col]) for r in hot_rows),
+        hot_words=(
+            sorted(int(r[keys[0]]) for r in hot_rows)
+            if len(keys) == 1
+            else sorted(tuple(int(r[k]) for k in keys) for r in hot_rows)
+        ),
         max_df=int(max_df_row) if max_df_row is not None else 0,
         n_postings_after=int(cur.count()) if cur is not None else 0,
         n_words_after=n_words_after,
