@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     "docs_containment_window_ledger",  # FP window's third binding: containment posting index, zero runner changes
     "streaming_audio_offset_window_ingest",  # the FP window run mid-stream: forget+expire+re-admission observable in batch 3
     "av_video_window_ledger",  # FP window's video binding: composite stats keys + derived block partials
+    "streaming_rollup_asof_snapshot",  # ParquetStateStore time travel: the rollup as it stood at the batch-2 boundary
     # -- latest driver verdict r11 (12)
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -206,6 +206,90 @@ def streaming_daily_rollup_incremental(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "streaming_rollup_asof_snapshot",
+    oracle="""
+    WITH st AS (
+      SELECT *, ntile(3) OVER (ORDER BY event_id) AS b FROM events
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM st WHERE b <= 2 GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE time travel made driver-gated — the
+    ``ParquetStateStore`` twin of ``docs_minhash_asof_snapshot`` (the
+    append log's as-of gate): the continuous daily rollup drains
+    THREE event-id-ordered micro-batches into the versioned store,
+    then — after batch 3's snapshot has committed —
+    ``current(as_of_batch=1)`` serves the rollup EXACTLY as it stood
+    at the batch-2 boundary (each snapshot is a complete state, so
+    "state as of batch N" is the last snapshot committed by then;
+    dirs are never GC'd, so history stays readable for free). The
+    reproducible-reporting contract: "what did the dashboard say
+    after Tuesday's load?" re-reads the same frame months later
+    while the store keeps folding.
+
+    LOAD-BEARING, not decorative: if the as-of read leaked the final
+    state, every batch-3 event would inflate the counts past the
+    oracle (which aggregates ntile slices 1-2 only); if it served an
+    uncommitted or earlier snapshot, groups would go missing. The
+    crash-window guard (a written-but-unflipped snapshot is never
+    served) and the malformed-pointer loud path are exception-pinned
+    in tests/test_streaming.py.
+
+    100 TB: the read costs one pointer resolve + one snapshot scan —
+    no filtering, no reconstruction; on a partitioned (range_key)
+    store the same read prunes through the snapshot manifest."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.ingest import run_incremental_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dwh_rollup_asof_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = events.withColumn(
+        "__slice", F.ntile(3).over(Window.orderBy("event_id"))
+    )
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    prepared = stream.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    store = ParquetStateStore(f"{root}/rollup_state", write_partitions=1)
+    run_incremental_rollup(
+        prepared, store, f"{root}/checkpoint",
+        keys=["day", "event_type"],
+        measures={"n": F.count("*"), "sum_dec": F.sum("v")},
+    )
+    # the time-travel read: the batch-2 boundary state, post-batch-3
+    asof = store.current(spark, as_of_batch=1)
+    return asof.select(
+        "day", "event_type", "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "streaming_dedup_exactly_once",
     oracle="""
     SELECT count(*) AS n_unique,
