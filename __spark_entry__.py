@@ -48,16 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # over the stalest DRIVER verdicts below.
 #
 # Round-17 ledger (generated — regenerate with
-# scripts/rotate_check_first.py): registry 262, newest
+# scripts/rotate_check_first.py): registry 267, newest
 # committed artifact r16, combined-stale (<= r13) 0,
-# never-checked 0.
+# never-checked 5.
 _CHECK_FIRST = [
     # -- new round-17 queries: no driver verdict yet
-    "docs_minhash_delta_snapshot",  # since_batch incremental read: train on the delta, decontaminate vs the checkpoint
-    "docs_containment_window_ledger",  # FP window's third binding: containment posting index, zero runner changes
-    "streaming_audio_offset_window_ingest",  # the FP window run mid-stream: forget+expire+re-admission observable in batch 3
-    "av_video_window_ledger",  # FP window's video binding: composite stats keys + derived block partials
-    "streaming_rollup_asof_snapshot",  # ParquetStateStore time travel: the rollup as it stood at the batch-2 boundary
+    "av_video_window_ledger",
+    "docs_containment_window_ledger",
+    "docs_minhash_delta_snapshot",
+    "streaming_audio_offset_window_ingest",
+    "streaming_rollup_asof_snapshot",
     # -- latest driver verdict r11 (12)
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -1486,15 +1486,19 @@ def docs_minhash_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_store.append(band_index(slice_df), i - 1)
         docs_store.append(slice_df, i - 1)
 
-    # the incremental read: rows batches (0, 2] appended — the delta
+    # the incremental reads: rows batches (0, 2] appended — the delta
     # since the batch-0 training checkpoint, pinned reproducible by
-    # its as_of upper bound while the log keeps growing
+    # its as_of upper bound while the log keeps growing. BOTH stores
+    # serve it: the texts for shingle verification AND the stored
+    # bands (banding is row-wise per doc, so the stored batch-1/2
+    # band segments ARE band_index(delta) — re-banding the delta
+    # would re-shingle + re-minhash 2/3 of the corpus per run)
     delta_docs = docs_store.current(spark, as_of_batch=2, since_batch=0)
+    probe_bands = bands_store.current(spark, as_of_batch=2, since_batch=0)
     # the checkpoint-era index: what the batch-0 training already saw
     snap_bands = bands_store.current(spark, as_of_batch=0)
     snap_docs = docs_store.current(spark, as_of_batch=0)
 
-    probe_bands = band_index(delta_docs)
     cands = (
         probe_bands.alias("n")
         .join(

@@ -603,6 +603,35 @@ def run_audio_offset_cap_ingest(
     crosses the cap pair through it (df must accumulate before the
     cap can see it) — the batch/ingest form with its build-time df
     column has no such warm-up."""
+    spark = stream.sparkSession
+    cap, fp_fn, within, cross = _audio_offset_cap_parts(
+        spark, index_store, stats_store,
+        min_matches, min_word_transitions, max_word_freq, compact_every,
+    )
+    _run_indexed_ingest(
+        stream, index_store, out_dir, checkpoint_dir,
+        fp_fn, within, cross,
+        "audio_id", "n_earlier_odups", cap.after_batch,
+    )
+
+
+def _audio_offset_cap_parts(
+    spark: SparkSession,
+    index_store: ParquetAppendLog,
+    stats_store: ParquetAppendLog,
+    min_matches: int,
+    min_word_transitions: int,
+    max_word_freq: int | str,
+    compact_every: int | None = None,
+):
+    """The capped audio OFFSET fold's shared construction — the
+    hot-filtered ``fp_fn`` and the within/cross offset votes, plus the
+    :class:`WordDfCapMaintenance` wired over both stores. The two
+    runners (:func:`run_audio_offset_cap_ingest`,
+    :func:`run_audio_offset_cap_window_ingest`) differ ONLY in their
+    maintenance callback; everything else is built here once so the
+    fold shape cannot silently diverge between them. Returns
+    ``(cap, fp_fn, within, cross)``."""
     from dwh_spark.multimodal.audio_fp import (
         audio_offset_pairs_from_subfps,
         audio_offset_vote_probe,
@@ -610,7 +639,6 @@ def run_audio_offset_cap_ingest(
         drop_low_entropy_words,
     )
 
-    spark = stream.sparkSession
     cap = WordDfCapMaintenance(
         spark, index_store, stats_store, max_word_freq, compact_every
     )
@@ -638,11 +666,7 @@ def run_audio_offset_cap_ingest(
             .select(F.col("batch_id").alias("audio_id"))
         )
 
-    _run_indexed_ingest(
-        stream, index_store, out_dir, checkpoint_dir,
-        fp_fn, within, cross,
-        "audio_id", "n_earlier_odups", cap.after_batch,
-    )
+    return cap, fp_fn, within, cross
 
 
 def run_audio_offset_cap_window_ingest(
@@ -680,42 +704,14 @@ def run_audio_offset_cap_window_ingest(
     100 TB: per-batch fold cost is unchanged; the window costs what
     its phases cost (stated at the runner) and runs between
     micro-batches in the seam the fold already owns."""
-    from dwh_spark.multimodal.audio_fp import (
-        audio_offset_pairs_from_subfps,
-        audio_offset_vote_probe,
-        audio_subfingerprint_frame,
-        drop_low_entropy_words,
-    )
     from dwh_spark.streaming.maintenance import run_fp_maintenance_window
 
     spark = stream.sparkSession
-    cap = WordDfCapMaintenance(
-        spark, index_store, stats_store, max_word_freq, None
+    cap, fp_fn, within, cross = _audio_offset_cap_parts(
+        spark, index_store, stats_store,
+        min_matches, min_word_transitions, max_word_freq,
     )
     report_holder: list = []
-
-    def fp_fn(df: DataFrame) -> DataFrame:
-        return cap.filter_batch(
-            drop_low_entropy_words(
-                audio_subfingerprint_frame(df), min_word_transitions
-            )
-        )
-
-    def within(batch_subfps: DataFrame) -> DataFrame:
-        return (
-            audio_offset_pairs_from_subfps(batch_subfps, min_matches=min_matches)
-            .select("id_a", "id_b")
-            .distinct()
-            .select(F.col("id_b").alias("audio_id"))
-        )
-
-    def cross(prior: DataFrame, batch_subfps: DataFrame) -> DataFrame:
-        return (
-            audio_offset_vote_probe(prior, batch_subfps, min_matches=min_matches)
-            .select("batch_id", "index_id")
-            .distinct()
-            .select(F.col("batch_id").alias("audio_id"))
-        )
 
     def maintenance(batch_id: int) -> None:
         cap.record(batch_id)
