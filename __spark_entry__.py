@@ -48,9 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # over the stalest DRIVER verdicts below.
 #
 # Round-17 ledger (generated — regenerate with
-# scripts/rotate_check_first.py): registry 267, newest
+# scripts/rotate_check_first.py): registry 268, newest
 # committed artifact r16, combined-stale (<= r13) 0,
-# never-checked 5.
+# never-checked 6.
 _CHECK_FIRST = [
     # -- new round-17 queries: no driver verdict yet
     "av_video_window_ledger",
@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     "docs_minhash_delta_snapshot",
     "streaming_audio_offset_window_ingest",
     "streaming_rollup_asof_snapshot",
+    "streaming_state_point_lookup",
     # -- latest driver verdict r11 (12)
     "q14_promo_revenue",
     "q15_top_supplier",

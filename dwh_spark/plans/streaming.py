@@ -290,6 +290,88 @@ def streaming_rollup_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_state_point_lookup",
+    oracle="""
+    WITH probes AS (
+      SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5
+    )
+    SELECT e.user_id, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN probes p USING (user_id)
+    GROUP BY 1
+    """,
+)
+def streaming_state_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANIFEST-PRUNED state point read made driver-gated (S10 at
+    state scale): a per-user rollup folds three micro-batches into a
+    RANGE-PARTITIONED ``ParquetStateStore`` (``range_key='user_id'``,
+    8 manifest-tracked files per snapshot — the Iceberg
+    file-statistics shape one level deep), then five users are read
+    back through ``lookup()``, which consults the snapshot manifest's
+    per-file [min_key, max_key] ranges and opens ONLY the covering
+    file — at a billion state rows the read touches one file, not the
+    snapshot (the manifest file-touch discipline is plan-pinned in
+    tests/test_streaming.py; this gate pins the end-to-end semantics:
+    merged-across-batches counts and exact decimal sums per probed
+    key). The oracle aggregates the probed users straight from the
+    events table, so a lookup that read the wrong file, the wrong
+    snapshot version, or dropped a batch's contribution mismatches.
+
+    100 TB: each probe is O(1 file); the fold's per-batch cost is the
+    rollup MERGE (O(touched groups)); the five probes share one
+    session and never scan the snapshot."""
+    import os
+    import shutil
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.ingest import run_incremental_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dwh_state_lookup_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = events.withColumn(
+        "__slice", F.ntile(3).over(Window.orderBy("event_id"))
+    )
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, 4):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    prepared = stream.select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    store = ParquetStateStore(
+        f"{root}/user_state", range_key="user_id", n_files=8
+    )
+    run_incremental_rollup(
+        prepared, store, f"{root}/checkpoint",
+        keys=["user_id"],
+        measures={"n": F.count("*"), "sum_dec": F.sum("v")},
+    )
+    probes = (
+        events.select("user_id").distinct().orderBy("user_id").limit(5)
+        .collect()
+    )
+    frames = [store.lookup(spark, int(r["user_id"])) for r in probes]
+    out = reduce(lambda a, b: a.unionByName(b), frames)
+    return out.select(
+        "user_id", "n", F.col("sum_dec").cast("double").alias("sum_value")
+    )
+
+
+@query(
     "streaming_dedup_exactly_once",
     oracle="""
     SELECT count(*) AS n_unique,
