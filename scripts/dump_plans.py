@@ -259,6 +259,11 @@ HEADLINERS = {
     "streaming_audio_offset_entropy_ingest": "drained read-back (the "
     "offset fold with the in-fold low-entropy skip: degenerate words "
     "never enter the stored lookup-table state)",
+    "docs_minhash_delta_snapshot": "incremental snapshot read: the "
+    "(0,2] delta and the checkpoint-era index are SEGMENT SELECTIONS "
+    "off the manifest (plain parquet scans, no filter column); the "
+    "stored bands probe as an equi-join with the candidate pairs "
+    "broadcast back — no delta re-banding stage anywhere in the plan",
 }
 
 
