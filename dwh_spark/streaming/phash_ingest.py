@@ -701,6 +701,19 @@ def run_audio_offset_cap_window_ingest(
     partner (the index rewrite/horizon is durable before the next
     batch folds). Returns the window's :class:`FpWindowReport`.
 
+    Crash semantics, stated: the maintenance hook runs AFTER the
+    fold's index append, and a replayed batch short-circuits on the
+    replay guard BEFORE maintenance — so a crash between the
+    ``window_at`` batch's append and the window completing skips
+    that cycle's window (a scheduler re-runs it next cycle; every
+    window phase is an atomic manifest swap, so a mid-window crash
+    leaves a consistent store and a re-run is safe). The same trade
+    the cap's ``record`` documents, in the recall-safe direction —
+    EXCEPT for erasure: a deployment whose forget manifest must not
+    wait a cycle should re-issue the window directly on restart
+    rather than waiting for the seam (the runner is idempotent over
+    an already-applied manifest: the anti-join removes nothing).
+
     100 TB: per-batch fold cost is unchanged; the window costs what
     its phases cost (stated at the runner) and runs between
     micro-batches in the seam the fold already owns."""
