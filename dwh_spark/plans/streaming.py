@@ -52,6 +52,34 @@ def _staged_events(
     )
 
 
+def _stage_ntile_slices(df: DataFrame, root: str, n: int, order_col: str) -> str:
+    """Stage ``df`` as ``n`` ORDERED micro-batch files under
+    ``root``/input — one ntile slice over ``order_col`` per file,
+    mtimes making the file source deliver them in slice order. For the
+    gates whose oracles re-derive exact batch boundaries via the same
+    ntile (the `_staged_events` cache can't serve those: its split is
+    partition-hash, not key-ordered). Returns the input dir."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    sliced = df.withColumn(
+        "__slice", F.ntile(n).over(Window.orderBy(order_col))
+    )
+    tmp = os.path.join(root, "staged")
+    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
+    for i in range(1, n + 1):
+        sdir = os.path.join(tmp, f"__slice={i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = os.path.join(input_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return input_dir
+
+
 @query(
     "streaming_latest_state",
     oracle="""
@@ -242,28 +270,11 @@ def streaming_rollup_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     100 TB: the read costs one pointer resolve + one snapshot scan —
     no filtering, no reconstruction; on a partitioned (range_key)
     store the same read prunes through the snapshot manifest."""
-    import os
-    import shutil
-
-    from pyspark.sql.window import Window
-
     from dwh_spark.streaming.ingest import run_incremental_rollup
 
     events = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="dwh_rollup_asof_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = events.withColumn(
-        "__slice", F.ntile(3).over(Window.orderBy("event_id"))
-    )
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(events, root, 3, "event_id")
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -293,7 +304,8 @@ def streaming_rollup_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     "streaming_state_point_lookup",
     oracle="""
     WITH probes AS (
-      SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+      ORDER BY user_id LIMIT 5
     )
     SELECT e.user_id, count(*) AS n,
            CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -320,29 +332,13 @@ def streaming_state_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: each probe is O(1 file); the fold's per-batch cost is the
     rollup MERGE (O(touched groups)); the five probes share one
     session and never scan the snapshot."""
-    import os
-    import shutil
     from functools import reduce
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.streaming.ingest import run_incremental_rollup
 
     events = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="dwh_state_lookup_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = events.withColumn(
-        "__slice", F.ntile(3).over(Window.orderBy("event_id"))
-    )
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(events, root, 3, "event_id")
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -360,8 +356,13 @@ def streaming_state_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         measures={"n": F.count("*"), "sum_dec": F.sum("v")},
     )
+    # NULL-safe + oracle-aligned probe choice: Spark sorts NULLS FIRST
+    # and DuckDB NULLS LAST, so an unguarded distinct-order-limit would
+    # pick different probe sets (and int(None) would crash) on a
+    # fixture that ever ships NULL user_ids
     probes = (
-        events.select("user_id").distinct().orderBy("user_id").limit(5)
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id").distinct().orderBy("user_id").limit(5)
         .collect()
     )
     frames = [store.lookup(spark, int(r["user_id"])) for r in probes]

@@ -2562,15 +2562,19 @@ def state_lookup_smoke(n_rows: int = 10_000_000, n_files: int = 64) -> None:
     manifest-tracked files), then 10 point reads through ``lookup()``
     — each consults the manifest's per-file [min_key, max_key] and
     opens ONLY the covering file — verified row-exact against the
-    naive full-snapshot ``current().filter(key=v)`` scan, with BOTH
-    wall-clock and BYTES TOUCHED reported. The honest shape at this
-    scale, stated: on local[32] with a page-cache-hot 10M-row
-    snapshot the 32-thread parallel scan wins wall-clock (10 serial
-    single-file jobs pay 10 job latencies), while lookup touches
-    1/n_files of the bytes per probe — and bytes touched is what
-    scales: at state >> cache (the billion-row store the gate's
-    docstring claims) every scan probe re-reads the whole snapshot
-    from storage and the manifest read stays one file."""
+    naive full-snapshot ``current().filter(key=v)`` scan. The honest
+    differentiator, stated precisely: FILE OPENS. The naive filter
+    still gets parquet pushdown (64 footer reads + ~1 row group
+    actually decoded per probe, since the same range layout sorts the
+    key), so the scan-side bytes printed below are the NO-PRUNING
+    upper bound, labeled as such — what the manifest removes for
+    certain is the per-probe touch of every file's footer/stripe
+    planning and the n_files-task fan-out. On local[32] with a
+    page-cache-hot 10M-row snapshot the 32-thread parallel scan even
+    wins wall-clock (10 serial single-file jobs pay 10 job
+    latencies); the manifest's win compounds with state size and
+    file count — at a billion rows across thousands of files, one
+    file-open per probe vs thousands."""
     import tempfile
 
     from dwh_spark.streaming.ingest import ParquetStateStore
@@ -2627,14 +2631,17 @@ def state_lookup_smoke(n_rows: int = 10_000_000, n_files: int = 64) -> None:
 
     probe_files = [covering(v) for v in probes]
     lookup_bytes = sum(sizes[f] for fs in probe_files for f in fs)
+    n_files_actual = len(man["files"])
     print(
-        f"state-lookup smoke ({n_rows} rows, {len(man['files'])} "
+        f"state-lookup smoke ({n_rows} rows, {n_files_actual} "
         f"manifest-tracked files, snapshot {snap_bytes >> 20} MiB): commit "
-        f"{commit_s:.1f}s; 10 point reads via lookup() {lookup_s:.2f}s "
-        f"touching {lookup_bytes >> 20} MiB ({max(len(fs) for fs in probe_files)} "
-        f"file(s)/probe) vs full-snapshot filter {scan_s:.2f}s touching "
-        f"{(10 * snap_bytes) >> 20} MiB — {10 * snap_bytes / lookup_bytes:.0f}x "
-        f"less I/O per probe set; rows equal: "
+        f"{commit_s:.1f}s; 10 point reads via lookup() {lookup_s:.2f}s, "
+        f"{max(len(fs) for fs in probe_files)} file-open/probe, "
+        f"{lookup_bytes >> 20} MiB planned; full-snapshot filter "
+        f"{scan_s:.2f}s, {n_files_actual} file-opens/probe "
+        f"({(10 * snap_bytes) >> 20} MiB no-pruning upper bound — parquet "
+        f"min/max pruning decodes less, but every footer is still read) "
+        f"— {n_files_actual}x fewer file-opens per probe; rows equal: "
         f"{sorted(via_lookup) == sorted(via_scan)}"
     )
     assert sorted(via_lookup) == sorted(via_scan)

@@ -29,10 +29,11 @@ def _ceil_rank_q(counts: list[int], q: float) -> int:
 
 
 def _blocks(h: int) -> list[tuple[int, int]]:
-    """The model's 2-block split of an 8-bit-per-block hash — the
+    """The model's 2-block split of the 10-bit test hashes — the
     composite (i, val) key shape the video binding uses (14-bit
-    blocks there; 8-bit here keeps the value space small enough for
-    hypothesis to produce real collisions)."""
+    blocks there). Block 0 takes the low 8 bits (0..255, sparse);
+    block 1 the remaining 2 (0..3, collision-dense — the degenerate
+    band the cap machinery must see)."""
     return [(0, h & 255), (1, (h >> 8) & 255)]
 
 
@@ -57,7 +58,10 @@ def _partials_fn(rows):
 
 
 _CASES = st.tuples(
-    st.lists(  # frames: (video, hash16) — ids 0..11, 16-bit hashes
+    st.lists(  # frames: (video, hash) — ids 0..11, 10-bit hashes:
+        # block 0 spans 0..255, block 1 only 0..3 — DELIBERATELY
+        # tiny so hypothesis produces dense collisions in block 1
+        # (the hot/degenerate shape) while block 0 stays sparse
         st.tuples(st.integers(0, 11), st.integers(0, 1023)),
         min_size=8,
         max_size=40,
