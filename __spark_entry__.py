@@ -47,64 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows only). _CHECK_FIRST still rotates the driver's ~50-slot window
 # over the stalest DRIVER verdicts below.
 #
-# Round-17 ledger (generated — regenerate with
+# Round-18 ledger (generated — regenerate with
 # scripts/rotate_check_first.py): registry 268, newest
-# committed artifact r16, combined-stale (<= r13) 0,
-# never-checked 6.
+# committed artifact r17, combined-stale (<= r14) 0,
+# never-checked 0.
 _CHECK_FIRST = [
-    # -- new round-17 queries: no driver verdict yet
-    "av_video_window_ledger",
-    "docs_containment_window_ledger",
-    "docs_minhash_delta_snapshot",
-    "streaming_audio_offset_window_ingest",
-    "streaming_rollup_asof_snapshot",
-    "streaming_state_point_lookup",
-    # -- latest driver verdict r11 (12)
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q20_parts_suppliers_semi",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "streaming_audio_fp_ingest",
-    "streaming_phash_ingest",
-    "streaming_video_phash_ingest",
-    # -- latest driver verdict r12 (50)
-    "av_audio_chunk_energy",
-    "av_audio_chunking",
-    "av_audio_fp_offset_ingest",
-    "av_audio_fp_offset_near_dups",
-    "av_audio_snippet_search",
-    "av_video_phash_offset_ingest",
-    "av_video_phash_offset_near_dups",
-    "av_video_snippet_search",
-    "customer_forget_cascade",
-    "docs_bm25_topk",
-    "docs_containment_capped_ingest",
-    "docs_corpus_build",
-    "docs_fingerprint_winnowing",
-    "docs_simhash_rotation_near_dups",
-    "docs_token_stats",
-    "emb_ivf_recall_audit",
-    "events_asof_last_click",
-    "events_daily_type_pivot",
-    "events_error_purchase_proximity",
-    "events_foreign_errors_in_sessions",
-    "events_funnel_signup_purchase",
-    "events_hll_distinct_users",
-    "events_hll_union_merge",
-    "events_interval_frame_sums",
-    "events_json_extract",
-    "events_kmv_set_algebra",
-    "events_range_hypertable_rollup",
-    "events_session_funnel_windows",
-    "events_sessionization",
-    "filters_combinators",
-    "imgs_corpus_build",
-    "imgs_corpus_ingest_triage",
+    # -- new round-18 queries: no driver verdict yet
+    # -- latest driver verdict r12 (18)
     "q4_order_priority_exists",
     "q5_region_volume",
     "q6_forecast_revenue",
@@ -327,6 +276,57 @@ _CHECK_FIRST = [
     "q13_customer_distribution",
     "streaming_semantic_ingest",
     "streaming_semantic_window_ingest",
+    # -- latest driver verdict r17 (50)
+    "av_audio_chunk_energy",
+    "av_audio_chunking",
+    "av_audio_fp_offset_ingest",
+    "av_audio_fp_offset_near_dups",
+    "av_audio_snippet_search",
+    "av_video_phash_offset_ingest",
+    "av_video_phash_offset_near_dups",
+    "av_video_snippet_search",
+    "av_video_window_ledger",
+    "customer_forget_cascade",
+    "docs_bm25_topk",
+    "docs_containment_capped_ingest",
+    "docs_containment_window_ledger",
+    "docs_corpus_build",
+    "docs_fingerprint_winnowing",
+    "docs_minhash_delta_snapshot",
+    "docs_simhash_rotation_near_dups",
+    "docs_token_stats",
+    "emb_ivf_recall_audit",
+    "events_asof_last_click",
+    "events_daily_type_pivot",
+    "events_error_purchase_proximity",
+    "events_foreign_errors_in_sessions",
+    "events_funnel_signup_purchase",
+    "events_hll_distinct_users",
+    "events_hll_union_merge",
+    "events_interval_frame_sums",
+    "events_json_extract",
+    "events_kmv_set_algebra",
+    "events_range_hypertable_rollup",
+    "events_session_funnel_windows",
+    "events_sessionization",
+    "filters_combinators",
+    "imgs_corpus_build",
+    "imgs_corpus_ingest_triage",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_parts_suppliers_semi",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "streaming_audio_fp_ingest",
+    "streaming_audio_offset_window_ingest",
+    "streaming_phash_ingest",
+    "streaming_rollup_asof_snapshot",
+    "streaming_state_point_lookup",
+    "streaming_video_phash_ingest",
 ]
 
 
