@@ -834,9 +834,14 @@ def cell_inertia(
     )
     scored = cells.join(F.broadcast(c), "cell").withColumn(
         "cos_c",
+        # try_divide matches the maintenance window's shared pass: a
+        # zero-norm (degenerate) row scores null instead of an ANSI
+        # divide-by-zero (behavior-identical in non-ANSI mode)
         F.round(
-            F.expr(_dot_expr(vec, "c_emb"))
-            / (F.sqrt("norm2") * F.sqrt("c_norm2")),
+            F.try_divide(
+                F.expr(_dot_expr(vec, "c_emb")),
+                F.sqrt("norm2") * F.sqrt("c_norm2"),
+            ),
             6,
         ),
     )

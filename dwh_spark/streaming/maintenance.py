@@ -200,6 +200,23 @@ def run_maintenance_window(
             F.col("embedding").alias("c_emb"),
             F.col("norm2").alias("c_norm2"),
         )
+        # A duplicated cell key would fan the LEFT join out and double
+        # df, n_survivors AND n_scored together — the coverage check
+        # below cannot see it, so the cap would calibrate on doubled
+        # occupancy. One cheap aggregate over the broadcastable frame.
+        cstats = c.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("cell").alias("n_keys"),
+        ).collect()[0]
+        if int(cstats["n"]) != int(cstats["n_keys"]):
+            raise ValueError(
+                f"old_centroids has duplicate cell keys "
+                f"({int(cstats['n']) - int(cstats['n_keys'])} extra "
+                f"rows) — the occupancy join would double-count df and "
+                f"mis-calibrate the cap, and n_scored scales identically "
+                f"so the coverage check cannot catch it; deduplicate the "
+                f"centroid frame"
+            )
         percell = (
             survivors.join(F.broadcast(c), "cell", "left")
             .withColumn(
@@ -486,6 +503,21 @@ def run_fp_maintenance_window(
     # -- phase 2: recalibrate from the post-forget stats (one
     # -- histogram aggregate: the quantile is reported alongside)
     stats_pf = merged(stats_store.current(spark)).localCheckpoint()
+    n_words = stats_pf.count()
+    if n_words == 0:
+        # same loud contract as the pre-window empty-stats guard: a
+        # forget manifest covering the entire corpus shrinks the stats
+        # log to nothing, and calibrate_cap's generic "empty stats
+        # table" would hide what happened. Erasure is already durable
+        # (phase 1 rewrote the index before this), so this is purely a
+        # diagnosability raise.
+        raise ValueError(
+            "maintenance window stats are empty after the forget "
+            "shrink — the forget manifest covered every surviving "
+            "posting, so there is no distribution left to calibrate "
+            "from (erasure is already durable at this point); re-seed "
+            "the index before scheduling the next window"
+        )
     cap, cap_q_value = calibrate_cap(
         stats_pf,
         quantile=cap_quantile,
@@ -493,7 +525,6 @@ def run_fp_maintenance_window(
         check=cap_check,
         return_quantile=True,
     )
-    n_words = stats_pf.count()
 
     # -- phase 3: retention horizon (stats shrink by the expired
     # -- segments' partials, computed BEFORE the drop)

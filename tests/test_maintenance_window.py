@@ -403,3 +403,44 @@ def test_fp_window_ingest_oracle_nonvacuous():
         "window added no partner row vs the cap neighbor — the jingle "
         "re-admission arm is vacuous"
     )
+
+
+def test_window_rejects_duplicate_centroid_keys(spark, tmp_path):
+    """ADVICE r17: a duplicated cell key in the centroid frame fans
+    the occupancy LEFT join out — df, n_survivors and n_scored all
+    double together, so the coverage check cannot catch it and the cap
+    calibrates on doubled occupancy. Must fail loudly, store untouched."""
+    emb = _emb(spark)
+    cents, _ = train_semantic_cells(emb, rows_per_cell=64)
+    cents = cents.localCheckpoint()
+    store = _build_store(spark, tmp_path, "idx", cents, emb)
+    duped = cents.unionByName(cents.limit(1))
+    before = _state(spark, store)
+    with pytest.raises(ValueError, match="duplicate cell keys"):
+        run_maintenance_window(spark, store, duped, rows_per_cell=64)
+    assert _state(spark, store) == before
+
+
+def test_fp_window_total_forget_raises_descriptively(spark, tmp_path):
+    """ADVICE r17: a forget manifest covering the entire corpus shrinks
+    the stats log to empty — the window must raise the descriptive
+    post-shrink message (not calibrate_cap's generic 'empty stats
+    table'), and the erasure must already be durable when it does."""
+    from dwh_spark.streaming.maintenance import run_fp_maintenance_window
+
+    subs = spark.createDataFrame(
+        [(a, p, a * 10 + p) for a in range(4) for p in range(3)],
+        "audio_id long, pos long, sub32 long",
+    )
+    index_store = ParquetAppendLog(str(tmp_path / "idx"), write_partitions=1)
+    stats_store = ParquetAppendLog(str(tmp_path / "st"), write_partitions=1)
+    index_store.append(subs, 0)
+    stats_store.append(
+        subs.groupBy("sub32").agg(F.count("*").alias("df")), 0
+    )
+    fids = spark.createDataFrame([(a,) for a in range(4)], "audio_id long")
+    with pytest.raises(ValueError, match="empty after the forget shrink"):
+        run_fp_maintenance_window(
+            spark, index_store, stats_store, forgotten_ids=fids
+        )
+    assert index_store.current(spark).count() == 0  # erasure durable
