@@ -807,27 +807,14 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_key) — each ingest appends O(batch) rows and probes
     by equi-join; the doc store lookups touch only candidate ids."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="dwh_mh_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
     # 3 id-ordered slices, mtime-sequenced (the marketplace staging
     # pattern) so the file-source cursor delivers ascending doc_ids
-    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(docs, root, 3, "doc_id")
 
     from dwh_spark.streaming.ingest import ParquetAppendLog
 
@@ -948,9 +935,6 @@ def streaming_minhash_forget_ingest(
     (forgotten-seen-before-batch-3, batch-3-partner) candidate
     pairs."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.operators.forget import forget_band_index, forget_rows
     from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
@@ -968,17 +952,7 @@ def streaming_minhash_forget_ingest(
         )
     )
     root = tempfile.mkdtemp(prefix="dwh_mh_forget_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(docs, root, 3, "doc_id")
 
     bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
     docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
@@ -1105,9 +1079,6 @@ def streaming_minhash_ttl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention every table format ships, composed here with a live
     fold under the replay guard."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -1123,17 +1094,7 @@ def streaming_minhash_ttl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     root = tempfile.mkdtemp(prefix="dwh_mh_ttl_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(docs, root, 3, "doc_id")
 
     bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
     docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
@@ -1211,9 +1172,6 @@ def streaming_minhash_ttl_compact_ingest(
     the over-approximation is K batches of extra visibility, never
     grow-forever (stated at ingest.py:expire)."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.streaming.docs_ingest import read_ingest_results, run_minhash_ingest
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -1229,17 +1187,7 @@ def streaming_minhash_ttl_compact_ingest(
         )
     )
     root = tempfile.mkdtemp(prefix="dwh_mh_ttl_cmp_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = docs.withColumn("__slice", F.ntile(3).over(Window.orderBy("doc_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(docs, root, 3, "doc_id")
 
     bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
     docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
@@ -1663,9 +1611,6 @@ def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index store is a table PARTITIONED BY cell: appends are
     O(batch), probes read only the probed cells' partitions."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.streaming.emb_ingest import (
         read_semantic_ingest_results,
@@ -1675,17 +1620,7 @@ def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     root = tempfile.mkdtemp(prefix="dwh_sem_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = emb.withColumn("__slice", F.ntile(3).over(Window.orderBy("vec_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(emb, root, 3, "vec_id")
 
     # day-0 centroids: md5-smallest-8 of the FIRST slice (the only
     # data that exists when the stream starts)
@@ -1779,21 +1714,7 @@ def streaming_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _phash_fixture_images(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_phash_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    from pyspark.sql.window import Window
-
-    import shutil
-
-    sliced = images.withColumn("__slice", F.ntile(3).over(Window.orderBy("image_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(images, root, 3, "image_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -1876,9 +1797,6 @@ def streaming_phash_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     exactly the (forgotten-base-seen-before-batch-3, batch-3-partner)
     pairs."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.operators.forget import forget_rows
     from dwh_spark.plans.images import _phash_fixture_images
@@ -1895,17 +1813,7 @@ def streaming_phash_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     root = tempfile.mkdtemp(prefix="dwh_phash_forget_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = images.withColumn("__slice", F.ntile(3).over(Window.orderBy("image_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(images, root, 3, "image_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -1991,9 +1899,6 @@ def streaming_audio_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-water replay guard. Id-ordered batches make the drained
     output equal the brute-force earlier-partners oracle."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.plans.av import _audio_fp_fixture
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -2006,17 +1911,7 @@ def streaming_audio_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio = _audio_fp_fixture(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_audio_fp_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(audio, root, 3, "audio_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -2092,9 +1987,6 @@ def streaming_video_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard. Drained output equals the brute-force earlier-partners
     vote oracle."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.plans.av import _video_phash_fixture
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -2107,17 +1999,7 @@ def streaming_video_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = _video_phash_fixture(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_video_phash_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = vids.withColumn("__slice", F.ntile(3).over(Window.orderBy("video_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(vids, root, 3, "video_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -2202,9 +2084,6 @@ def streaming_audio_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     ~12-byte rows under the high-water replay guard. Drained output
     equals the brute-force earlier-partners offset-vote oracle."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.plans.av import _audio_offset_fixture
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -2217,17 +2096,7 @@ def streaming_audio_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     audio = _audio_offset_fixture(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_audio_offset_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(audio, root, 3, "audio_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -2306,9 +2175,6 @@ def streaming_video_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     rows under the high-water replay guard. Drained output equals the
     brute-force earlier-partners offset-vote oracle."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.plans.av import _video_offset_fixture
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -2321,17 +2187,7 @@ def streaming_video_offset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     vids = _video_offset_fixture(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_video_offset_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = vids.withColumn("__slice", F.ntile(3).over(Window.orderBy("video_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(vids, root, 3, "video_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -2433,9 +2289,6 @@ def streaming_audio_offset_entropy_ingest(
     applies the SAME transition filter to both join sides, and
     brute-forces the earlier-partners offset vote."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.plans.av import _audio_silence_offset_fixture
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -2448,17 +2301,7 @@ def streaming_audio_offset_entropy_ingest(
     audio = _audio_silence_offset_fixture(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_audio_offset_entropy_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(audio, root, 3, "audio_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -2619,9 +2462,6 @@ def streaming_audio_offset_cap_compaction(
     and allows a word match per the later side's batch: always in
     batch 1, not-hot1 in batch 2, not-hot2 in batch 3."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.plans.av import _audio_jingle_offset_fixture
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -2634,17 +2474,7 @@ def streaming_audio_offset_cap_compaction(
     audio = _audio_jingle_offset_fixture(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_audio_offset_cap_compaction_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(audio, root, 3, "audio_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
@@ -2810,9 +2640,6 @@ def streaming_audio_offset_window_ingest(
     100 TB: per-batch fold cost unchanged; the window runs in the
     seam the fold already owns and costs what its phases cost."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.plans.av import _audio_jingle_offset_fixture
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -2825,17 +2652,7 @@ def streaming_audio_offset_window_ingest(
     audio = _audio_jingle_offset_fixture(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_audio_offset_window_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(audio, root, 3, "audio_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
@@ -2951,9 +2768,6 @@ def streaming_audio_offset_forget_ingest(
     the ntile batch split, and excludes exactly the
     (forgotten-base-seen-before-batch-3, batch-3-partner) pairs."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.operators.forget import forget_rows
     from dwh_spark.plans.av import _audio_offset_fixture
@@ -2970,17 +2784,7 @@ def streaming_audio_offset_forget_ingest(
     )
 
     root = tempfile.mkdtemp(prefix="dwh_audio_offset_forget_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = audio.withColumn("__slice", F.ntile(3).over(Window.orderBy("audio_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(audio, root, 3, "audio_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -3092,9 +2896,6 @@ def streaming_video_offset_forget_ingest(
     and excludes exactly the (forgotten-base-seen-before-batch-3,
     batch-3-partner) pairs."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.operators.forget import forget_frame_index
     from dwh_spark.plans.av import _video_offset_fixture
@@ -3111,17 +2912,7 @@ def streaming_video_offset_forget_ingest(
     )
 
     root = tempfile.mkdtemp(prefix="dwh_video_offset_forget_ingest_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = vids.withColumn("__slice", F.ntile(3).over(Window.orderBy("video_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(vids, root, 3, "video_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     out_dir = os.path.join(root, "out")
@@ -3268,9 +3059,6 @@ def streaming_video_offset_cap_compaction(
     indexed frames count), and admits a frame pair per the later
     side's batch."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.plans.av import _video_title_offset_fixture
     from dwh_spark.streaming.ingest import ParquetAppendLog
@@ -3288,17 +3076,7 @@ def streaming_video_offset_cap_compaction(
     vids = _video_title_offset_fixture(docs, base=True, variants=True)
 
     root = tempfile.mkdtemp(prefix="dwh_video_offset_cap_compaction_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = vids.withColumn("__slice", F.ntile(3).over(Window.orderBy("video_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(vids, root, 3, "video_id")
 
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
@@ -3414,9 +3192,6 @@ def streaming_semantic_retrain_ingest(spark: SparkSession, sf_dir: str) -> DataF
     unchanged (assign against broadcast centroids, probe stored cells,
     append O(batch))."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.streaming.emb_ingest import (
         read_semantic_ingest_results,
@@ -3426,17 +3201,7 @@ def streaming_semantic_retrain_ingest(spark: SparkSession, sf_dir: str) -> DataF
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     root = tempfile.mkdtemp(prefix="dwh_sem_retrain_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = emb.withColumn("__slice", F.ntile(3).over(Window.orderBy("vec_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(emb, root, 3, "vec_id")
 
     from dwh_spark.streaming.ingest import ParquetAppendLog
 
@@ -3602,9 +3367,6 @@ def streaming_semantic_window_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     runner) and runs in the maintenance seam the fold already owns;
     per-batch fold cost is unchanged."""
     import os
-    import shutil
-
-    from pyspark.sql.window import Window
 
     from dwh_spark.streaming.emb_ingest import (
         read_semantic_ingest_results,
@@ -3615,17 +3377,7 @@ def streaming_semantic_window_ingest(spark: SparkSession, sf_dir: str) -> DataFr
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     root = tempfile.mkdtemp(prefix="dwh_sem_window_")
-    input_dir = os.path.join(root, "input")
-    os.makedirs(input_dir)
-    sliced = emb.withColumn("__slice", F.ntile(3).over(Window.orderBy("vec_id")))
-    tmp = os.path.join(root, "staged")
-    sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
-    for i in range(1, 4):
-        sdir = os.path.join(tmp, f"__slice={i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        dst = os.path.join(input_dir, f"batch{i}.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    input_dir = _stage_ntile_slices(emb, root, 3, "vec_id")
 
     seeds = (
         spark.read.parquet(os.path.join(input_dir, "batch1.parquet"))
