@@ -53,6 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-checked 0.
 _CHECK_FIRST = [
     # -- new round-18 queries: no driver verdict yet
+    "streaming_rollup_version_gc",
+    "streaming_rollup_version_delta",
     # -- latest driver verdict r12 (18)
     "q4_order_priority_exists",
     "q5_region_volume",

@@ -254,7 +254,8 @@ def streaming_rollup_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     ``current(as_of_batch=1)`` serves the rollup EXACTLY as it stood
     at the batch-2 boundary (each snapshot is a complete state, so
     "state as of batch N" is the last snapshot committed by then;
-    dirs are never GC'd, so history stays readable for free). The
+    dirs stay readable until ``expire_versions`` advances the
+    retention horizon). The
     reproducible-reporting contract: "what did the dashboard say
     after Tuesday's load?" re-reads the same frame months later
     while the store keeps folding.
@@ -295,6 +296,170 @@ def streaming_rollup_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     # the time-travel read: the batch-2 boundary state, post-batch-3
     asof = store.current(spark, as_of_batch=1)
     return asof.select(
+        "day", "event_type", "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "streaming_rollup_version_gc",
+    oracle="""
+    WITH st AS (
+      SELECT *, ntile(3) OVER (ORDER BY event_id) AS b FROM events
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(2 AS BIGINT) AS n_versions_retained,
+           CAST(1 AS BIGINT) AS asof0_unreadable,
+           CAST(0 AS BIGINT) AS expired_through
+    FROM st WHERE b <= 2 GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_version_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT-STORE RETENTION made driver-gated (VERDICT r17 next
+    #2): the continuous rollup drains three micro-batches into the
+    versioned store (v0, v1, v2), then ``expire_versions(keep_from=1)``
+    GC's v0 — the append log's retention discipline applied to the
+    last grow-forever artifact (every rollup commit writes a full
+    snapshot dir; at a continuous cadence that is unbounded storage).
+    The gate pins all three observable consequences at once:
+
+    - **the surviving as-of read**: ``current(as_of_batch=1)`` still
+      serves the batch-2 boundary state exactly (the oracle aggregates
+      ntile slices 1-2) — retention must not touch retained history;
+    - **the loud path**: ``current(as_of_batch=0)`` raises
+      :class:`SnapshotUnreadableError` (``asof0_unreadable`` is
+      computed from the caught exception, not asserted blind);
+    - **the ledger facts**: exactly 2 version dirs remain on disk and
+      ``_RETENTION.json`` records ``expired_through=0`` (the same
+      high-water discipline as the append log's ``expired_through``).
+
+    ``last_committed`` stays 2 throughout — the replay guard keeps
+    rejecting already-folded batches after their history ages out.
+
+    100 TB: the GC is O(dropped dirs) filesystem work (record first,
+    remove after — crash-safe, lingering dirs are never served); no
+    Spark job runs at all. The reference has no retention concept
+    (state is rebuilt by replaying the chain,
+    `x/indexer/indexer.go:173-197`); this is the operations layer a
+    continuously-folding store needs."""
+    import os
+
+    from dwh_spark.streaming.ingest import (
+        SnapshotUnreadableError,
+        run_incremental_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dwh_rollup_gc_")
+    input_dir = _stage_ntile_slices(events, root, 3, "event_id")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    prepared = stream.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    store = ParquetStateStore(f"{root}/rollup_state", write_partitions=1)
+    run_incremental_rollup(
+        prepared, store, f"{root}/checkpoint",
+        keys=["day", "event_type"],
+        measures={"n": F.count("*"), "sum_dec": F.sum("v")},
+    )
+    store.expire_versions(keep_from=1)  # v0 ages out; v1, v2 retained
+    try:
+        store.current(spark, as_of_batch=0)
+        asof0_unreadable = 0
+    except SnapshotUnreadableError:
+        asof0_unreadable = 1
+    n_versions = len(
+        [d for d in os.listdir(store.root) if d.startswith("v") and d[1:].isdigit()]
+    )
+    asof = store.current(spark, as_of_batch=1)  # retained history
+    return asof.select(
+        "day", "event_type", "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        F.lit(n_versions).cast("long").alias("n_versions_retained"),
+        F.lit(asof0_unreadable).cast("long").alias("asof0_unreadable"),
+        F.lit(store.expired_through()).cast("long").alias("expired_through"),
+    )
+
+
+@query(
+    "streaming_rollup_version_delta",
+    oracle="""
+    WITH st AS (
+      SELECT *, ntile(3) OVER (ORDER BY event_id) AS b FROM events
+    ),
+    new_state AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_dec
+      FROM st GROUP BY 1, 2
+    ),
+    old_state AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_dec
+      FROM st WHERE b <= 1 GROUP BY 1, 2
+    )
+    SELECT day, event_type, n, CAST(sum_dec AS DOUBLE) AS sum_value
+    FROM (SELECT * FROM new_state EXCEPT SELECT * FROM old_state)
+    """,
+)
+def streaming_rollup_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERSION-TO-VERSION ROLLUP DELTA read (VERDICT r17 next #6)
+    — the CDC twin of the append log's incremental read
+    (``docs_minhash_delta_snapshot``), completing the symmetry:
+    ``current(as_of_batch=2, since_batch=0)`` returns exactly the
+    rollup groups that are NEW or CHANGED between the batch-1
+    boundary snapshot and the batch-3 boundary snapshot — "what did
+    the last two loads touch?" without re-aggregating either era from
+    events. Implemented as row-level ``exceptAll`` of the two complete
+    snapshots (a changed group appears with its NEW measures; a group
+    untouched by batches 2-3 is absent — the oracle's EXCEPT re-derives
+    both states from the ntile slices, so a delta that leaked
+    untouched groups or served stale measures mismatches).
+
+    LOAD-BEARING both ways at sf0.01: slices are event-id-ordered and
+    event ids correlate with time, so early-day groups live entirely
+    in slice 1 and MUST be suppressed, while groups spanning slices
+    gain events and MUST surface with updated measures.
+
+    100 TB: one scan of each snapshot + a hash repartition on the row
+    — the honest cost of a full-state diff on a store whose
+    ``repartitionByRange`` re-draws file boundaries per commit (a
+    table format with aligned boundaries could prune unchanged files
+    through per-file stats; stated in ``current``'s docstring).
+    Deletes are structurally absent from additive-rollup state; the
+    reverse ``exceptAll`` serves callers that need them."""
+    from dwh_spark.streaming.ingest import run_incremental_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dwh_rollup_delta_")
+    input_dir = _stage_ntile_slices(events, root, 3, "event_id")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    prepared = stream.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    store = ParquetStateStore(f"{root}/rollup_state", write_partitions=1)
+    run_incremental_rollup(
+        prepared, store, f"{root}/checkpoint",
+        keys=["day", "event_type"],
+        measures={"n": F.count("*"), "sum_dec": F.sum("v")},
+    )
+    delta = store.current(spark, as_of_batch=2, since_batch=0)
+    return delta.select(
         "day", "event_type", "n",
         F.col("sum_dec").cast("double").alias("sum_value"),
     )

@@ -151,20 +151,60 @@ class ParquetStateStore:
         return int(name[1:]) if name.startswith("v") else None
 
     def current(
-        self, spark: SparkSession, as_of_batch: int | None = None
+        self,
+        spark: SparkSession,
+        as_of_batch: int | None = None,
+        since_batch: int | None = None,
     ) -> DataFrame | None:
         """The CURRENT state — or, with ``as_of_batch=N``, the
         TIME-TRAVEL read: the newest committed snapshot at or before
         batch N (each snapshot is a COMPLETE state, so "state as of
         batch N" is exactly the last snapshot a fold committed by
-        then). Snapshot dirs are never GC'd, so history stays
-        readable for free — Delta's time travel, one file deep.
+        then) — Delta's time travel, one file deep. History stays
+        readable until :meth:`expire_versions` advances the retention
+        horizon; after that, an ``N`` whose faithful snapshot was
+        dropped raises (``_RETENTION.json`` records the high-water
+        dropped version).
+
+        ``since_batch=M`` (requires ``as_of_batch``) is the
+        VERSION-TO-VERSION DELTA read — the CDC twin of the append
+        log's incremental read: the rows of the as-of-N state that are
+        NEW or CHANGED relative to the as-of-M state (row-level
+        ``exceptAll``: a rollup group whose measures moved appears
+        with its N-state values; an untouched group does not appear).
+        Snapshots here are complete states, so the diff is computed,
+        not stored — one scan of each snapshot plus a hash
+        repartition on all columns, the honest cost of a full-state
+        diff (a range-partitioned table format with aligned file
+        boundaries could prune unchanged files; this store's
+        ``repartitionByRange`` re-draws boundaries per commit, so it
+        cannot). Groups DELETED between M and N are not reported —
+        additive-rollup state never deletes; a caller needing the
+        reverse side runs the M-frame ``exceptAll`` N-frame.
+
         Faithful-or-loud (the append-log contract,
         :class:`SnapshotUnreadableError`): only snapshots the pointer
         has committed count (a crash-window dir newer than CURRENT
-        may be half-written and is never served), and an ``N`` before
+        may be half-written and is never served), an ``N`` before
         the first committed snapshot raises instead of returning the
-        wrong era."""
+        wrong era, and either endpoint of a delta read resolving to an
+        expired version raises instead of diffing the wrong eras."""
+        if since_batch is not None:
+            if as_of_batch is None:
+                raise ValueError(
+                    "since_batch requires as_of_batch — pin the delta's "
+                    "upper bound (e.g. as_of_batch=last_committed()) so "
+                    "the read stays reproducible as the store grows"
+                )
+            if since_batch > as_of_batch:
+                raise ValueError(
+                    f"since_batch={since_batch} > as_of_batch="
+                    f"{as_of_batch}: the delta read runs forward "
+                    f"(changed groups in (M, N])"
+                )
+            newer = self.current(spark, as_of_batch=as_of_batch)
+            older = self.current(spark, as_of_batch=since_batch)
+            return newer.exceptAll(older)
         if not os.path.exists(self._pointer):
             return None
         if as_of_batch is None:
@@ -182,14 +222,27 @@ class ParquetStateStore:
                 f"established) — repair the pointer or rebuild from "
                 f"upstream inputs"
             )
+        exp = self.expired_through()
         candidates = sorted(
-            int(name[1:])
+            b
             for name in os.listdir(self.root)
-            if name.startswith("v")
-            and name[1:].isdigit()
-            and int(name[1:]) <= min(as_of_batch, committed)
+            if name.startswith("v") and name[1:].isdigit()
+            for b in [int(name[1:])]
+            if b <= min(as_of_batch, committed)
+            # a dir at or below the retention horizon is a lingering
+            # crash-mid-GC leftover, never served (the retention
+            # record is written BEFORE any dir is removed)
+            and (exp is None or b > exp)
         )
         if not candidates:
+            if exp is not None:
+                raise SnapshotUnreadableError(
+                    f"as_of_batch={as_of_batch} unreadable: retention "
+                    f"has expired snapshot versions through v{exp} and "
+                    f"no retained snapshot exists at or before batch "
+                    f"{as_of_batch} — read the current state "
+                    f"(as_of_batch=None) or rebuild from upstream inputs"
+                )
             raise SnapshotUnreadableError(
                 f"as_of_batch={as_of_batch} unreadable: no committed "
                 f"snapshot at or before batch {as_of_batch} "
@@ -250,6 +303,72 @@ class ParquetStateStore:
     def commit(self, df: DataFrame, batch_id: int) -> None:
         self.write_snapshot(df, batch_id)
         self.flip(batch_id)
+
+    # ----------------------------------------------------- retention
+
+    RETENTION = "_RETENTION.json"  # leading _ ⇒ invisible to scans
+
+    def _retention_path(self) -> str:
+        return os.path.join(self.root, self.RETENTION)
+
+    def expired_through(self) -> int | None:
+        """High-water batch id of GC'd snapshot versions, or None if
+        retention has never run. As-of reads at or below it raise."""
+        import json
+
+        try:
+            with open(self._retention_path()) as fh:
+                return int(json.load(fh)["expired_through"])
+        except OSError:
+            return None
+
+    def expire_versions(self, keep_from: int) -> None:
+        """Retention/version GC (VERDICT r17 What's-missing #4) — the
+        append log's ``expire`` discipline applied to the snapshot
+        store, closing its grow-forever artifact: every rollup commit
+        writes a full snapshot dir, and now that ``as_of_batch`` reads
+        made versions load-bearing they need the same sliding-horizon
+        bound. Drops every snapshot dir ``v{b}`` with ``b <
+        keep_from``, EXCEPT:
+
+        - the snapshot CURRENT points at (the live state is never
+          retention's business — ``keep_from > last_committed()``
+          degrades to keep-only-current), and
+        - dirs newer than CURRENT (crash-window dirs a concurrent
+          replay may be rewriting; they are not committed history).
+
+        Crash-safe ordering: the ``_RETENTION.json`` high-water record
+        is written FIRST (atomic replace), then dirs are removed — a
+        crash mid-GC leaves lingering dirs that ``current(as_of_batch)``
+        already refuses to serve (it filters candidates past the
+        record), and a re-run finishes the removal. ``last_committed``
+        is NOT lowered: the replay guard keeps rejecting already-folded
+        batches after their history ages out (the append log's exact
+        contract). As-of reads needing a dropped version raise
+        :class:`SnapshotUnreadableError`."""
+        import json
+        import shutil
+
+        committed = self.last_committed()
+        if committed is None:
+            return
+        drop = sorted(
+            b
+            for name in os.listdir(self.root)
+            if name.startswith("v") and name[1:].isdigit()
+            for b in [int(name[1:])]
+            if b < keep_from and b < committed
+        )
+        if not drop:
+            return
+        prev = self.expired_through()
+        hi = max(drop)
+        tmp = self._retention_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"expired_through": hi if prev is None else max(prev, hi)}, fh)
+        os.replace(tmp, self._retention_path())
+        for b in drop:
+            shutil.rmtree(self.version_dir(b), ignore_errors=True)
 
     # ------------------------------------------------------ manifest
 

@@ -1089,9 +1089,10 @@ def test_append_log_asof_raises_after_expire(spark, tmp_path):
 
 def test_state_store_asof_reads_committed_history(spark, tmp_path):
     """ParquetStateStore time travel: each snapshot is a complete
-    state and dirs are never GC'd, so as_of_batch=N serves the newest
-    committed snapshot <= N; uncommitted (unflipped) dirs are never
-    served; N before the first commit raises loudly."""
+    state, so as_of_batch=N serves the newest committed snapshot <= N
+    (history stays readable until expire_versions drops it);
+    uncommitted (unflipped) dirs are never served; N before the first
+    commit raises loudly."""
     import pytest
 
     from dwh_spark.streaming.ingest import (
@@ -1174,3 +1175,143 @@ def test_state_store_asof_malformed_pointer_fails_loudly(spark, tmp_path):
         fh.write(str(tmp_path / "state" / "garbage"))
     with pytest.raises(SnapshotUnreadableError, match="malformed"):
         store.current(spark, as_of_batch=1)
+
+
+def test_state_store_expire_versions(spark, tmp_path):
+    """Version GC (VERDICT r17 What's-missing #4): snapshots below the
+    horizon drop; CURRENT and retained history survive; as-of reads
+    needing a dropped version raise the retention-flavored loud path;
+    the replay guard (last_committed) is untouched."""
+    import os
+
+    import pytest
+
+    from dwh_spark.streaming.ingest import (
+        ParquetStateStore,
+        SnapshotUnreadableError,
+    )
+
+    store = ParquetStateStore(str(tmp_path / "st"), write_partitions=1)
+    for b, n in [(0, 3), (1, 5), (2, 7)]:
+        store.commit(spark.range(n).withColumnRenamed("id", "x"), b)
+    store.expire_versions(keep_from=1)
+    dirs = sorted(d for d in os.listdir(str(tmp_path / "st")) if d.startswith("v"))
+    assert dirs == ["v0000000001", "v0000000002"]
+    assert store.expired_through() == 0
+    assert store.last_committed() == 2  # replay guard untouched
+    assert store.current(spark).count() == 7
+    assert store.current(spark, as_of_batch=1).count() == 5  # retained
+    with pytest.raises(SnapshotUnreadableError, match="retention"):
+        store.current(spark, as_of_batch=0)
+    # idempotent / monotonic: re-running with a lower horizon no-ops
+    store.expire_versions(keep_from=0)
+    assert store.expired_through() == 0
+    # keep_from past CURRENT degrades to keep-only-current
+    store.expire_versions(keep_from=99)
+    dirs = sorted(d for d in os.listdir(str(tmp_path / "st")) if d.startswith("v"))
+    assert dirs == ["v0000000002"]
+    assert store.expired_through() == 1
+    assert store.current(spark).count() == 7
+
+
+def test_state_store_crash_mid_gc_never_serves_lingering_dir(spark, tmp_path):
+    """The retention record is written BEFORE any dir is removed, so a
+    crash mid-GC leaves lingering dirs that reads must already refuse
+    to serve. Simulated by writing the record without removing."""
+    import json
+
+    import pytest
+
+    from dwh_spark.streaming.ingest import (
+        ParquetStateStore,
+        SnapshotUnreadableError,
+    )
+
+    store = ParquetStateStore(str(tmp_path / "st"), write_partitions=1)
+    store.commit(spark.range(3).withColumnRenamed("id", "x"), 0)
+    store.commit(spark.range(5).withColumnRenamed("id", "x"), 1)
+    with open(store._retention_path(), "w") as fh:
+        json.dump({"expired_through": 0}, fh)  # crash before rmtree
+    with pytest.raises(SnapshotUnreadableError, match="retention"):
+        store.current(spark, as_of_batch=0)  # v0 dir still exists
+    assert store.current(spark, as_of_batch=1).count() == 5
+    # a re-run finishes the removal
+    store.expire_versions(keep_from=1)
+    import os
+
+    assert "v0000000000" not in os.listdir(str(tmp_path / "st"))
+
+
+def test_state_store_version_delta_read(spark, tmp_path):
+    """current(as_of_batch=N, since_batch=M) — the CDC twin of the
+    append log's incremental read: exactly the NEW or CHANGED rows of
+    the as-of-N state vs the as-of-M state; untouched rows absent;
+    M == N empty; M > N and missing as_of raise ValueError; an expired
+    endpoint raises SnapshotUnreadableError."""
+    import pytest
+
+    from dwh_spark.streaming.ingest import (
+        ParquetStateStore,
+        SnapshotUnreadableError,
+    )
+
+    store = ParquetStateStore(str(tmp_path / "st"), write_partitions=1)
+    s0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long")
+    s1 = spark.createDataFrame(
+        [("a", 1), ("b", 5), ("c", 9)], "k string, n long"
+    )
+    store.commit(s0, 0)
+    store.commit(s1, 1)
+    delta = store.current(spark, as_of_batch=1, since_batch=0)
+    assert sorted((r["k"], r["n"]) for r in delta.collect()) == [
+        ("b", 5),  # changed: N-state values
+        ("c", 9),  # new
+    ]  # ("a", 1) untouched -> absent
+    assert store.current(spark, as_of_batch=1, since_batch=1).count() == 0
+    with pytest.raises(ValueError, match="requires as_of_batch"):
+        store.current(spark, since_batch=0)
+    with pytest.raises(ValueError, match="forward"):
+        store.current(spark, as_of_batch=0, since_batch=1)
+    store.expire_versions(keep_from=1)
+    with pytest.raises(SnapshotUnreadableError, match="retention"):
+        store.current(spark, as_of_batch=1, since_batch=0)
+
+
+def test_version_delta_oracle_nonvacuous():
+    """The version-delta gate must be load-bearing BOTH ways at
+    sf0.001: at least one group is suppressed (untouched by batches
+    2-3 — a delta that leaked the full state would include it) and at
+    least one surfaced group already existed at the since-boundary
+    with different measures (CHANGED, not merely new — a delta that
+    only ever saw new keys would never test the measure comparison)."""
+    import glob
+
+    import duckdb
+
+    import dwh_spark.plans.all  # noqa: F401
+    from dwh_spark.plans.registry import ORACLES
+
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(SF, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    delta_sql = ORACLES["streaming_rollup_version_delta"]
+    n_delta = con.execute(f"SELECT count(*) FROM ({delta_sql})").fetchone()[0]
+    n_full = con.execute(
+        """SELECT count(*) FROM (
+             SELECT CAST(date_trunc('day', ts) AS DATE), event_type
+             FROM events GROUP BY 1, 2)"""
+    ).fetchone()[0]
+    assert 0 < n_delta < n_full, "delta suppressed no untouched group"
+    n_changed = con.execute(
+        f"""WITH st AS (
+              SELECT *, ntile(3) OVER (ORDER BY event_id) AS b FROM events
+            ),
+            old_state AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+              FROM st WHERE b <= 1 GROUP BY 1, 2
+            )
+            SELECT count(*) FROM ({delta_sql}) d
+            JOIN old_state o USING (day, event_type)"""
+    ).fetchone()[0]
+    assert n_changed > 0, "no CHANGED group in the delta (all merely new)"
