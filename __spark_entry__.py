@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     # -- new round-18 queries: no driver verdict yet
     "streaming_rollup_version_gc",
     "streaming_rollup_version_delta",
+    "docs_minhash_two_store_window_ledger",
     # -- latest driver verdict r12 (18)
     "q4_order_priority_exists",
     "q5_region_volume",

