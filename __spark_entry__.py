@@ -47,10 +47,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows only). _CHECK_FIRST still rotates the driver's ~50-slot window
 # over the stalest DRIVER verdicts below.
 #
-# Round-18 ledger (generated — regenerate with
-# scripts/rotate_check_first.py): registry 268, newest
-# committed artifact r17, combined-stale (<= r14) 0,
-# never-checked 0.
+# Round-18 ledger (generated at round start with
+# scripts/rotate_check_first.py, counts updated as the round's
+# queries registered): registry 271, newest committed artifact r17,
+# combined-stale (<= r14) 0, never-checked 3 (the round-18
+# additions, leading below).
 _CHECK_FIRST = [
     # -- new round-18 queries: no driver verdict yet
     "streaming_rollup_version_gc",

@@ -2985,7 +2985,8 @@ _TWO_STORE_WINDOW_LEDGER_ORACLE = """
            (SELECT CAST(count(*) AS DOUBLE) FROM surv WHERE b >= 2)
     UNION ALL
     SELECT 4, 'audit', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-           CAST(0 AS DOUBLE)
+           (SELECT CAST(count(*) AS DOUBLE)
+            FROM surv WHERE b >= 2 AND n_bands = 0)
     """
 
 
@@ -3027,9 +3028,12 @@ def docs_minhash_two_store_window_ledger(
        rows about to age out are provably erased first);
     3. post — k: segments after optimize (1 + 1), n/v: surviving
        band/text rows (batches 2-3 survivors);
-    4. audit — dangling-band and unreachable-text key counts, both
-       zero (computed from real anti-joins, pinned zero by the
-       oracle).
+    4. audit — dangling-band keys (pinned zero: every indexed doc has
+       a text) and unreachable-text keys (computed from real
+       anti-joins; the oracle derives it as the surviving shingle-less
+       docs — a <3-token doc has a text but no bands — so the same
+       input model governs phases 1-4; zero on this fixture, whose
+       docs all shingle).
 
     The oracle re-derives every count from the documents table alone
     (band cardinality is structural: exactly 4 rows per doc with >= 3

@@ -1131,8 +1131,9 @@ def streaming_minhash_forget_ingest(
         # two-store runner owns the bands-first leak-safe order
         # structurally (streaming/maintenance.py:run_two_store_window
         # — r18; previously sequenced ad hoc here). No retention this
-        # gate; the audit join is skipped mid-stream (cost discipline
-        # — the ledger gate runs it).
+        # gate; the audit join AND the report's counting jobs are
+        # skipped mid-stream (cost discipline — the ledger gate runs
+        # them; the previous ad-hoc form never counted either).
         if batch_id == 1:
             run_two_store_window(
                 spark,
@@ -1143,6 +1144,7 @@ def streaming_minhash_forget_ingest(
                 index_forget_fn=forget_band_index,
                 optimize=False,
                 audit_consistency=False,
+                report_counts=False,
             )
 
     stream = (

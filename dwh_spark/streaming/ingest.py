@@ -203,6 +203,12 @@ class ParquetStateStore:
                     f"(changed groups in (M, N])"
                 )
             newer = self.current(spark, as_of_batch=as_of_batch)
+            if newer is None:
+                # no commits at all — same contract as every other
+                # read on an empty store (a committed newer implies
+                # the pointer exists, so older below never None-s:
+                # it resolves or raises)
+                return None
             older = self.current(spark, as_of_batch=since_batch)
             return newer.exceptAll(older)
         if not os.path.exists(self._pointer):
@@ -800,6 +806,22 @@ class ParquetAppendLog:
         self._write_manifest(new_man, expected_txn=self._txn(man))
         self._gc()
 
+    def expiring_segments(self, keep_from: int) -> list[str]:
+        """The segments ``expire(keep_from)`` would drop — the ONE
+        copy of the horizon predicate. The window runners pre-read
+        these dirs (to shrink stats / count expired rows) before
+        calling ``expire``; sharing the predicate means their
+        pre-counts can never diverge from what expire actually
+        drops."""
+        man = self._read_manifest()
+        if not man:
+            return []
+        return [
+            s
+            for s in man["segments"]
+            if self._range(man, s)[1] < keep_from
+        ]
+
     def expire(self, keep_from: int) -> None:
         """Retention: atomically drop every segment whose covered
         batch range ends before ``keep_from`` — the sliding-horizon
@@ -820,9 +842,10 @@ class ParquetAppendLog:
         if not man:
             return
         base_txn = self._txn(man)
+        dropping = set(self.expiring_segments(keep_from))
         kept, dropped_hi = [], None
         for s in man["segments"]:
-            if self._range(man, s)[1] >= keep_from:
+            if s not in dropping:
                 kept.append(s)
             else:
                 hi = self._range(man, s)[1]

@@ -534,12 +534,9 @@ def run_fp_maintenance_window(
     # -- segments' partials, computed BEFORE the drop)
     segments_expired, rows_expired = 0, 0
     if expire_keep_from is not None:
-        man = index_store._read_manifest()
-        drop = [
-            s
-            for s in man["segments"]
-            if index_store._range(man, s)[1] < expire_keep_from
-        ]
+        # the store's own horizon predicate — the pre-drop partials
+        # can never diverge from what expire actually drops
+        drop = index_store.expiring_segments(expire_keep_from)
         if drop:
             import os as _os
 
@@ -590,7 +587,9 @@ def run_fp_maintenance_window(
 class TwoStoreWindowReport:
     """The two-store window's ledger (see
     :func:`run_two_store_window`): scalar facts only, same
-    auditor's-artifact discipline as the other window reports."""
+    auditor's-artifact discipline as the other window reports. In the
+    lightweight mode (``report_counts=False``) the row-counting
+    fields carry -1 — "not measured", never a fake zero."""
 
     index_rows_forgotten: int
     payload_rows_forgotten: int
@@ -619,6 +618,7 @@ def run_two_store_window(
     expire_keep_from: int | None = None,
     optimize: bool = True,
     audit_consistency: bool = True,
+    report_counts: bool = True,
 ) -> TwoStoreWindowReport:
     """The maintenance window for a TWO-STORE index family (VERDICT
     r17 What's-missing #5): a probe index (the MinHash LSH band
@@ -674,7 +674,13 @@ def run_two_store_window(
 
     Cost shape at 100 TB: two broadcast anti-join rewrite passes (the
     compactions both stores were due anyway), O(manifest) expiry, and
-    the optional audit joins."""
+    the optional audit joins. ``report_counts=False`` is the
+    LIGHTWEIGHT mid-stream mode (the live fold's cost discipline,
+    like ``audit_consistency=False``): the report's counting jobs —
+    two pre-forget semi-join aggregates, the expired-row reads, two
+    post-window store counts — are skipped and their fields carry -1
+    ("not measured"), never a fake zero; erasure, retention and
+    optimize are unaffected."""
     from dwh_spark.operators.forget import forget_rows
 
     if index_forget_fn is None:
@@ -698,19 +704,25 @@ def run_two_store_window(
     index_rows_forgotten = payload_rows_forgotten = forgotten_key_sum = 0
     if forgotten_ids is not None:
         forgotten_ids = forgotten_ids.localCheckpoint()
-        index_rows_forgotten = int(
-            index_state.join(F.broadcast(forgotten_ids), key, "left_semi").count()
-        )
-        pstats = (
-            payload_state.join(F.broadcast(forgotten_ids), key, "left_semi")
-            .agg(
-                F.count("*").alias("n"),
-                F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
+        if report_counts:
+            index_rows_forgotten = int(
+                index_state.join(
+                    F.broadcast(forgotten_ids), key, "left_semi"
+                ).count()
             )
-            .collect()[0]
-        )
-        payload_rows_forgotten = int(pstats["n"])
-        forgotten_key_sum = int(pstats["key_sum"])
+            pstats = (
+                payload_state.join(F.broadcast(forgotten_ids), key, "left_semi")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
+                )
+                .collect()[0]
+            )
+            payload_rows_forgotten = int(pstats["n"])
+            forgotten_key_sum = int(pstats["key_sum"])
+        else:
+            index_rows_forgotten = payload_rows_forgotten = -1
+            forgotten_key_sum = -1
         index_store.rewrite_each(
             spark, lambda seg: index_forget_fn(seg, forgotten_ids)
         )
@@ -722,19 +734,19 @@ def run_two_store_window(
     def _expire(store: ParquetAppendLog) -> tuple[int, int]:
         import os as _os
 
-        man = store._read_manifest()
-        drop = [
-            s
-            for s in man["segments"]
-            if store._range(man, s)[1] < expire_keep_from
-        ]
+        # the store's own horizon predicate (ingest.py:
+        # expiring_segments) — the pre-count cannot diverge from the
+        # drop
+        drop = store.expiring_segments(expire_keep_from)
         if not drop:
             return 0, 0
-        rows = int(
-            spark.read.parquet(
-                *(_os.path.join(store.root, s) for s in drop)
-            ).count()
-        )
+        rows = -1
+        if report_counts:
+            rows = int(
+                spark.read.parquet(
+                    *(_os.path.join(store.root, s) for s in drop)
+                ).count()
+            )
         store.expire(expire_keep_from)
         return len(drop), rows
 
@@ -751,8 +763,11 @@ def run_two_store_window(
     # -- phase 4: the cross-store referential audit
     icur = index_store.current(spark)
     pcur = payload_store.current(spark)
-    index_rows_after = int(icur.count()) if icur is not None else 0
-    payload_rows_after = int(pcur.count()) if pcur is not None else 0
+    if report_counts:
+        index_rows_after = int(icur.count()) if icur is not None else 0
+        payload_rows_after = int(pcur.count()) if pcur is not None else 0
+    else:
+        index_rows_after = payload_rows_after = -1
     orphan_index = orphan_payload = 0
     if audit_consistency and icur is not None and pcur is not None:
         orphan_index = int(
