@@ -264,6 +264,19 @@ HEADLINERS = {
     "off the manifest (plain parquet scans, no filter column); the "
     "stored bands probe as an equi-join with the candidate pairs "
     "broadcast back — no delta re-banding stage anywhere in the plan",
+    "streaming_rollup_version_gc": "snapshot-store retention: "
+    "expire_versions is O(dropped dirs) filesystem work with NO "
+    "Spark job; the surviving as-of read resolves the version "
+    "pointer and scans ONE retained snapshot (no log replay, no "
+    "filter column in the plan)",
+    "streaming_rollup_version_delta": "version-to-version CDC: two "
+    "snapshot scans + one row-level exceptAll — neither era is "
+    "re-aggregated from events; delta cost scales with state size, "
+    "not folded history",
+    "docs_minhash_two_store_window_ledger": "two-store window: "
+    "forget is a broadcast anti-join per store in the leak-safe "
+    "order (bands before texts); the cross-store referential audit "
+    "is two key anti-joins, never a cartesian",
 }
 
 
