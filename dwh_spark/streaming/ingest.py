@@ -285,21 +285,28 @@ class ParquetStateStore:
         store assumes one committing writer per root — there is no
         lease. This check turns the realistic race loud instead of
         silent: batch ids are strictly monotonic within a checkpoint,
-        so CURRENT already at ``batch_id`` or newer means a second
-        writer committed while this one was writing (or a stale replay
-        bypassed the ``last_committed`` guard). Re-read-then-replace is
-        DETECTION, not mutual exclusion — a true CAS needs the
-        filesystem primitive a table format's commit service provides;
-        the remaining window is the microseconds between this read and
-        ``os.replace``, vs the whole snapshot-write duration before."""
+        so CURRENT already PAST ``batch_id`` means a second writer
+        committed while this one was writing (or a stale replay from
+        an old checkpoint bypassed the ``last_committed`` guard).
+        CURRENT already AT ``batch_id`` is NOT an error: that is the
+        class contract's replay shape (crash between this flip and the
+        checkpoint's offset commit re-delivers the batch; the rewrite
+        and re-flip are idempotent — same dir, same pointer content),
+        and raising there would wedge the restarted stream
+        permanently. Re-read-then-replace is DETECTION, not mutual
+        exclusion — a true CAS needs the filesystem primitive a table
+        format's commit service provides; the remaining window is the
+        microseconds between this read and ``os.replace``, vs the
+        whole snapshot-write duration before."""
         cur = self.last_committed()
-        if cur is not None and cur >= batch_id:
+        if cur is not None and cur > batch_id:
             raise ConcurrentWriterError(
                 f"flip(v{batch_id}) rejected: CURRENT already points at "
-                f"v{cur} — another writer committed while this one was "
-                f"writing (or a stale replay bypassed the "
-                f"last_committed guard); the store assumes a single "
-                f"writer per root, serialize commits"
+                f"the newer v{cur} — another writer committed while "
+                f"this one was writing (or a stale replay from an old "
+                f"checkpoint bypassed the last_committed guard); the "
+                f"store assumes a single writer per root, serialize "
+                f"commits"
             )
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
@@ -806,21 +813,28 @@ class ParquetAppendLog:
         self._write_manifest(new_man, expected_txn=self._txn(man))
         self._gc()
 
-    def expiring_segments(self, keep_from: int) -> list[str]:
-        """The segments ``expire(keep_from)`` would drop — the ONE
-        copy of the horizon predicate. The window runners pre-read
-        these dirs (to shrink stats / count expired rows) before
-        calling ``expire``; sharing the predicate means their
-        pre-counts can never diverge from what expire actually
-        drops."""
-        man = self._read_manifest()
-        if not man:
-            return []
+    def _expiring(self, man: dict, keep_from: int) -> list[str]:
+        """The ONE copy of the horizon predicate, over an in-hand
+        manifest — ``expire`` applies it to the same manifest snapshot
+        it rewrites, so the kept/dropped split is provably derived
+        from one read (not re-read from a disk state that could have
+        moved in between)."""
         return [
             s
             for s in man["segments"]
             if self._range(man, s)[1] < keep_from
         ]
+
+    def expiring_segments(self, keep_from: int) -> list[str]:
+        """The segments ``expire(keep_from)`` would drop. The window
+        runners pre-read these dirs (to shrink stats / count expired
+        rows) before calling ``expire``; sharing ``_expiring`` means
+        their pre-counts can never diverge from what expire actually
+        drops."""
+        man = self._read_manifest()
+        if not man:
+            return []
+        return self._expiring(man, keep_from)
 
     def expire(self, keep_from: int) -> None:
         """Retention: atomically drop every segment whose covered
@@ -842,7 +856,7 @@ class ParquetAppendLog:
         if not man:
             return
         base_txn = self._txn(man)
-        dropping = set(self.expiring_segments(keep_from))
+        dropping = set(self._expiring(man, keep_from))
         kept, dropped_hi = [], None
         for s in man["segments"]:
             if s not in dropping:

@@ -211,7 +211,19 @@ def run_maintenance_window(
         cstats = c.agg(
             F.count("*").alias("n"),
             F.count_distinct("cell").alias("n_keys"),
+            # count_distinct ignores NULLs, so a null key would read
+            # as a duplicate here without its own count — and a NULL
+            # cell never equi-joins, which is a different disease
+            # (rows silently unreachable) needing a different message
+            F.count_if(F.col("cell").isNull()).alias("n_null"),
         ).collect()[0]
+        if int(cstats["n_null"]) > 0:
+            raise ValueError(
+                f"old_centroids has {int(cstats['n_null'])} NULL cell "
+                f"key(s) — NULL never matches the occupancy equi-join, "
+                f"so those centroids would silently count zero "
+                f"survivors; drop or key the null rows upstream"
+            )
         if int(cstats["n"]) != int(cstats["n_keys"]):
             raise ValueError(
                 f"old_centroids has duplicate cell keys "
@@ -674,7 +686,13 @@ def run_two_store_window(
 
     Cost shape at 100 TB: two broadcast anti-join rewrite passes (the
     compactions both stores were due anyway), O(manifest) expiry, and
-    the optional audit joins. ``report_counts=False`` is the
+    the optional audit joins. An EMPTY (but non-None) erasure manifest
+    skips both rewrite passes outright — they are the window's
+    dominant cost and would remove nothing — with the forgotten
+    counts reported as their exact zeros. The ``forgotten_key_sum``
+    checksum requires a NUMERIC ``key`` column and the runner raises
+    ``TypeError`` up front otherwise: summing a string key would NULL
+    per row and coalesce to an apparently-valid 0. ``report_counts=False`` is the
     LIGHTWEIGHT mid-stream mode (the live fold's cost discipline,
     like ``audit_consistency=False``): the report's counting jobs —
     two pre-forget semi-join aggregates, the expired-row reads, two
@@ -703,32 +721,55 @@ def run_two_store_window(
     # -- phase 1: forget, INDEX FIRST (the structural order)
     index_rows_forgotten = payload_rows_forgotten = forgotten_key_sum = 0
     if forgotten_ids is not None:
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(payload_state.schema[key].dataType, NumericType):
+            # F.sum over a non-numeric key NULLs per row (non-ANSI) and
+            # coalesce would launder that into forgotten_key_sum=0 — an
+            # apparently valid checksum that audits nothing (ANSI mode
+            # instead crashes mid-window, after the index rewrite)
+            raise TypeError(
+                f"run_two_store_window's forgotten_key_sum checksum "
+                f"requires a numeric key column; {key!r} is "
+                f"{payload_state.schema[key].dataType.simpleString()} — "
+                f"pass a numeric surrogate key or extend the runner "
+                f"with a hash-sum checksum for this family"
+            )
         forgotten_ids = forgotten_ids.localCheckpoint()
-        if report_counts:
-            index_rows_forgotten = int(
-                index_state.join(
-                    F.broadcast(forgotten_ids), key, "left_semi"
-                ).count()
-            )
-            pstats = (
-                payload_state.join(F.broadcast(forgotten_ids), key, "left_semi")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
-                )
-                .collect()[0]
-            )
-            payload_rows_forgotten = int(pstats["n"])
-            forgotten_key_sum = int(pstats["key_sum"])
+        # An erasure manifest can legitimately be EMPTY this cycle; the
+        # two rewrite passes are the window's dominant cost at 100 TB
+        # and would remove nothing — skip them, report honest zeros
+        # (the counts ARE known exactly for an empty manifest).
+        if forgotten_ids.limit(1).count() == 0:
+            forgotten_ids = None
         else:
-            index_rows_forgotten = payload_rows_forgotten = -1
-            forgotten_key_sum = -1
-        index_store.rewrite_each(
-            spark, lambda seg: index_forget_fn(seg, forgotten_ids)
-        )
-        payload_store.rewrite_each(
-            spark, lambda seg: payload_forget_fn(seg, forgotten_ids)
-        )
+            if report_counts:
+                index_rows_forgotten = int(
+                    index_state.join(
+                        F.broadcast(forgotten_ids), key, "left_semi"
+                    ).count()
+                )
+                pstats = (
+                    payload_state.join(
+                        F.broadcast(forgotten_ids), key, "left_semi"
+                    )
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
+                    )
+                    .collect()[0]
+                )
+                payload_rows_forgotten = int(pstats["n"])
+                forgotten_key_sum = int(pstats["key_sum"])
+            else:
+                index_rows_forgotten = payload_rows_forgotten = -1
+                forgotten_key_sum = -1
+            index_store.rewrite_each(
+                spark, lambda seg: index_forget_fn(seg, forgotten_ids)
+            )
+            payload_store.rewrite_each(
+                spark, lambda seg: payload_forget_fn(seg, forgotten_ids)
+            )
 
     # -- phase 2: retention horizon, index first (aligned ranges)
     def _expire(store: ParquetAppendLog) -> tuple[int, int]:

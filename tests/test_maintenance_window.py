@@ -531,3 +531,76 @@ def test_two_store_window_audit_reports_orphans(spark, tmp_path):
     rep = run_two_store_window(spark, idx, pay)
     assert rep.orphan_index_keys == 1  # doc 99: band without text
     assert rep.orphan_payload_keys == 1  # doc 77: text without band
+
+
+def test_window_rejects_null_centroid_key(spark, tmp_path):
+    """Review r18: count_distinct ignores NULLs, so a NULL cell key
+    used to read as a 'duplicate cell keys' diagnosis — but NULL never
+    matches the occupancy equi-join (rows silently unreachable), a
+    different disease needing its own loud message."""
+    emb = _emb(spark)
+    cents, _ = train_semantic_cells(emb, rows_per_cell=64)
+    cents = cents.localCheckpoint()
+    store = _build_store(spark, tmp_path, "idxnull", cents, emb)
+    nulled = cents.unionByName(
+        cents.limit(1).withColumn("vec_id", F.lit(None).cast("long"))
+    )
+    before = _state(spark, store)
+    with pytest.raises(ValueError, match="NULL cell key"):
+        run_maintenance_window(spark, store, nulled, rows_per_cell=64)
+    assert _state(spark, store) == before
+
+
+def test_two_store_window_empty_forget_skips_rewrites(spark, tmp_path):
+    """Review r18: an erasure manifest that is legitimately EMPTY this
+    cycle must not pay the two full-store rewrite passes (the window's
+    dominant cost at 100 TB) for a no-op — segments stay untouched
+    (same names in both manifests), counts report their exact zeros."""
+    from dwh_spark.streaming.maintenance import run_two_store_window
+
+    idx, pay = _two_store_fixture(spark, tmp_path)
+    seg_i = list(idx._read_manifest()["segments"])
+    seg_p = list(pay._read_manifest()["segments"])
+    empty = spark.createDataFrame([], "doc_id long")
+    rep = run_two_store_window(
+        spark, idx, pay, forgotten_ids=empty, optimize=False
+    )
+    assert list(idx._read_manifest()["segments"]) == seg_i
+    assert list(pay._read_manifest()["segments"]) == seg_p
+    assert rep.index_rows_forgotten == 0
+    assert rep.payload_rows_forgotten == 0
+    assert rep.forgotten_key_sum == 0
+    assert idx.current(spark).count() == 80  # 20 docs x 4 bands
+    assert pay.current(spark).count() == 20
+
+
+def test_two_store_window_rejects_non_numeric_key(spark, tmp_path):
+    """Review r18: F.sum over a string key NULLs per row (non-ANSI)
+    and the coalesce laundered it into forgotten_key_sum=0 — an
+    apparently valid checksum auditing nothing (ANSI mode instead
+    crashed mid-window, AFTER the index rewrite). Must raise up front,
+    both stores untouched."""
+    from dwh_spark.streaming.maintenance import run_two_store_window
+
+    idx = ParquetAppendLog(str(tmp_path / "idxs"), write_partitions=1)
+    pay = ParquetAppendLog(str(tmp_path / "pays"), write_partitions=1)
+    idx.append(
+        spark.createDataFrame(
+            [("h1", 0, "b0"), ("h2", 0, "b1")],
+            "content_hash string, band int, band_key string",
+        ),
+        0,
+    )
+    pay.append(
+        spark.createDataFrame(
+            [("h1", "t1"), ("h2", "t2")], "content_hash string, text string"
+        ),
+        0,
+    )
+    fids = spark.createDataFrame([("h1",)], "content_hash string")
+    with pytest.raises(TypeError, match="numeric key"):
+        run_two_store_window(
+            spark, idx, pay, forgotten_ids=fids, key="content_hash"
+        )
+    assert pay.current(spark).count() == 2  # nothing erased pre-raise
+    assert idx.current(spark).count() == 2

@@ -112,3 +112,21 @@ def test_state_store_monotone_commits_unaffected(spark, tmp_path):
     store.flip(2)
     assert store.last_committed() == 2
     assert store.current(spark).count() == 7
+
+
+def test_state_store_same_batch_replay_reflips_idempotently(spark, tmp_path):
+    """The class contract's OTHER crash window (review r18): crash
+    AFTER flip(N) but BEFORE the checkpoint's offset commit re-delivers
+    batch N to a fold without a last_committed pre-check; commit(df, N)
+    with CURRENT already at N is the documented idempotent replay
+    (same dir, same pointer content), NOT a second writer — raising
+    there would wedge the restarted stream permanently. Only CURRENT
+    already PAST the batch proves a writer raced."""
+    store = ParquetStateStore(str(tmp_path / "state"), write_partitions=1)
+    store.commit(_frame(spark, 0, 5), 1)
+    store.commit(_frame(spark, 0, 7), 2)
+    store.commit(_frame(spark, 0, 7), 2)  # replay after flipped commit
+    assert store.last_committed() == 2
+    assert store.current(spark).count() == 7
+    with pytest.raises(ConcurrentWriterError):  # older stays loud
+        store.flip(1)
