@@ -1740,25 +1740,45 @@ def mixed_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_items = D.corpus_ingest_triage(
         corpus_kept, new_docs, T.quality_score
     ).select(F.col("doc_id").alias("item_id"), "decision")
-    parts = []
-    for modality, items in (
-        ("doc", doc_items),
-        ("image", imgs_corpus_ingest_triage(spark, sf_dir)),
-        ("audio", av_audio_corpus_ingest_triage(spark, sf_dir)),
-        ("video", av_video_corpus_ingest_triage(spark, sf_dir)),
-    ):
+
+    def _part(modality: str, items: DataFrame) -> DataFrame:
         local = items.columns[0]
-        parts.append(
-            items.select(
-                (F.col(local) + F.lit(_MIXED_OFFSETS[modality])).alias(
-                    "global_id"
-                ),
-                F.lit(modality).alias("modality"),
-                "decision",
-            ).localCheckpoint()
+        return items.select(
+            (F.col(local) + F.lit(_MIXED_OFFSETS[modality])).alias(
+                "global_id"
+            ),
+            F.lit(modality).alias("modality"),
+            "decision",
+        ).localCheckpoint()
+
+    # The four modality triages are INDEPENDENT jobs (disjoint inputs,
+    # disjoint module caches), so their localCheckpoint
+    # materializations run from a small thread pool — each family's
+    # tail stragglers back-fill with the next family's tasks instead
+    # of idling the cluster (the marketplace fold's pooled-commit
+    # discipline applied to the capstone). The ONE ordering constraint
+    # stays structural: audio and video share the _AV_CORPUS_CACHE
+    # persist rotation (video's CONSTRUCTION rotates audio's decode
+    # pass out), so those two run chained inside a single worker in
+    # the exact sequential order the serial form used.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _av_chain() -> tuple[DataFrame, DataFrame]:
+        audio = _part("audio", av_audio_corpus_ingest_triage(spark, sf_dir))
+        return audio, _part(
+            "video", av_video_corpus_ingest_triage(spark, sf_dir)
         )
-    manifest = parts[0]
-    for p in parts[1:]:
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_doc = pool.submit(_part, "doc", doc_items)
+        f_img = pool.submit(
+            lambda: _part("image", imgs_corpus_ingest_triage(spark, sf_dir))
+        )
+        f_av = pool.submit(_av_chain)
+        doc_part, img_part = f_doc.result(), f_img.result()
+        audio_part, video_part = f_av.result()
+    manifest = doc_part
+    for p in (img_part, audio_part, video_part):
         manifest = manifest.unionByName(p)
     return manifest
 

@@ -58,7 +58,12 @@ def run_minhash_ingest(
         lc = docs_store.last_committed()
         if lc is not None and batch_id <= lc:
             return
-        batch_df = batch_df.persist()
+        # a one-file micro-batch arrives as one partition, which would
+        # run the whole signature pipeline single-threaded — spread it
+        # across cores first (ingest.py:spread_small_batch)
+        from dwh_spark.streaming.ingest import spread_small_batch
+
+        batch_df = spread_small_batch(batch_df).persist()
         # the band frame feeds three consumers (within-batch self-join
         # both sides + the corpus probe + the store append): persist so
         # the signature pipeline runs once per batch

@@ -66,7 +66,11 @@ def run_semantic_ingest(
         cents = centroids() if callable(centroids) else centroids
         # assignment feeds three consumers (within-batch probe both
         # sides + the index probe + the store append): persist so the
-        # centroid cross-score runs once per batch
+        # centroid cross-score runs once per batch. (Deliberately NOT
+        # spread_small_batch-ed like the decode folds: the map-side
+        # work here is a JVM broadcast cross-score over a dimension-
+        # scale vector batch — the repartition's extra shuffle costs
+        # more than the single-task score; measured r18.)
         batch_cells = assign_cells(
             batch_df.select("vec_id", "embedding"), cents
         ).persist()

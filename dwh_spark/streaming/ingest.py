@@ -38,6 +38,28 @@ from pyspark.sql import functions as F
 from dwh_spark.operators.latest_state import latest_state_agg
 
 
+def spread_small_batch(df: DataFrame) -> DataFrame:
+    """Spread a too-few-partition micro-batch across the cluster's
+    cores before expensive MAP-SIDE work (the Arrow decode pass, the
+    MinHash signature pipeline, the centroid cross-score).
+
+    A file-source micro-batch under ``maxFilesPerTrigger=1`` arrives
+    as ONE partition (one small file = one scan split), so everything
+    upstream of the fold's first shuffle — exactly the expensive
+    decode/signature work — runs single-threaded while the rest of
+    the cluster idles: the classic unsplittable-input skew (guide
+    §2.5), fixed by repartitioning right after the read. The
+    round-robin shuffle moves only the batch's own bytes (O(batch),
+    the cheapest possible exchange), and at production scale a batch
+    already spans >= cores splits, making this a structural no-op —
+    the partition count is read, never assumed."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def stage_stream_input(
     spark: SparkSession, source: DataFrame, stage_dir: str, n_files: int
 ) -> str:

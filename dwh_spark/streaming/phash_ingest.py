@@ -83,8 +83,13 @@ def _run_indexed_ingest(
             return
         # one decode pass feeds three consumers (within-batch pairs,
         # the index probe, the store append): persist the slim
-        # fingerprint frame, never the media bytes
-        batch_fps = fp_fn(batch_df).persist()
+        # fingerprint frame, never the media bytes. The decode is the
+        # fold's dominant map-side cost and a one-file micro-batch
+        # arrives as one partition — spread it first (ingest.py:
+        # spread_small_batch) so the Arrow pass uses every core.
+        from dwh_spark.streaming.ingest import spread_small_batch
+
+        batch_fps = fp_fn(spread_small_batch(batch_df)).persist()
         flagged = within_fn(batch_fps)
         prior = index_store.current(spark)
         if prior is not None:

@@ -49,6 +49,66 @@ def test_dhash_one_cell_edit_moves_at_most_two_bits():
             assert d <= 2, (r, c, d)
 
 
+def test_area_downscale_matches_per_cell_mean_reference():
+    """The r18 vectorized area_downscale (two reduceat segment-sum
+    passes) against the definitional per-cell slice-mean form, over
+    integer-factor, fractional-factor and odd shapes — cell sums are
+    exact for the two-tone fixture class, so the comparison is
+    bit-for-bit there; for arbitrary float luma the comparison bits
+    (what dhash56 consumes) are additionally pinned equal."""
+
+    def ref(gray, out_w, out_h):
+        h, w = gray.shape
+        re_ = [(r * h) // out_h for r in range(out_h + 1)]
+        ce = [(c * w) // out_w for c in range(out_w + 1)]
+        out = np.empty((out_h, out_w), np.float64)
+        for r in range(out_h):
+            for c in range(out_w):
+                out[r, c] = gray[re_[r]: re_[r + 1], ce[c]: ce[c + 1]].mean()
+        return out
+
+    rng = np.random.default_rng(3)
+    for h, w in [(8, 8), (16, 16), (24, 40), (9, 13), (8, 21), (64, 64)]:
+        # exact class: two-tone fixture luma (integer-valued cells)
+        two_tone = np.where(
+            rng.integers(0, 2, (h, w)) == 1, 200.0, 50.0
+        ).astype(np.float64)
+        assert np.array_equal(ref(two_tone, 8, 8), area_downscale(two_tone, 8, 8))
+        # arbitrary float luma: the dHash comparison bits must agree
+        gray = rng.uniform(0, 255, (h, w))
+        a, b = ref(gray, 8, 8), area_downscale(gray, 8, 8)
+        assert np.array_equal(a[:, 1:] > a[:, :-1], b[:, 1:] > b[:, :-1])
+        assert np.allclose(a, b, rtol=0, atol=1e-9)
+
+
+def test_dhash56_matches_bit_loop_reference():
+    """The vectorized bit-pack (_DHASH_POW gather) against the
+    definitional per-bit loop, on random two-tone patterns (the
+    fixture class) and random RGB."""
+    rng = np.random.default_rng(5)
+
+    def ref_hash(arr):
+        gray = (
+            0.299 * arr[:, :, 0].astype(np.float64)
+            + 0.587 * arr[:, :, 1].astype(np.float64)
+            + 0.114 * arr[:, :, 2].astype(np.float64)
+        )
+        g = area_downscale(gray, 8, 8)
+        bits = g[:, 1:] > g[:, :-1]
+        h = 0
+        for r in range(8):
+            for c in range(7):
+                if bits[r, c]:
+                    h |= 1 << (r * 7 + c)
+        return h
+
+    for _ in range(50):
+        arr = _pattern(int(rng.integers(0, 1 << 30)))
+        assert dhash56(arr) == ref_hash(arr)
+        rnd = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        assert dhash56(rnd) == ref_hash(rnd)
+
+
 def test_area_downscale_exact_on_integer_factors():
     gray = np.arange(64, dtype=np.float64).reshape(8, 8)
     up = gray.repeat(4, axis=0).repeat(4, axis=1)
