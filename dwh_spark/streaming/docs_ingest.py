@@ -124,17 +124,35 @@ def run_minhash_ingest(
             )
             flagged = flagged.unionByName(verify(cands, prior_docs))
         # versioned per-batch result dir: overwrite => crash-window
-        # replay rewrites the same dir instead of double-appending
-        flagged.groupBy("doc_id").agg(
-            F.count("*").alias("n_earlier_dups")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
+        # replay rewrites the same dir instead of double-appending.
+        # The result write and the two O(batch) segment writes are
+        # independent jobs over persisted frames — overlap them; both
+        # manifest commits land AFTER every write, in store order,
+        # with the docs store's swap STRICTLY LAST (the whole-fold
+        # completion marker), so crash/replay semantics are unchanged
+        # (unpublished dirs are invisible and rewritten on replay)
+        def _write_out() -> None:
+            flagged.groupBy("doc_id").agg(
+                F.count("*").alias("n_earlier_dups")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_write_out),
+                pool.submit(bands_store.write_segment, batch_bands, batch_id),
+                pool.submit(docs_store.write_segment, batch_df, batch_id),
+            ]
+            for f in futs:
+                f.result()
         # append-only: each batch persists O(batch) rows — history
         # is never rewritten (the snapshot store would rewrite the
         # whole union per batch, quadratic in corpus size)
-        bands_store.append(batch_bands, batch_id)
-        docs_store.append(batch_df, batch_id)
+        bands_store.commit_segment(batch_id)
+        docs_store.commit_segment(batch_id)
         batch_bands.unpersist()
         batch_df.unpersist()
         if maintenance is not None:

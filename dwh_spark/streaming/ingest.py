@@ -615,8 +615,24 @@ class ParquetAppendLog:
         df.write.mode("overwrite").parquet(os.path.join(self.root, dirname))
 
     def append(self, df: DataFrame, batch_id: int) -> None:
+        self.write_segment(df, batch_id)
+        self.commit_segment(batch_id)
+
+    def write_segment(self, df: DataFrame, batch_id: int) -> None:
+        """Write batch ``batch_id``'s segment dir WITHOUT the manifest
+        commit — the append-log half of the snapshot store's
+        ``write_snapshot``/``flip`` transaction split, so a fold can
+        overlap this (the expensive Spark job) with its other writes
+        and still land the manifest swap — the commit point and the
+        fold's completion marker — strictly last. Safe to run eagerly:
+        a segment dir without its manifest update is invisible to every
+        reader and a replay rewrites the same dir idempotently."""
+        self._write_segment(df, f"seg{batch_id:010d}")
+
+    def commit_segment(self, batch_id: int) -> None:
+        """Publish an already-written segment: the atomic manifest swap
+        half of :meth:`append` (single-writer guarded)."""
         name = f"seg{batch_id:010d}"
-        self._write_segment(df, name)
         base = self._read_manifest()
         base_txn = self._txn(base)  # before mutating: man aliases base
         man = base or {"segments": [], "last_committed": None}
@@ -812,17 +828,35 @@ class ParquetAppendLog:
         if not man or not man["segments"]:
             return
         gen = man.get("gen", 0) + 1
-        new_segments: list[str] = []
-        new_ranges: dict[str, list[int]] = {}
-        for i, s in enumerate(man["segments"]):
+
+        # the per-segment rewrites are independent jobs into disjoint
+        # fresh-generation dirs, so they run from a small thread pool
+        # (guide §2.6 back-fill: one segment's write tail overlaps the
+        # next one's plan+scan); the manifest still swaps atomically
+        # ONCE after every write has landed, so readers and crash
+        # semantics are exactly the sequential form's — a crash
+        # mid-pool leaves only unreferenced new-gen dirs for _gc
+        def _rewrite_one(i: int, s: str) -> tuple[str, list[int]]:
             lo, hi = self._range(man, s)
             name = f"rw{lo:010d}_{hi:010d}g{gen}i{i}"
             df = transform(
                 spark.read.parquet(os.path.join(self.root, s))
             )
             self._write_segment(df, name)
-            new_segments.append(name)
-            new_ranges[name] = [lo, hi]
+            return name, [lo, hi]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(man["segments"]))
+        ) as pool:
+            done = list(
+                pool.map(
+                    lambda t: _rewrite_one(*t), enumerate(man["segments"])
+                )
+            )
+        new_segments = [name for name, _ in done]
+        new_ranges = {name: rng for name, rng in done}
         new_man = {
             "segments": new_segments,
             "ranges": new_ranges,

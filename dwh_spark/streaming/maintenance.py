@@ -571,8 +571,12 @@ def run_fp_maintenance_window(
         index_store.compact(spark)
     stats_post = merged(stats_store.current(spark)).localCheckpoint()
     hot_rows = stats_post.filter(F.col("df") > cap).collect()
-    max_df_row = stats_post.agg(F.max("df")).collect()[0][0]
-    n_words_after = stats_post.count()
+    # one bounded aggregate for both report scalars (was two jobs)
+    post_row = stats_post.agg(
+        F.max("df").alias("mx"), F.count("*").alias("n")
+    ).collect()[0]
+    max_df_row = post_row["mx"]
+    n_words_after = int(post_row["n"])
     cur = index_store.current(spark)
     man = index_store._read_manifest()
     return FpWindowReport(
