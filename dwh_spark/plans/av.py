@@ -4283,7 +4283,7 @@ def av_audio_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from dwh_spark.multimodal.audio_fp import audio_subfingerprint_frame
-    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.ingest import ParquetAppendLog, append_batches
     from dwh_spark.streaming.maintenance import run_fp_maintenance_window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
@@ -4301,16 +4301,26 @@ def av_audio_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         _AV_CAPPED_CACHE.pop().unpersist()
     sliced = subs.join(F.broadcast(bt), "audio_id").persist()
     _AV_CAPPED_CACHE.append(sliced)
+    # materialize the cache with a PARALLEL action first: every
+    # staging write below coalesces to one file (write_partitions=1),
+    # and a coalesce(1) over an unmaterialized cache would compute the
+    # whole subfingerprint pass inside ONE task (guide §2.5) — the
+    # count runs it 32-wide once, staging then reads cached blocks
+    sliced.count()
 
     root = tempfile.mkdtemp(prefix="dwh_av_window_")
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
+    # six independent staging writes over ONE persisted decode pass —
+    # pooled (streaming/ingest.py:append_batches), commits in order
+    _stage = []
     for i in range(1, 4):
         seg = sliced.filter(F.col("b") == i).select("audio_id", "pos", "sub32")
-        index_store.append(seg, i - 1)
-        stats_store.append(
-            seg.groupBy("sub32").agg(F.count("*").alias("df")), i - 1
+        _stage.append((index_store, seg, i - 1))
+        _stage.append(
+            (stats_store, seg.groupBy("sub32").agg(F.count("*").alias("df")), i - 1)
         )
+    append_batches(_stage)
     fids = (
         sliced.select("audio_id").distinct().filter(F.col("audio_id") % 10 == 3)
     )
@@ -4445,7 +4455,7 @@ def av_video_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_block_df,
         video_dhash_frames,
     )
-    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.ingest import ParquetAppendLog, append_batches
     from dwh_spark.streaming.maintenance import run_fp_maintenance_window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
@@ -4460,16 +4470,23 @@ def av_video_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         _AV_CAPPED_CACHE.pop().unpersist()
     sliced = frames.join(F.broadcast(bt), "video_id").persist()
     _AV_CAPPED_CACHE.append(sliced)
+    # parallel cache materialization before the coalesce(1) staging
+    # writes — same rationale as the audio binding above
+    sliced.count()
 
     root = tempfile.mkdtemp(prefix="dwh_av_video_window_")
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
+    # pooled staging over the one persisted frame pass (ingest.py:
+    # append_batches) — commits in order after every write lands
+    _stage = []
     for i in range(1, 4):
         seg = sliced.filter(F.col("b") == i).select(
             "video_id", "frame_ix", "dhash"
         )
-        index_store.append(seg, i - 1)
-        stats_store.append(video_block_df(seg), i - 1)
+        _stage.append((index_store, seg, i - 1))
+        _stage.append((stats_store, video_block_df(seg), i - 1))
+    append_batches(_stage)
     fids = bt.select("video_id").filter(F.col("video_id") % 10 == 3)
     rep = run_fp_maintenance_window(
         spark,

@@ -2903,7 +2903,7 @@ def docs_containment_window_ledger(spark: SparkSession, sf_dir: str) -> DataFram
 
     from pyspark.sql.window import Window
 
-    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.ingest import ParquetAppendLog, append_batches
     from dwh_spark.streaming.maintenance import run_fp_maintenance_window
 
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2929,12 +2929,16 @@ def docs_containment_window_ledger(spark: SparkSession, sf_dir: str) -> DataFram
     root = tempfile.mkdtemp(prefix="dwh_ct_window_")
     index_store = ParquetAppendLog(os.path.join(root, "index"), write_partitions=1)
     stats_store = ParquetAppendLog(os.path.join(root, "stats"), write_partitions=1)
+    # pooled staging over the one checkpointed shingling pass
+    # (ingest.py:append_batches) — commits in order after all writes
+    _stage = []
     for i in range(1, 4):
         seg = sliced.filter(F.col("b") == i).select("h", "corpus_id", "n_c")
-        index_store.append(seg, i - 1)
-        stats_store.append(
-            seg.groupBy("h").agg(F.count("*").alias("df")), i - 1
+        _stage.append((index_store, seg, i - 1))
+        _stage.append(
+            (stats_store, seg.groupBy("h").agg(F.count("*").alias("df")), i - 1)
         )
+    append_batches(_stage)
     fids = bt.select("corpus_id").filter(F.col("corpus_id") % 10 == 3)
     rep = run_fp_maintenance_window(
         spark,
@@ -3049,7 +3053,7 @@ def docs_minhash_two_store_window_ledger(
 
     from pyspark.sql.window import Window
 
-    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.ingest import ParquetAppendLog, append_batches
     from dwh_spark.streaming.maintenance import run_two_store_window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3069,14 +3073,28 @@ def docs_minhash_two_store_window_ledger(
     root = tempfile.mkdtemp(prefix="dwh_mh_twostore_window_")
     index_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
     payload_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
-    for i in range(1, 4):
-        index_store.append(
-            bands.filter(F.col("b") == i).select("doc_id", "band", "band_key"),
-            i - 1,
-        )
-        payload_store.append(
-            texts.filter(F.col("b") == i).select("doc_id", "text"), i - 1
-        )
+    # pooled staging (ingest.py:append_batches); commit order keeps
+    # bands-before-docs per batch, matching the sequential form
+    append_batches(
+        [
+            job
+            for i in range(1, 4)
+            for job in (
+                (
+                    index_store,
+                    bands.filter(F.col("b") == i).select(
+                        "doc_id", "band", "band_key"
+                    ),
+                    i - 1,
+                ),
+                (
+                    payload_store,
+                    texts.filter(F.col("b") == i).select("doc_id", "text"),
+                    i - 1,
+                ),
+            )
+        ]
+    )
     fids = docs.select("doc_id").filter(F.col("doc_id") % 10 == 3)
     rep = run_two_store_window(
         spark,

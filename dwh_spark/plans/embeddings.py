@@ -1572,7 +1572,7 @@ def emb_maintenance_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.window import Window
 
     from dwh_spark.operators.similarity import train_semantic_cells
-    from dwh_spark.streaming.ingest import ParquetAppendLog
+    from dwh_spark.streaming.ingest import ParquetAppendLog, append_batches
     from dwh_spark.streaming.maintenance import run_maintenance_window
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1591,8 +1591,12 @@ def emb_maintenance_window_ledger(spark: SparkSession, sf_dir: str) -> DataFrame
         os.path.join(tempfile.mkdtemp(prefix="dwh_maint_win_"), "index"),
         write_partitions=1,
     )
-    for i in range(1, 4):
-        store.append(sliced.filter(F.col("__slice") == i).drop("__slice"), i - 1)
+    append_batches(
+        [
+            (store, sliced.filter(F.col("__slice") == i).drop("__slice"), i - 1)
+            for i in range(1, 4)
+        ]
+    )
     fids = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
 
     rep = run_maintenance_window(

@@ -19,6 +19,7 @@ from dwh_spark.plans.registry import query
 from dwh_spark.sources.catalog import load_table
 from dwh_spark.streaming.ingest import (
     ParquetStateStore,
+    append_batches,
     run_incremental_compaction,
     run_windowed_rollup,
     stage_stream_input,
@@ -1516,12 +1517,17 @@ def docs_minhash_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
     docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
+    # pooled staging (ingest.py:append_batches): the three per-slice
+    # MinHash band passes are independent jobs over disjoint staged
+    # files; commits land afterwards in the sequential order
+    _stage = []
     for i in range(1, 4):
         slice_df = spark.read.parquet(os.path.join(staged, f"__slice={i}")).select(
             "doc_id", "text"
         )
-        bands_store.append(band_index(slice_df), i - 1)
-        docs_store.append(slice_df, i - 1)
+        _stage.append((bands_store, band_index(slice_df), i - 1))
+        _stage.append((docs_store, slice_df, i - 1))
+    append_batches(_stage)
 
     # the time-travel read: batch-2 boundary state, post-batch-3 appends
     snap_bands = bands_store.current(spark, as_of_batch=1)
@@ -1688,12 +1694,17 @@ def docs_minhash_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bands_store = ParquetAppendLog(os.path.join(root, "bands"), write_partitions=1)
     docs_store = ParquetAppendLog(os.path.join(root, "docs"), write_partitions=1)
+    # pooled staging (ingest.py:append_batches): the three per-slice
+    # MinHash band passes are independent jobs over disjoint staged
+    # files; commits land afterwards in the sequential order
+    _stage = []
     for i in range(1, 4):
         slice_df = spark.read.parquet(os.path.join(staged, f"__slice={i}")).select(
             "doc_id", "text"
         )
-        bands_store.append(band_index(slice_df), i - 1)
-        docs_store.append(slice_df, i - 1)
+        _stage.append((bands_store, band_index(slice_df), i - 1))
+        _stage.append((docs_store, slice_df, i - 1))
+    append_batches(_stage)
 
     # the incremental reads: rows batches (0, 2] appended — the delta
     # since the batch-0 training checkpoint, pinned reproducible by

@@ -60,6 +60,33 @@ def spread_small_batch(df: DataFrame) -> DataFrame:
     return df
 
 
+def append_batches(jobs) -> None:
+    """Stage several INDEPENDENT appends — ``jobs`` is a list of
+    ``(store, df, batch_id)`` — with every segment write (the Spark
+    job) running from a small thread pool and every manifest commit
+    (a cheap atomic swap) landing afterwards, in list order.
+
+    This is the guide-§2.6 overlap applied to fixture/window staging
+    loops: N sequential ``append`` calls serialize N independent jobs
+    purely because the driver calls them sequentially; pooling lets
+    one write's straggler tail back-fill with the next write's tasks.
+    Commit-after-all-writes keeps the same all-or-visible discipline
+    the folds use (an uncommitted segment dir is invisible to every
+    reader; a crashed staging loop is simply re-run)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = list(jobs)
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(jobs)))) as pool:
+        futs = [
+            pool.submit(store.write_segment, df, batch_id)
+            for store, df, batch_id in jobs
+        ]
+        for f in futs:
+            f.result()
+    for store, _, batch_id in jobs:
+        store.commit_segment(batch_id)
+
+
 def stage_stream_input(
     spark: SparkSession, source: DataFrame, stage_dir: str, n_files: int
 ) -> str:

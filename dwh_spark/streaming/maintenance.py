@@ -498,7 +498,15 @@ def run_fp_maintenance_window(
     rows_forgotten, forgotten_key_sum = 0, 0
     if forgotten_ids is not None:
         forgotten_ids = forgotten_ids.localCheckpoint()
-        removed = state.join(F.broadcast(forgotten_ids), key, "left_semi")
+        # materialize the removed rows ONCE: both consumers below (the
+        # partials derivation and the erasure receipt aggregate) would
+        # otherwise each re-execute the full index scan + broadcast
+        # semi-join — at 100 TB that is two store scans for one
+        # O(forgotten) row set (guide §1.2: don't compute things
+        # twice). The checkpoint is bounded by the forget manifest.
+        removed = state.join(
+            F.broadcast(forgotten_ids), key, "left_semi"
+        ).localCheckpoint()
         removed_partials = partials_fn(removed).localCheckpoint()
         fstats = removed.agg(
             F.count("*").alias("n"),
@@ -552,9 +560,14 @@ def run_fp_maintenance_window(
         if drop:
             import os as _os
 
+            # same single-scan discipline as the phase-1 shrink: the
+            # partials derivation and the expiry row count both read
+            # the expiring segments — materialize them once (bounded
+            # by the window's retention cadence, exactly the rows
+            # about to drop)
             dropped = spark.read.parquet(
                 *(_os.path.join(index_store.root, s) for s in drop)
-            )
+            ).localCheckpoint()
             drop_partials = partials_fn(dropped).localCheckpoint()
             rows_expired = int(dropped.count())
             index_store.expire(expire_keep_from)
@@ -569,15 +582,27 @@ def run_fp_maintenance_window(
     # -- phase 4: optimize, then the cap's consumer input
     if optimize:
         index_store.compact(spark)
-    stats_post = merged(stats_store.current(spark)).localCheckpoint()
-    hot_rows = stats_post.filter(F.col("df") > cap).collect()
-    # one bounded aggregate for both report scalars (was two jobs)
-    post_row = stats_post.agg(
-        F.max("df").alias("mx"), F.count("*").alias("n")
-    ).collect()[0]
+    # the post-window report reads TWO disjoint stores: the postings
+    # count scans the (possibly large) index while the hot-word set
+    # and scalars aggregate the bounded stats log — independent
+    # read-only jobs, so the index count runs concurrently and the
+    # stats jobs back-fill its tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    cur = index_store.current(spark)
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        f_npost = _pool.submit(
+            lambda: int(cur.count()) if cur is not None else 0
+        )
+        stats_post = merged(stats_store.current(spark)).localCheckpoint()
+        hot_rows = stats_post.filter(F.col("df") > cap).collect()
+        # one bounded aggregate for both report scalars (was two jobs)
+        post_row = stats_post.agg(
+            F.max("df").alias("mx"), F.count("*").alias("n")
+        ).collect()[0]
+        n_postings_after = f_npost.result()
     max_df_row = post_row["mx"]
     n_words_after = int(post_row["n"])
-    cur = index_store.current(spark)
     man = index_store._read_manifest()
     return FpWindowReport(
         rows_forgotten=rows_forgotten,
@@ -593,7 +618,7 @@ def run_fp_maintenance_window(
             else sorted(tuple(int(r[k]) for k in keys) for r in hot_rows)
         ),
         max_df=int(max_df_row) if max_df_row is not None else 0,
-        n_postings_after=int(cur.count()) if cur is not None else 0,
+        n_postings_after=n_postings_after,
         n_words_after=n_words_after,
         segments_after=len(man["segments"]) if man else 0,
     )
@@ -748,21 +773,30 @@ def run_two_store_window(
             forgotten_ids = None
         else:
             if report_counts:
-                index_rows_forgotten = int(
-                    index_state.join(
-                        F.broadcast(forgotten_ids), key, "left_semi"
-                    ).count()
-                )
-                pstats = (
-                    payload_state.join(
-                        F.broadcast(forgotten_ids), key, "left_semi"
+                # the two erasure-receipt scans read DIFFERENT stores —
+                # independent read-only jobs, overlapped (guide §2.6);
+                # both land before any rewrite moves, as before
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as _pool:
+                    f_icount = _pool.submit(
+                        lambda: int(
+                            index_state.join(
+                                F.broadcast(forgotten_ids), key, "left_semi"
+                            ).count()
+                        )
                     )
-                    .agg(
-                        F.count("*").alias("n"),
-                        F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
+                    pstats = (
+                        payload_state.join(
+                            F.broadcast(forgotten_ids), key, "left_semi"
+                        )
+                        .agg(
+                            F.count("*").alias("n"),
+                            F.coalesce(F.sum(key), F.lit(0)).alias("key_sum"),
+                        )
+                        .collect()[0]
                     )
-                    .collect()[0]
-                )
+                    index_rows_forgotten = f_icount.result()
                 payload_rows_forgotten = int(pstats["n"])
                 forgotten_key_sum = int(pstats["key_sum"])
             else:
@@ -800,37 +834,63 @@ def run_two_store_window(
         i_seg_exp, i_rows_exp = _expire(index_store)
         p_seg_exp, p_rows_exp = _expire(payload_store)
 
-    # -- phase 3: optimize both
-    if optimize:
-        index_store.compact(spark)
-        payload_store.compact(spark)
+    # -- phase 3: optimize both. The two compactions are
+    # content-preserving rewrites of DISJOINT stores (each store's
+    # manifest swap stays atomic; the index-first ORDER contract
+    # governs removals — forget and expire — not the optimize pass,
+    # where either crash window leaves both stores fully consistent),
+    # so they overlap (guide §2.6): each is a full-store read+write
+    # whose straggler tail the other back-fills.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # -- phase 4: the cross-store referential audit
+    if optimize:
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            f_i = _pool.submit(index_store.compact, spark)
+            f_p = _pool.submit(payload_store.compact, spark)
+            f_i.result(), f_p.result()
+
+    # -- phase 4: the cross-store referential audit — up to four
+    # independent read-only jobs over the two live stores, pooled
     icur = index_store.current(spark)
     pcur = payload_store.current(spark)
+    audit_jobs: dict = {}
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        if report_counts:
+            if icur is not None:
+                audit_jobs["i_after"] = _pool.submit(lambda: int(icur.count()))
+            if pcur is not None:
+                audit_jobs["p_after"] = _pool.submit(lambda: int(pcur.count()))
+        if audit_consistency and icur is not None and pcur is not None:
+            audit_jobs["orphan_i"] = _pool.submit(
+                lambda: int(
+                    icur.join(pcur.select(key), key, "left_anti")
+                    .select(key).distinct().count()
+                )
+            )
+            audit_jobs["orphan_p"] = _pool.submit(
+                lambda: int(
+                    pcur.join(icur.select(key), key, "left_anti")
+                    .select(key).distinct().count()
+                )
+            )
+        elif audit_consistency:
+            # one side fully empty: every key on the other side dangles
+            if icur is not None:
+                audit_jobs["orphan_i"] = _pool.submit(
+                    lambda: int(icur.select(key).distinct().count())
+                )
+            if pcur is not None:
+                audit_jobs["orphan_p"] = _pool.submit(
+                    lambda: int(pcur.select(key).distinct().count())
+                )
+        resolved = {k: f.result() for k, f in audit_jobs.items()}
     if report_counts:
-        index_rows_after = int(icur.count()) if icur is not None else 0
-        payload_rows_after = int(pcur.count()) if pcur is not None else 0
+        index_rows_after = resolved.get("i_after", 0)
+        payload_rows_after = resolved.get("p_after", 0)
     else:
         index_rows_after = payload_rows_after = -1
-    orphan_index = orphan_payload = 0
-    if audit_consistency and icur is not None and pcur is not None:
-        orphan_index = int(
-            icur.join(pcur.select(key), key, "left_anti")
-            .select(key).distinct().count()
-        )
-        orphan_payload = int(
-            pcur.join(icur.select(key), key, "left_anti")
-            .select(key).distinct().count()
-        )
-    elif audit_consistency:
-        # one side fully empty: every key on the other side dangles
-        orphan_index = int(
-            icur.select(key).distinct().count()
-        ) if icur is not None else 0
-        orphan_payload = int(
-            pcur.select(key).distinct().count()
-        ) if pcur is not None else 0
+    orphan_index = resolved.get("orphan_i", 0)
+    orphan_payload = resolved.get("orphan_p", 0)
     iman = index_store._read_manifest()
     pman = payload_store._read_manifest()
     return TwoStoreWindowReport(
