@@ -1374,10 +1374,20 @@ def streaming_minhash_ttl_compact_ingest(
 
     def maint(batch_id: int) -> None:
         # OPTIMIZE runs first, then the horizon advances: the merged
-        # [0,1] segment straddles keep_from=1 and survives whole
+        # [0,1] segment straddles keep_from=1 and survives whole.
+        # The two content-preserving compactions rewrite disjoint
+        # stores with no cross-store reads — overlapped (guide §2.6);
+        # the O(manifest) expires stay sequential after both.
         if batch_id == 1:
-            bands_store.compact(spark)
-            docs_store.compact(spark)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(bands_store.compact, spark),
+                    pool.submit(docs_store.compact, spark),
+                ]
+                for f in futs:
+                    f.result()
             bands_store.expire(keep_from=1)
             docs_store.expire(keep_from=1)
 
