@@ -1413,10 +1413,18 @@ def orders_bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality (n_passed accounting must match exactly).
 
     100 TB design: the build side is one combinable bit_or shuffle to
-    16 rows; the probe side never shuffles (broadcast hash join on the
-    16-row sketch + a broadcast ground-truth semi-join only for the
-    audit — production would drop the audit join and keep the pure
-    map-side filter before the real join)."""
+    16 rows folded into a single broadcast map; the probe side never
+    shuffles AND never explodes — each order row evaluates its 4 bit
+    probes as columns against the broadcast map (plus a broadcast
+    ground-truth semi-join only for the audit — production would drop
+    the audit join and keep the pure map-side filter before the real
+    join). r18 optimization: the previous form exploded orders x4 and
+    re-grouped by o_orderkey (a full probe-side exchange + two sort
+    aggregates) just to AND 4 bit tests; o_orderkey is the orders
+    primary key, so min(o_custkey)/min(o_orderpriority) over the 4
+    clones were identities and bool_and over the 4 exploded rows
+    equals the conjunction of the 4 per-hash column tests — verified
+    identical against the unchanged DuckDB oracle."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     build = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -1435,36 +1443,46 @@ def orders_bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mask")
     )
-
-    probe_bits = orders.select(
-        "o_orderkey", "o_custkey", "o_orderpriority", F.explode(js).alias("j")
-    ).select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderpriority",
-        _bloom_bit(F.col("j"), F.col("o_custkey")).alias("bit"),
+    # Fold the <=16 (word, mask) rows into ONE map row: the whole
+    # filter broadcasts as a scalar and each probe is a map lookup.
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
     )
-    checked = (
-        probe_bits.join(
-            F.broadcast(words),
-            (F.col("bit") / _BLOOM_BITS_PER_WORD).cast("long") == F.col("word"),
-            "left",
+
+    probe = (
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            "bloom",
+            *[
+                _bloom_bit(F.lit(j), F.col("o_custkey")).alias(f"bit{j}")
+                for j in range(_BLOOM_K)
+            ],
         )
-        .groupBy("o_orderkey")
-        .agg(
-            F.min("o_custkey").alias("o_custkey"),
-            F.min("o_orderpriority").alias("o_orderpriority"),
-            F.bool_and(
-                F.coalesce(
-                    F.expr(
-                        f"shiftright(mask, "
-                        f"CAST(bit % {_BLOOM_BITS_PER_WORD} AS INT)) % 2"
-                    ),
-                    F.lit(0).cast("long"),
-                )
-                == 1
-            ).alias("passed"),
+    )
+    # Per-hash membership test, identical expression to the exploded
+    # form's post-join test (try_element_at returns NULL for an absent
+    # word exactly as the LEFT join produced a NULL mask).
+    tests = [
+        F.coalesce(
+            F.expr(
+                f"shiftright(try_element_at(bloom, "
+                f"CAST(bit{j} / {_BLOOM_BITS_PER_WORD} AS BIGINT)), "
+                f"CAST(bit{j} % {_BLOOM_BITS_PER_WORD} AS INT)) % 2"
+            ),
+            F.lit(0).cast("long"),
         )
+        == 1
+        for j in range(_BLOOM_K)
+    ]
+    passed = tests[0]
+    for t in tests[1:]:
+        passed = passed & t
+    checked = probe.select(
+        "o_custkey", "o_orderpriority", passed.alias("passed")
     )
     truth = build.withColumnRenamed("c_custkey", "o_custkey").withColumn(
         "is_member", F.lit(True)

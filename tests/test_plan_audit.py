@@ -45,6 +45,7 @@ _ALLOW_BNLJ = {
     "customer_forget_cascade",    # one-row audit-count broadcasts
     "docs_lang_temperature_mixture",  # one-row sqrt-total broadcast
     "docs_minhash_lsh_audit",     # three one-row count broadcasts
+    "orders_bloom_prejoin_prune", # one-row bloom-word-map broadcast (r18)
     "orders_constraint_checks",   # per-check one-row count broadcasts
     "orders_set_ops_battery",     # six one-row count broadcasts
     "docs_tfidf_knn_communities", # one-row corpus-size broadcast (idf)
