@@ -81,8 +81,18 @@ def area_downscale(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     axis) over the same floor-partition edges — the per-cell Python
     ``.mean()`` loop cost ~6 µs × out_h×out_w per call, which
     dominated every dHash (multiplied by frames per video in the
-    perceptual folds)."""
+    perceptual folds).
+
+    Inputs smaller than the output grid are rejected: reduceat's
+    duplicate-edge semantics would silently return single elements
+    where the old per-cell ``.mean()`` produced NaN cells (ADVICE r18
+    #1) — no decoder emits sub-grid frames, so a loud error beats a
+    divergent value."""
     h, w = gray.shape
+    if h < out_h or w < out_w:
+        raise ValueError(
+            f"area_downscale needs input >= {out_h}x{out_w}, got {h}x{w}"
+        )
     r_edges = np.array([(r * h) // out_h for r in range(out_h)])
     c_edges = np.array([(c * w) // out_w for c in range(out_w)])
     sums = np.add.reduceat(

@@ -2001,11 +2001,12 @@ def pipeline_unified_erasure_ledger(
     operators/forget.py:44-47), and the ledger is the auditor's
     artifact proving both deletion (zero ghosts) and non-collateral
     (survivors untouched). Each family's tiny aggregate is
-    localCheckpoint-ed before the next family builds — the AV
-    probes share the persist-rotation cache (plans/av.py:
-    _AV_CAPPED_CACHE), so audio's decode pass must be consumed
-    before video's construction rotates it out, exactly the
-    discipline mixed_ingest_manifest documents."""
+    localCheckpoint-ed and the independent families materialize from
+    a small thread pool — only the AV probes share the
+    persist-rotation cache (plans/av.py: _AV_CAPPED_CACHE), so
+    audio's decode pass is consumed before video's construction
+    rotates it out by chaining those two inside one worker, exactly
+    the discipline mixed_ingest_manifest documents."""
     from dwh_spark.plans.av import (
         av_audio_offset_forget_probe,
         av_video_offset_forget_probe,
@@ -2016,97 +2017,134 @@ def pipeline_unified_erasure_ledger(
 
     _assert_band_discipline(spark, sf_dir)
     o = _ERASURE_OFFSETS
-    docs_led = (
-        docs_posting_forget_reprobe(spark, sf_dir)
-        .groupBy(_rearrival_arm().alias("arm"))
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(
-                F.col("new_id") + o["doc"] + F.col("corpus_id") + o["doc"]
-            ).cast("long").alias("id_sum"),
-            F.sum(
-                F.round(F.col("cont_new_in_corpus") * 1000000).cast("long")
-                + F.round(F.col("cont_corpus_in_new") * 1000000).cast("long")
-            ).cast("long").alias("score_sum"),
-            F.sum(_ghost_col("corpus_id").cast("long")).alias("n_ghost_hits"),
+
+    def _docs_led() -> DataFrame:
+        return (
+            docs_posting_forget_reprobe(spark, sf_dir)
+            .groupBy(_rearrival_arm().alias("arm"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.col("new_id") + o["doc"] + F.col("corpus_id") + o["doc"]
+                ).cast("long").alias("id_sum"),
+                F.sum(
+                    F.round(F.col("cont_new_in_corpus") * 1000000).cast("long")
+                    + F.round(F.col("cont_corpus_in_new") * 1000000).cast("long")
+                ).cast("long").alias("score_sum"),
+                F.sum(_ghost_col("corpus_id").cast("long")).alias("n_ghost_hits"),
+            )
+            .select(F.lit("doc").alias("family"), "*")
+            .localCheckpoint()
         )
-        .select(F.lit("doc").alias("family"), "*")
-        .localCheckpoint()
-    )
-    emb_led = (
-        emb_semantic_forget_reprobe(spark, sf_dir)
-        .groupBy(_rearrival_arm().alias("arm"))
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(
-                F.col("new_id") + o["emb"] + F.col("corpus_id") + o["emb"]
-            ).cast("long").alias("id_sum"),
-            F.sum(F.round(F.col("cosine") * 1000000).cast("long"))
-            .cast("long").alias("score_sum"),
-            F.sum(_ghost_col("corpus_id").cast("long")).alias("n_ghost_hits"),
+
+    def _emb_led() -> DataFrame:
+        return (
+            emb_semantic_forget_reprobe(spark, sf_dir)
+            .groupBy(_rearrival_arm().alias("arm"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.col("new_id") + o["emb"] + F.col("corpus_id") + o["emb"]
+                ).cast("long").alias("id_sum"),
+                F.sum(F.round(F.col("cosine") * 1000000).cast("long"))
+                .cast("long").alias("score_sum"),
+                F.sum(_ghost_col("corpus_id").cast("long")).alias("n_ghost_hits"),
+            )
+            .select(F.lit("emb").alias("family"), "*")
+            .localCheckpoint()
         )
-        .select(F.lit("emb").alias("family"), "*")
-        .localCheckpoint()
-    )
-    image_led = (
-        imgs_phash_forget_probe(spark, sf_dir)
-        .groupBy("arm")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(
-                F.col("id_a") + o["image"] + F.col("id_b") + o["image"]
-            ).cast("long").alias("id_sum"),
-            F.sum("hamming").cast("long").alias("score_sum"),
-            F.sum(
-                (
-                    _ghost_col("id_b")
-                    | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
-                ).cast("long")
-            ).alias("n_ghost_hits"),
+
+    def _image_led() -> DataFrame:
+        return (
+            imgs_phash_forget_probe(spark, sf_dir)
+            .groupBy("arm")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.col("id_a") + o["image"] + F.col("id_b") + o["image"]
+                ).cast("long").alias("id_sum"),
+                F.sum("hamming").cast("long").alias("score_sum"),
+                F.sum(
+                    (
+                        _ghost_col("id_b")
+                        | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
+                    ).cast("long")
+                ).alias("n_ghost_hits"),
+            )
+            .select(F.lit("image").alias("family"), "*")
+            .localCheckpoint()
         )
-        .select(F.lit("image").alias("family"), "*")
-        .localCheckpoint()
-    )
-    audio_led = (
-        av_audio_offset_forget_probe(spark, sf_dir)
-        .groupBy("arm")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(
-                F.col("id_a") + o["audio"] + F.col("id_b") + o["audio"]
-            ).cast("long").alias("id_sum"),
-            F.sum("n_matches").cast("long").alias("score_sum"),
-            F.sum(
-                (
-                    _ghost_col("id_b")
-                    | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
-                ).cast("long")
-            ).alias("n_ghost_hits"),
+
+    def _audio_led() -> DataFrame:
+        return (
+            av_audio_offset_forget_probe(spark, sf_dir)
+            .groupBy("arm")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.col("id_a") + o["audio"] + F.col("id_b") + o["audio"]
+                ).cast("long").alias("id_sum"),
+                F.sum("n_matches").cast("long").alias("score_sum"),
+                F.sum(
+                    (
+                        _ghost_col("id_b")
+                        | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
+                    ).cast("long")
+                ).alias("n_ghost_hits"),
+            )
+            .select(F.lit("audio").alias("family"), "*")
+            .localCheckpoint()
         )
-        .select(F.lit("audio").alias("family"), "*")
-        .localCheckpoint()
-    )
-    video_led = (
-        av_video_offset_forget_probe(spark, sf_dir)
-        .groupBy("arm")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(
-                F.col("id_a") + o["video"] + F.col("id_b") + o["video"]
-            ).cast("long").alias("id_sum"),
-            F.sum(
-                F.col("n_frames_matched") * 1000 + F.col("total_hamming")
-            ).cast("long").alias("score_sum"),
-            F.sum(
-                (
-                    _ghost_col("id_b")
-                    | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
-                ).cast("long")
-            ).alias("n_ghost_hits"),
+
+    def _video_led() -> DataFrame:
+        return (
+            av_video_offset_forget_probe(spark, sf_dir)
+            .groupBy("arm")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.col("id_a") + o["video"] + F.col("id_b") + o["video"]
+                ).cast("long").alias("id_sum"),
+                F.sum(
+                    F.col("n_frames_matched") * 1000 + F.col("total_hamming")
+                ).cast("long").alias("score_sum"),
+                F.sum(
+                    (
+                        _ghost_col("id_b")
+                        | ((F.col("arm") == "pairs") & _ghost_col("id_a"))
+                    ).cast("long")
+                ).alias("n_ghost_hits"),
+            )
+            .select(F.lit("video").alias("family"), "*")
+            .localCheckpoint()
         )
-        .select(F.lit("video").alias("family"), "*")
-        .localCheckpoint()
-    )
+
+    # The five family probes are INDEPENDENT jobs (disjoint forget
+    # stores, disjoint module caches: imgs rotates _IMGS_CORPUS_CACHE,
+    # docs/emb build fresh tempdirs) — materialize them from a small
+    # thread pool so each family's tail back-fills with the next
+    # family's tasks (the mixed_ingest_manifest pool applied to the
+    # erasure capstone; guide §2.6 — this was the one capstone left
+    # sequential in r18, and it showed: mixed gained 1.67x, erasure
+    # stayed flat). The ONE ordering constraint stays structural:
+    # audio and video share the _AV_CAPPED_CACHE persist rotation
+    # (video's construction rotates audio's index out), so those two
+    # run chained inside a single worker in the old sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _av_chain() -> tuple[DataFrame, DataFrame]:
+        audio = _audio_led()
+        return audio, _video_led()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_av = pool.submit(_av_chain)
+        f_doc = pool.submit(_docs_led)
+        f_emb = pool.submit(_emb_led)
+        f_img = pool.submit(_image_led)
+        docs_led, emb_led, image_led = (
+            f_doc.result(), f_emb.result(), f_img.result()
+        )
+        audio_led, video_led = f_av.result()
     out = docs_led
     for part in (emb_led, image_led, audio_led, video_led):
         out = out.unionByName(part)

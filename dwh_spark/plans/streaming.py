@@ -53,24 +53,44 @@ def _staged_events(
     )
 
 
+# INPUT-staging memo (disclosed, same pattern as _STAGE_CACHE above):
+# the staged micro-batch files are a pure function of the DETERMINISTIC
+# input frame (all callers stage md5/arithmetic-synthesized fixtures or
+# raw table projections — no rand()), every consumer only READS them
+# (stores/checkpoints stay per-query under each query's own root), and
+# hits are matched by Catalyst's sameSemantics on the analyzed plan —
+# never by name — so a frame that differs in ANY expression stages
+# fresh. Never caches results: each fold still computes from these
+# parquet inputs every invocation.
+_NTILE_STAGE_CACHE: list[tuple[DataFrame, int, str, str]] = []
+
+
 def _stage_ntile_slices(df: DataFrame, root: str, n: int, order_col: str) -> str:
-    """Stage ``df`` as ``n`` ORDERED micro-batch files under
-    ``root``/input — one ntile slice over ``order_col`` per file,
-    mtimes making the file source deliver them in slice order. For the
-    gates whose oracles re-derive exact batch boundaries via the same
-    ntile (the `_staged_events` cache can't serve those: its split is
-    partition-hash, not key-ordered). Returns the input dir."""
+    """Stage ``df`` as ``n`` ORDERED micro-batch files — one ntile
+    slice over ``order_col`` per file, mtimes making the file source
+    deliver them in slice order. For the gates whose oracles re-derive
+    exact batch boundaries via the same ntile (the `_staged_events`
+    cache can't serve those: its split is partition-hash, not
+    key-ordered). Returns the input dir — memoized per semantically
+    identical input frame (see _NTILE_STAGE_CACHE), so the dir may
+    outlive ``root``."""
     import os
     import shutil
+    import tempfile as _tempfile
 
     from pyspark.sql.window import Window
 
-    input_dir = os.path.join(root, "input")
+    for c_df, c_n, c_col, c_dir in _NTILE_STAGE_CACHE:
+        if c_n == n and c_col == order_col and df.sameSemantics(c_df):
+            return c_dir
+
+    stage_root = _tempfile.mkdtemp(prefix="dwh_ntile_stage_")
+    input_dir = os.path.join(stage_root, "input")
     os.makedirs(input_dir)
     sliced = df.withColumn(
         "__slice", F.ntile(n).over(Window.orderBy(order_col))
     )
-    tmp = os.path.join(root, "staged")
+    tmp = os.path.join(stage_root, "staged")
     sliced.repartition(1).write.partitionBy("__slice").parquet(tmp)
     for i in range(1, n + 1):
         sdir = os.path.join(tmp, f"__slice={i}")
@@ -78,6 +98,7 @@ def _stage_ntile_slices(df: DataFrame, root: str, n: int, order_col: str) -> str
         dst = os.path.join(input_dir, f"batch{i}.parquet")
         shutil.move(os.path.join(sdir, part), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    _NTILE_STAGE_CACHE.append((df, n, order_col, input_dir))
     return input_dir
 
 

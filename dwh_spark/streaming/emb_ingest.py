@@ -74,6 +74,14 @@ def run_semantic_ingest(
         batch_cells = assign_cells(
             batch_df.select("vec_id", "embedding"), cents
         ).persist()
+        # materialize the cache BEFORE anything consumes it: the r18
+        # commit-overlap attempt lost 0.6-0.7 s/query because two
+        # concurrent consumers of an UNMATERIALIZED single-partition
+        # cache serialize on the block's compute lock (one computes,
+        # the other's task squats a core waiting); a count() runs the
+        # centroid cross-score exactly once, then both overlap arms
+        # read cached rows (guide §2.6 + the r18 revert's diagnosis)
+        batch_cells.count()
         prior = index_store.current(spark)
         flagged = cell_probe(batch_cells, batch_cells, threshold).filter(
             F.col("corpus_id") < F.col("new_id")
@@ -88,14 +96,31 @@ def run_semantic_ingest(
             ]
             pruned = prior.filter(F.col("cell").isin(probed))
             flagged = flagged.unionByName(cell_probe(pruned, batch_cells, threshold))
-        flagged.groupBy(F.col("new_id").alias("vec_id")).agg(
-            F.count("*").alias("n_earlier_sem_dups")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
+
+        # the per-batch result write and the O(batch) segment write
+        # are independent jobs over the (now materialized) cached
+        # assignment frame — overlap them; the manifest commit, the
+        # fold's completion marker, still lands STRICTLY LAST so the
+        # crash/replay contract is unchanged
+        def _write_out() -> None:
+            flagged.groupBy(F.col("new_id").alias("vec_id")).agg(
+                F.count("*").alias("n_earlier_sem_dups")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(_write_out),
+                pool.submit(index_store.write_segment, batch_cells, batch_id),
+            ]
+            for f in futs:
+                f.result()
         # append-only: O(batch) index rows per ingest, history never
-        # rewritten
-        index_store.append(batch_cells, batch_id)
+        # rewritten; the manifest swap is the completion marker
+        index_store.commit_segment(batch_id)
         batch_cells.unpersist()
         if maintenance is not None:
             maintenance(batch_id)

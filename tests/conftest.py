@@ -13,6 +13,35 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: opt-in lane (scale smokes, property sweeps, exhaustive "
+        "batteries) — run with DWH_RUN_SLOW=1 or --runslow; the default "
+        "lane must finish inside the driver's verify budget",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (the opt-in lane)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("DWH_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow lane: set DWH_RUN_SLOW=1 or pass --runslow"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("dwh-spark-tests", shuffle_partitions=8)

@@ -119,6 +119,19 @@ def test_area_downscale_exact_on_integer_factors():
     assert out[0, 0] == gray[:2, :2].mean()  # floor edges: 8*1//3 = 2
 
 
+def test_area_downscale_rejects_sub_grid_input():
+    # ADVICE r18 #1: reduceat's duplicate-edge semantics would silently
+    # diverge from the per-cell .mean() reference on inputs smaller
+    # than the output grid — reject loudly instead
+    with pytest.raises(ValueError, match="area_downscale needs input"):
+        area_downscale(np.ones((4, 8), dtype=np.float64), 8, 8)
+    with pytest.raises(ValueError, match="area_downscale needs input"):
+        area_downscale(np.ones((8, 7), dtype=np.float64), 8, 8)
+    # exactly-grid-sized input is the identity partition, still fine
+    g = np.arange(64, dtype=np.float64).reshape(8, 8)
+    assert np.array_equal(area_downscale(g, 8, 8), g)
+
+
 def test_decode_pixels_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         decode_pixels(b"\x00\x01", "h264-still")
