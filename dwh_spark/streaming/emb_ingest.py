@@ -74,14 +74,19 @@ def run_semantic_ingest(
         batch_cells = assign_cells(
             batch_df.select("vec_id", "embedding"), cents
         ).persist()
-        # materialize the cache BEFORE anything consumes it: the r18
-        # commit-overlap attempt lost 0.6-0.7 s/query because two
-        # concurrent consumers of an UNMATERIALIZED single-partition
-        # cache serialize on the block's compute lock (one computes,
-        # the other's task squats a core waiting); a count() runs the
-        # centroid cross-score exactly once, then both overlap arms
-        # read cached rows (guide §2.6 + the r18 revert's diagnosis)
-        batch_cells.count()
+        # ONE job materializes the cache AND collects the batch's
+        # distinct cell ids: the r18 commit-overlap attempt lost
+        # 0.6-0.7 s/query because two concurrent consumers of an
+        # UNMATERIALIZED single-partition cache serialize on the
+        # block's compute lock (one computes, the other's task squats
+        # a core waiting) — scanning the frame here runs the centroid
+        # cross-score exactly once and every later consumer reads
+        # cached rows (guide §2.6 + the r18 revert's diagnosis; these
+        # folds are driver-sequencing-bound, so job COUNT is the
+        # budget — no separate count() job)
+        probed = [
+            r["cell"] for r in batch_cells.select("cell").distinct().collect()
+        ]
         prior = index_store.current(spark)
         flagged = cell_probe(batch_cells, batch_cells, threshold).filter(
             F.col("corpus_id") < F.col("new_id")
@@ -91,9 +96,6 @@ def run_semantic_ingest(
             # bounded literal IN list) filter the stored-index SCAN —
             # with a cell-partitioned/sorted index table this is
             # partition pruning, so the fold reads only probed cells
-            probed = [
-                r["cell"] for r in batch_cells.select("cell").distinct().collect()
-            ]
             pruned = prior.filter(F.col("cell").isin(probed))
             flagged = flagged.unionByName(cell_probe(pruned, batch_cells, threshold))
 
