@@ -47,65 +47,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows only). _CHECK_FIRST still rotates the driver's ~50-slot window
 # over the stalest DRIVER verdicts below.
 #
-# Round-18 ledger (generated at round start with
-# scripts/rotate_check_first.py, counts updated as the round's
-# queries registered): registry 271, newest committed artifact r17,
-# combined-stale (<= r14) 0, never-checked 3 (the round-18
-# additions, leading below).
+# Round-19 ledger (generated at round start with
+# scripts/rotate_check_first.py): registry 271, newest committed
+# artifact r18, combined-stale (<= r15) 0, never-checked 0; the
+# round's code-touched queries lead per rule (2), then the stalest
+# driver cohorts (r13 first) backfill the ~50-slot window.
 _CHECK_FIRST = [
-    # -- new round-18 queries: no driver verdict yet
+    # -- round-19 code-touched: erasure capstone pool, semantic fold
+    #    overlap, ntile input-staging memo (re-verify first)
+    "pipeline_unified_erasure_ledger",
+    "streaming_semantic_ingest",
+    "streaming_semantic_retrain_ingest",
+    "streaming_semantic_window_ingest",
+    "streaming_rollup_asof_snapshot",
     "streaming_rollup_version_gc",
     "streaming_rollup_version_delta",
-    "docs_minhash_two_store_window_ledger",
-    # -- latest driver verdict r12 (18)
-    "q4_order_priority_exists",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "reconcile_daily_counts",
-    "rollup_region_nation",
-    "scalar_function_battery",
-    "setops_customer_segments",
-    "sql_big_spenders",
-    "sql_correlated_outliers",
+    "streaming_state_point_lookup",
+    "streaming_minhash_ingest",
+    "streaming_minhash_forget_ingest",
+    "streaming_minhash_ttl_ingest",
+    "streaming_minhash_ttl_compact_ingest",
+    "streaming_phash_ingest",
+    "streaming_phash_forget_ingest",
+    "streaming_audio_fp_ingest",
+    "streaming_video_phash_ingest",
     "streaming_audio_offset_ingest",
-    "streaming_daily_rollup_incremental",
-    "streaming_session_windows",
-    "streaming_user_accumulator",
     "streaming_video_offset_ingest",
-    "topk_orders_per_segment",
-    # -- latest driver verdict r13 (50)
-    "av_audio_adpcm_decode_stats",
-    "av_audio_corpus_build",
-    "av_audio_corpus_ingest_triage",
-    "av_audio_fp_offset_capped_ingest",
-    "av_audio_fp_offset_entropy_ingest",
-    "av_audio_g711_decode_stats",
-    "av_video_corpus_build",
-    "av_video_corpus_ingest_triage",
-    "av_video_frame_digests",
-    "av_video_mjpeg_frame_stats",
-    "av_video_phash_offset_banded_near_dups",
-    "av_video_phash_offset_capped_ingest",
-    "av_video_real_frame_stats",
-    "docs_chunk_windows",
-    "docs_decontaminate",
-    "docs_dup_clusters",
-    "docs_dup_clusters_distributed",
-    "docs_duplicated_ngram_spans",
-    "docs_exact_dedup",
-    "docs_fingerprint_clusters",
-    "docs_jaccard_pairs",
-    "docs_lang_temperature_mixture",
-    "imgs_phash_capped_ingest",
-    "imgs_real_pixel_stats",
-    "marketplace_audit_counts",
-    "marketplace_bids_surviving",
-    "marketplace_ft_state",
-    "marketplace_listed_value",
-    "marketplace_nfts_state",
+    "streaming_audio_offset_entropy_ingest",
+    "streaming_audio_offset_cap_compaction",
+    "streaming_audio_offset_window_ingest",
+    "streaming_audio_offset_forget_ingest",
+    "streaming_video_offset_forget_ingest",
+    "streaming_video_offset_cap_compaction",
+    # -- latest driver verdict r13 (21)
     "marketplace_offers_surviving",
     "marketplace_stream_bids_surviving",
     "marketplace_stream_nfts_state",
@@ -121,7 +95,6 @@ _CHECK_FIRST = [
     "q21_waiting_suppliers",
     "q22_idle_customers",
     "semi_anti_customers",
-    "streaming_audio_offset_entropy_ingest",
     "streaming_click_purchase_join",
     "streaming_click_purchase_left_join",
     "streaming_daily_rollup",
@@ -173,11 +146,7 @@ _CHECK_FIRST = [
     "orders_schema_evolution_read",
     "orders_set_ops_battery",
     "orders_window_function_battery",
-    "streaming_audio_offset_cap_compaction",
-    "streaming_audio_offset_forget_ingest",
     "streaming_latest_state",
-    "streaming_minhash_ingest",
-    "streaming_video_offset_cap_compaction",
     # -- latest driver verdict r15 (50)
     "docs_jaccard_hashed_shingles",
     "docs_leakage_safe_split",
@@ -222,13 +191,6 @@ _CHECK_FIRST = [
     "imgs_format_bytes",
     "imgs_phash_forget_probe",
     "pipeline_mixed_ingest_ledger",
-    "pipeline_unified_erasure_ledger",
-    "streaming_minhash_forget_ingest",
-    "streaming_minhash_ttl_compact_ingest",
-    "streaming_minhash_ttl_ingest",
-    "streaming_phash_forget_ingest",
-    "streaming_semantic_retrain_ingest",
-    "streaming_video_offset_forget_ingest",
     # -- latest driver verdict r16 (50)
     "agg_all_orders",
     "av_audio_fp_incremental_ingest",
@@ -278,8 +240,6 @@ _CHECK_FIRST = [
     "pagination_page3",
     "q10_returned_items",
     "q13_customer_distribution",
-    "streaming_semantic_ingest",
-    "streaming_semantic_window_ingest",
     # -- latest driver verdict r17 (50)
     "av_audio_chunk_energy",
     "av_audio_chunking",
@@ -325,12 +285,53 @@ _CHECK_FIRST = [
     "q20_parts_suppliers_semi",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "streaming_audio_fp_ingest",
-    "streaming_audio_offset_window_ingest",
-    "streaming_phash_ingest",
-    "streaming_rollup_asof_snapshot",
-    "streaming_state_point_lookup",
-    "streaming_video_phash_ingest",
+    # -- latest driver verdict r18 (50)
+    "av_audio_adpcm_decode_stats",
+    "av_audio_corpus_build",
+    "av_audio_corpus_ingest_triage",
+    "av_audio_fp_offset_capped_ingest",
+    "av_audio_fp_offset_entropy_ingest",
+    "av_audio_g711_decode_stats",
+    "av_video_corpus_build",
+    "av_video_corpus_ingest_triage",
+    "av_video_frame_digests",
+    "av_video_mjpeg_frame_stats",
+    "av_video_phash_offset_banded_near_dups",
+    "av_video_phash_offset_capped_ingest",
+    "av_video_real_frame_stats",
+    "docs_chunk_windows",
+    "docs_decontaminate",
+    "docs_dup_clusters",
+    "docs_dup_clusters_distributed",
+    "docs_duplicated_ngram_spans",
+    "docs_exact_dedup",
+    "docs_fingerprint_clusters",
+    "docs_jaccard_pairs",
+    "docs_lang_temperature_mixture",
+    "docs_minhash_two_store_window_ledger",
+    "imgs_phash_capped_ingest",
+    "imgs_real_pixel_stats",
+    "marketplace_audit_counts",
+    "marketplace_bids_surviving",
+    "marketplace_ft_state",
+    "marketplace_listed_value",
+    "marketplace_nfts_state",
+    "q4_order_priority_exists",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "reconcile_daily_counts",
+    "rollup_region_nation",
+    "scalar_function_battery",
+    "setops_customer_segments",
+    "sql_big_spenders",
+    "sql_correlated_outliers",
+    "streaming_daily_rollup_incremental",
+    "streaming_session_windows",
+    "streaming_user_accumulator",
+    "topk_orders_per_segment",
 ]
 
 
