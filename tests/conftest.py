@@ -32,14 +32,20 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow") or os.environ.get("DWH_RUN_SLOW") == "1":
-        return
+    from tests.slow_lane import SLOW_TESTS
+
+    run_slow = (
+        config.getoption("--runslow") or os.environ.get("DWH_RUN_SLOW") == "1"
+    )
     skip = pytest.mark.skip(
         reason="slow lane: set DWH_RUN_SLOW=1 or pass --runslow"
     )
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+        in_lane = "slow" in item.keywords or item.nodeid in SLOW_TESTS
+        if in_lane:
+            item.add_marker(pytest.mark.slow)
+            if not run_slow:
+                item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
