@@ -1734,11 +1734,11 @@ def mixed_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     triage (operators/dedup.py:corpus_ingest_triage for docs; the
     imgs/audio/video triage pipelines for the binary modalities).
     Each modality's per-item frame is localCheckpoint-ed as soon as
-    it is built: the AV triages share a persist-rotation cache
-    (plans/av.py:_AV_CORPUS_CACHE), so audio's decode pass must be
-    consumed before video's construction rotates it out — and the
-    checkpoint also means the expensive decodes feed the ledger
-    exactly once. Global ids are local ids shifted into disjoint
+    it is built: the AV triages keep their fixtures in the KEYED
+    persist-rotation cache (plans/av.py:_AV_CORPUS_CACHE, one slot
+    per family since r19, so audio and video materialize
+    concurrently) — and the checkpoint also means the expensive
+    decodes feed the ledger exactly once. Global ids are local ids shifted into disjoint
     1e8 bands (``_MIXED_OFFSETS``) — the cross-family id discipline
     a real mixed-corpus ingest needs pinned before anything joins
     across modalities."""
@@ -1774,27 +1774,26 @@ def mixed_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializations run from a small thread pool — each family's
     # tail stragglers back-fill with the next family's tasks instead
     # of idling the cluster (the marketplace fold's pooled-commit
-    # discipline applied to the capstone). The ONE ordering constraint
-    # stays structural: audio and video share the _AV_CORPUS_CACHE
-    # persist rotation (video's CONSTRUCTION rotates audio's decode
-    # pass out), so those two run chained inside a single worker in
-    # the exact sequential order the serial form used.
+    # discipline applied to the capstone). Since r19 the AV persist
+    # rotation is KEYED per family (plans/av.py:_drop_av_slot), so
+    # audio and video no longer rotate each other's fixture out and
+    # all four arms run concurrently — the AV chain was the pool's
+    # critical path (audio + video back-to-back in one worker).
     from concurrent.futures import ThreadPoolExecutor
 
-    def _av_chain() -> tuple[DataFrame, DataFrame]:
-        audio = _part("audio", av_audio_corpus_ingest_triage(spark, sf_dir))
-        return audio, _part(
-            "video", av_video_corpus_ingest_triage(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_audio = pool.submit(
+            lambda: _part("audio", av_audio_corpus_ingest_triage(spark, sf_dir))
         )
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_video = pool.submit(
+            lambda: _part("video", av_video_corpus_ingest_triage(spark, sf_dir))
+        )
         f_doc = pool.submit(_part, "doc", doc_items)
         f_img = pool.submit(
             lambda: _part("image", imgs_corpus_ingest_triage(spark, sf_dir))
         )
-        f_av = pool.submit(_av_chain)
         doc_part, img_part = f_doc.result(), f_img.result()
-        audio_part, video_part = f_av.result()
+        audio_part, video_part = f_audio.result(), f_video.result()
     manifest = doc_part
     for p in (img_part, audio_part, video_part):
         manifest = manifest.unionByName(p)
@@ -2001,12 +2000,11 @@ def pipeline_unified_erasure_ledger(
     operators/forget.py:44-47), and the ledger is the auditor's
     artifact proving both deletion (zero ghosts) and non-collateral
     (survivors untouched). Each family's tiny aggregate is
-    localCheckpoint-ed and the independent families materialize from
-    a small thread pool — only the AV probes share the
-    persist-rotation cache (plans/av.py: _AV_CAPPED_CACHE), so
-    audio's decode pass is consumed before video's construction
-    rotates it out by chaining those two inside one worker, exactly
-    the discipline mixed_ingest_manifest documents."""
+    localCheckpoint-ed and all five families materialize from a
+    small thread pool — the AV probes keep their fixtures in the
+    KEYED persist-rotation cache (plans/av.py: _AV_CAPPED_CACHE, one
+    slot per family since r19), exactly the discipline
+    mixed_ingest_manifest documents."""
     from dwh_spark.plans.av import (
         av_audio_offset_forget_probe,
         av_video_offset_forget_probe,
@@ -2121,30 +2119,26 @@ def pipeline_unified_erasure_ledger(
 
     # The five family probes are INDEPENDENT jobs (disjoint forget
     # stores, disjoint module caches: imgs rotates _IMGS_CORPUS_CACHE,
-    # docs/emb build fresh tempdirs) — materialize them from a small
-    # thread pool so each family's tail back-fills with the next
-    # family's tasks (the mixed_ingest_manifest pool applied to the
-    # erasure capstone; guide §2.6 — this was the one capstone left
-    # sequential in r18, and it showed: mixed gained 1.67x, erasure
-    # stayed flat). The ONE ordering constraint stays structural:
-    # audio and video share the _AV_CAPPED_CACHE persist rotation
-    # (video's construction rotates audio's index out), so those two
-    # run chained inside a single worker in the old sequential order.
+    # docs/emb build fresh tempdirs, and since r19 the AV persist
+    # rotation is KEYED per family so audio and video no longer
+    # rotate each other's fixture out) — materialize all five from a
+    # small thread pool so each family's tail back-fills with the
+    # next family's tasks (the mixed_ingest_manifest pool applied to
+    # the erasure capstone; guide §2.6 — this was the one capstone
+    # left sequential in r18, and it showed: mixed gained 1.67x,
+    # erasure stayed flat).
     from concurrent.futures import ThreadPoolExecutor
 
-    def _av_chain() -> tuple[DataFrame, DataFrame]:
-        audio = _audio_led()
-        return audio, _video_led()
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_av = pool.submit(_av_chain)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_audio = pool.submit(_audio_led)
+        f_video = pool.submit(_video_led)
         f_doc = pool.submit(_docs_led)
         f_emb = pool.submit(_emb_led)
         f_img = pool.submit(_image_led)
         docs_led, emb_led, image_led = (
             f_doc.result(), f_emb.result(), f_img.result()
         )
-        audio_led, video_led = f_av.result()
+        audio_led, video_led = f_audio.result(), f_video.result()
     out = docs_led
     for part in (emb_led, image_led, audio_led, video_led):
         out = out.unionByName(part)
