@@ -54,7 +54,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver cohorts (r13 first) backfill the ~50-slot window.
 _CHECK_FIRST = [
     # -- round-19 code-touched: erasure capstone pool, semantic fold
-    #    overlap, ntile input-staging memo (re-verify first)
+    #    overlap, ntile input-staging memo, keyed AV persist
+    #    rotation + unchained capstone pools (re-verify first)
+    "pipeline_mixed_ingest_ledger",
+    "av_audio_fp_offset_capped_ingest",
+    "av_video_phash_offset_capped_ingest",
+    "av_audio_fp_cap_calibration",
+    "av_audio_window_ledger",
+    "av_video_window_ledger",
+    "av_audio_corpus_build",
+    "av_video_corpus_build",
+    "av_audio_corpus_ingest_triage",
+    "av_video_corpus_ingest_triage",
+    "av_audio_offset_forget_probe",
+    "av_video_offset_forget_probe",
     "pipeline_unified_erasure_ledger",
     "streaming_semantic_ingest",
     "streaming_semantic_retrain_ingest",
@@ -102,9 +115,6 @@ _CHECK_FIRST = [
     "streaming_dim_enrichment",
     # -- latest driver verdict r14 (50)
     "av_audio_flac_decode_stats",
-    "av_audio_fp_cap_calibration",
-    "av_audio_offset_forget_probe",
-    "av_video_offset_forget_probe",
     "docs_bigram_lm_scores",
     "docs_containment_near_dups",
     "docs_corpus_ingest_delta",
@@ -190,12 +200,10 @@ _CHECK_FIRST = [
     "imgs_dedup_new",
     "imgs_format_bytes",
     "imgs_phash_forget_probe",
-    "pipeline_mixed_ingest_ledger",
     # -- latest driver verdict r16 (50)
     "agg_all_orders",
     "av_audio_fp_incremental_ingest",
     "av_audio_fp_near_dups",
-    "av_audio_window_ledger",
     "av_video_phash_incremental_ingest",
     "av_video_phash_near_dups",
     "av_wav_roundtrip_stats",
@@ -249,7 +257,6 @@ _CHECK_FIRST = [
     "av_video_phash_offset_ingest",
     "av_video_phash_offset_near_dups",
     "av_video_snippet_search",
-    "av_video_window_ledger",
     "customer_forget_cascade",
     "docs_bm25_topk",
     "docs_containment_capped_ingest",
@@ -287,17 +294,11 @@ _CHECK_FIRST = [
     "q3_shipping_priority",
     # -- latest driver verdict r18 (50)
     "av_audio_adpcm_decode_stats",
-    "av_audio_corpus_build",
-    "av_audio_corpus_ingest_triage",
-    "av_audio_fp_offset_capped_ingest",
     "av_audio_fp_offset_entropy_ingest",
     "av_audio_g711_decode_stats",
-    "av_video_corpus_build",
-    "av_video_corpus_ingest_triage",
     "av_video_frame_digests",
     "av_video_mjpeg_frame_stats",
     "av_video_phash_offset_banded_near_dups",
-    "av_video_phash_offset_capped_ingest",
     "av_video_real_frame_stats",
     "docs_chunk_windows",
     "docs_decontaminate",
